@@ -1,0 +1,246 @@
+"""Search operator tests: hand-computed micro-fixtures + the 64x4 agreement
+dataset (FIXTURES.md §2-3, mirroring test/vector_adversarial_test.exs:376-421
+and test/vector_db_test.exs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.collection import Collection
+from vettore_spark.operators import search as S
+from vettore_spark.operators import multivector as MV
+from vettore_spark.operators.rerank import mmr_rerank_rows
+
+
+@pytest.fixture(scope="module")
+def agreement_coll(spark):
+    """Deterministic 64-record, 4-dim dataset (FIXTURES.md §2)."""
+    rows = []
+    for i in range(64):
+        rows.append(
+            {
+                "id": f"id-{i:02d}",
+                "vector": [i / 10, (i * 7 % 17) / 5, (i * 11 % 19) / 7, (i % 3) / 1],
+            }
+        )
+    c = Collection.create(spark, "agree", 4, metric="l2")
+    c.put_many(rows)
+    c._df = c._df.cache()
+    return c
+
+
+QUERY = [2.25, 1.5, 0.75, 1.0]
+
+
+def test_l2_near_far(spark):
+    """L2 fixture (test/vector_db_test.exs:7-24)."""
+    c = Collection.create(spark, "l2c", 2, metric="l2")
+    c.put_many([
+        {"id": "near", "vector": [0.0, 0.0]},
+        {"id": "far", "vector": [10.0, 10.0]},
+    ])
+    got = c.search([1.0, 1.0], limit=2).collect()
+    assert [r["id"] for r in got] == ["near", "far"]
+    assert got[0]["distance"] == pytest.approx(np.sqrt(2))
+    assert got[0]["score"] == pytest.approx(-np.sqrt(2))
+
+
+def test_cosine_axes(spark):
+    """Cosine fixture (test/vector_db_test.exs:26-53): collection normalizes
+    to unit length, so dot == cosine; query [1,0] -> right scores 1.0,
+    distance 0.0."""
+    c = Collection.create(spark, "cosc", 2, metric="cosine")
+    c.put_many([
+        {"id": "right", "vector": [1.0, 0.0]},
+        {"id": "up", "vector": [0.0, 1.0]},
+        {"id": "left", "vector": [-1.0, 0.0]},
+    ])
+    got = c.search([1.0, 0.0], limit=3).collect()
+    assert [r["id"] for r in got] == ["right", "up", "left"]
+    assert got[0]["score"] == pytest.approx(1.0)
+    assert got[0]["distance"] == pytest.approx(0.0)
+    assert got[2]["score"] == pytest.approx(-1.0)
+    assert got[2]["distance"] == pytest.approx(2.0)
+
+
+def test_funnel_prefix_trap(spark):
+    """Funnel trap (test/vector_db_test.exs:135-152): stage [1] keeps both
+    prefix-matching docs, full rerank puts `exact` first."""
+    c = Collection.create(spark, "fun", 3, metric="l2")
+    c.put_many([
+        {"id": "exact", "vector": [1.0, 0.0, 0.0]},
+        {"id": "prefix", "vector": [1.0, 5.0, 0.0]},
+        {"id": "far", "vector": [-1.0, 0.0, 0.0]},
+    ])
+    got = c.funnel_search([1.0, 0.0, 0.0], stages=[1], limit=2, candidates=2).collect()
+    assert [r["id"] for r in got] == ["exact", "prefix"]
+
+
+def test_quantized_sign_trap(spark):
+    """Quantized trap (test/vector_db_test.exs:154-174): same-sign-bits far
+    vector survives stage 1, exact rerank fixes the order."""
+    c = Collection.create(spark, "quant", 2, metric="l2")
+    c.put_many([
+        {"id": "exact", "vector": [1.0, 1.0]},
+        {"id": "same_bits_far", "vector": [100.0, 100.0]},
+        {"id": "opposite", "vector": [-1.0, -1.0]},
+    ])
+    row = c.df.filter(F.col("id") == "exact").first()
+    assert row["binary_vector"] == [3]
+    got = c.quantized_search([1.0, 1.0], limit=2, candidates=2).collect()
+    assert [r["id"] for r in got] == ["exact", "same_bits_far"]
+
+
+def test_agreement_all_modes(agreement_coll):
+    """At full candidates, funnel, quantized and hybrid return exactly the
+    exact-flat ids (test/vector_adversarial_test.exs:376-421)."""
+    exact = [r["id"] for r in agreement_coll.search(QUERY, limit=10).collect()]
+    funnel = [
+        r["id"]
+        for r in agreement_coll.funnel_search(
+            QUERY, stages=[2, 4], limit=10, candidates=64
+        ).collect()
+    ]
+    quant = [
+        r["id"]
+        for r in agreement_coll.quantized_search(QUERY, limit=10, candidates=64).collect()
+    ]
+    hybrid = [
+        r["id"]
+        for r in agreement_coll.hybrid_search(QUERY, limit=10, candidates=64).collect()
+    ]
+    assert funnel == exact
+    assert quant == exact
+    assert hybrid == exact
+
+
+def test_exact_topk_vs_numpy(agreement_coll):
+    rows = agreement_coll.df.select("id", "vector").collect()
+    ids = [r["id"] for r in rows]
+    mat = np.array([r["vector"] for r in rows], dtype=np.float64)
+    d = np.sqrt(((mat - np.array(QUERY)) ** 2).sum(axis=1))
+    order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:10]
+    want = [ids[i] for i in order]
+    got = [r["id"] for r in agreement_coll.search(QUERY, limit=10).collect()]
+    assert got == want
+
+
+def test_multi_query_topk(spark, agreement_coll):
+    queries = spark.createDataFrame(
+        [(0, QUERY), (1, [0.0, 0.0, 0.0, 0.0]), (2, [6.0, 3.0, 2.0, 1.0])],
+        "query_id: int, query_vector: array<double>",
+    )
+    got = S.multi_query_topk(
+        queries, agreement_coll.df, metric="l2", k=5
+    ).collect()
+    assert len(got) == 15
+    rows = agreement_coll.df.select("id", "vector").collect()
+    ids = [r["id"] for r in rows]
+    mat = np.array([r["vector"] for r in rows], dtype=np.float64)
+    for qid, q in [(0, QUERY), (1, [0, 0, 0, 0]), (2, [6, 3, 2, 1])]:
+        d = np.sqrt(((mat - np.array(q, dtype=np.float64)) ** 2).sum(axis=1))
+        order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:5]
+        want = [ids[i] for i in order]
+        sub = sorted(
+            [r for r in got if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        assert [r["id"] for r in sub] == want
+
+
+def test_maxsim_fixture(spark):
+    """Multi-vector score 2.0 fixture (test/vector_db_test.exs:176-218):
+    doc tokens match the two query tokens exactly -> cosine MaxSim = 2.0."""
+    c = Collection.create(spark, "mv", 2, metric="cosine")
+    c.put_many([
+        {"id": "doc", "vectors": [[1.0, 0.0], [0.0, 1.0]]},
+        {"id": "other", "vectors": [[-1.0, 0.0], [0.0, -1.0]]},
+    ])
+    got = c.multi_vector_search([[1.0, 0.0], [0.0, 1.0]], limit=2).collect()
+    assert got[0]["id"] == "doc"
+    assert got[0]["score"] == pytest.approx(2.0)
+    assert got[0]["distance"] is None
+    # each query token's best match in `other` is the orthogonal token -> 0
+    assert got[1]["score"] == pytest.approx(0.0)
+    # mean-vector derivation: primary vector = normalized mean of tokens
+    row = c.df.filter(F.col("id") == "doc").first()
+    mean = np.array([0.5, 0.5])
+    want = (mean / np.linalg.norm(mean)).astype(np.float32)
+    assert row["vector"] == pytest.approx(want.tolist(), abs=1e-6)
+
+
+def test_maxsim_empty_doc_side(spark):
+    df = spark.createDataFrame(
+        [("a", [[1.0, 0.0]]), ("b", None)],
+        "id: string, vectors: array<array<double>>",
+    )
+    got = MV.maxsim_topk(df, [[1.0, 0.0]], metric="cosine", k=2, vector_col=None).collect()
+    by_id = {r["id"]: r["score"] for r in got}
+    assert by_id["a"] == pytest.approx(1.0)
+    assert by_id["b"] == 0.0
+
+
+def test_mmr_rerank():
+    """MMR: alpha=1 keeps relevance order; alpha=0.5 diversifies away the
+    near-duplicate (vettore_distance.ex:325-436)."""
+    initial = [("a", 1.0), ("a2", 0.99), ("b", 0.5)]
+    vecs = {"a": [1.0, 0.0], "a2": [1.0, 0.01], "b": [0.0, 1.0]}
+    ids_rel = [i for i, _ in mmr_rerank_rows(initial, vecs, alpha=1.0, k=3)]
+    assert ids_rel == ["a", "a2", "b"]
+    ids_div = [i for i, _ in mmr_rerank_rows(initial, vecs, alpha=0.5, k=2)]
+    assert ids_div == ["a", "b"]
+
+
+def test_put_many_validation(spark):
+    c = Collection.create(spark, "val", 2, metric="l2")
+    with pytest.raises(ValueError, match="invalid vector"):
+        c.put_many([{"id": "x", "vector": [1.0]}])
+    with pytest.raises(ValueError, match="invalid vector"):
+        c.put_many([{"id": "x", "vector": [float("nan"), 1.0]}])
+    with pytest.raises(ValueError, match="duplicate id within batch"):
+        c.put_many([
+            {"id": "x", "vector": [1.0, 2.0]},
+            {"id": "x", "vector": [3.0, 4.0]},
+        ])
+    c.put_many([{"id": "x", "vector": [1.0, 2.0]}])
+    with pytest.raises(ValueError, match="already exists"):
+        c.put_many([{"id": "x", "vector": [3.0, 4.0]}])
+    # duplicate vectors allowed (test/vector_db_test.exs:55-66)
+    c.put_many([{"id": "y", "vector": [1.0, 2.0]}])
+    assert c.count() == 2
+    # value <-> id fallback (collection.ex:1069-1075)
+    c.put_many([{"value": "justval", "vector": [0.0, 1.0]}])
+    row = c.get("justval")
+    assert row is not None and row["value"] == "justval"
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    """Snapshot round-trip + override rules (collection.ex:146-164,
+    1159-1203; test/vector_db_test.exs:309-411)."""
+    c = Collection.create(spark, "snap", 2, metric="cosine")
+    c.put_many([
+        {"id": "a", "vector": [1.0, 0.0], "metadata": {"k": "v"}},
+        {"id": "b", "vector": [0.0, 1.0]},
+    ])
+    path = str(tmp_path / "snap")
+    c.snapshot(path)
+    c2 = Collection.load_snapshot(spark, path, name="snap2")
+    assert c2.config.name == "snap2"
+    assert c2.config.metric == "cosine"
+    assert c2.count() == 2
+    got = c2.search([1.0, 0.0], limit=1).collect()
+    assert got[0]["id"] == "a"
+    assert c2.get("a")["metadata"] == {"k": "v"}
+    with pytest.raises(ValueError, match="structural override"):
+        Collection.load_snapshot(spark, path, dimensions=3)
+    with pytest.raises(ValueError, match="unknown override"):
+        Collection.load_snapshot(spark, path, bogus=1)
+
+
+def test_closed_collection(spark):
+    c = Collection.create(spark, "closing", 2)
+    c.close()
+    c.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        c.search([1.0, 0.0])

@@ -1,0 +1,368 @@
+"""Collection: a schema-enforced vector table + config, the Spark analog of
+the reference's ETS-backed collection (lib/vettore/collection.ex).
+
+Mapping (SURVEY §1.5): a collection is a DataFrame with the canonical
+embedding schema plus a config sidecar; `snapshot`/`load_snapshot` persist it
+as a parquet directory + config JSON. Writes are whole-batch atomic
+(duplicate-id rejection via anti-join replaces the reference's
+rollback dance, collection.ex:459-502 — a single atomic append needs no
+compensation).
+
+Validation parity:
+- dims/metric/normalize/score validation ... collection.ex:75-132
+- id/value fallback ........................ collection.ex:1069-1075, store/ets.ex:238-244
+- dense-vector validation .................. collection.ex:1085-1095, 1264-1270
+- mean-of-multivectors derivation .......... collection.ex:994-1017
+- insert-time normalization ................ collection.ex:351-357, 1317-1319
+- sign-bit packing at ingest ............... collection.ex:920-946
+- duplicate ids rejected ................... store/ets.ex:264-271
+- load_snapshot override rules ............. collection.ex:1159-1203
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, asdict
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vettore_spark.functions import kernels as K
+
+EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("vector", T.ArrayType(T.FloatType()), True),
+        T.StructField("vectors", T.ArrayType(T.ArrayType(T.FloatType())), True),
+        T.StructField("binary_vector", T.ArrayType(T.LongType()), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# load_snapshot may override only these keys (collection.ex:1159-1174);
+# structural keys (dimensions, metric, normalize, compressed) are rejected.
+_OVERRIDABLE = {"name", "index", "index_options", "score"}
+_STRUCTURAL = {"dimensions", "metric", "normalize", "compressed"}
+
+
+@dataclass
+class CollectionConfig:
+    name: str
+    dimensions: int
+    metric: str = "cosine"
+    normalize: str | None = None  # none|l2|zscore|minmax; default per metric
+    score: str = "raw"  # raw|similarity
+    index: str = "flat"  # flat|lsh (hnsw alias -> lsh batch ANN)
+    index_options: dict = field(default_factory=dict)
+    compressed: bool = False
+
+    def __post_init__(self):
+        if not self.name or not isinstance(self.name, str):
+            raise ValueError("collection name must be a non-empty string")
+        if not isinstance(self.dimensions, int) or self.dimensions <= 0:
+            raise ValueError("dimensions must be a positive integer")
+        self.metric = K.canonical_metric(self.metric)
+        if self.normalize is None:
+            self.normalize = K.default_normalize(self.metric)
+        if self.normalize not in K.NORMALIZE_MODES:
+            raise ValueError(f"unknown normalize mode: {self.normalize!r}")
+        if self.score not in ("raw", "similarity"):
+            raise ValueError(f"unknown score mode: {self.score!r}")
+        if self.index not in ("flat", "lsh", "hnsw"):
+            raise ValueError(f"unknown index: {self.index!r}")
+
+
+class Collection:
+    """A named vector collection over a DataFrame with enforced schema."""
+
+    def __init__(self, spark: SparkSession, config: CollectionConfig, df: DataFrame | None = None):
+        self.spark = spark
+        self.config = config
+        self._df = df if df is not None else spark.createDataFrame([], EMBEDDING_SCHEMA)
+        self._closed = False
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, name: str, dimensions: int, **opts: Any) -> "Collection":
+        return cls(spark, CollectionConfig(name=name, dimensions=dimensions, **opts))
+
+    def close(self) -> None:
+        """Idempotent close; post-close ops raise (collection.ex:366-374)."""
+        self._closed = True
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("collection is closed")
+
+    @property
+    def df(self) -> DataFrame:
+        self._check_open()
+        return self._df
+
+    # -- ingest (S2) --------------------------------------------------------
+
+    def put_many(self, rows: Iterable[dict] | DataFrame) -> "Collection":
+        """Validated batch insert (collection.ex:167-191, 920-961).
+
+        Pipeline: resolve id<->value fallback, validate+normalize `vectors`,
+        derive the primary vector as the normalized mean when absent,
+        validate+normalize `vector`, pack binary sign bits, reject duplicate
+        ids (intra-batch and vs existing) — then one atomic union."""
+        self._check_open()
+        cfg = self.config
+        dims = cfg.dimensions
+
+        if isinstance(rows, DataFrame):
+            incoming = rows
+        else:
+            data = []
+            for r in rows:
+                data.append(
+                    (
+                        r.get("id"),
+                        r.get("value"),
+                        r.get("vector"),
+                        r.get("vectors"),
+                        None,
+                        r.get("metadata"),
+                    )
+                )
+            schema = T.StructType(
+                [
+                    T.StructField("id", T.StringType(), True),
+                    T.StructField("value", T.StringType(), True),
+                    T.StructField("vector", T.ArrayType(T.DoubleType()), True),
+                    T.StructField("vectors", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+                    T.StructField("binary_vector", T.ArrayType(T.LongType()), True),
+                    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+                ]
+            )
+            incoming = self.spark.createDataFrame(data, schema)
+
+        # id <-> value fallback (collection.ex:1069-1075)
+        staged = incoming.withColumn(
+            "id", F.coalesce(F.col("id"), F.col("value"))
+        ).withColumn("value", F.coalesce(F.col("value"), F.col("id")))
+
+        bad_id = staged.filter(F.col("id").isNull() | (F.col("id") == "")).limit(1).count()
+        if bad_id:
+            raise ValueError("embedding id/value must be a non-empty string")
+
+        # validate multi-vectors: each inner vector must match dims
+        vectors_ok = F.when(
+            F.col("vectors").isNull(), F.lit(True)
+        ).otherwise(
+            (F.size("vectors") > 0)
+            & F.aggregate(
+                F.col("vectors"),
+                F.lit(True),
+                lambda ok, v: ok & K.is_valid_vector(v, dims),
+            )
+        )
+        n_bad_multi = staged.filter(~vectors_ok).limit(1).count()
+        if n_bad_multi:
+            raise ValueError(f"invalid multi-vector (each inner vector must have {dims} finite elements)")
+
+        # derive primary vector = mean of multi-vectors when absent (collection.ex:994-1017)
+        staged = staged.withColumn(
+            "vector",
+            F.when(
+                F.col("vector").isNull() & F.col("vectors").isNotNull(),
+                K.mean_vector("vectors", dims),
+            ).otherwise(F.col("vector").cast("array<double>")),
+        )
+
+        n_bad_vec = staged.filter(~K.is_valid_vector("vector", dims)).limit(1).count()
+        if n_bad_vec:
+            raise ValueError(f"invalid vector (must have {dims} finite elements within +/-f32max)")
+
+        # insert-time normalization of both vector and multi-vectors
+        norm = cfg.normalize
+        staged = staged.withColumn("vector", K.normalize(norm, "vector"))
+        if norm != "none":
+            staged = staged.withColumn(
+                "vectors",
+                F.when(
+                    F.col("vectors").isNull(), F.lit(None).cast("array<array<double>>")
+                ).otherwise(
+                    F.transform(
+                        F.col("vectors").cast("array<array<double>>"),
+                        lambda v: K.normalize(norm, v),
+                    )
+                ),
+            )
+
+        # derive packed sign bits of the stored (normalized) vector
+        staged = staged.withColumn("binary_vector", K.compress_sign_bits("vector", dims))
+
+        # duplicate-id rejection: intra-batch ...
+        dup = staged.groupBy("id").count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError("duplicate id within batch")
+        # ... and vs existing rows (store-level insert_new, store/ets.ex:264-271)
+        if not self._df.isEmpty():
+            clash = staged.join(self._df.select("id"), on="id", how="left_semi").limit(1).count()
+            if clash:
+                raise ValueError("duplicate id: already exists in collection")
+
+        out = staged.select(
+            F.col("id"),
+            F.col("value"),
+            F.col("vector").cast("array<float>").alias("vector"),
+            F.col("vectors").cast("array<array<float>>").alias("vectors"),
+            F.col("binary_vector"),
+            F.col("metadata"),
+        )
+        self._df = self._df.unionByName(out)
+        return self
+
+    # -- point ops (S3-S6) --------------------------------------------------
+
+    def get(self, id_: str):
+        self._check_open()
+        rows = self._df.filter(F.col("id") == id_).collect()
+        return rows[0] if rows else None
+
+    def delete(self, id_: str) -> "Collection":
+        self._check_open()
+        self._df = self._df.filter(F.col("id") != id_)
+        return self
+
+    def all(self) -> DataFrame:
+        return self.df
+
+    def count(self) -> int:
+        return self.df.count()
+
+    # -- search (delegates to operators) ------------------------------------
+
+    def _prepare_query(self, query: list[float]) -> list[float]:
+        """Validate + normalize a query like the collection path
+        (collection.ex:351-357): dims check, finiteness, collection
+        normalize."""
+        self._check_open()
+        import math
+
+        if len(query) != self.config.dimensions:
+            raise ValueError("query dimension mismatch")
+        if any(not math.isfinite(float(x)) or abs(float(x)) > K.F32_MAX for x in query):
+            raise ValueError("query contains a non-finite value")
+        q = [float(x) for x in query]
+        mode = self.config.normalize
+        if mode == "none":
+            return q
+        import numpy as np
+
+        a = np.asarray(q)
+        if mode == "l2":
+            n = float(np.sqrt(a @ a))
+            return (a / n).tolist() if n else q
+        if mode == "zscore":
+            s = float(a.std())
+            return ((a - a.mean()) / s).tolist() if s else [0.0] * len(q)
+        lo, hi = float(a.min()), float(a.max())
+        return ((a - lo) / (hi - lo)).tolist() if hi != lo else [0.0] * len(q)
+
+    def search(self, query: list[float], *, limit: int = 10) -> DataFrame:
+        from vettore_spark.operators import search as S
+
+        q = self._prepare_query(query)
+        return S.flat_topk(
+            self.df,
+            q,
+            metric=self.config.metric,
+            k=limit,
+            score_mode=self.config.score,
+            extra_cols=["value"],
+        )
+
+    def quantized_search(self, query: list[float], *, limit: int = 10, candidates: int | None = None) -> DataFrame:
+        from vettore_spark.operators import search as S
+
+        q = self._prepare_query(query)
+        return S.quantized_search(
+            self.df, q, dims=self.config.dimensions, metric=self.config.metric,
+            k=limit, candidates=candidates, score_mode=self.config.score,
+        )
+
+    def funnel_search(self, query: list[float], *, stages: list[int] | None = None,
+                      limit: int = 10, candidates: int | None = None) -> DataFrame:
+        from vettore_spark.operators import search as S
+
+        q = self._prepare_query(query)
+        return S.funnel_search(
+            self.df, q, dims=self.config.dimensions, stages=stages,
+            metric=self.config.metric, k=limit, candidates=candidates,
+            score_mode=self.config.score,
+        )
+
+    def hybrid_search(self, query: list[float], *, generators: list[str] | None = None,
+                      limit: int = 10, candidates: int | None = None,
+                      rerank: str = "exact",
+                      rerank_query_vectors: list[list[float]] | None = None) -> DataFrame:
+        from vettore_spark.operators import search as S
+
+        q = self._prepare_query(query)
+        return S.hybrid_search(
+            self.df, q, dims=self.config.dimensions, generators=generators,
+            metric=self.config.metric, k=limit, candidates=candidates,
+            rerank=rerank, rerank_query_vectors=rerank_query_vectors,
+            score_mode=self.config.score,
+        )
+
+    def multi_vector_search(self, query_vectors: list[list[float]], *,
+                            metric: str | None = None, limit: int = 10) -> DataFrame:
+        from vettore_spark.operators import multivector as MV
+
+        self._check_open()
+        for q in query_vectors:
+            if len(q) != self.config.dimensions:
+                raise ValueError("query dimension mismatch")
+        return MV.maxsim_topk(
+            self.df, query_vectors, metric=metric or self.config.metric,
+            k=limit, extra_cols=["value"],
+        )
+
+    # -- snapshot (S7/S8) ---------------------------------------------------
+
+    def snapshot(self, path: str) -> None:
+        """Persist: parquet dir (atomic commit) + config JSON sidecar
+        (store/ets.ex:27-47). The derived index is NOT persisted — it is
+        rebuilt from canonical rows on load (collection.ex:426-433)."""
+        self._check_open()
+        codec = "zstd" if self.config.compressed else "snappy"
+        self.df.write.mode("overwrite").option("compression", codec).parquet(
+            os.path.join(path, "data")
+        )
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(asdict(self.config), f)
+
+    @classmethod
+    def load_snapshot(cls, spark: SparkSession, path: str, **overrides: Any) -> "Collection":
+        """Load + re-validate; only name/index/index_options/score may be
+        overridden — structural overrides rejected exactly as
+        collection.ex:1159-1174."""
+        bad = set(overrides) & _STRUCTURAL
+        if bad:
+            raise ValueError(f"structural override not allowed: {sorted(bad)}")
+        unknown = set(overrides) - _OVERRIDABLE
+        if unknown:
+            raise ValueError(f"unknown override: {sorted(unknown)}")
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
+        raw.update(overrides)
+        cfg = CollectionConfig(**raw)
+        df = spark.read.parquet(os.path.join(path, "data"))
+        missing = set(EMBEDDING_SCHEMA.fieldNames()) - set(df.columns)
+        if missing:
+            raise ValueError(f"snapshot schema missing columns: {sorted(missing)}")
+        # re-validate every record like the reference load path
+        n_bad = df.filter(~K.is_valid_vector("vector", cfg.dimensions)).limit(1).count()
+        if n_bad:
+            raise ValueError("snapshot contains invalid vectors")
+        return cls(spark, cfg, df.select(*EMBEDDING_SCHEMA.fieldNames()))

@@ -1,0 +1,102 @@
+"""Reranking operators.
+
+- MMR (Maximal Marginal Relevance) — lib/vettore_distance.ex:325-436.
+  Inherently sequential greedy selection over <= N candidates, so it runs
+  driver-side in NumPy over a collected top-N (SURVEY §2.10 R2). The
+  distributed part — producing the candidate top-N — is any search operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_similarity(metric: str, a: np.ndarray, b: np.ndarray) -> float:
+    """Pairwise similarity per metric (vettore_distance.ex:489-519):
+    cosine -> true cosine; inner_product -> dot; negative_inner_product ->
+    -(-dot) = dot; distance metrics -> 1/(1+d)."""
+    if metric == "cosine":
+        na, nb = float(np.sqrt(a @ a)), float(np.sqrt(b @ b))
+        if na * nb == 0.0:
+            return 0.0
+        return float(np.clip((a @ b) / (na * nb), -1.0, 1.0))
+    if metric in ("inner_product", "negative_inner_product"):
+        return float(a @ b)
+    if metric == "l2":
+        d = float(np.sqrt(np.sum((a - b) ** 2)))
+    elif metric == "l2_squared":
+        d = float(np.sum((a - b) ** 2))
+    elif metric == "manhattan":
+        d = float(np.sum(np.abs(a - b)))
+    elif metric == "chebyshev":
+        d = float(np.max(np.abs(a - b))) if len(a) else 0.0
+    elif metric == "hamming":
+        d = float(np.sum((a != 0) != (b != 0)))
+    elif metric == "jaccard":
+        union = int(np.sum((a != 0) | (b != 0)))
+        inter = int(np.sum((a != 0) & (b != 0)))
+        d = 0.0 if union == 0 else 1.0 - inter / union
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
+    return 1.0 / (1.0 + d)
+
+
+def mmr_rerank_rows(
+    initial: list[tuple[str, float]],
+    id_vectors: dict[str, list[float]],
+    *,
+    metric: str = "cosine",
+    alpha: float = 0.5,
+    k: int = 10,
+) -> list[tuple[str, float]]:
+    """Greedy MMR (vettore_distance.ex:325-436): repeatedly pick the candidate
+    maximizing alpha*query_score - (1-alpha)*max_sim_to_selected. Returns
+    [(id, mmr_score)] in selection order."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in id_vectors.items()}
+    remaining = [(i, s) for i, s in initial if i in vecs]
+    selected: list[tuple[str, float]] = []
+    while remaining and len(selected) < k:
+        best_idx, best_val = 0, -np.inf
+        for idx, (cid, cscore) in enumerate(remaining):
+            if selected:
+                max_sim = max(
+                    _pair_similarity(metric, vecs[cid], vecs[sid])
+                    for sid, _ in selected
+                )
+            else:
+                max_sim = 0.0
+            val = alpha * cscore - (1.0 - alpha) * max_sim
+            if val > best_val:
+                best_idx, best_val = idx, val
+        cid, _ = remaining.pop(best_idx)
+        selected.append((cid, float(best_val)))
+    return selected
+
+
+def mmr_rerank(
+    results: DataFrame,
+    coll: DataFrame,
+    *,
+    metric: str = "cosine",
+    alpha: float = 0.5,
+    k: int = 10,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_col: str = "score",
+) -> list[tuple[str, float]]:
+    """DataFrame wrapper: collect the (small) candidate set + vectors to the
+    driver and run the greedy loop."""
+    cand = results.select(id_col, score_col)
+    hydrated = cand.join(
+        coll.select(id_col, vector_col), on=id_col, how="inner"
+    ).collect()
+    initial = [(r[id_col], float(r[score_col])) for r in hydrated]
+    initial.sort(key=lambda t: -t[1])
+    id_vectors = {r[id_col]: list(r[vector_col]) for r in hydrated}
+    return mmr_rerank_rows(
+        initial, id_vectors, metric=metric, alpha=alpha, k=k
+    )

@@ -1,0 +1,369 @@
+"""Top-k retrieval operators, re-expressed as Spark DataFrame pipelines.
+
+Reference parity (file:line into /root/reference):
+- exact flat top-k .......... lib/vettore/index/flat.ex:49-57, native/vettore/src/flat.rs:96-124
+- prefix (Matryoshka) top-k . native/vettore/src/search.rs:38-73
+- binary candidate top-k .... native/vettore/src/search.rs:76-92
+- quantized_search .......... lib/vettore/collection.ex:263-295
+- funnel_search ............. lib/vettore/collection.ex:233-260, 660-691
+- hybrid_search ............. lib/vettore/collection.ex:326-348, 512-658
+- exact rerank .............. lib/vettore/collection.ex:819-826
+
+Physical strategy notes (100 TB design):
+- Single-query top-k compiles to `TakeOrderedAndProject` (bounded per-partition
+  heaps + driver merge — the distributed analog of the reference's bounded
+  BinaryHeap, flat.rs:103-123). No full sort, no shuffle of the data.
+- Multi-query top-k broadcasts the (small) query set against the (huge)
+  collection and takes per-query partial top-k via window group-limit pushdown
+  (rank <= k is pushed below the shuffle since Spark 3.x).
+- Candidate joins (rerank stages) are broadcast hash joins of small candidate
+  id-sets against the collection, so the second pass prunes with a semi-join
+  instead of re-scanning scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vettore_spark.functions import kernels as K
+
+
+def _query_lit(query: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query])
+
+
+def _ordered_topk(scored: DataFrame, k: int, *, id_col: str) -> DataFrame:
+    """Deterministic (rank, id) order + LIMIT k -> TakeOrderedAndProject.
+
+    Ties broken by id ascending, matching the reference heap order
+    (flat.rs:27-46)."""
+    return scored.orderBy(F.col("_rank").asc(), F.col(id_col).asc()).limit(k)
+
+
+def score_columns(
+    metric: str, raw: Column, score_mode: str = "raw"
+) -> tuple[Column, Column, Column]:
+    """(rank, score, distance) columns from a raw metric value."""
+    rank = K.rank_value(metric, raw)
+    score, dist = K.result_values(metric, raw, score_mode)
+    return rank, score, dist
+
+
+def flat_topk(
+    coll: DataFrame,
+    query: list[float],
+    *,
+    metric: str = "cosine",
+    k: int = 10,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact flat top-k (Q1). Scores every row, keeps best k by (rank, id).
+
+    ``pre_normalized=True`` reproduces the collection path where cosine is a
+    plain dot over unit vectors (distances.rs:47-51); pass False to use the
+    true-cosine kernel on raw vectors.
+    """
+    metric = K.canonical_metric(metric)
+    raw = K.raw_metric(metric, F.col(vector_col), _query_lit(query), pre_normalized=pre_normalized)
+    rank, score, dist = score_columns(metric, raw, score_mode)
+    cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    scored = coll.select(
+        *cols,
+        rank.alias("_rank"),
+        score.alias("score"),
+        dist.alias("distance"),
+    )
+    return _ordered_topk(scored, k, id_col=id_col).drop("_rank")
+
+
+def prefix_topk(
+    coll: DataFrame,
+    query: list[float],
+    *,
+    dims: int,
+    metric: str = "cosine",
+    k: int = 10,
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Prefix (Matryoshka) top-k (Q2, search.rs:38-73): score only the first
+    `dims` coordinates; cosine uses the TRUE cosine kernel on the prefix
+    (search.rs:56-58). Returns (id, _rank) candidates ordered by (rank, id)."""
+    metric = K.canonical_metric(metric)
+    pv = F.slice(F.col(vector_col), 1, dims)
+    pq = F.slice(_query_lit(query), 1, dims)
+    raw = K.raw_metric(metric, pv, pq, pre_normalized=False)
+    scored = coll.select(F.col(id_col), K.rank_value(metric, raw).alias("_rank"))
+    return _ordered_topk(scored, k, id_col=id_col)
+
+
+def binary_topk(
+    coll: DataFrame,
+    query_bits: Column,
+    *,
+    dims: int,
+    k: int,
+    id_col: str = "id",
+    binary_col: str = "binary_vector",
+) -> DataFrame:
+    """Packed-Hamming candidate top-k (Q3, search.rs:76-92)."""
+    raw = K.packed_hamming(F.col(binary_col), query_bits, dims)
+    scored = coll.select(F.col(id_col), raw.alias("_rank"))
+    return _ordered_topk(scored, k, id_col=id_col)
+
+
+def exact_rerank(
+    coll: DataFrame,
+    candidates: DataFrame,
+    query: list[float],
+    *,
+    metric: str,
+    k: int,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hydrate candidate ids against the collection (broadcast semi-join; the
+    Spark analog of the reference's ETS hydration, index/flat.ex:72-91) and
+    re-score with full vectors (collection.ex:819-826)."""
+    cand_ids = candidates.select(id_col).distinct()
+    pruned = coll.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    return flat_topk(
+        pruned,
+        query,
+        metric=metric,
+        k=k,
+        id_col=id_col,
+        vector_col=vector_col,
+        score_mode=score_mode,
+        pre_normalized=pre_normalized,
+        extra_cols=extra_cols,
+    )
+
+
+def quantized_search(
+    coll: DataFrame,
+    query: list[float],
+    *,
+    dims: int,
+    metric: str = "cosine",
+    k: int = 10,
+    candidates: int | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    binary_col: str = "binary_vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """Two-stage binary-quantized search (Q4, collection.ex:263-295):
+    sign-compress the query, packed-Hamming top-`candidates`, then exact
+    rerank to `k` with full vectors."""
+    c = candidates if candidates is not None else max(k * 10, k)
+    qb = _pack_query_bits(query)
+    cand = binary_topk(
+        coll, qb, dims=dims, k=c, id_col=id_col, binary_col=binary_col
+    )
+    return exact_rerank(
+        coll,
+        cand,
+        query,
+        metric=metric,
+        k=k,
+        id_col=id_col,
+        vector_col=vector_col,
+        score_mode=score_mode,
+        pre_normalized=pre_normalized,
+    )
+
+
+def _pack_query_bits(query: list[float]) -> Column:
+    """Driver-side sign-bit packing of the (small) query vector — literal
+    array<long>, identical bit layout to kernels.compress_sign_bits."""
+    words = [0] * ((len(query) + 63) // 64)
+    for i, x in enumerate(query):
+        if x >= 0.0:
+            words[i // 64] |= 1 << (i % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return F.array(*[F.lit(w).cast("long") for w in words])
+
+
+def funnel_search(
+    coll: DataFrame,
+    query: list[float],
+    *,
+    dims: int,
+    stages: list[int] | None = None,
+    metric: str = "cosine",
+    k: int = 10,
+    candidates: int | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """Matryoshka funnel search (Q5, collection.ex:233-260, 660-691):
+    iteratively shrink the candidate set scoring vector *prefixes*, then
+    exact-rerank on full vectors. Default stage = [min(dims, 128)]; default
+    candidates = max(k*10, k). Stages validated 0 < s <= dims ascending
+    (collection.ex:904-913)."""
+    c = candidates if candidates is not None else max(k * 10, k)
+    stages = list(stages) if stages else [min(dims, 128)]
+    for s in stages:
+        if not (0 < s <= dims):
+            raise ValueError(f"funnel stage {s} out of range (0, {dims}]")
+    current = coll
+    for s in stages:
+        cand = prefix_topk(
+            current, query, dims=s, metric=metric, k=c,
+            id_col=id_col, vector_col=vector_col,
+        )
+        current = coll.join(
+            F.broadcast(cand.select(id_col)), on=id_col, how="left_semi"
+        )
+    return exact_rerank(
+        coll,
+        current.select(id_col),
+        query,
+        metric=metric,
+        k=k,
+        id_col=id_col,
+        vector_col=vector_col,
+        score_mode=score_mode,
+        pre_normalized=pre_normalized,
+    )
+
+
+def union_candidates(cands: list[DataFrame], *, id_col: str = "id") -> DataFrame:
+    """Union candidate id sets from generators, first occurrence wins
+    (collection.ex:617-629): tag each generator with its rank, keep min."""
+    tagged = [
+        c.select(id_col).withColumn("_gen", F.lit(i)) for i, c in enumerate(cands)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return (
+        out.groupBy(id_col).agg(F.min("_gen").alias("_gen")).drop("_gen")
+    )
+
+
+def hybrid_search(
+    coll: DataFrame,
+    query: list[float],
+    *,
+    dims: int,
+    generators: list[str] | None = None,
+    metric: str = "cosine",
+    k: int = 10,
+    candidates: int | None = None,
+    rerank: str = "exact",
+    rerank_query_vectors: list[list[float]] | None = None,
+    rerank_metric: str | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    binary_col: str = "binary_vector",
+    vectors_col: str = "vectors",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """Hybrid retrieve-then-rerank (Q9, collection.ex:326-348, 512-658):
+    run N candidate generators, union-dedup ids, rerank `exact` or
+    `multi_vector`. Default generators = [funnel, quantized]; per-generator
+    candidate budget = max(k*10, k) (collection.ex:509-510)."""
+    from vettore_spark.operators import multivector as MV
+
+    gens = generators or ["funnel", "quantized"]
+    c = candidates if candidates is not None else max(k * 10, k)
+    branches = []
+    for g in gens:
+        if g == "funnel":
+            branches.append(
+                prefix_topk(
+                    coll, query, dims=min(dims, 128), metric=metric, k=c,
+                    id_col=id_col, vector_col=vector_col,
+                )
+            )
+        elif g == "quantized":
+            qb = _pack_query_bits(query)
+            branches.append(
+                binary_topk(coll, qb, dims=dims, k=c, id_col=id_col, binary_col=binary_col)
+            )
+        elif g in ("search", "flat"):
+            branches.append(
+                flat_topk(
+                    coll, query, metric=metric, k=c, id_col=id_col,
+                    vector_col=vector_col, pre_normalized=pre_normalized,
+                ).select(id_col)
+            )
+        else:
+            raise ValueError(f"unknown generator: {g!r}")
+    cand = union_candidates(branches, id_col=id_col)
+    if rerank == "exact":
+        return exact_rerank(
+            coll, cand, query, metric=metric, k=k, id_col=id_col,
+            vector_col=vector_col, score_mode=score_mode,
+            pre_normalized=pre_normalized,
+        )
+    if rerank == "multi_vector":
+        if not rerank_query_vectors:
+            raise ValueError("multi_vector rerank requires rerank_query_vectors")
+        pruned = coll.join(F.broadcast(cand.select(id_col)), on=id_col, how="left_semi")
+        return MV.maxsim_topk(
+            pruned,
+            rerank_query_vectors,
+            metric=rerank_metric or metric,
+            k=k,
+            id_col=id_col,
+            vectors_col=vectors_col,
+            vector_col=vector_col,
+        )
+    raise ValueError(f"unknown rerank mode: {rerank!r}")
+
+
+def multi_query_topk(
+    queries: DataFrame,
+    coll: DataFrame,
+    *,
+    metric: str = "cosine",
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """Batched similarity join (J3): every query scored against the whole
+    collection, per-query top-k. The Spark-native generalization of the
+    reference's one-query-at-a-time API (SURVEY §2.3 J3).
+
+    The small query set is broadcast against the (arbitrarily large)
+    collection; per-query top-k is a window with rank<=k, which Catalyst
+    pushes down as a per-partition group-limit before the shuffle."""
+    metric = K.canonical_metric(metric)
+    joined = coll.crossJoin(F.broadcast(queries))
+    raw = K.raw_metric(
+        metric, F.col(vector_col), F.col(query_vec_col), pre_normalized=pre_normalized
+    )
+    rank, score, dist = score_columns(metric, raw, score_mode)
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        rank.alias("_rank"),
+        score.alias("score"),
+        dist.alias("distance"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_rank").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+        .drop("_rank")
+    )
