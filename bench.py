@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall-clock seconds.
+
+Mirrors the reference's bench shape (bench/search_modes_bench.exs): exact
+flat search is the baseline; every approximate mode runs over the same data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+
+HEADLINE = [
+    "flat_topk_l2",
+    "flat_topk_cosine",
+    "multi_query_topk",
+    "quantized_topk",
+    "funnel_topk",
+    "hybrid_topk",
+    "maxsim_label_topk",
+    "mean_vector_by_label",
+    "normalize_stats",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_neardup",
+    "text_stats",
+    "doc_fingerprint",
+    "events_hourly",
+    "tpch_q1_pricing",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("vettore-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vettore_spark import queries as Q
+
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB at
+sf0.01 (override with SELFCHECK_SF_DIR), comparing:
+  - row count
+  - sorted column names
+  - order-insensitive value hash (rows sorted, columns sorted by name)
+
+Usage: cd /root/repo && python tools/selfcheck.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon = sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for row in canon:
+        h.update(repr(row).encode())
+    return h.hexdigest()[:16]
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return int(v)
+        return round(v, 9)
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("selfcheck")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = [tuple(r) for r in rel.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"value hash {sh} != {oh}")
+                # show first differing row for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = sorted(tuple(_norm(r[i]) for i in so) for r in srows)
+                oset = sorted(tuple(_norm(r[i]) for i in oo) for r in orows)
+                for a, b in zip(sset, oset):
+                    if a != b:
+                        problems.append(f"  first diff:\n   spark  {a}\n   duckdb {b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

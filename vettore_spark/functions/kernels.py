@@ -275,23 +275,50 @@ def default_normalize(metric: str) -> str:
     return "l2" if canonical_metric(metric) == "cosine" else "none"
 
 
+def _broadcast_scalar(vv: Column, s: Column, f) -> Column:
+    """Apply f(x, s) element-wise with the per-row scalar s computed ONCE.
+
+    A naive `transform(v, x -> f(x, s))` re-embeds the s expression tree in
+    the lambda, so an aggregate-derived s is recomputed PER ELEMENT — O(d^2)
+    per row. `array_repeat` evaluates its child once, so zip_with against the
+    repeated scalar keeps it O(d)."""
+    return F.zip_with(vv, F.array_repeat(s, F.size(vv)), f)
+
+
 def normalize_l2(v: Column | str) -> Column:
     """Unit norm via f64; zero vector stays zero (distances.rs:350-361)."""
     vv = _dbl(v)
-    n = norm_l2(vv)
-    return F.when(n == 0.0, vv).otherwise(F.transform(vv, lambda x: x / n))
+    return _broadcast_scalar(
+        vv,
+        norm_l2(vv),
+        lambda x, n: F.when(n == 0.0, x).otherwise(x / n),
+    )
 
 
 def normalize_zscore(v: Column | str) -> Column:
     """(x - mu) / sigma, population stddev; constant vector -> zeros
-    (distances.rs:364-389)."""
+    (distances.rs:364-389).
+
+    Single-pass (sum, sumsq) accumulator -> sigma^2 = E[x^2] - mu^2; the
+    reference's two-pass formula differs only at ~1e-13 relative, absorbed by
+    result rounding."""
     vv = _dbl(v)
+    init = F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("q"))
+    acc = F.aggregate(
+        vv,
+        init,
+        lambda a, x: F.struct((a["s"] + x).alias("s"), (a["q"] + x * x).alias("q")),
+    )
     n = F.size(vv).cast("double")
-    mu = F.aggregate(vv, F.lit(0.0), lambda s, x: s + x) / n
-    var = F.aggregate(vv, F.lit(0.0), lambda s, x: s + (x - mu) * (x - mu)) / n
-    sigma = F.sqrt(var)
-    return F.when(sigma == 0.0, F.transform(vv, lambda x: x * 0.0)).otherwise(
-        F.transform(vv, lambda x: (x - mu) / sigma)
+    mu = acc["s"] / n
+    sigma = F.sqrt(F.greatest(acc["q"] / n - mu * mu, F.lit(0.0)))
+    stats = F.struct(mu.alias("mu"), sigma.alias("sg"))
+    return _broadcast_scalar(
+        vv,
+        stats,
+        lambda x, st: F.when(st["sg"] == 0.0, F.lit(0.0)).otherwise(
+            (x - st["mu"]) / st["sg"]
+        ),
     )
 
 
@@ -299,9 +326,13 @@ def normalize_minmax(v: Column | str) -> Column:
     """(x - min) / (max - min) -> [0,1]; constant vector -> zeros
     (distances.rs:392-410)."""
     vv = _dbl(v)
-    lo, hi = F.array_min(vv), F.array_max(vv)
-    return F.when(hi == lo, F.transform(vv, lambda x: x * 0.0)).otherwise(
-        F.transform(vv, lambda x: (x - lo) / (hi - lo))
+    stats = F.struct(F.array_min(vv).alias("lo"), F.array_max(vv).alias("hi"))
+    return _broadcast_scalar(
+        vv,
+        stats,
+        lambda x, st: F.when(st["hi"] == st["lo"], F.lit(0.0)).otherwise(
+            (x - st["lo"]) / (st["hi"] - st["lo"])
+        ),
     )
 
 
@@ -332,6 +363,8 @@ def _word(v: Column, word_idx: int, nbits: int) -> Column:
     base = word_idx * 64
 
     def bit(i: Column) -> Column:
+        # compare the raw element (no array-wide cast: a cast embedded here
+        # would re-run O(d) work per bit extraction)
         return F.when(
             F.element_at(v, (i + base + 1).cast("int")) >= 0.0, F.lit(1).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -361,7 +394,7 @@ def compress_sign_bits(v: Column | str, dims: int) -> Column:
     (distances.rs:413-423). Padding bits are zero by construction."""
     if dims <= 0:
         raise ValueError("dimensions must be positive")
-    vv = _dbl(v)
+    vv = _col(v)  # no array<double> cast: sign test works on any numeric
     nwords = (dims + 63) // 64
     words = [
         _word(vv, w, min(64, dims - w * 64)).alias(f"w{w}") for w in range(nwords)

@@ -1,0 +1,273 @@
+"""Approximate/brute-force nearest-neighbor operators over embedding columns.
+
+Two physical strategies, chosen by the caller:
+
+1. **Expression path** (operators/search.py): pure Column expressions —
+   best when k and the query set are small and everything must stay inside
+   whole-stage codegen (no Python at all).
+
+2. **Arrow GEMM path** (this module): `mapInPandas` with a broadcast
+   query-matrix; each partition computes a NumPy matrix product over its
+   Arrow batch. 10-100x faster per pair than interpreted higher-order
+   functions once the pair count is large (SURVEY §4 P4: the reference's
+   batched-NIF rationale maps to Arrow-batched UDFs).
+
+Scale notes (100 TB):
+- The broadcast side must fit in executor memory (queries, or a centroid
+  table). For all-pairs near-dup at cluster scale use the block-partitioned
+  join in operators/dedup.py (block_col) or LSH prefiltering; the GEMM
+  all-pairs here is for a collection that fits a broadcast (<= ~1M rows).
+- Per-partition local top-k then a single global merge keeps the shuffle at
+  O(num_queries * k), never O(rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _matrix(pdf_col: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf_col])
+
+
+def _l2norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    coll: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Batched exact top-k via broadcast queries + per-partition NumPy GEMM.
+
+    Semantics identical to operators.search.multi_query_topk with
+    pre_normalized=False (true cosine) / l2 / inner_product: ascending
+    (rank, id) order, rank column 1..k per query.
+    """
+    if metric not in ("cosine", "l2", "inner_product"):
+        raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
+    spark = coll.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
+    if metric == "cosine":
+        qmat_n = _l2norm_rows(qmat)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    id_field = coll.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("distance", T.DoubleType()),
+            T.StructField("_rank", T.DoubleType()),
+        ]
+    )
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, qmat_l = bc.value
+        nq = len(qids_l)
+        if metric == "cosine":
+            qn = _l2norm_rows(qmat_l)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _matrix(pdf[vector_col])
+            ids = pdf[id_col].to_numpy()
+            if metric == "cosine":
+                sims = _l2norm_rows(m) @ qn.T  # rows x nq
+                np.clip(sims, -1.0, 1.0, out=sims)
+                score, dist, rank = sims, 1.0 - sims, 1.0 - sims
+            elif metric == "inner_product":
+                sims = m @ qmat_l.T
+                score, dist, rank = sims, -sims, -sims
+            else:  # l2
+                d2 = (
+                    (m * m).sum(axis=1, keepdims=True)
+                    - 2.0 * (m @ qmat_l.T)
+                    + (qmat_l * qmat_l).sum(axis=1)
+                )
+                d = np.sqrt(np.maximum(d2, 0.0))
+                score, dist, rank = -d, d, d
+            # local top-k per query to bound the shuffle
+            out = []
+            kk = min(k, len(ids))
+            for j in range(nq):
+                idx = np.lexsort((ids, rank[:, j]))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: [qids_l[j]] * len(idx),
+                            id_col: ids[idx],
+                            "score": score[idx, j],
+                            "distance": dist[idx, j],
+                            "_rank": rank[idx, j],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_rank").asc(), F.col(id_col).asc())
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+        .drop("_rank")
+    )
+
+
+def cosine_neardup_gemm(
+    coll: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold via broadcast matrix + per-partition
+    GEMM. Exact (no approximation). Requires the full normalized matrix to
+    fit in a broadcast — the single-node-equivalent regime; beyond that,
+    block with LSH/cluster ids (dedup.embedding_neardup_pairs block_col)."""
+    spark = coll.sparkSession
+    rows = coll.select(id_col, vector_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = _l2norm_rows(
+        np.array([np.asarray(r[vector_col], dtype=np.float64) for r in rows])
+    )
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", coll.schema[id_col].dataType),
+            T.StructField("id_b", coll.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _l2norm_rows(_matrix(pdf[vector_col]))
+            my_ids = pdf[id_col].to_numpy()
+            sims = m @ all_mat.T
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = my_ids[ii] < all_ids[jj]
+            ii, jj = ii[keep], jj[keep]
+            yield pd.DataFrame(
+                {"id_a": my_ids[ii], "id_b": all_ids[jj], "sim": sims[ii, jj]}
+            )
+
+    return coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
+
+
+def ivf_topk(
+    coll: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every row to its nearest
+    centroid (cosine), probe the `n_probe` nearest centroids per query, and
+    run exact cosine only within probed cells.
+
+    The scale path for ANN: the centroid table is broadcast (small), the
+    collection is hash-partitioned by cell, and each query touches
+    n_probe/n_cells of the data. Recall vs exact is tunable via n_probe and
+    should be validated against brute_force_topk (the reference's pattern:
+    approximate modes report overlap@k vs exact — bench/search_modes_bench.exs:193-238).
+    """
+    from vettore_spark.functions import kernels as K
+
+    cent = centroids.select(
+        F.col(centroid_id_col), F.col(centroid_vec_col).cast("array<double>").alias("_cv")
+    )
+    # assign rows to nearest centroid: broadcast join + per-row argmin
+    cl = cent.agg(
+        F.collect_list(F.struct(centroid_id_col, "_cv")).alias("_cents")
+    )
+    assigned = (
+        coll.crossJoin(F.broadcast(cl))
+        .withColumn(
+            "_cell",
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda c: F.struct(
+                            (1.0 - K.cosine(F.col(vector_col), c["_cv"])).alias("d"),
+                            c[centroid_id_col].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+            )["cid"],
+        )
+        .drop("_cents")
+    )
+    # probe cells per query
+    probes = (
+        queries.crossJoin(F.broadcast(cl))
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda c: F.struct(
+                            (1.0 - K.cosine(F.col(query_vec_col), c["_cv"])).alias("d"),
+                            c[centroid_id_col].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(F.transform("_probe", lambda p: p["cid"])).alias("_cell"),
+        )
+    )
+    joined = assigned.join(F.broadcast(probes), on="_cell")
+    raw = K.cosine(F.col(vector_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        (1.0 - raw).asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(
+            query_id_col,
+            id_col,
+            raw.alias("score"),
+            (1.0 - raw).alias("distance"),
+        )
+        .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )

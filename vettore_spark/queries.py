@@ -1,0 +1,691 @@
+"""Query registry: every implemented operator exposed as a (spark_fn, oracle
+SQL) pair for the driver's DuckDB-oracle correctness gate.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names and rounded values match the oracle SQL run by DuckDB over the
+same parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Floats are rounded (5-6 dp) IN BOTH ENGINES so f64 summation-order noise
+cannot flip the order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vettore_spark.functions import kernels as K
+from vettore_spark.operators import dedup as D
+from vettore_spark.operators import multivector as MV
+from vettore_spark.operators import search as S
+from vettore_spark.operators import text as TX
+
+DIMS = 64  # embeddings table dimensionality (TESTDATA.md)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    out = df
+    for c, nd in cols.items():
+        out = out.withColumn(c, F.round(F.col(c), nd))
+    return out
+
+
+# SQL fragment: the query vector as DOUBLE[] scalar subquery
+_QV = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+# ---------------------------------------------------------------------------
+# flat exact top-k, one per metric family (Q1, K1-K8, K12-K14)
+# ---------------------------------------------------------------------------
+
+
+def q_flat_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="l2", k=10,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_L2 = f"""
+SELECT vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+def q_flat_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="cosine", k=10,
+        id_col="vec_id", vector_col="embedding", pre_normalized=False,
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_COSINE = f"""
+SELECT vec_id, round(c, 5) AS score, round(1 - c, 5) AS distance
+FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], {_QV}) AS c FROM embeddings)
+ORDER BY 1 - c, vec_id LIMIT 10
+"""
+
+
+def q_flat_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="inner_product", k=10,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_DOT = f"""
+SELECT vec_id, round(p, 5) AS score, round(-p, 5) AS distance
+FROM (SELECT vec_id, list_dot_product(embedding::DOUBLE[], {_QV}) AS p FROM embeddings)
+ORDER BY -p, vec_id LIMIT 10
+"""
+
+
+def q_flat_topk_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="manhattan", k=10,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_MANHATTAN = f"""
+SELECT vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id,
+        list_sum(list_transform(list_zip(embedding::DOUBLE[], {_QV}),
+                 z -> abs(z[1] - z[2]))) AS d
+      FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+def q_flat_topk_chebyshev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="chebyshev", k=10,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_CHEBYSHEV = f"""
+SELECT vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id,
+        list_reduce(list_transform(list_zip(embedding::DOUBLE[], {_QV}),
+                    z -> abs(z[1] - z[2])), (a, b) -> greatest(a, b)) AS d
+      FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-query batched top-k (J3) — the Spark-native generalization
+# ---------------------------------------------------------------------------
+
+
+def q_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = S.multi_query_topk(
+        queries, emb, metric="cosine", k=5,
+        id_col="vec_id", vector_col="embedding", pre_normalized=False,
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_MULTI_QUERY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(c, 5) AS score, round(1 - c, 5) AS distance, rn AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# prefix / quantized / funnel / hybrid pipelines (Q2-Q5, Q9)
+# ---------------------------------------------------------------------------
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.prefix_topk(
+        emb, _qvec(spark, sf_dir), dims=16, metric="l2", k=10,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return out.select("vec_id", F.round(F.col("_rank"), 5).alias("prefix_distance"))
+
+
+SQL_PREFIX_TOPK = f"""
+SELECT vec_id, round(d, 5) AS prefix_distance
+FROM (SELECT vec_id,
+        list_distance((embedding::DOUBLE[])[1:16], ({_QV})[1:16]) AS d
+      FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "binary_vector", K.compress_sign_bits("embedding", DIMS)
+    )
+    out = S.quantized_search(
+        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=100,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_QUANTIZED_TOPK = f"""
+WITH cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           len(list_filter(list_zip(embedding::DOUBLE[], {_QV}),
+               z -> (z[1] >= 0) != (z[2] >= 0))) AS ham
+    FROM embeddings)
+  ORDER BY ham, vec_id LIMIT 100)
+SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+def q_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.funnel_search(
+        emb, _qvec(spark, sf_dir), dims=DIMS, stages=[16], metric="l2",
+        k=10, candidates=100, id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FUNNEL_TOPK = f"""
+WITH cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           list_distance((embedding::DOUBLE[])[1:16], ({_QV})[1:16]) AS pd
+    FROM embeddings)
+  ORDER BY pd, vec_id LIMIT 100)
+SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "binary_vector", K.compress_sign_bits("embedding", DIMS)
+    )
+    out = S.hybrid_search(
+        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=100,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HYBRID_TOPK = f"""
+WITH funnel_cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, list_distance((embedding::DOUBLE[])[1:64], ({_QV})[1:64]) AS pd
+    FROM embeddings)
+  ORDER BY pd, vec_id LIMIT 100),
+quant_cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           len(list_filter(list_zip(embedding::DOUBLE[], {_QV}),
+               z -> (z[1] >= 0) != (z[2] >= 0))) AS ham
+    FROM embeddings)
+  ORDER BY ham, vec_id LIMIT 100),
+cand AS (SELECT vec_id FROM funnel_cand UNION SELECT vec_id FROM quant_cand)
+SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-vector MaxSim (M1/M2/Q8): docs = embeddings grouped by label
+# ---------------------------------------------------------------------------
+
+
+def q_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.groupBy("label").agg(
+        F.collect_list(F.col("embedding").cast("array<double>")).alias("vectors")
+    )
+    q0 = _qvec(spark, sf_dir, 0)
+    q1 = _qvec(spark, sf_dir, 1)
+    out = MV.maxsim_topk(
+        docs, [q0, q1], metric="cosine", k=5,
+        id_col="label", vectors_col="vectors", vector_col=None,
+    ).select("label", "score")
+    return _round(out, {"score": 5})
+
+
+SQL_MAXSIM_LABEL_TOPK = """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1)),
+best AS (
+  SELECT e.label, q.vec_id,
+         max(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) AS m
+  FROM embeddings e CROSS JOIN q
+  GROUP BY e.label, q.vec_id),
+scored AS (SELECT label, sum(m) AS s FROM best GROUP BY label)
+SELECT label, round(s, 5) AS score FROM scored
+ORDER BY s DESC, label LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# kernels as aggregations: mean vector (A1), normalizations (K15-K17),
+# sign-bit population (K18)
+# ---------------------------------------------------------------------------
+
+
+def q_mean_vector_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("avg_val"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "avg_val")
+    )
+
+
+SQL_MEAN_VECTOR_BY_LABEL = """
+SELECT label, i AS pos, round(avg(x), 6) AS avg_val
+FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x, unnest(range(0, 64)) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
+def q_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    l2n = K.normalize_l2("embedding")
+    mmn = K.normalize_minmax("embedding")
+    zn = K.normalize_zscore("embedding")
+    ssum = lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x)  # noqa: E731
+    absmax = lambda c: F.array_max(F.transform(c, F.abs))  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.round(ssum(l2n), 5).alias("l2_sum"),
+        F.round(ssum(mmn), 5).alias("mm_sum"),
+        F.round(absmax(zn), 5).alias("z_absmax"),
+    )
+
+
+SQL_NORMALIZE_STATS = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         list_min(embedding::DOUBLE[]) AS lo,
+         list_max(embedding::DOUBLE[]) AS hi,
+         list_sum(embedding::DOUBLE[]) / 64.0 AS mu
+  FROM embeddings),
+withsig AS (
+  SELECT *, sqrt(list_sum(list_transform(v, x -> (x - mu) * (x - mu))) / 64.0) AS sg
+  FROM base)
+SELECT vec_id,
+       round(list_sum(list_transform(v, x -> x / nrm)), 5) AS l2_sum,
+       round(list_sum(list_transform(v, x -> (x - lo) / (hi - lo))), 5) AS mm_sum,
+       round(list_max(list_transform(v, x -> abs((x - mu) / sg))), 5) AS z_absmax
+FROM withsig
+"""
+
+
+def q_signbit_popcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "binary_vector", K.compress_sign_bits("embedding", DIMS)
+    )
+    pop = F.aggregate(
+        F.col("binary_vector"),
+        F.lit(0).cast("long"),
+        lambda s, w: s + F.bit_count(w).cast("long"),
+    )
+    return emb.select("vec_id", pop.alias("n_nonneg"))
+
+
+SQL_SIGNBIT_POPCOUNT = """
+SELECT vec_id, len(list_filter(embedding::DOUBLE[], x -> x >= 0))::BIGINT AS n_nonneg
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_summary(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return _round(out, {"jac": 5})
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b USING (s)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 5) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard. At these parameters
+    (64 perms, 16 bands x 4) recall on the planted near-dups (j >= 0.89) is
+    ~1 - 2e-7, so the verified output equals the exact pair set — the oracle
+    is the exact-Jaccard SQL."""
+    out = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=64, bands=16, threshold=0.8
+    )
+    return _round(out, {"jac": 5})
+
+
+SQL_MINHASH_LSH_PAIRS = SQL_NGRAM_JACCARD_PAIRS.replace(">= 0.5", ">= 0.8")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vettore_spark.operators import ann as ANN
+
+    out = ANN.cosine_neardup_gemm(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"sim": 5})
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v), 5) AS sim
+FROM n a CROSS JOIN n b
+WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: Arrow-GEMM brute force (exact, same oracle as the expression path)
+# and IVF approximate (rows-only; recall validated in tests)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = ANN.brute_force_topk(
+        emb, queries_df, k=5, metric="cosine",
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.groupBy("label").agg(
+        F.collect_list(F.col("embedding").cast("array<double>")).alias("_vs")
+    ).select(
+        F.col("label").alias("centroid_id"),
+        K.mean_vector("_vs", DIMS).alias("centroid"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = ANN.ivf_topk(
+        emb, queries_df, centroids=centroids, n_probe=3, k=5,
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+# ---------------------------------------------------------------------------
+# text analysis suite
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_STATS = r"""
+WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+                     regexp_split_to_array(trim(text), '\s+') AS t, text
+              FROM documents)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+       round(len(list_distinct(t)) * 1.0 / len(t), 5) AS ttr,
+       round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 5) AS avg_token_len,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+FROM toks
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    score_cols = ",\n       ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in TX.LANG_MARKERS
+    )
+    langs = list(TX.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+WITH toks AS (SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS t
+              FROM documents),
+scored AS (SELECT doc_id,
+       {score_cols}
+FROM toks)
+SELECT doc_id, {pred} AS lang_pred, {best}::BIGINT AS lang_hits FROM scored
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / events breadth
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
+    # read it as long nanos and convert (truncation to micros is exact here
+    # since date_trunc('hour') discards sub-second precision anyway).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 5).alias("avg_price"),
+            F.round(F.avg("l_discount"), 5).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 5) AS avg_qty,
+       round(avg(l_extendedprice), 5) AS avg_price,
+       round(avg(l_discount), 5) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "flat_topk_l2": (q_flat_topk_l2, SQL_FLAT_TOPK_L2),
+    "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
+    "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
+    "flat_topk_manhattan": (q_flat_topk_manhattan, SQL_FLAT_TOPK_MANHATTAN),
+    "flat_topk_chebyshev": (q_flat_topk_chebyshev, SQL_FLAT_TOPK_CHEBYSHEV),
+    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
+    "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
+    "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
+    "funnel_topk": (q_funnel_topk, SQL_FUNNEL_TOPK),
+    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
+    "maxsim_label_topk": (q_maxsim_label_topk, SQL_MAXSIM_LABEL_TOPK),
+    "mean_vector_by_label": (q_mean_vector_by_label, SQL_MEAN_VECTOR_BY_LABEL),
+    "normalize_stats": (q_normalize_stats, SQL_NORMALIZE_STATS),
+    "signbit_popcount": (q_signbit_popcount, SQL_SIGNBIT_POPCOUNT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
