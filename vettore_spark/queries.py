@@ -575,6 +575,95 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# MUVERA FDE retrieval (E1), SimHash, MMR — deterministic but not
+# SQL-expressible: rows-only entries (plus pytest coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_muvera_fde_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MUVERA flow (README.md:327-334): encode per-label doc
+    multi-vectors + query tokens to FDEs, inner-product candidate top-4 over
+    FDEs, exact MaxSim rerank to top-3."""
+    import numpy as np
+
+    from vettore_spark.encodings import muvera as MU
+
+    cfg = MU.MuveraConfig(
+        dimension=DIMS, num_repetitions=2, num_simhash_projections=3,
+        seed=42, projection_dimension=32,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = emb.groupBy("label").agg(
+        F.collect_list(F.col("embedding")).alias("vectors")
+    )
+    fdes = docs.withColumn("fde", MU.fde_column("vectors", cfg, "document"))
+    q0 = np.array([_qvec(spark, sf_dir, 0), _qvec(spark, sf_dir, 1)], dtype=np.float32)
+    qf = [float(x) for x in MU.encode_query(q0, cfg)]
+    cand = S.flat_topk(
+        fdes, qf, metric="inner_product", k=4, id_col="label", vector_col="fde",
+    ).select("label")
+    pruned = docs.join(F.broadcast(cand), on="label", how="left_semi")
+    out = MV.maxsim_topk(
+        pruned, [q0[0].tolist(), q0[1].tolist()], metric="cosine", k=3,
+        id_col="label", vectors_col="vectors", vector_col=None,
+    ).select("label", F.round("score", 5).alias("score"))
+    return out
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank of the cosine top-20 (R2). Greedy selection runs
+    driver-side over the collected top-N; returned as a DataFrame of
+    (vec_id, position)."""
+    from vettore_spark.operators.rerank import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="cosine", k=20,
+        id_col="vec_id", vector_col="embedding", pre_normalized=False,
+    )
+    picked = mmr_rerank(
+        top, emb, metric="cosine", alpha=0.7, k=10,
+        id_col="vec_id", vector_col="embedding",
+    )
+    rows = [(int(i), int(pos)) for pos, (i, _) in enumerate(picked)]
+    return spark.createDataFrame(rows, "vec_id: long, position: long")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         len(t) * 1.0 AS n,
+         len(list_filter(list_transform(t, x -> lower(x)),
+             x -> list_contains(['the','and','of','to','is','in','that','it'], x))) * 1.0 AS stop,
+         len(regexp_extract_all(text, '[^\w\s]')) * 1.0 AS punct,
+         length(text) * 1.0 AS chars,
+         len(list_distinct(t)) * 1.0 / len(t) AS ttr
+  FROM toks)
+SELECT doc_id,
+       round(punct / chars, 5) AS punct_ratio,
+       round(stop / n, 5) AS stopword_ratio,
+       round(ttr, 5) AS ttr,
+       round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+              + least(stop / n * 5, 1.0) + ttr) / 3.0, 5) AS quality
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------------------
 # relational / events breadth
 # ---------------------------------------------------------------------------
 
@@ -675,6 +764,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "mmr_rerank": (q_mmr_rerank, None),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
