@@ -1,0 +1,160 @@
+"""HNSW tests mirroring the reference suite (hnsw.rs:659-784):
+- high-ef search equals exact L2 on a 15x15 grid
+- unit-circle self-recall for cosine
+- graph well-formedness invariants (degree bounds, no self/dup edges,
+  reachability)
+- deterministic FNV-1a levels / deterministic rebuilds
+- distributed: partition-merged search overlap@k vs exact oracle
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vettore_spark.operators.hnsw import (
+    HnswGraph,
+    HnswParams,
+    fnv1a64,
+    hnsw_search,
+    level_for,
+)
+
+
+def test_fnv1a_known_values():
+    # published FNV-1a 64 test vectors
+    assert fnv1a64(b"") == 0xCBF29CE484222325
+    assert fnv1a64(b"a") == 0xAF63DC4C8601EC8C
+    assert fnv1a64(b"foobar") == 0x85944171F73967E8
+
+
+def test_params_bounds():
+    with pytest.raises(ValueError):
+        HnswParams(m=0)
+    with pytest.raises(ValueError):
+        HnswParams(m=16, m0=8)
+    with pytest.raises(ValueError):
+        HnswParams(ef_construction=1)
+    with pytest.raises(ValueError):
+        HnswParams(max_level=65)
+
+
+def test_levels_deterministic_and_bounded():
+    levels = [level_for(f"id-{i}", 12) for i in range(1000)]
+    assert levels == [level_for(f"id-{i}", 12) for i in range(1000)]
+    assert max(levels) <= 12
+    # ~1/4 of ids climb at least one level
+    frac = sum(1 for lv in levels if lv >= 1) / len(levels)
+    assert 0.15 < frac < 0.35
+
+
+def _grid_graph(ef_search):
+    g = HnswGraph(metric="l2", params=HnswParams(ef_search=ef_search))
+    pts = {}
+    for x in range(15):
+        for y in range(15):
+            eid = f"p-{x:02d}-{y:02d}"
+            g.insert(eid, [float(x), float(y)])
+            pts[eid] = (x, y)
+    return g, pts
+
+
+def test_high_ef_equals_exact_on_grid():
+    """hnsw.rs:659-687: with ef covering the whole grid, HNSW must equal the
+    exact scan."""
+    g, pts = _grid_graph(ef_search=225)
+    q = np.array([7.2, 7.8])
+    got = [eid for eid, _ in g.search(q, 10)]
+    # oracle uses the same distance kernel as the graph (the reference test
+    # compares against its own exact kernel, hnsw.rs:659-687)
+    exact = sorted(
+        pts, key=lambda e: (g._rank(q, np.array(pts[e], dtype=np.float64)), e)
+    )[:10]
+    assert got == exact
+
+
+def test_unit_circle_self_recall_cosine():
+    """hnsw.rs:690-705: every unit vector must retrieve itself first."""
+    g = HnswGraph(metric="cosine")
+    n = 50
+    vecs = {}
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        v = [float(np.cos(a)), float(np.sin(a))]
+        g.insert(f"c-{i:02d}", v)
+        vecs[f"c-{i:02d}"] = v
+    for eid, v in list(vecs.items())[::5]:
+        got = g.search(v, 1)
+        assert got[0][0] == eid
+        assert got[0][1] == pytest.approx(1.0)
+
+
+def test_graph_invariants():
+    """hnsw.rs:708-750: degree bounds, no self/dup/dangling edges, all nodes
+    reachable from the entry point at layer 0."""
+    g = HnswGraph(metric="l2")
+    rng = np.random.default_rng(7)
+    n = 300
+    for i in range(n):
+        g.insert(f"n-{i:03d}", rng.standard_normal(4).tolist())
+    for nid, conns in enumerate(g.connections):
+        for layer, nbs in enumerate(conns):
+            limit = g.params.m0 if layer == 0 else g.params.m
+            assert len(nbs) <= limit
+            assert nid not in nbs
+            assert len(set(nbs)) == len(nbs)
+            assert all(0 <= nb < n for nb in nbs)
+            assert all(layer <= g.levels[nb] for nb in nbs)
+    # reachability over layer-0 edges (undirected closure)
+    adj = [set() for _ in range(n)]
+    for nid in range(n):
+        for nb in g.connections[nid][0]:
+            adj[nid].add(nb)
+            adj[nb].add(nid)
+    seen = {g.entry}
+    stack = [g.entry]
+    while stack:
+        cur = stack.pop()
+        for nb in adj[cur]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    assert len(seen) == n
+
+
+def test_rebuild_deterministic():
+    rng = np.random.default_rng(11)
+    data = [(f"r-{i:03d}", rng.standard_normal(8).tolist()) for i in range(200)]
+    runs = []
+    for _ in range(2):
+        g = HnswGraph(metric="l2")
+        for eid, v in data:
+            g.insert(eid, v)
+        runs.append([eid for eid, _ in g.search([0.0] * 8, 10)])
+    assert runs[0] == runs[1]
+
+
+def test_distributed_hnsw_overlap(spark):
+    """Partition-merged HNSW search vs exact flat oracle on the real
+    embeddings table: overlap@10 must be high (the reference's agreement
+    pattern for approximate modes)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    d = np.sqrt(((mat - np.array(q)) ** 2).sum(axis=1))
+    exact = {ids[i] for i in sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:10]}
+
+    got = hnsw_search(
+        emb, [("q0", q)], metric="l2", k=10,
+        params=HnswParams(ef_search=128),
+        id_col="vec_id", vector_col="embedding", num_partitions=4,
+    ).collect()
+    assert len(got) == 10
+    overlap = len({r["vec_id"] for r in got} & exact) / 10
+    assert overlap >= 0.9
+    # rank/score/distance contract
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    for r in got:
+        assert r["score"] == pytest.approx(-r["distance"])

@@ -1,0 +1,305 @@
+"""HNSW approximate nearest-neighbor search, Spark-partition-parallel.
+
+Re-implements the reference's HNSW semantics (native/vettore/src/hnsw.rs) in
+NumPy/Python and distributes it per-partition:
+
+- params + bounds: m<=1024, m0 in [m, 2048], ef_construction in [m, 1e6],
+  ef_search <= 1e6, max_level <= 64; defaults m=16 m0=32 ef_c=100 ef_s=64
+  max_level=12 (lib/vettore/index/hnsw.ex:13-26, hnsw.rs:23-50)
+- DETERMINISTIC level from an FNV-1a hash of the external id — two low bits
+  zero -> climb a level (hnsw.rs:473-481, 490-497). No RNG, so rebuilds are
+  reproducible across partitions (SURVEY §4 P9).
+- insert: greedy descent through upper layers, ef_construction beam per
+  layer, (dist, id)-sorted truncation to m/m0, reciprocal linking + pruning
+  (hnsw.rs:152-245, prune :437-465)
+- search: greedy descent to layer 1, layer-0 beam with max(ef_search, k),
+  order by (rank_dist, external_id), raw metric recomputed for output
+  (hnsw.rs:292-333); metrics l2/cosine/inner_product only
+
+Distribution model (SURVEY §2.7 Q6 option b): the collection is
+hash-partitioned by id; each partition builds an independent graph and
+answers every query locally; a global (rank, id) top-k merge follows. Recall
+differs from a single graph and is validated against the exact oracle via
+overlap@k — the reference's own pattern for approximate modes
+(bench/search_modes_bench.exs:193-238).
+
+Scale: graph build is O(n log n)-ish per partition and embarrassingly
+parallel; queries are broadcast once per batch, so the shuffle is only
+O(num_queries * k). For repeated query batches against a static collection,
+persist the partitioned collection DataFrame so partition membership (and
+thus the graphs) stay stable.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HNSW_METRICS = ("l2", "cosine", "inner_product")
+
+
+@dataclass(frozen=True)
+class HnswParams:
+    m: int = 16
+    m0: int = 32
+    ef_construction: int = 100
+    ef_search: int = 64
+    max_level: int = 12
+
+    def __post_init__(self):
+        if not (0 < self.m <= 1024):
+            raise ValueError("m must be in (0, 1024]")
+        if not (self.m <= self.m0 <= 2048):
+            raise ValueError("m0 must be in [m, 2048]")
+        if not (self.m <= self.ef_construction <= 1_000_000):
+            raise ValueError("ef_construction must be in [m, 1e6]")
+        if not (0 < self.ef_search <= 1_000_000):
+            raise ValueError("ef_search must be in (0, 1e6]")
+        if not (0 <= self.max_level <= 64):
+            raise ValueError("max_level must be in [0, 64]")
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit (public algorithm; used for level assignment parity
+    with hnsw.rs:490-497)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x00000100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def level_for(external_id: str, max_level: int) -> int:
+    """Deterministic layer: consume two bits per level while both are zero
+    (hnsw.rs:473-481)."""
+    h = fnv1a64(str(external_id).encode())
+    level = 0
+    while level < max_level and (h & 0b11) == 0:
+        level += 1
+        h >>= 2
+    return level
+
+
+class HnswGraph:
+    """Single-machine HNSW graph (one Spark partition's shard)."""
+
+    def __init__(self, metric: str = "cosine", params: HnswParams | None = None):
+        if metric not in _HNSW_METRICS:
+            raise ValueError(f"hnsw supports {_HNSW_METRICS}, got {metric!r}")
+        self.metric = metric
+        self.params = params or HnswParams()
+        self.vectors: list[np.ndarray] = []
+        self.ext_ids: list = []
+        self.levels: list[int] = []
+        self.connections: list[list[list[int]]] = []  # node -> layer -> ids
+        self.entry: int | None = None
+
+    # -- distances ----------------------------------------------------------
+
+    def _raw(self, a: np.ndarray, b: np.ndarray) -> float:
+        if self.metric == "l2":
+            d = a - b
+            return float(np.sqrt(d @ d))
+        return float(a @ b)  # cosine (pre-normalized) and inner_product: dot
+
+    def _rank(self, a: np.ndarray, b: np.ndarray) -> float:
+        raw = self._raw(a, b)
+        if self.metric == "cosine":
+            return 1.0 - raw
+        if self.metric == "inner_product":
+            return -raw
+        return raw
+
+    # -- build --------------------------------------------------------------
+
+    def insert(self, external_id, vector) -> None:
+        v = np.asarray(vector, dtype=np.float64)
+        nid = len(self.vectors)
+        lvl = level_for(external_id, self.params.max_level)
+        self.vectors.append(v)
+        self.ext_ids.append(external_id)
+        self.levels.append(lvl)
+        self.connections.append([[] for _ in range(lvl + 1)])
+
+        if self.entry is None:
+            self.entry = nid
+            return
+
+        entry = self.entry
+        top = self.levels[entry]
+        for layer in range(top, lvl, -1):
+            entry = self._greedy_closest(entry, v, layer)
+
+        for layer in range(min(lvl, top), -1, -1):
+            cands = self._search_layer(entry, v, layer, self.params.ef_construction)
+            cands.sort(key=lambda t: (t[0], t[1]))
+            limit = self.params.m0 if layer == 0 else self.params.m
+            cands = cands[:limit]
+            self.connections[nid][layer] = [cid for _, cid in cands]
+            if cands:
+                entry = cands[0][1]
+
+        # reciprocal links + prune (new node exists before pruning)
+        for layer, neighbors in enumerate(self.connections[nid]):
+            for nb in neighbors:
+                if layer < len(self.connections[nb]) and nid not in self.connections[nb][layer]:
+                    self.connections[nb][layer].append(nid)
+                self._prune(nb, layer)
+
+        if lvl > self.levels[self.entry]:
+            self.entry = nid
+
+    def _prune(self, nid: int, layer: int) -> None:
+        limit = self.params.m0 if layer == 0 else self.params.m
+        if layer >= len(self.connections[nid]):
+            return
+        conns = self.connections[nid][layer]
+        if len(conns) <= limit:
+            return
+        v = self.vectors[nid]
+        scored = sorted(
+            ((self._rank(v, self.vectors[c]), c) for c in conns),
+            key=lambda t: (t[0], t[1]),
+        )
+        self.connections[nid][layer] = [c for _, c in scored[:limit]]
+
+    def _greedy_closest(self, start: int, q: np.ndarray, layer: int) -> int:
+        best = start
+        best_d = self._rank(q, self.vectors[start])
+        improved = True
+        while improved:
+            improved = False
+            for nb in self.connections[best][layer] if layer < len(self.connections[best]) else []:
+                d = self._rank(q, self.vectors[nb])
+                if d < best_d or (d == best_d and nb < best):
+                    best, best_d, improved = nb, d, True
+        return best
+
+    def _search_layer(
+        self, entry: int, q: np.ndarray, layer: int, ef: int
+    ) -> list[tuple[float, int]]:
+        """Beam search on one layer; returns [(rank_dist, node_id)]."""
+        d0 = self._rank(q, self.vectors[entry])
+        visited = {entry}
+        candidates = [(d0, entry)]  # min-heap
+        results = [(-d0, entry)]  # max-heap (bounded by ef)
+        while candidates:
+            d, node = heapq.heappop(candidates)
+            if d > -results[0][0]:
+                break
+            for nb in (
+                self.connections[node][layer]
+                if layer < len(self.connections[node])
+                else []
+            ):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                nd = self._rank(q, self.vectors[nb])
+                if len(results) < ef or nd < -results[0][0]:
+                    heapq.heappush(candidates, (nd, nb))
+                    heapq.heappush(results, (-nd, nb))
+                    if len(results) > ef:
+                        heapq.heappop(results)
+        return [(-nd, node) for nd, node in results]
+
+    # -- query --------------------------------------------------------------
+
+    def search(self, query, limit: int) -> list[tuple[object, float]]:
+        """Returns [(external_id, raw_metric)] ordered by (rank, external_id)
+        (hnsw.rs:292-333)."""
+        if limit == 0 or self.entry is None:
+            return []
+        q = np.asarray(query, dtype=np.float64)
+        entry = self.entry
+        for layer in range(self.levels[entry], 0, -1):
+            entry = self._greedy_closest(entry, q, layer)
+        best = self._search_layer(
+            entry, q, 0, max(self.params.ef_search, limit)
+        )
+        best.sort(key=lambda t: (t[0], str(self.ext_ids[t[1]])))
+        out = []
+        for _, nid in best[:limit]:
+            out.append((self.ext_ids[nid], self._raw(q, self.vectors[nid])))
+        return out
+
+
+def hnsw_search(
+    coll: DataFrame,
+    queries: list[tuple[object, list[float]]],
+    *,
+    metric: str = "cosine",
+    k: int = 10,
+    params: HnswParams | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    num_partitions: int | None = None,
+    score_mode: str = "raw",
+) -> DataFrame:
+    """Partition-parallel HNSW batch search: build one graph per partition
+    (deterministic: rows hash-partitioned by id, inserted in sorted-id order,
+    FNV-1a levels), answer every query against each shard, merge shards with
+    a global per-query (rank, id) top-k."""
+    from vettore_spark.functions import kernels as K
+    from vettore_spark.operators.search import score_columns
+
+    p = params or HnswParams()
+    m = K.canonical_metric(metric)
+    part = coll.select(id_col, vector_col)
+    if num_partitions is not None:
+        part = part.repartition(num_partitions, F.col(id_col))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField(id_col, coll.schema[id_col].dataType),
+            T.StructField("_raw", T.DoubleType()),
+        ]
+    )
+    qlist = [(str(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in queries]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_id: list = []
+        rows_vec: list = []
+        for pdf in it:
+            rows_id.extend(pdf[id_col].tolist())
+            rows_vec.extend(
+                np.asarray(v, dtype=np.float64) for v in pdf[vector_col]
+            )
+        if not rows_id:
+            return
+        order = sorted(range(len(rows_id)), key=lambda i: str(rows_id[i]))
+        g = HnswGraph(metric=m, params=p)
+        for i in order:
+            g.insert(rows_id[i], rows_vec[i])
+        out_q, out_i, out_r = [], [], []
+        for qid, qv in qlist:
+            for eid, raw in g.search(qv, k):
+                out_q.append(qid)
+                out_i.append(eid)
+                out_r.append(raw)
+        yield pd.DataFrame({"query_id": out_q, id_col: out_i, "_raw": out_r})
+
+    local = part.mapInPandas(run, out_schema)
+    rank, score, dist = score_columns(m, F.col("_raw"), score_mode)
+    scored = local.select(
+        "query_id",
+        id_col,
+        rank.alias("_rank"),
+        score.alias("score"),
+        dist.alias("distance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+        .drop("_rank")
+    )

@@ -279,6 +279,112 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+# sparse variant of the embeddings (|x| <= 0.1 zeroed) so truthiness-based
+# metrics (hamming/jaccard, K9/K10) are non-degenerate
+_SPARSE = "list_transform(embedding::DOUBLE[], x -> CASE WHEN abs(x) > 0.1 THEN x ELSE 0.0 END)"
+_SPARSE_Q = f"(SELECT {_SPARSE} FROM embeddings WHERE vec_id = 0)"
+
+
+def _sparse_col():
+    return F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.when(F.abs(x) > 0.1, x).otherwise(0.0),
+    )
+
+
+def q_flat_topk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn("sparse", _sparse_col())
+    q = [x if abs(x) > 0.1 else 0.0 for x in _qvec(spark, sf_dir)]
+    out = S.flat_topk(
+        emb, q, metric="jaccard", k=10, id_col="vec_id", vector_col="sparse",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_JACCARD = f"""
+WITH s AS (SELECT vec_id, {_SPARSE} AS v FROM embeddings),
+d AS (SELECT vec_id,
+        CASE WHEN len(list_filter(list_zip(v, {_SPARSE_Q}), z -> z[1] != 0 OR z[2] != 0)) = 0
+             THEN 0.0
+             ELSE 1.0 - len(list_filter(list_zip(v, {_SPARSE_Q}), z -> z[1] != 0 AND z[2] != 0)) * 1.0
+                      / len(list_filter(list_zip(v, {_SPARSE_Q}), z -> z[1] != 0 OR z[2] != 0))
+        END AS jd
+      FROM s)
+SELECT vec_id, round(-jd, 5) AS score, round(jd, 5) AS distance
+FROM d ORDER BY jd, vec_id LIMIT 10
+"""
+
+
+def q_flat_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn("sparse", _sparse_col())
+    q = [x if abs(x) > 0.1 else 0.0 for x in _qvec(spark, sf_dir)]
+    out = S.flat_topk(
+        emb, q, metric="hamming", k=10, id_col="vec_id", vector_col="sparse",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FLAT_TOPK_HAMMING = f"""
+WITH s AS (SELECT vec_id, {_SPARSE} AS v FROM embeddings),
+d AS (SELECT vec_id,
+        len(list_filter(list_zip(v, {_SPARSE_Q}), z -> (z[1] != 0) != (z[2] != 0)))::DOUBLE AS hd
+      FROM s)
+SELECT vec_id, round(-hd, 5) AS score, round(hd, 5) AS distance
+FROM d ORDER BY hd, vec_id LIMIT 10
+"""
+
+
+def q_packed_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bit Jaccard (K20) over sign-bit vectors: equals unpacked
+    jaccard over the >=0 indicator vectors (the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "binary_vector", K.compress_sign_bits("embedding", DIMS)
+    )
+    qb = S._pack_query_bits(_qvec(spark, sf_dir))
+    raw = K.packed_jaccard(F.col("binary_vector"), qb, DIMS)
+    out = (
+        emb.select("vec_id", raw.alias("_rank"))
+        .orderBy(F.col("_rank").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("_rank", 5).alias("jaccard_distance"))
+    )
+    return out
+
+
+SQL_PACKED_JACCARD_TOPK = f"""
+WITH b AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS v
+           FROM embeddings),
+q AS (SELECT list_transform(e, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS v
+      FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)),
+d AS (SELECT vec_id,
+        CASE WHEN len(list_filter(list_zip(b.v, (SELECT v FROM q)), z -> z[1] = 1 OR z[2] = 1)) = 0
+             THEN 0.0
+             ELSE 1.0 - len(list_filter(list_zip(b.v, (SELECT v FROM q)), z -> z[1] = 1 AND z[2] = 1)) * 1.0
+                      / len(list_filter(list_zip(b.v, (SELECT v FROM q)), z -> z[1] = 1 OR z[2] = 1))
+        END AS jd
+      FROM b)
+SELECT vec_id, round(jd, 5) AS jaccard_distance
+FROM d ORDER BY jd, vec_id LIMIT 10
+"""
+
+
+def q_similarity_score_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K14 :similarity score mode for a distance metric: score = 1/(1+raw)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="l2", k=10,
+        id_col="vec_id", vector_col="embedding", score_mode="similarity",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_SIMILARITY_SCORE_MODE = f"""
+SELECT vec_id, round(1.0 / (1.0 + d), 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # multi-vector MaxSim (M1/M2/Q8): docs = embeddings grouped by label
 # ---------------------------------------------------------------------------
@@ -574,6 +680,33 @@ FROM documents
 """
 
 
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel HNSW (Q6/Q7) at full beam width: with ef_search
+    covering every row the graph search must return exactly the flat-scan
+    result (the reference's high-ef agreement invariant, hnsw.rs:659-687),
+    so the exact-scan SQL is a valid oracle. Approximate-ef recall is
+    covered by overlap@k tests in tests/test_hnsw.py."""
+    from vettore_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = H.hnsw_search(
+        emb, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
+        params=H.HnswParams(ef_search=min(max(n, 64), 1_000_000)),
+        id_col="vec_id", vector_col="embedding", num_partitions=8,
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HNSW_TOPK = f"""
+SELECT 'q0' AS query_id, vec_id, round(-d, 5) AS score, round(d, 5) AS distance,
+       row_number() OVER (ORDER BY d, vec_id) AS rank
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # MUVERA FDE retrieval (E1), SimHash, MMR — deterministic but not
 # SQL-expressible: rows-only entries (plus pytest coverage)
@@ -723,6 +856,102 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + aggregation: revenue of urgent orders by
+    customer market segment. Join strategy: dims (customer) broadcast,
+    lineitem-orders shuffle-join on the key both sides are large on."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_TOP_ORDERS_JOIN = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY c_mktsegment
+"""
+
+
+def q_customer_top_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: top-3 orders per customer by total price,
+    deterministic (price DESC, orderkey ASC) tie-break."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+SQL_CUSTOMER_TOP_ORDERS_WINDOW = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way star join: revenue per region/nation through
+    customer -> orders -> lineitem with all dimension tables broadcast."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -749,6 +978,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
     "flat_topk_manhattan": (q_flat_topk_manhattan, SQL_FLAT_TOPK_MANHATTAN),
     "flat_topk_chebyshev": (q_flat_topk_chebyshev, SQL_FLAT_TOPK_CHEBYSHEV),
+    "flat_topk_jaccard": (q_flat_topk_jaccard, SQL_FLAT_TOPK_JACCARD),
+    "flat_topk_hamming": (q_flat_topk_hamming, SQL_FLAT_TOPK_HAMMING),
+    "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
+    "similarity_score_mode": (q_similarity_score_mode, SQL_SIMILARITY_SCORE_MODE),
     "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
     "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
@@ -764,6 +997,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "mmr_rerank": (q_mmr_rerank, None),
@@ -773,6 +1007,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
+    "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
 }
 
 
