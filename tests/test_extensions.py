@@ -1,0 +1,210 @@
+"""Tests for the compat facade, pluggable stores/indexes, streaming ingest,
+and multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.compat import Vettore
+from vettore_spark.sources.store import FlatIndex, LshIndex, MemoryStore, ParquetStore
+from vettore_spark.sources import multimodal as MM
+from vettore_spark.streaming.ingest import (
+    stream_into_collection,
+    validate_batch,
+    windowed_event_counts,
+)
+
+
+# -- compat facade (vettore.ex:317-642) -------------------------------------
+
+
+def test_compat_lifecycle(spark):
+    db = Vettore.new(spark)
+    db.create_collection("c", 2, metric="euclidean")  # alias -> l2
+    db.insert("c", {"id": "a", "vector": [0.0, 0.0], "metadata": {"k": "1"}})
+    db.batch("c", [
+        {"id": "b", "vector": [1.0, 1.0]},
+        {"id": "d", "vector": [5.0, 5.0]},
+    ])
+    assert db.get_by_value("c", "a")["id"] == "a"
+    assert db.get_by_vector("c", [1.0, 1.0])["id"] == "b"
+    all_rows = db.get_all("c")
+    assert {t[0] for t in all_rows} == {"a", "b", "d"}
+    assert all(len(t) == 3 for t in all_rows)
+    pairs = db.similarity_search("c", [0.9, 0.9], limit=2)
+    assert [p[0] for p in pairs] == ["b", "a"]
+    reranked = db.rerank("c", [0.9, 0.9], alpha=0.5, limit=2)
+    assert reranked[0][0] == "b"
+    db.delete("c", "a")
+    assert db.get_by_value("c", "a") is None
+    db.delete_collection("c")
+    assert db.collections() == []
+    with pytest.raises(KeyError):
+        db.insert("c", {"id": "x", "vector": [0.0, 0.0]})
+
+
+def test_compat_hnsw_metric_inference(spark):
+    db = Vettore.new(spark)
+    db.create_collection("h", 2, metric="hnsw")
+    c = db._coll("h")
+    assert c.config.metric == "l2"
+    assert c.config.index == "hnsw"
+
+
+# -- pluggable store/index (store.ex:15-29, index.ex:12-18) ------------------
+
+
+def test_memory_and_parquet_store(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "id: string, x: int")
+    mem = MemoryStore()
+    mem.append(df)
+    mem.append(df)
+    assert mem.read(spark).count() == 2
+
+    pq = ParquetStore(str(tmp_path / "store"))
+    assert not pq.exists()
+    pq.overwrite(df)
+    pq.append(df)
+    assert pq.exists()
+    assert pq.read(spark).count() == 2
+
+
+def test_lsh_index_candidates(spark):
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(3)
+    rows = [
+        {"id": f"v{i:02d}", "vector": rng.standard_normal(8).tolist()}
+        for i in range(40)
+    ]
+    c = Collection.create(spark, "lsh", 8, metric="l2")
+    c.put_many(rows)
+    q = rows[0]["vector"]
+    flat = FlatIndex().candidates(c.df, q, 5)
+    assert flat.count() == 40
+    lsh = LshIndex(dims=8, candidates_factor=2)
+    cand = lsh.candidates(c.df, q, 5)
+    n = cand.count()
+    assert 0 < n <= 40
+    # the query's own row must be in its LSH candidate set (identical bits)
+    assert cand.filter(F.col("id") == "v00").count() == 1
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+def test_validate_batch_matches_put_many(spark):
+    raw = spark.createDataFrame(
+        [
+            ("a", None, [1.0, 2.0]),
+            (None, "bval", [0.0, 1.0]),   # id falls back to value
+            ("bad", None, [1.0]),          # wrong dims -> dropped
+            ("a", None, [9.0, 9.0]),       # duplicate id -> deduped
+        ],
+        "id: string, value: string, vector: array<double>",
+    )
+    out = validate_batch(raw, dims=2, normalize="none")
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"a", "bval"}
+    assert rows["bval"]["value"] == "bval"
+    assert rows["a"]["binary_vector"] is not None
+
+
+def test_stream_into_collection_and_windows(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", "a", [1.0, 0.0]), ("b", "b", [0.0, 1.0])],
+        "id: string, value: string, vector: array<double>",
+    ).write.parquet(str(src / "batch0"))
+    stream = spark.readStream.schema(
+        "id string, value string, vector array<double>"
+    ).parquet(str(src) + "/*")
+    q = stream_into_collection(
+        stream,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        dims=2,
+    )
+    q.awaitTermination(60)
+    got = spark.read.parquet(str(tmp_path / "sink"))
+    assert got.count() == 2
+    assert set(got.columns) == {"id", "value", "vector", "binary_vector"}
+
+    # windowed agg: streaming plan over a file source == batch plan result
+    ev = spark.createDataFrame(
+        [("click", "2024-01-01 00:10:00", 1.0), ("click", "2024-01-01 00:50:00", 2.0),
+         ("view", "2024-01-01 01:10:00", 3.0)],
+        "event_type: string, ts_s: string, value: double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    batch_out = {
+        (r["event_type"], r["window_start"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(ev, window="1 hour").collect()
+    }
+    assert batch_out[("click", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert batch_out[("view", "2024-01-01 01:00:00")] == (1, 3.0)
+
+    evdir = tmp_path / "events"
+    ev.write.parquet(str(evdir / "b0"))
+    sev = spark.readStream.schema(ev.schema).parquet(str(evdir) + "/*")
+    sq = (
+        windowed_event_counts(sev, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winagg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(60)
+    stream_out = {
+        (r["event_type"], r["window_start"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from winagg").collect()
+    }
+    assert stream_out == batch_out
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(spark):
+    rows = [
+        ("m1", b"\x01\x02\x03", "image/png", {"w": "8"}),
+        ("m2", b"\x04\x05", "image/png", None),
+        ("m3", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out1 = {r["media_id"]: list(r["features"]) for r in MM.image_features(df).collect()}
+    out2 = {r["media_id"]: list(r["features"]) for r in MM.image_features(df).collect()}
+    assert out1 == out2  # deterministic fake decode
+    assert len(out1) == 3
+    assert all(len(v) == 12 for v in out1.values())
+    # different payloads -> different features
+    assert out1["m1"] != out1["m2"]
+    # feature column feeds the search operators
+    from vettore_spark.operators.search import flat_topk
+
+    feat_df = MM.image_features(df).withColumnRenamed("features", "vector")
+    top = flat_topk(
+        feat_df, out1["m1"], metric="l2", k=1, id_col="media_id"
+    ).collect()
+    assert top[0]["media_id"] == "m1"
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"not-an-image")
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame(
+        [("v1", bytes(range(200)), "video/mp4", None)], MM.MEDIA_SCHEMA
+    )
+    frames = MM.frame_sample(df, n_frames=4, frame_bytes=16).collect()
+    assert len(frames) == 4
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+    assert all(len(f["frame"]) == 16 for f in frames)
+    # frames are evenly spaced slices
+    assert frames[0]["frame"][0] == 0
+    assert frames[1]["frame"][0] == 50

@@ -1,0 +1,121 @@
+"""Legacy DB-handle compatibility facade (lib/vettore.ex:317-642).
+
+The reference keeps a thin `Vettore` API that namespaces collections by name
+inside one handle and speaks tuples instead of Result structs. This facade
+reproduces that surface over the new Collection API:
+
+- create_collection/5 with alias normalization and index inference from the
+  legacy ':hnsw' metric (vettore.ex:329-383)
+- insert/3, batch/3 (vettore.ex:385-450)
+- get_by_value/3, get_by_vector/3 — scan-compare against the normalized
+  vector (vettore.ex:508-524)
+- get_all/3 -> legacy (id, vector, metadata) tuples (vettore.ex:526-560)
+- similarity_search/4 -> (id, score) pairs (vettore.ex:562-590)
+- rerank/4 — MMR over the whole collection (vettore.ex:592-618)
+- delete/3, delete_collection/2 (vettore.ex:620-642)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from vettore_spark.collection import Collection
+from vettore_spark.functions import kernels as K
+
+
+class Vettore:
+    """Legacy DB handle: a named registry of collections."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._collections: dict[str, Collection] = {}
+
+    @classmethod
+    def new(cls, spark: SparkSession) -> "Vettore":
+        return cls(spark)
+
+    def create_collection(
+        self, name: str, dimensions: int, metric: str = "cosine", **opts
+    ) -> "Vettore":
+        if name in self._collections:
+            raise ValueError(f"collection already exists: {name!r}")
+        # legacy ':hnsw' metric means "l2 with an hnsw index" (vettore.ex:675-680)
+        if metric == "hnsw":
+            metric = "l2"
+            opts["index"] = "hnsw"
+        else:
+            metric = K.canonical_metric(metric)
+        self._collections[name] = Collection.create(
+            self.spark, name, dimensions, metric=metric, **opts
+        )
+        return self
+
+    def _coll(self, name: str) -> Collection:
+        if name not in self._collections:
+            raise KeyError(f"unknown collection: {name!r}")
+        return self._collections[name]
+
+    def insert(self, coll: str, embedding: dict) -> "Vettore":
+        self._coll(coll).put_many([embedding])
+        return self
+
+    def batch(self, coll: str, embeddings: list[dict]) -> "Vettore":
+        self._coll(coll).put_many(embeddings)
+        return self
+
+    def get_by_value(self, coll: str, value: str):
+        from pyspark.sql import functions as F
+
+        rows = self._coll(coll).df.filter(F.col("value") == value).limit(1).collect()
+        return rows[0] if rows else None
+
+    def get_by_vector(self, coll: str, vector: list[float]):
+        """Scan-compare against the collection-normalized vector
+        (vettore.ex:508-524)."""
+        c = self._coll(coll)
+        q = np.asarray(c._prepare_query(vector), dtype=np.float32)
+        for row in c.df.collect():
+            if row["vector"] is not None and np.array_equal(
+                np.asarray(row["vector"], dtype=np.float32), q
+            ):
+                return row
+        return None
+
+    def get_all(self, coll: str) -> list[tuple]:
+        """Legacy (id, vector, metadata) tuples."""
+        return [
+            (r["id"], list(r["vector"]) if r["vector"] is not None else None, r["metadata"])
+            for r in self._coll(coll).df.collect()
+        ]
+
+    def similarity_search(self, coll: str, query: list[float], limit: int = 10) -> list[tuple]:
+        """Legacy (id, score) pairs."""
+        rows = self._coll(coll).search(query, limit=limit).collect()
+        return [(r["id"], r["score"]) for r in rows]
+
+    def rerank(
+        self, coll: str, query: list[float], *, alpha: float = 0.5, limit: int = 10
+    ) -> list[tuple]:
+        """MMR over the whole collection (vettore.ex:592-618)."""
+        from vettore_spark.operators.rerank import mmr_rerank
+
+        c = self._coll(coll)
+        n = c.count()
+        top = c.search(query, limit=max(n, 1))
+        return mmr_rerank(
+            top, c.df, metric=c.config.metric, alpha=alpha, k=limit
+        )
+
+    def delete(self, coll: str, id_: str) -> "Vettore":
+        self._coll(coll).delete(id_)
+        return self
+
+    def delete_collection(self, name: str) -> "Vettore":
+        self._collections.pop(name, None)
+        return self
+
+    def collections(self) -> list[str]:
+        return sorted(self._collections)

@@ -831,6 +831,37 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 30m slide) via the streaming
+    module's plan run in batch mode — the same windowed_event_counts used by
+    the Structured Streaming ingest path."""
+    from vettore_spark.streaming.ingest import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return windowed_event_counts(ev, window="1 hour", slide="30 minutes")
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH e AS (
+  SELECT event_type, value,
+         to_timestamp(floor(epoch(ts) / 1800) * 1800) AS w0
+  FROM events),
+expanded AS (
+  SELECT event_type, value,
+         unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws
+  FROM e)
+SELECT event_type,
+       strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1006,6 +1037,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
