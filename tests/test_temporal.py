@@ -1,0 +1,76 @@
+"""Tests for the temporal operators: as-of join and sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vettore_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts_s: string, value: double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_asof_join_basic(spark):
+    left = _events(spark, [
+        (10, 1, "2024-01-01 10:00:00", 5.0),
+        (11, 1, "2024-01-01 12:00:00", 6.0),
+        (12, 2, "2024-01-01 10:30:00", 7.0),
+    ])
+    right = _events(spark, [
+        (1, 1, "2024-01-01 09:00:00", 1.0),
+        (2, 1, "2024-01-01 11:00:00", 2.0),
+        (3, 1, "2024-01-01 13:00:00", 3.0),   # after every left row -> unused
+        (4, 3, "2024-01-01 09:00:00", 9.0),   # other user
+    ])
+    out = {
+        r["event_id"]: r["r_value"]
+        for r in asof_join(left, right).collect()
+    }
+    assert out == {10: 1.0, 11: 2.0, 12: None}
+
+
+def test_asof_join_ties(spark):
+    # same-ts right row is visible; among same-ts right rows max event_id wins
+    left = _events(spark, [(10, 1, "2024-01-01 10:00:00", 0.0)])
+    right = _events(spark, [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:00:00", 2.0),
+    ])
+    [row] = asof_join(left, right).collect()
+    assert row["r_value"] == 2.0
+
+
+def test_sessionize_gap(spark):
+    ev = _events(spark, [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:20:00", 1.0),   # 20m gap -> same session
+        (3, 1, "2024-01-01 10:50:00", 1.0),   # exactly 30m -> same (strict >)
+        (4, 1, "2024-01-01 11:30:00", 1.0),   # 40m -> new session
+        (5, 2, "2024-01-01 10:00:00", 1.0),
+    ])
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(ev, gap="30 minutes").collect()
+    }
+    assert stats[(1, 0)] == (3, 3000.0)
+    assert stats[(1, 1)] == (1, 0.0)
+    assert stats[(2, 0)] == (1, 0.0)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of plan must not contain a cross/range join — only exchanges on
+    the key plus a window."""
+    left = _events(spark, [(10, 1, "2024-01-01 10:00:00", 5.0)])
+    right = _events(spark, [(1, 1, "2024-01-01 09:00:00", 1.0)])
+    plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

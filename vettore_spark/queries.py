@@ -862,6 +862,86 @@ GROUP BY 1, 2
 """
 
 
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as an exact-micros timestamp: `ts div 1000` is integer
+    division on the nanos LONG (the `/ 1000` double path can be off by 1us at
+    2024-epoch magnitudes — harmless for hour windows, fatal for as-of lags)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event picks up the most recent
+    prior-or-same-ts click by the same user (union-tag + window — one shuffle,
+    no range cross-join; see operators/temporal.py)."""
+    from vettore_spark.operators.temporal import asof_join
+
+    ev = _events_ts(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left, right, key_col="user_id", ts_col="ts",
+        right_cols=("ts", "value"), seq_col="event_id",
+    )
+    # no-prior-click rows surface as -1 sentinels (NULLs are not orderable in
+    # the driver's value-hash comparator)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.round("r_value", 4), F.lit(-1.0)).alias("click_value"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("r_ts"), F.lit(-1).cast("long")
+        ).alias("lag_us"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT p.event_id, p.user_id,
+       coalesce(round(c.value, 4), -1.0) AS click_value,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) + per-session
+    aggregates; one shuffle on user_id shared by the window and the groupBy."""
+    from vettore_spark.operators.temporal import session_stats
+
+    return session_stats(
+        _events_ts(spark, sf_dir), key_col="user_id", ts_col="ts",
+        seq_col="event_id", gap="30 minutes",
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e)
+SELECT user_id, session_id, count(*) AS n_events,
+       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6) AS duration_s,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1038,6 +1118,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
