@@ -33,13 +33,23 @@ def tokens(text: Column | str) -> Column:
 
 
 def shingle_array(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings; fewer than n tokens -> empty array."""
+    """Word n-gram shingles as strings; fewer than n tokens -> empty array.
+
+    Built by zipping n shifted slices of the token array, NOT by indexing
+    `toks` inside a transform lambda: an outer expression captured in a
+    lambda is re-evaluated per element, which turns the upstream regex split
+    into O(tokens^2) work per row once CollapseProject inlines it. With
+    arrays_zip each slice evaluates `toks` exactly once."""
+    cnt = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, cnt).alias(f"t{i}") for i in range(n)]
+    )
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                zipped,
+                lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(n)]),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -68,6 +78,41 @@ def shingle_hash_array(toks: Column, n: int = 3) -> Column:
     downstream set operations (inverted index, MinHash, Jaccard) work on
     8-byte keys instead of strings."""
     return F.transform(shingle_array(toks, n), lambda s: F.xxhash64(s))
+
+
+def _shingle_base(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, _sh) shingle-set table shared by the pair operators, engineered
+    for parallel evaluation:
+
+    - If the input has fewer partitions than the session's shuffle
+      parallelism (typical for a small parquet file with one row group —
+      parquet cannot split below row-group granularity), round-robin
+      repartition the RAW text first. At real scale the input already has
+      more partitions than this and the branch is a no-op.
+    - The shingle projection carries a non-deterministic `_pin` column:
+      without it, ColumnPruning pushes the (expensive) projection below the
+      repartition exchange to shuffle fewer bytes, and the whole shingle
+      evaluation lands back in the unsplittable scan task. Non-deterministic
+      expressions cannot cross an exchange, so the projection stays above it
+      and runs on all cores.
+    - Persisted because every pair operator consumes it at least twice
+      (signatures/postings + verification)."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    src = df.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return (
+        src.select(
+            F.col(id_col),
+            shingle_hash_array(tokens(text_col), n).alias("_sh"),
+            F.monotonically_increasing_id().alias("_pin"),
+        )
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
 
 
 def _bucket_pairs(buckets: DataFrame, ids_col: str = "_ids") -> DataFrame:
@@ -103,11 +148,11 @@ def ngram_jaccard_pairs(
     Postings longer than `max_shingle_df` can be dropped (boilerplate
     shingles) — at web scale that cap is mandatory; it trades exactness on
     pairs whose ONLY shared shingles are ultra-frequent."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingle_hash_array(tokens(text_col), n)).alias("s"),
+    base = _shingle_base(df, id_col, text_col, n)
+    sh = base.select(
+        F.col(id_col).alias("_id"), F.explode("_sh").alias("s")
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    sizes = base.select(F.col(id_col).alias("_id"), F.size("_sh").alias("_n"))
     buckets = sh.groupBy("s").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
     buckets = buckets.filter(F.size("_ids") > 1)
     if max_shingle_df is not None:
@@ -206,11 +251,7 @@ def minhash_lsh_pairs(
     # one shingle pass, persisted: consumed by banding AND by candidate
     # verification — without the persist the whole tokenize+shingle+hash
     # chain re-runs per consumer
-    base = (
-        df.select(F.col(id_col), shingle_hash_array(tokens(text_col), n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .persist()
-    )
+    base = _shingle_base(df, id_col, text_col, n)
     sig = base.select(
         id_col, minhash_signature_arrow(num_perm)(F.col("_sh")).alias("_sig")
     )
@@ -230,22 +271,16 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
-    ok_buckets = (
+    # one shuffle: bucket members collected per (band, bh), pairs emitted
+    # from the sorted id array — bands_df is consumed exactly once (a
+    # groupBy-count + semi-join + self-join shape would recompute the
+    # signature UDF three times)
+    buckets = (
         bands_df.groupBy("band", "bh")
-        .count()
-        .filter((F.col("count") > 1) & (F.col("count") <= max_bucket_size))
-        .select("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size))
     )
-    bucketed = bands_df.join(ok_buckets, on=["band", "bh"], how="left_semi")
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _bucket_pairs(buckets).distinct()
     # exact verification of candidates only; the candidate pair list is
     # small -> broadcast it so hydrating both sides streams the (persisted)
     # shingle sets without a shuffle
@@ -321,7 +356,16 @@ def simhash_pairs(
     """SimHash near-dup candidates: block on `block_bits`-bit prefixes of the
     rotated simhash (4 rotations cover any <=3-bit difference with high
     probability), verify by full 64-bit Hamming distance."""
-    base = df.select(F.col(id_col), simhash64(tokens(text_col)).alias("_sh"))
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    src = df.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    base = src.select(
+        F.col(id_col),
+        simhash64(tokens(text_col)).alias("_sh"),
+        F.monotonically_increasing_id().alias("_pin"),
+    ).persist()
     # block on 4 disjoint 16-bit slices: pairs within Hamming<=3 share at
     # least one identical slice (pigeonhole over 4 slices)
     blocks = base.select(
