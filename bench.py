@@ -57,6 +57,14 @@ def main() -> None:
     from vettore_spark import queries as Q
 
     qs = Q.queries()
+    # untimed warmup: JVM/codegen/Python-worker spin-up and parquet footer
+    # reads land here, not in the first timed query
+    try:
+        qs["flat_topk_cosine"](spark, sf_dir).count()
+        for t in ("documents", "lineitem", "events"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    except Exception:  # noqa: BLE001
+        pass
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

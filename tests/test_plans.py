@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the scale properties we rely on (bounded
+top-k, broadcast pruning joins, window group-limit pushdown, column pruning,
+predicate pushdown) must be visible in the executed/optimized plans, not just
+hoped for."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def coll(spark, tmp_path_factory):
+    """A small parquet-backed collection so plans include a real FileScan."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"v{i:03d}", rng.standard_normal(8).astype(float).tolist(), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id: string, vector: array<double>, payload: double")
+    path = str(tmp_path_factory.mktemp("plans") / "coll")
+    df.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_flat_topk_is_take_ordered(coll):
+    """Single-query top-k must compile to TakeOrderedAndProject (bounded
+    per-partition heaps + driver merge) — never a global sort."""
+    q = [0.1] * 8
+    plan = _executed(S.flat_topk(coll, q, metric="l2", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort operator
+
+
+def test_flat_topk_prunes_columns(coll):
+    """The scan must read only (id, vector) — payload is pruned."""
+    q = [0.1] * 8
+    plan = _executed(S.flat_topk(coll, q, metric="l2", k=5))
+    scan = plan[plan.index("FileScan"):]
+    schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "vector" in schema and "id" in schema
+    assert "payload" not in schema
+
+
+def test_rerank_semi_join_is_broadcast(coll):
+    """Candidate hydration must be a broadcast (semi) hash join, not a
+    shuffle join."""
+    q = [0.1] * 8
+    cand = S.flat_topk(coll, q, metric="l2", k=20).select("id")
+    plan = _executed(
+        S.exact_rerank(coll, cand, q, metric="l2", k=5)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_query_topk_broadcasts_queries_and_group_limits(spark, coll):
+    """The query side of the similarity join must be broadcast, and the
+    per-query top-k window must trigger WindowGroupLimit pushdown (partial
+    top-k before the shuffle)."""
+    queries = spark.createDataFrame(
+        [(i, [0.1 * i] * 8) for i in range(3)],
+        "query_id: long, query_vector: array<double>",
+    )
+    out = S.multi_query_topk(queries, coll, metric="l2", k=5)
+    plan = _executed(out)
+    assert "Broadcast" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_predicate_pushdown_reaches_scan(coll):
+    """A filter on a scanned column must appear in PushedFilters."""
+    plan = _executed(coll.filter(F.col("id") == "v001").select("id"))
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,v001)]" in plan
+
+
+def test_quantized_stage1_reads_only_binary(spark, tmp_path):
+    """Stage 1 of quantized search must NOT read the full vector column —
+    column pruning through the two-stage pipeline is what makes the cheap
+    pass cheap (SURVEY §4: 'don't read vectors in stage 1')."""
+    from vettore_spark.functions import kernels as K
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(f"v{i}", rng.standard_normal(8).astype(float).tolist()) for i in range(50)],
+        "id: string, vector: array<double>",
+    ).withColumn("binary_vector", K.compress_sign_bits("vector", 8))
+    path = str(tmp_path / "bin")
+    df.write.parquet(path)
+    coll2 = spark.read.parquet(path)
+
+    qb = S._pack_query_bits([0.5] * 8)
+    stage1 = S.binary_topk(coll2, qb, dims=8, k=10)
+    plan = _executed(stage1)
+    scan = plan[plan.index("FileScan"):]
+    schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "binary_vector" in schema
+    assert "vector:" not in schema.replace("binary_vector", "")
