@@ -1,0 +1,87 @@
+"""Tests for custom stateful streaming operators: state carries across
+micro-batches, and streaming results agree with their batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vettore_spark.streaming.stateful import (
+    streaming_session_counts,
+    streaming_topk_per_key,
+)
+
+
+def test_streaming_topk_state_across_batches(spark, tmp_path):
+    """Two micro-batches; the second batch's output must reflect top-k state
+    accumulated from the first."""
+    src = tmp_path / "in"
+    b1 = [(1, 1, 10.0), (2, 1, 5.0), (3, 1, 8.0), (4, 2, 1.0)]
+    b2 = [(5, 1, 9.0), (6, 2, 2.0)]
+    schema = "event_id: long, user_id: long, value: double"
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+    q = (
+        streaming_topk_per_key(stream, k=2)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from topk"
+    ).collect()
+    # the LAST emission per (user, rank) is the final state; memory sink in
+    # update mode appends — take the last occurrence
+    final: dict = {}
+    for r in rows:
+        final[(r["user_id"], r["rank"])] = (r["event_id"], r["value"])
+    # user 1 saw values 10, 8, 5, then 9 -> top2 = (1,10.0), (5,9.0)
+    assert final[(1, 1)] == (1, 10.0)
+    assert final[(1, 2)] == (5, 9.0)
+    # user 2 saw 1.0 then 2.0 -> top2 = (6,2.0), (4,1.0)
+    assert final[(2, 1)] == (6, 2.0)
+    assert final[(2, 2)] == (4, 1.0)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", 1.0),
+            (2, 1, "2024-01-01 10:20:00", 2.0),
+            (3, 1, "2024-01-01 11:30:00", 3.0),
+            (4, 2, "2024-01-01 09:00:00", 4.0),
+        ],
+        "event_id: long, user_id: long, ts_s: string, value: double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    batch = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in streaming_session_counts(ev, gap="30 minutes").collect()
+    }
+    assert batch[(1, "2024-01-01 10:00:00")] == (2, 3.0)
+    assert batch[(1, "2024-01-01 11:30:00")] == (1, 3.0)
+    assert batch[(2, "2024-01-01 09:00:00")] == (1, 4.0)
+
+    evdir = tmp_path / "events"
+    ev.write.parquet(str(evdir / "b0"))
+    sev = spark.readStream.schema(ev.schema).parquet(str(evdir) + "/*")
+    q = (
+        streaming_session_counts(sev, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sess").collect()
+    }
+    assert stream_out == batch

@@ -1,0 +1,109 @@
+"""Custom stateful Structured Streaming operators (applyInPandasWithState)
+plus the built-in session_window aggregation, for continuous training-data
+pipelines.
+
+The reference has no streaming surface (SURVEY §2.12); these are the
+Spark-native extension. Two shapes:
+
+- `streaming_topk_per_key`: a per-key running top-k (keep the k
+  highest-value events ever seen per key, across micro-batches). No built-in
+  operator maintains a bounded per-key heap over an unbounded stream — this
+  is exactly the applyInPandasWithState use case. State per key is O(k)
+  (id, value) pairs, so total state is bounded by keys x k regardless of
+  stream length.
+- `streaming_session_counts`: gap-based session aggregation using the
+  built-in `session_window` + watermark — state is bounded by the watermark
+  horizon; identical session semantics to operators/temporal.sessionize for
+  strictly-greater-than-gap splits (session_window merges windows that
+  overlap, i.e. starts a new session when the gap is >= the timeout, so the
+  batch twin uses `>=`; see test).
+
+Both run identically under `trigger(availableNow=True)` for batch-like
+verification and under continuous micro-batches in production.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_topk_per_key(
+    events: DataFrame,
+    *,
+    k: int = 3,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running top-k by value over an unbounded stream.
+
+    Emits, per micro-batch and key, the current top-k (id, value) pairs in
+    descending value order (ties by id ascending — the same deterministic
+    tie-break as the batch top-k operators). State: the top-k pairs only.
+    """
+    out_schema = (
+        f"{key_col} long, rank integer, {id_col} long, {value_col} double"
+    )
+    state_schema = "ids array<long>, vals array<double>"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (ids, vals) = state.get
+            pairs = list(zip(ids, vals))
+        else:
+            pairs = []
+        for pdf in pdfs:
+            pairs.extend(zip(pdf[id_col].tolist(), pdf[value_col].tolist()))
+        # descending value, ascending id, bounded to k
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        pairs = pairs[:k]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(pairs),
+                "rank": list(range(1, len(pairs) + 1)),
+                id_col: [p[0] for p in pairs],
+                value_col: [p[1] for p in pairs],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session aggregation with the built-in session_window.
+    Works on both streaming (with watermark-bounded state) and batch frames."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
