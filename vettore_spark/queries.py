@@ -862,6 +862,88 @@ GROUP BY 1, 2
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single agg — every predicate must reach
+    the parquet scan (PushedFilters) and only 4 columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no order over 400k, counted per market
+    segment. The big-order side is tiny after its filter -> broadcast anti
+    hash join, no shuffle of the customer table."""
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.join(F.broadcast(big), on="c_custkey", how="left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_BIG_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY 1
+"""
+
+
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate: ROLLUP over (returnflag, linestatus) with the
+    subtotal levels labeled 'ALL' (the comparator cannot order NULLs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+            "avg_price",
+        )
+    )
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as an exact-micros timestamp: `ts div 1000` is integer
     division on the nanos LONG (the `/ 1000` double path can be off by 1us at
@@ -1121,6 +1203,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
+    "customers_without_big_orders": (q_customers_without_big_orders, SQL_CUSTOMERS_WITHOUT_BIG_ORDERS),
+    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
