@@ -25,16 +25,24 @@ HEADLINE = [
     "quantized_topk",
     "funnel_topk",
     "hybrid_topk",
+    "hnsw_topk",
+    "ann_ivf_topk",
+    "muvera_fde_retrieval",
     "maxsim_label_topk",
     "mean_vector_by_label",
     "normalize_stats",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_pairs",
     "embedding_neardup",
     "text_stats",
     "doc_fingerprint",
     "events_hourly",
+    "events_asof_join",
+    "user_sessions",
     "tpch_q1_pricing",
+    "tpch_q6_revenue",
+    "lineitem_rollup",
 ]
 
 

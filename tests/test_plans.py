@@ -85,6 +85,21 @@ def test_predicate_pushdown_reaches_scan(coll):
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,v001)]" in plan
 
 
+def test_plan_checks_module(coll):
+    """plans.checks: the reusable guardrail API agrees with the raw plans."""
+    from vettore_spark.plans import checks as PC
+
+    q = [0.1] * 8
+    top = S.flat_topk(coll, q, metric="l2", k=5)
+    PC.assert_take_ordered(top)
+    PC.assert_no_cartesian(top)
+    PC.assert_max_shuffles(top, 0)  # top-k shuffles no data rows
+    assert PC.read_schemas(top) and "payload" not in PC.read_schemas(top)[0]
+
+    filtered = coll.filter(F.col("id") == "v001").select("id")
+    assert any("EqualTo" in f for f in PC.pushed_filters(filtered))
+
+
 def test_quantized_stage1_reads_only_binary(spark, tmp_path):
     """Stage 1 of quantized search must NOT read the full vector column —
     column pruning through the two-stage pipeline is what makes the cheap
