@@ -1,0 +1,93 @@
+"""ANN operator tests: the GEMM paths must agree with the expression paths
+(same engine, two physical strategies), and IVF recall is validated against
+the exact oracle — the reference's overlap@k pattern."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import ann as ANN
+from vettore_spark.operators import search as S
+from vettore_spark.functions import kernels as K
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    # 8 well-separated cluster centers + noise
+    centers = rng.standard_normal((8, 16)) * 4.0
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(16) * 0.3
+        rows.append((i, v.astype(float).tolist(), c))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: int")
+
+
+def _queries(spark, emb, n=4):
+    return (
+        emb.filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector"))
+    )
+
+
+def test_brute_force_matches_expression_path(spark, emb):
+    qs = _queries(spark, emb)
+    gemm = ANN.brute_force_topk(emb, qs, k=5, metric="cosine")
+    expr = S.multi_query_topk(
+        qs, emb, metric="cosine", k=5, id_col="vec_id", vector_col="embedding",
+        pre_normalized=False,
+    )
+    g = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9)) for r in gemm.collect()}
+    e = {(r["query_id"], r["rank"]): (r["id"] if "id" in r else r["vec_id"], round(r["score"], 9)) for r in expr.collect()}
+    assert g == e
+
+
+def test_cosine_neardup_gemm_exact(spark, emb):
+    """GEMM near-dup pairs == the expression-path all-pairs operator."""
+    from vettore_spark.operators.dedup import embedding_neardup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["sim"], 8)
+        for r in ANN.cosine_neardup_gemm(emb, threshold=0.97).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["sim"], 8)
+        for r in embedding_neardup_pairs(emb, threshold=0.97).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ivf_recall_and_determinism(spark, emb):
+    """With cluster-shaped data and n_probe=2, IVF top-k must overlap the
+    exact top-k heavily; two runs must be identical (deterministic
+    assignment + tie-breaks)."""
+    cents = emb.groupBy("label").agg(
+        F.collect_list("embedding").alias("_vs")
+    ).select(
+        F.col("label").cast("long").alias("centroid_id"),
+        K.mean_vector("_vs", 16).alias("centroid"),
+    )
+    qs = _queries(spark, emb)
+    out1 = ANN.ivf_topk(
+        emb, qs, centroids=cents, n_probe=2, k=5,
+        id_col="vec_id", vector_col="embedding",
+    ).collect()
+    out2 = ANN.ivf_topk(
+        emb, qs, centroids=cents, n_probe=2, k=5,
+        id_col="vec_id", vector_col="embedding",
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    exact = ANN.brute_force_topk(emb, qs, k=5, metric="cosine")
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in out1:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    overlaps = [len(ex[q] & got[q]) / 5 for q in ex]
+    assert sum(overlaps) / len(overlaps) >= 0.9

@@ -204,56 +204,39 @@ def ivf_topk(
     """
     from vettore_spark.functions import kernels as K
 
-    cent = centroids.select(
-        F.col(centroid_id_col), F.col(centroid_vec_col).cast("array<double>").alias("_cv")
+    spark = coll.sparkSession
+    cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    # columns pre-sorted by centroid id: stable argsort over columns then
+    # resolves distance ties by ascending centroid id (deterministic)
+    cent_rows.sort(key=lambda r: r[centroid_id_col])
+    cids = np.array([int(r[centroid_id_col]) for r in cent_rows], dtype=np.int64)
+    cmat = _l2norm_rows(
+        np.array([np.asarray(r[centroid_vec_col], dtype=np.float64) for r in cent_rows])
     )
-    # assign rows to nearest centroid: broadcast join + per-row argmin
-    cl = cent.agg(
-        F.collect_list(F.struct(centroid_id_col, "_cv")).alias("_cents")
-    )
-    assigned = (
-        coll.crossJoin(F.broadcast(cl))
-        .withColumn(
-            "_cell",
-            F.element_at(
-                F.array_sort(
-                    F.transform(
-                        F.col("_cents"),
-                        lambda c: F.struct(
-                            (1.0 - K.cosine(F.col(vector_col), c["_cv"])).alias("d"),
-                            c[centroid_id_col].alias("cid"),
-                        ),
-                    )
-                ),
-                1,
-            )["cid"],
-        )
-        .drop("_cents")
-    )
-    # probe cells per query
-    probes = (
-        queries.crossJoin(F.broadcast(cl))
-        .withColumn(
-            "_probe",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("_cents"),
-                        lambda c: F.struct(
-                            (1.0 - K.cosine(F.col(query_vec_col), c["_cv"])).alias("d"),
-                            c[centroid_id_col].alias("cid"),
-                        ),
-                    )
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .select(
-            query_id_col,
-            query_vec_col,
-            F.explode(F.transform("_probe", lambda p: p["cid"])).alias("_cell"),
-        )
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    @F.pandas_udf("long")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        ids, mat = bc.value
+        m = _l2norm_rows(_matrix(vs))
+        d = 1.0 - m @ mat.T
+        return pd.Series(ids[np.argmin(d, axis=1)])
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        ids, mat = bc.value
+        m = _l2norm_rows(_matrix(vs))
+        d = 1.0 - m @ mat.T
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([ids[row] for row in order])
+
+    # cell assignment is the map-heavy step at scale: one vectorized GEMM
+    # per Arrow batch against the broadcast centroid matrix, no join
+    assigned = coll.withColumn("_cell", nearest_cell(F.col(vector_col)))
+    probes = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(probe_cells(F.col(query_vec_col))).alias("_cell"),
     )
     joined = assigned.join(F.broadcast(probes), on="_cell")
     raw = K.cosine(F.col(vector_col), F.col(query_vec_col))
