@@ -149,10 +149,6 @@ class Collection:
             "id", F.coalesce(F.col("id"), F.col("value"))
         ).withColumn("value", F.coalesce(F.col("value"), F.col("id")))
 
-        bad_id = staged.filter(F.col("id").isNull() | (F.col("id") == "")).limit(1).count()
-        if bad_id:
-            raise ValueError("embedding id/value must be a non-empty string")
-
         # validate multi-vectors: each inner vector must match dims
         vectors_ok = F.when(
             F.col("vectors").isNull(), F.lit(True)
@@ -164,9 +160,6 @@ class Collection:
                 lambda ok, v: ok & K.is_valid_vector(v, dims),
             )
         )
-        n_bad_multi = staged.filter(~vectors_ok).limit(1).count()
-        if n_bad_multi:
-            raise ValueError(f"invalid multi-vector (each inner vector must have {dims} finite elements)")
 
         # derive primary vector = mean of multi-vectors when absent (collection.ex:994-1017)
         staged = staged.withColumn(
@@ -177,9 +170,25 @@ class Collection:
             ).otherwise(F.col("vector").cast("array<double>")),
         )
 
-        n_bad_vec = staged.filter(~K.is_valid_vector("vector", dims)).limit(1).count()
-        if n_bad_vec:
+        # ONE validation pass over the batch (at scale each .count() above a
+        # big batch is a full scan — id, multi-vector, vector, and
+        # intra-batch-duplicate checks all reduce in a single aggregate)
+        checks = staged.agg(
+            F.sum(
+                F.when(F.col("id").isNull() | (F.col("id") == ""), 1).otherwise(0)
+            ).alias("bad_id"),
+            F.sum(F.when(~vectors_ok, 1).otherwise(0)).alias("bad_multi"),
+            F.sum(F.when(~K.is_valid_vector("vector", dims), 1).otherwise(0)).alias("bad_vec"),
+            (F.count("*") - F.countDistinct("id")).alias("dups"),
+        ).first()
+        if checks["bad_id"]:
+            raise ValueError("embedding id/value must be a non-empty string")
+        if checks["bad_multi"]:
+            raise ValueError(f"invalid multi-vector (each inner vector must have {dims} finite elements)")
+        if checks["bad_vec"]:
             raise ValueError(f"invalid vector (must have {dims} finite elements within +/-f32max)")
+        if checks["dups"]:
+            raise ValueError("duplicate id within batch")
 
         # insert-time normalization of both vector and multi-vectors
         norm = cfg.normalize
@@ -200,11 +209,8 @@ class Collection:
         # derive packed sign bits of the stored (normalized) vector
         staged = staged.withColumn("binary_vector", K.compress_sign_bits("vector", dims))
 
-        # duplicate-id rejection: intra-batch ...
-        dup = staged.groupBy("id").count().filter(F.col("count") > 1).limit(1).count()
-        if dup:
-            raise ValueError("duplicate id within batch")
-        # ... and vs existing rows (store-level insert_new, store/ets.ex:264-271)
+        # duplicate ids vs existing rows (store-level insert_new,
+        # store/ets.ex:264-271)
         if not self._df.isEmpty():
             clash = staged.join(self._df.select("id"), on="id", how="left_semi").limit(1).count()
             if clash:
