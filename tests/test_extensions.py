@@ -208,3 +208,35 @@ def test_frame_sample(spark):
     # frames are evenly spaced slices
     assert frames[0]["frame"][0] == 0
     assert frames[1]["frame"][0] == 50
+
+
+# -- text -> embedding pipeline ----------------------------------------------
+
+
+def test_hashed_embedding_dense_form(spark):
+    from vettore_spark.operators.text import hashed_embedding, hashed_token_features
+
+    df = spark.createDataFrame(
+        [(1, "spark scan spark join"), (2, "scan join scan"), (3, "totally different words here")],
+        "doc_id: long, text: string",
+    )
+    dense = {r["doc_id"]: list(r["vector"]) for r in hashed_embedding(df, dim=16).collect()}
+    assert all(len(v) == 16 for v in dense.values())
+    # unit norm
+    for v in dense.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    # sparse and dense forms agree
+    sparse = hashed_token_features(df, dim=16).collect()
+    for r in sparse:
+        assert abs(dense[r["doc_id"]][r["idx"]] - r["w"]) < 1e-4
+    # similar docs get similar embeddings, dissimilar docs do not
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert cos(dense[1], dense[2]) > cos(dense[1], dense[3])
+
+    # the dense form feeds the search operators
+    from vettore_spark.operators.search import flat_topk
+
+    emb_df = hashed_embedding(df, dim=16)
+    top = flat_topk(emb_df, dense[1], metric="cosine", k=1, id_col="doc_id").collect()
+    assert top[0]["doc_id"] == 1

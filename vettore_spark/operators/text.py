@@ -112,6 +112,85 @@ def lang_id(
     )
 
 
+def _poly_hash(tok: Column) -> Column:
+    """Deterministic 31-base polynomial hash of a token mod 2^31-1 — chosen
+    over xxhash64 because it is exactly reproducible in any SQL engine
+    (the DuckDB oracle computes the same reduce), so the text->embedding
+    pipeline is cross-engine verifiable."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.ascii(c)) % 2147483647,
+    )
+
+
+def hashed_token_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+) -> DataFrame:
+    """Feature-hashing text embedding (the hashing trick): each token hashes
+    to a slot `h % dim` with sign from `(h / dim) % 2`; slot values are
+    summed per document and L2-normalized. Returns the sparse relational
+    form (id, idx, w) — one shuffle on (id, idx), map-side combined.
+
+    Use `hashed_embedding` for the dense array<float> form consumed by the
+    search operators."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    h = _poly_hash(F.col("_tok"))
+    feats = tok.select(
+        F.col(id_col),
+        (h % dim).cast("int").alias("idx"),
+        F.when((h.cast("long") / dim).cast("long") % 2 == 0, 1.0)
+        .otherwise(-1.0)
+        .alias("_sgn"),
+    )
+    agg = feats.groupBy(id_col, "idx").agg(F.sum("_sgn").alias("_v"))
+    from pyspark.sql import Window
+
+    norm = F.sqrt(F.sum(F.col("_v") * F.col("_v")).over(Window.partitionBy(id_col)))
+    return agg.select(
+        F.col(id_col),
+        F.col("idx"),
+        F.round(F.col("_v") / norm, 5).alias("w"),
+    )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+) -> DataFrame:
+    """Dense array<float> form of hashed_token_features: (id, vector) rows
+    compatible with every search/dedup operator in this package."""
+    sparse = hashed_token_features(df, id_col=id_col, text_col=text_col, dim=dim)
+    pairs = sparse.groupBy(id_col).agg(
+        F.collect_list(F.struct("idx", "w")).alias("_ps")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_arrays(
+                    F.transform("_ps", lambda p: p["idx"]),
+                    F.transform("_ps", lambda p: p["w"]),
+                ),
+                i.cast("int"),
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return pairs.select(
+        F.col(id_col), dense.cast("array<float>").alias("vector")
+    )
+
+
 def fingerprint(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -862,6 +862,36 @@ GROUP BY 1, 2
 """
 
 
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding via the hashing trick, in sparse relational form.
+    The polynomial token hash is reproduced exactly by the DuckDB oracle, so
+    the whole pipeline (tokenize -> hash -> signed sum -> L2 normalize) is
+    cross-engine verified."""
+    return TX.hashed_token_features(
+        _t(spark, sf_dir, "documents"), dim=32
+    )
+
+
+SQL_HASHED_EMBEDDING = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(tok, ''), x -> ascii(x)::BIGINT),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS hv
+  FROM t WHERE tok <> ''),
+f AS (
+  SELECT doc_id, (hv % 32)::INT AS idx,
+         CASE WHEN (hv // 32) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM h),
+agg AS (SELECT doc_id, idx, sum(sgn) AS v FROM f GROUP BY 1, 2)
+SELECT doc_id, idx,
+       round(v / sqrt(sum(v * v) OVER (PARTITION BY doc_id)), 5) AS w
+FROM agg
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight filter + single agg — every predicate must reach
     the parquet scan (PushedFilters) and only 4 columns are read."""
@@ -1198,6 +1228,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
