@@ -85,6 +85,20 @@ def main() -> None:
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t > 0), 3)
+
+    # overlap@k of every approximate/two-stage mode vs the exact flat scan
+    # with the same metric — the reference bench's preflight invariant
+    # (bench/search_modes_bench.exs:193-238): 1.0 expected when candidates
+    # cover the corpus.
+    overlap: dict[str, float] = {}
+    try:
+        exact = {r["vec_id"] for r in qs["flat_topk_l2"](spark, sf_dir).collect()}
+        for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk"):
+            got = {r["vec_id"] for r in qs[mode](spark, sf_dir).collect()}
+            overlap[mode] = round(len(exact & got) / max(len(exact), 1), 3)
+    except Exception:  # noqa: BLE001
+        pass
+
     print(
         json.dumps(
             {
@@ -92,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "overlap_at_10_vs_exact": overlap,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

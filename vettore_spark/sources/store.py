@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 from typing import Protocol, runtime_checkable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,6 +84,66 @@ class FlatIndex:
 
     def build(self, coll: DataFrame) -> "FlatIndex":
         return self
+
+
+class CellPartitionedStore:
+    """Collection persisted as parquet partitioned by ANN cell — the storage
+    layout that makes IVF probing a *partition-pruned scan* at 100 TB: a
+    query touching n_probe of n_cells reads only those directories, and the
+    pruning is visible in the plan (`PartitionFilters: [cell IN (...)]`,
+    asserted in tests/test_store_pruning.py).
+
+    Write once (cell assignment is the map-heavy step, done here), probe
+    many: `probe_read` returns only the probed cells' rows with zero I/O on
+    the rest."""
+
+    def __init__(self, path: str, centroids: list[tuple[int, list[float]]]):
+        self.path = path
+        cents = sorted(centroids, key=lambda c: int(c[0]))
+        self._cids = np.array([int(c[0]) for c in cents], dtype=np.int64)
+        m = np.array([np.asarray(c[1], dtype=np.float64) for c in cents])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        self._cmat = m / n
+
+    def _nearest_cells_udf(self, spark: SparkSession, n: int):
+        bc = spark.sparkContext.broadcast((self._cids, self._cmat))
+
+        @F.pandas_udf("array<long>")
+        def cells(vs: pd.Series) -> pd.Series:
+            ids, mat = bc.value
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            norm = np.linalg.norm(m, axis=1, keepdims=True)
+            norm[norm == 0.0] = 1.0
+            d = 1.0 - (m / norm) @ mat.T
+            order = np.argsort(d, axis=1, kind="stable")[:, :n]
+            return pd.Series([ids[row] for row in order])
+
+        return cells
+
+    def write(self, coll: DataFrame, *, vector_col: str = "vector") -> None:
+        spark = coll.sparkSession
+        assign = self._nearest_cells_udf(spark, 1)
+        out = coll.withColumn("cell", F.element_at(assign(F.col(vector_col)), 1))
+        # partitionBy(cell): one directory per cell; within a cell, files
+        # stay row-grouped for predicate pushdown on other columns
+        out.write.mode("overwrite").partitionBy("cell").parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def probe_read(
+        self, spark: SparkSession, query: list[float], *, n_probe: int = 2
+    ) -> DataFrame:
+        """Rows of the n_probe cells nearest to the query — a scan whose
+        PartitionFilters prune every other cell's directory."""
+        q = np.asarray(query, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        d = 1.0 - self._cmat @ q
+        probe = self._cids[np.argsort(d, kind="stable")[:n_probe]]
+        return self.read(spark).filter(F.col("cell").isin(*[int(c) for c in probe]))
 
 
 class LshIndex:
