@@ -164,3 +164,22 @@ class LshIndex:
         qb = _pack_query_bits(query)
         cand = binary_topk(coll, qb, dims=self.dims, k=n * self.factor)
         return coll.join(F.broadcast(cand.select("id")), on="id", how="left_semi")
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table: two
+    tables bucketed by their join key with the same bucket count join with
+    NO exchange on either side — the co-located-join layout for repeated
+    big-big joins at 100 TB (tests/test_bucketing.py asserts the shuffle-free
+    plan). Requires saveAsTable (bucketing metadata lives in the catalog)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
