@@ -122,3 +122,27 @@ def test_quantized_stage1_reads_only_binary(spark, tmp_path):
     schema = scan[scan.index("ReadSchema"):].splitlines()[0]
     assert "binary_vector" in schema
     assert "vector:" not in schema.replace("binary_vector", "")
+
+
+def test_multi_query_quantized_stage_shape(spark, coll):
+    """Batched quantized: results for each query must equal the single-query
+    quantized_search at the same parameters."""
+    from vettore_spark.functions import kernels as K
+
+    df = coll.withColumn("binary_vector", K.compress_sign_bits("vector", 8))
+    queries = spark.createDataFrame(
+        [(1, [0.3] * 8), (2, [-0.2] * 8)], "query_id: long, query_vector: array<double>"
+    )
+    batch = S.multi_query_quantized(
+        queries, df, dims=8, metric="l2", k=3, candidates=20
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], round(r["score"], 9)))
+    for qid, qv in [(1, [0.3] * 8), (2, [-0.2] * 8)]:
+        single = S.quantized_search(df, qv, dims=8, metric="l2", k=3, candidates=20)
+        want = [
+            (i + 1, r["id"], round(r["score"], 9))
+            for i, r in enumerate(single.collect())
+        ]
+        assert sorted(by_q[qid]) == want

@@ -327,6 +327,75 @@ def hybrid_search(
     raise ValueError(f"unknown rerank mode: {rerank!r}")
 
 
+def multi_query_quantized(
+    queries: DataFrame,
+    coll: DataFrame,
+    *,
+    dims: int,
+    metric: str = "cosine",
+    k: int = 10,
+    candidates: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    binary_col: str = "binary_vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """Batched two-stage quantized search: the multi-query generalization of
+    Q4 (the reference is one query per call; SURVEY §2.3 J3 is the batch
+    idiom).
+
+    Stage 1 broadcasts the queries' packed sign bits against the collection
+    and takes per-query Hamming top-C via window group-limit — the scan
+    reads ONLY (id, binary_vector). Stage 2 joins the small (query, id)
+    candidate set back to full vectors for the exact rerank. Shuffled data
+    is O(queries * candidates), never O(rows)."""
+    metric = K.canonical_metric(metric)
+    c = candidates if candidates is not None else max(k * 10, k)
+
+    qbits = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        K.compress_sign_bits(F.col(query_vec_col).cast("array<double>"), dims).alias("_qb"),
+    )
+    ham = coll.select(id_col, binary_col).crossJoin(
+        F.broadcast(qbits.select(query_id_col, "_qb"))
+    )
+    raw1 = K.packed_hamming(F.col(binary_col), F.col("_qb"), dims)
+    w1 = Window.partitionBy(query_id_col).orderBy(raw1.asc(), F.col(id_col).asc())
+    cand = (
+        ham.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= c)
+        .select(query_id_col, id_col)
+    )
+
+    rejoined = (
+        coll.select(id_col, vector_col)
+        .join(F.broadcast(cand), on=id_col)
+        .join(F.broadcast(qbits.select(query_id_col, query_vec_col)), on=query_id_col)
+    )
+    raw2 = K.raw_metric(
+        metric, F.col(vector_col), F.col(query_vec_col), pre_normalized=pre_normalized
+    )
+    rank, score, dist = score_columns(metric, raw2, score_mode)
+    w2 = Window.partitionBy(query_id_col).orderBy(rank.asc(), F.col(id_col).asc())
+    return (
+        rejoined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            rank.alias("_rank"),
+            score.alias("score"),
+            dist.alias("distance"),
+        )
+        .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("_rank").asc(), F.col(id_col).asc())))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+        .drop("_rank")
+    )
+
+
 def multi_query_topk(
     queries: DataFrame,
     coll: DataFrame,

@@ -593,6 +593,45 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5})
 
 
+def q_multi_query_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched two-stage quantized search: per-query Hamming top-50 over
+    packed sign bits, exact l2 rerank to top-5 (multi-query generalization
+    of Q4; the oracle recomputes packed Hamming as a sign-disagreement
+    count, which is definitionally identical)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "binary_vector", K.compress_sign_bits("embedding", DIMS)
+    )
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = S.multi_query_quantized(
+        queries_df, emb, dims=DIMS, metric="l2", k=5, candidates=50,
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_MULTI_QUERY_QUANTIZED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4),
+ham AS (
+  SELECT q.query_id, e.vec_id,
+         len(list_filter(range(1, {DIMS} + 1),
+             i -> (e.embedding[i] >= 0) != (q.qv[i] >= 0))) AS h
+  FROM embeddings e CROSS JOIN q),
+cand AS (SELECT query_id, vec_id FROM ham
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY h, vec_id) <= 50),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_distance(e.embedding::DOUBLE[], q.qv) AS d
+  FROM cand c JOIN embeddings e USING (vec_id) JOIN q ON q.query_id = c.query_id)
+SELECT query_id, vec_id, round(-d, 5) AS score, round(d, 5) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vettore_spark.operators import ann as ANN
 
@@ -1219,6 +1258,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
+    "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
