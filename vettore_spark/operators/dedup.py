@@ -313,8 +313,10 @@ def _bit_masks() -> Column:
     return array(*[lit(v).cast("long") for v in vals])
 
 
-def simhash64(toks: Column) -> Column:
-    """64-bit SimHash over token xxhash64 values, as a signed long.
+def simhash64(toks: Column, hash_fn=None) -> Column:
+    """64-bit SimHash over token hash values, as a signed long. `hash_fn`
+    defaults to xxhash64 (fast, JVM); pass text.poly_hash62 for a
+    SQL-reproducible variant that a DuckDB oracle can recompute bit-for-bit.
 
     For each bit b: sum over tokens of +/-1 by the token-hash's bit b; the
     simhash bit is 1 when the sum is positive.
@@ -322,7 +324,8 @@ def simhash64(toks: Column) -> Column:
     Single pass: one aggregate accumulates the 64 votes (the token-hash
     array is the aggregate input, evaluated once), then one OR-fold turns
     votes into the word — no expression is re-evaluated per bit."""
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    hf = hash_fn if hash_fn is not None else F.xxhash64
+    th = F.transform(toks, lambda t: hf(t))
     masks = _bit_masks()
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     votes = F.aggregate(
@@ -352,6 +355,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     block_bits: int = 16,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup candidates: block on `block_bits`-bit prefixes of the
     rotated simhash (4 rotations cover any <=3-bit difference with high
@@ -363,7 +367,7 @@ def simhash_pairs(
         src = src.repartition(target)
     base = src.select(
         F.col(id_col),
-        simhash64(tokens(text_col)).alias("_sh"),
+        simhash64(tokens(text_col), hash_fn).alias("_sh"),
         F.monotonically_increasing_id().alias("_pin"),
     ).persist()
     # block on 4 disjoint 16-bit slices: pairs within Hamming<=3 share at

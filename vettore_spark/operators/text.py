@@ -112,16 +112,23 @@ def lang_id(
     )
 
 
-def _poly_hash(tok: Column) -> Column:
-    """Deterministic 31-base polynomial hash of a token mod 2^31-1 — chosen
-    over xxhash64 because it is exactly reproducible in any SQL engine
-    (the DuckDB oracle computes the same reduce), so the text->embedding
-    pipeline is cross-engine verifiable."""
+def _poly_hash(tok: Column, base: int = 31) -> Column:
+    """Deterministic base-`base` polynomial hash of a token mod 2^31-1 —
+    chosen over xxhash64 because it is exactly reproducible in any SQL
+    engine (the DuckDB oracle computes the same reduce), so the
+    text->embedding pipeline is cross-engine verifiable."""
     return F.aggregate(
         F.split(tok, ""),
         F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + F.ascii(c)) % 2147483647,
+        lambda a, c: (a * base + F.ascii(c)) % 2147483647,
     )
+
+
+def poly_hash62(tok: Column) -> Column:
+    """62-bit cross-engine token hash: two independent 31-bit polynomial
+    hashes (bases 31 and 37) packed as (h31 << 31) | h37. Used where a
+    wide, SQL-reproducible hash is needed (e.g. oracle-checkable SimHash)."""
+    return _poly_hash(tok, 31) * F.lit(2147483648).cast("long") + _poly_hash(tok, 37)
 
 
 def hashed_token_features(

@@ -653,6 +653,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5})
 
 
+SQL_ANN_IVF_TOPK = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (SELECT label::BIGINT AS cid, list(m ORDER BY i) AS cv FROM pos GROUP BY 1),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM cent c
+          ORDER BY 1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv), c.cid
+          LIMIT 1) AS cell
+  FROM embeddings e),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT q.query_id, q.embedding AS qv, c.cid AS cell
+  FROM q CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+          ORDER BY 1 - list_cosine_similarity(q.embedding::DOUBLE[], c.cv), c.cid) <= 3),
+joined AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], p.qv::DOUBLE[]) AS sim
+  FROM probes p JOIN assign a USING (cell))
+SELECT query_id, vec_id, round(sim, 5) AS score, round(1 - sim, 5) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY 1 - sim, vec_id) AS rank
+FROM joined
+QUALIFY rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis suite
 # ---------------------------------------------------------------------------
@@ -783,10 +811,46 @@ def q_muvera_fde_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the SQL-reproducible 62-bit polynomial
+    token hash, so the DuckDB oracle recomputes the fingerprints, the
+    4x16-bit blocking, and the Hamming verification bit-for-bit."""
     out = D.simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=8
+        _t(spark, sf_dir, "documents"), max_hamming=8, hash_fn=TX.poly_hash62
     )
     return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+SQL_SIMHASH_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(tok, ''), x -> ascii(x)::BIGINT),
+                     (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+         + list_reduce(list_transform(string_split(tok, ''), x -> ascii(x)::BIGINT),
+                     (a, b) -> (a * 37 + b) % 2147483647) AS hv
+  FROM t),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS s
+  FROM votes GROUP BY 1),
+blocks AS (
+  SELECT doc_id, s, sl.sl AS slice, (s >> (sl.sl * 16)) & 65535 AS key
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS sl) sl),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS ha, b.s AS hb
+  FROM blocks a JOIN blocks b ON a.slice = b.slice AND a.key = b.key
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 8
+"""
 
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1259,10 +1323,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "mmr_rerank": (q_mmr_rerank, None),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
