@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vettore_spark.functions import kernels as K
@@ -1077,6 +1077,62 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (shuffle join on
+    orderkey; AQE picks broadcast when the filtered side is small)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY 1
+"""
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders 1.5x above their customer's
+    average), decorrelated into a window aggregate — one shuffle on
+    custkey instead of a per-row subquery."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_big_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+SQL_ORDERS_ABOVE_CUST_AVG = """
+WITH a AS (
+  SELECT o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+  FROM orders)
+SELECT o_custkey, count(*) AS n_big_orders, round(max(o_totalprice), 2) AS max_price
+FROM a WHERE o_totalprice > 1.5 * cavg
+GROUP BY 1
+"""
+
+
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as an exact-micros timestamp: `ts div 1000` is integer
     division on the nanos LONG (the `/ 1000` double path can be off by 1us at
@@ -1341,6 +1397,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
     "customers_without_big_orders": (q_customers_without_big_orders, SQL_CUSTOMERS_WITHOUT_BIG_ORDERS),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
+    "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
+    "orders_above_cust_avg": (q_orders_above_cust_avg, SQL_ORDERS_ABOVE_CUST_AVG),
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
