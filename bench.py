@@ -40,9 +40,12 @@ HEADLINE = [
     "events_hourly",
     "events_asof_join",
     "user_sessions",
+    "hashed_embedding",
+    "multi_query_quantized",
     "tpch_q1_pricing",
     "tpch_q6_revenue",
     "lineitem_rollup",
+    "shipmode_priority",
 ]
 
 

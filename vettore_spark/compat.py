@@ -17,7 +17,7 @@ reproduces that surface over the new Collection API:
 
 from __future__ import annotations
 
-import math
+
 
 import numpy as np
 from pyspark.sql import SparkSession

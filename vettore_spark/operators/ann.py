@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -65,8 +65,6 @@ def brute_force_topk(
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = [r[query_id_col] for r in qrows]
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
-    if metric == "cosine":
-        qmat_n = _l2norm_rows(qmat)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     id_field = coll.schema[id_col]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
 
 
 def _pair_similarity(metric: str, a: np.ndarray, b: np.ndarray) -> float:

@@ -24,7 +24,7 @@ verification and under continuous micro-batches in production.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
