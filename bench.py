@@ -60,6 +60,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
+        # methods over the JIT's 8000-bytecode limit never get compiled and
+        # run JVM-interpreted; falling back to Spark's interpreted expression
+        # path for those stages is strictly faster (big HOF expression trees)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

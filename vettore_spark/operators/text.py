@@ -127,8 +127,25 @@ def _poly_hash(tok: Column, base: int = 31) -> Column:
 def poly_hash62(tok: Column) -> Column:
     """62-bit cross-engine token hash: two independent 31-bit polynomial
     hashes (bases 31 and 37) packed as (h31 << 31) | h37. Used where a
-    wide, SQL-reproducible hash is needed (e.g. oracle-checkable SimHash)."""
-    return _poly_hash(tok, 31) * F.lit(2147483648).cast("long") + _poly_hash(tok, 37)
+    wide, SQL-reproducible hash is needed (e.g. oracle-checkable SimHash).
+
+    Both bases fold in ONE pass over the characters, and the packing
+    happens in the aggregate's finish lambda — composing two _poly_hash
+    calls instead would re-split the token per base, and referencing the
+    folded struct twice outside the aggregate would duplicate the whole
+    fold after CollapseProject inlining."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+    )
+    return F.aggregate(
+        F.split(tok, ""),
+        zero,
+        lambda acc, c: F.struct(
+            ((acc["a"] * 31 + F.ascii(c)) % 2147483647).alias("a"),
+            ((acc["b"] * 37 + F.ascii(c)) % 2147483647).alias("b"),
+        ),
+        lambda acc: acc["a"] * F.lit(2147483648).cast("long") + acc["b"],
+    )
 
 
 def hashed_token_features(
