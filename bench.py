@@ -4,6 +4,13 @@ JSON line with per-query wall-clock seconds.
 
 Mirrors the reference's bench shape (bench/search_modes_bench.exs): exact
 flat search is the baseline; every approximate mode runs over the same data.
+Timing methodology also mirrors the reference (Benchee `warmup: 2` at
+bench/vettore_bench.exs / bench/performance.md:9-35): each scenario runs
+once untimed before the timed run, so one-time costs — Catalyst codegen
+compilation (janino), JIT warmup of interpreted higher-order-function
+paths, Python worker spin-up — land in the warmup, and the timed number is
+steady-state throughput. On a long-lived cluster that is the number that
+matters; the one-time compile is amortized over every subsequent run.
 """
 
 from __future__ import annotations
@@ -83,10 +90,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
+            fn(spark, sf_dir).count()  # per-scenario untimed warmup (Benchee-style)
+            t0 = time.time()
+            fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench {name} failed: {e}", file=sys.stderr)
