@@ -44,6 +44,8 @@ HEADLINE = [
     "embedding_neardup",
     "text_stats",
     "doc_fingerprint",
+    "media_frame_sample",
+    "media_image_features",
     "events_hourly",
     "events_asof_join",
     "user_sessions",
@@ -51,6 +53,8 @@ HEADLINE = [
     "multi_query_quantized",
     "tpch_q1_pricing",
     "tpch_q6_revenue",
+    "tpch_q14_promo",
+    "supplier_nation_revenue",
     "lineitem_rollup",
     "shipmode_priority",
 ]

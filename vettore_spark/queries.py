@@ -202,8 +202,10 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "binary_vector", K.compress_sign_bits("embedding", DIMS)
     )
+    # candidates = limit*20, the reference bench's config
+    # (bench/search_modes_bench.exs: candidates = min(records, limit*20))
     out = S.quantized_search(
-        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=100,
+        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=200,
         id_col="vec_id", vector_col="embedding",
     )
     return _round(out, {"score": 5, "distance": 5})
@@ -216,7 +218,7 @@ WITH cand AS (
            len(list_filter(list_zip(embedding::DOUBLE[], {_QV}),
                z -> (z[1] >= 0) != (z[2] >= 0))) AS ham
     FROM embeddings)
-  ORDER BY ham, vec_id LIMIT 100)
+  ORDER BY ham, vec_id LIMIT 200)
 SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
@@ -228,7 +230,7 @@ def q_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = S.funnel_search(
         emb, _qvec(spark, sf_dir), dims=DIMS, stages=[16], metric="l2",
-        k=10, candidates=100, id_col="vec_id", vector_col="embedding",
+        k=10, candidates=200, id_col="vec_id", vector_col="embedding",
     )
     return _round(out, {"score": 5, "distance": 5})
 
@@ -239,7 +241,7 @@ WITH cand AS (
     SELECT vec_id,
            list_distance((embedding::DOUBLE[])[1:16], ({_QV})[1:16]) AS pd
     FROM embeddings)
-  ORDER BY pd, vec_id LIMIT 100)
+  ORDER BY pd, vec_id LIMIT 200)
 SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
@@ -252,7 +254,7 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "binary_vector", K.compress_sign_bits("embedding", DIMS)
     )
     out = S.hybrid_search(
-        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=100,
+        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=200,
         id_col="vec_id", vector_col="embedding",
     )
     return _round(out, {"score": 5, "distance": 5})
@@ -263,14 +265,14 @@ WITH funnel_cand AS (
   SELECT vec_id FROM (
     SELECT vec_id, list_distance((embedding::DOUBLE[])[1:64], ({_QV})[1:64]) AS pd
     FROM embeddings)
-  ORDER BY pd, vec_id LIMIT 100),
+  ORDER BY pd, vec_id LIMIT 200),
 quant_cand AS (
   SELECT vec_id FROM (
     SELECT vec_id,
            len(list_filter(list_zip(embedding::DOUBLE[], {_QV}),
                z -> (z[1] >= 0) != (z[2] >= 0))) AS ham
     FROM embeddings)
-  ORDER BY ham, vec_id LIMIT 100),
+  ORDER BY ham, vec_id LIMIT 200),
 cand AS (SELECT vec_id FROM funnel_cand UNION SELECT vec_id FROM quant_cand)
 SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
@@ -1019,6 +1021,65 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ small dim + conditional aggregate. `part` is
+    a dimension (2k rows at sf0.01, ~200k at TPC-H sf100) — broadcast it so
+    the lineitem scan never shuffles; at 100 TB the fact side streams
+    map-side only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                5,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_TPCH_Q14_PROMO = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 5) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5/Q9 flavor: revenue by the supplying nation. Both dims
+    (supplier 100 rows, nation 25) broadcast; the only shuffle is the final
+    25-group aggregate, which partial-aggregates map-side first."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_SUPPLIER_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join: customers with no order over 400k, counted per market
     segment. The big-order side is tiny after its filter -> broadcast anti
@@ -1351,6 +1412,58 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# multimodal column plumbing (BASELINE.json north star; sources/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → opaque media rows: the utf-8 bytes of `text` stand in for
+    an image/video payload (the real corpus would carry true binaries; the
+    plumbing — binary column, byte-wise ops, Arrow batches — is identical)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over binary payloads (video stand-in):
+    4 evenly spaced 64-byte windows per payload, hex-encoded for a
+    cross-engine value hash."""
+    from vettore_spark.sources import multimodal as MM
+
+    out = MM.frame_sample(_media(spark, sf_dir), n_frames=4, frame_bytes=64)
+    return out.select(
+        "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
+
+
+# DuckDB has no BLOB substring, so the oracle slices the VARCHAR and
+# re-encodes; equivalent to Spark's byte-wise slice because the synthetic
+# corpus is pure ASCII (verified: 0 rows with octet_length <> length).
+SQL_MEDIA_FRAME_SAMPLE = """
+SELECT doc_id AS media_id, i AS frame_idx,
+       hex(encode(substring(text, (i * greatest(floor(length(text) / 4), 1) + 1)::int, 64))) AS frame_hex
+FROM documents, generate_series(0, 3) AS t(i)
+"""
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode→featurize plumbing (deterministic fake decoder —
+    no imaging libs in this environment): per-channel mean/std/min/max
+    pooled features. Not SQL-expressible (sha256-seeded pixel synthesis) →
+    rows-only driver check; the NumPy oracle lives in tests."""
+    from vettore_spark.sources import multimodal as MM
+
+    out = MM.image_features(_media(spark, sf_dir), feature_dim=12)
+    return out.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 3).alias(
+            "feature_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1389,12 +1502,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_image_features": (q_media_image_features, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14_PROMO),
+    "supplier_nation_revenue": (q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE),
     "customers_without_big_orders": (q_customers_without_big_orders, SQL_CUSTOMERS_WITHOUT_BIG_ORDERS),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
