@@ -84,7 +84,9 @@ def main() -> None:
 
     qs = Q.queries()
     # untimed warmup: JVM/codegen/Python-worker spin-up and parquet footer
-    # reads land here, not in the first timed query
+    # reads land here, not in the first timed query. events.ts is parquet
+    # TIMESTAMP(NANOS), which Spark rejects unless read as long nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         qs["flat_topk_cosine"](spark, sf_dir).count()
         for t in ("documents", "lineitem", "events"):

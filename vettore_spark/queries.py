@@ -874,6 +874,45 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "vec_id: long, position: long")
 
 
+# The greedy loop IS expressible in SQL: a recursive CTE carrying the list of
+# picked ids, each step selecting argmax of alpha*score - (1-alpha)*max pair
+# cosine to the picked set (clamp + zero-vector semantics of
+# distances.rs:160-177). Positions come from the final list's ordinality, so
+# the value hash compares (vec_id, position) — selection order, not floats.
+SQL_MMR_RERANK = f"""
+WITH RECURSIVE cand AS (
+  SELECT vec_id,
+         CASE WHEN nd = 0 THEN 0.0 ELSE least(1.0, greatest(-1.0, dot / nd)) END AS score,
+         v
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_dot_product(embedding::DOUBLE[], {_QV}) AS dot,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * sqrt(list_dot_product({_QV}, {_QV})) AS nd
+    FROM embeddings)
+  ORDER BY score DESC, vec_id LIMIT 20
+),
+sel AS (
+  SELECT 0 AS step, []::BIGINT[] AS picked
+  UNION ALL
+  SELECT step + 1,
+         list_append(picked, (
+           SELECT c.vec_id FROM cand c
+           WHERE NOT list_contains(s.picked, c.vec_id)
+           ORDER BY 0.7 * c.score - 0.3 * coalesce((
+             SELECT max(CASE WHEN pnd = 0 THEN 0.0 ELSE least(1.0, greatest(-1.0, pd / pnd)) END)
+             FROM (SELECT list_dot_product(c.v, p.v) AS pd,
+                          sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v)) AS pnd
+                   FROM cand p WHERE list_contains(s.picked, p.vec_id))
+           ), 0.0) DESC, c.score DESC, c.vec_id
+           LIMIT 1))
+  FROM sel s WHERE s.step < 10
+)
+SELECT picked[i] AS vec_id, i - 1 AS position
+FROM (SELECT picked FROM sel WHERE step = 10), generate_series(1, 10) AS t(i)
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -1496,7 +1535,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
-    "mmr_rerank": (q_mmr_rerank, None),
+    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
