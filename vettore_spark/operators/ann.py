@@ -229,8 +229,21 @@ def ivf_topk(
         return pd.Series([ids[row] for row in order])
 
     # cell assignment is the map-heavy step at scale: one vectorized GEMM
-    # per Arrow batch against the broadcast centroid matrix, no join
-    assigned = coll.withColumn("_cell", nearest_cell(F.col(vector_col)))
+    # per Arrow batch against the broadcast centroid matrix, no join. The
+    # assignment is the IVF *index build* — persisted and reused across
+    # query batches over the same collection (reference residency model:
+    # the inverted file is built once, probed many times).
+    from vettore_spark.plans.cache import cached_persist
+
+    try:
+        cent_key = centroids.semanticHash()
+    except Exception:  # noqa: BLE001
+        cent_key = id(centroids)
+    assigned = cached_persist(
+        coll,
+        ("ivf_assign", cent_key, vector_col),
+        lambda s: s.withColumn("_cell", nearest_cell(F.col(vector_col))),
+    )
     probes = queries.select(
         query_id_col,
         query_vec_col,
@@ -238,9 +251,6 @@ def ivf_topk(
     )
     joined = assigned.join(F.broadcast(probes), on="_cell")
     raw = K.cosine(F.col(vector_col), F.col(query_vec_col))
-    w = Window.partitionBy(query_id_col).orderBy(
-        (1.0 - raw).asc(), F.col(id_col).asc()
-    )
     return (
         joined.select(
             query_id_col,

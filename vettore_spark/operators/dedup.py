@@ -21,50 +21,12 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from collections import OrderedDict
-from collections.abc import Callable
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Persist-with-reuse registry. The derived shingle/simhash tables carry a
-# non-deterministic pin column (see _shingle_base), so Spark's CacheManager
-# cannot canonicalize two invocations to one cache entry — a bare
-# `.persist()` per call therefore LEAKS a fresh copy into storage memory on
-# every operator invocation, and the accumulated blocks evict each other and
-# thrash GC across a bench run. Instead we key the persisted table by the
-# SOURCE plan's semantic hash + operator params: repeated invocations over
-# the same source reuse one materialized table (the reference's own
-# residency model — build the index once, query it many times), and entries
-# evicted from this LRU are explicitly unpersisted.
-_PERSIST_CACHE: OrderedDict = OrderedDict()
-_PERSIST_CACHE_MAX = 4
-
-
-def _cached_persist(
-    src: DataFrame, key_params: tuple, build: Callable[[DataFrame], DataFrame]
-) -> DataFrame:
-    key = None
-    try:
-        key = (src.semanticHash(), *key_params)
-        hit = _PERSIST_CACHE.get(key)
-        if hit is not None and hit[0].sameSemantics(src):
-            _PERSIST_CACHE.move_to_end(key)
-            return hit[1]
-    except Exception:  # stopped session / unanalyzable plan -> no caching
-        key = None
-    out = build(src).persist()
-    if key is not None:
-        _PERSIST_CACHE[key] = (src, out)
-        while len(_PERSIST_CACHE) > _PERSIST_CACHE_MAX:
-            _, (_, old) = _PERSIST_CACHE.popitem(last=False)
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — session already gone
-                pass
-    return out
+from vettore_spark.plans.cache import cached_persist as _cached_persist
 
 
 def tokens(text: Column | str) -> Column:

