@@ -26,18 +26,48 @@ from vettore_spark.operators import text as TX
 DIMS = 64  # embeddings table dimensionality (TESTDATA.md)
 
 
+# Source tables are memory-resident, like the reference's ETS collections
+# (SURVEY §1.2 — every search scans RAM; the store IS an in-memory table).
+# Memoized per (SparkContext, sf_dir, table) so repeated queries hit the
+# persisted columnar copy instead of re-reading parquet. The testdata dirs
+# are immutable, so there is no staleness. At 100 TB this maps to caching
+# the hot collection/dimension tables and letting facts stream from parquet
+# (SCALE.md); at bench scale everything fits.
+_TABLE_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if name == "events":
+        # parquet TIMESTAMP(NANOS): readable only as long nanos
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet").persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+# The query vector is a constant of the workload (the reference receives it
+# as a literal argument); resolve it once per (sf_dir, vec_id), not with a
+# Spark job per query invocation.
+_QVEC_CACHE: dict = {}
 
 
 def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row["embedding"]]
+    key = (sf_dir, vec_id)
+    v = _QVEC_CACHE.get(key)
+    if v is None:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        v = [float(x) for x in row["embedding"]]
+        _QVEC_CACHE[key] = v
+    return v
 
 
 def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
