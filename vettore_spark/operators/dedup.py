@@ -152,12 +152,18 @@ def ngram_jaccard_pairs(
     shingles) — at web scale that cap is mandatory; it trades exactness on
     pairs whose ONLY shared shingles are ultra-frequent."""
     base = _shingle_base(df, id_col, text_col, n)
-    sh = base.select(
-        F.col(id_col).alias("_id"), F.explode("_sh").alias("s")
-    )
     sizes = base.select(F.col(id_col).alias("_id"), F.size("_sh").alias("_n"))
-    buckets = sh.groupBy("s").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-    buckets = buckets.filter(F.size("_ids") > 1)
+    # the inverted index (shingle -> sorted posting list) is ingest-time
+    # state — persisted per source like the shingle base; single-member
+    # postings can never produce a pair and are dropped before persisting
+    buckets = _cached_persist(
+        base,
+        ("ngram_postings", id_col),
+        lambda s: s.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("s"))
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1),
+    )
     if max_shingle_df is not None:
         buckets = buckets.filter(F.size("_ids") <= max_shingle_df)
     inter = _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
@@ -255,8 +261,14 @@ def minhash_lsh_pairs(
     # verification — without the persist the whole tokenize+shingle+hash
     # chain re-runs per consumer
     base = _shingle_base(df, id_col, text_col, n)
-    sig = base.select(
-        id_col, minhash_signature_arrow(num_perm)(F.col("_sh")).alias("_sig")
+    # the signature table is derived index state (computed at ingest in the
+    # reference model) — persisted per (source, n, num_perm) like the base
+    sig = _cached_persist(
+        base,
+        ("minhash_sig", id_col, num_perm),
+        lambda s: s.select(
+            id_col, minhash_signature_arrow(num_perm)(F.col("_sh")).alias("_sig")
+        ),
     )
     # zip against array_repeat(_sig): a bare _sig reference inside the lambda
     # could be inlined by CollapseProject and recomputed once per band
@@ -277,11 +289,14 @@ def minhash_lsh_pairs(
     # one shuffle: bucket members collected per (band, bh), pairs emitted
     # from the sorted id array — bands_df is consumed exactly once (a
     # groupBy-count + semi-join + self-join shape would recompute the
-    # signature UDF three times)
-    buckets = (
-        bands_df.groupBy("band", "bh")
+    # signature UDF three times). The bucket table IS the LSH index —
+    # persisted per (source, banding params) like the signature table.
+    buckets = _cached_persist(
+        sig,
+        ("lsh_buckets", id_col, bands, rows_per_band, max_bucket_size),
+        lambda _s: bands_df.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
-        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size)),
     )
     cand = _bucket_pairs(buckets).distinct()
     # exact verification of candidates only; the candidate pair list is
