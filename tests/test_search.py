@@ -215,6 +215,22 @@ def test_put_many_validation(spark):
     assert row is not None and row["value"] == "justval"
 
 
+def test_put_fold_prepare_query(spark):
+    """Singular put (collection.ex:167-172), fold (store/ets.ex:151-179) and
+    the public prepare_query (vettore.ex:314)."""
+    c = Collection.create(spark, "pfp", 2, metric="cosine")
+    c.put({"id": "a", "vector": [3.0, 4.0]})
+    with pytest.raises(ValueError, match="already exists"):
+        c.put({"id": "a", "vector": [1.0, 0.0]})
+    c.put({"id": "b", "vector": [0.0, 2.0]})
+    assert c.fold(F.count("*"))[0] == 2
+    # cosine collections default to l2 normalize: prepare_query unit-norms
+    q = c.prepare_query([3.0, 4.0])
+    assert q == pytest.approx([0.6, 0.8])
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        c.prepare_query([1.0])
+
+
 def test_snapshot_roundtrip(spark, tmp_path):
     """Snapshot round-trip + override rules (collection.ex:146-164,
     1159-1203; test/vector_db_test.exs:309-411)."""

@@ -227,6 +227,11 @@ class Collection:
         self._df = self._df.unionByName(out)
         return self
 
+    def put(self, row: dict) -> "Collection":
+        """Single validated insert (collection.ex:167-172) — same pipeline
+        as put_many with a one-row batch."""
+        return self.put_many([row])
+
     # -- point ops (S3-S6) --------------------------------------------------
 
     def get(self, id_: str):
@@ -245,7 +250,18 @@ class Collection:
     def count(self) -> int:
         return self.df.count()
 
+    def fold(self, *aggs) -> list:
+        """Streaming fold over rows (store/ets.ex:151-179): the Spark shape
+        is an aggregate expression list; returns the single result row as a
+        list. `c.fold(F.count("*"), F.sum("payload"))`."""
+        return list(self.df.agg(*aggs).first())
+
     # -- search (delegates to operators) ------------------------------------
+
+    def prepare_query(self, query: list[float]) -> list[float]:
+        """Public Q10 surface (vettore.ex:314): validate + apply the
+        collection normalize to a raw query vector."""
+        return self._prepare_query(query)
 
     def _prepare_query(self, query: list[float]) -> list[float]:
         """Validate + normalize a query like the collection path
