@@ -34,6 +34,7 @@ HEADLINE = [
     "hybrid_topk",
     "hnsw_topk",
     "ann_ivf_topk",
+    "ann_brp_lsh_topk",
     "muvera_fde_retrieval",
     "maxsim_label_topk",
     "mean_vector_by_label",

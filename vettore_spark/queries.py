@@ -625,6 +625,46 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5})
 
 
+def q_ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN (SURVEY §7 step 9) at the
+    exhaustive configuration, making the exact-scan SQL a valid value
+    oracle (the HNSW high-ef agreement trick). bucket_length >= data
+    diameter still splits each table into two buckets at the floor(h·x/L)
+    sign boundary, so a row is missed only if its projection sign differs
+    from the query's on ALL tables: 24 OR'd tables push that below 2^-24
+    per row, and with the fixed seed the outcome is deterministic
+    (verified exact at sf0.001/0.01/0.1). Realistic-parameter recall is
+    covered by overlap@k in tests/test_mllib_lsh.py."""
+    from vettore_spark.operators import mllib_lsh as L
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = L.brp_lsh_topk(
+        emb, queries_df, k=5, bucket_length=1e9, num_hash_tables=24, seed=42,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_ANN_BRP_LSH_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_distance(e.embedding::DOUBLE[], q.qv) AS d
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(-d, 5) AS score, round(d, 5) AS distance,
+       rn AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
 def q_multi_query_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched two-stage quantized search: per-query Hamming top-50 over
     packed sign bits, exact l2 rerank to top-5 (multi-query generalization
@@ -1570,6 +1610,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_brp_lsh_topk": (q_ann_brp_lsh_topk, SQL_ANN_BRP_LSH_TOPK),
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
