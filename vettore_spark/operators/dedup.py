@@ -413,23 +413,23 @@ def simhash_pairs(
         ).alias("b"),
     ).select(id_col, "_sh", F.col("b.slice").alias("slice"), F.col("b.key").alias("key"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    # verify (map-side bit_count) BEFORE the dedup shuffle: a pair appears in
+    # up to 64/block_bits slices, so distinct-ing raw candidates would
+    # shuffle every duplicate with both 64-bit hashes attached; filtering
+    # first shrinks the exchange to the verified pairs only
+    return (
         a.join(b, on=["slice", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a._sh").alias("_ha"),
-            F.col("b._sh").alias("_hb"),
+            "hamming",
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
