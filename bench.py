@@ -49,6 +49,7 @@ HEADLINE = [
     "media_image_features",
     "events_hourly",
     "events_asof_join",
+    "events_range_join",
     "user_sessions",
     "hashed_embedding",
     "multi_query_quantized",

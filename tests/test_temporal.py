@@ -74,3 +74,38 @@ def test_asof_join_single_shuffle(spark):
     plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_banded(spark):
+    """Banded equi-join must equal the naive theta join, including pairs
+    that straddle a bucket boundary (the adjacent-band explode)."""
+    from vettore_spark.operators.temporal import range_join
+
+    left = _events(spark, [
+        (10, 1, "2024-01-01 10:00:00", 0.0),
+        (11, 1, "2024-01-01 12:00:00", 0.0),
+        (12, 2, "2024-01-01 10:00:00", 0.0),
+    ])
+    right = _events(spark, [
+        (1, 1, "2024-01-01 09:56:00", 0.0),   # -4m: inside
+        (2, 1, "2024-01-01 10:04:59", 0.0),   # +4m59s: inside
+        (3, 1, "2024-01-01 10:05:01", 0.0),   # +5m01s: outside
+        (4, 1, "2024-01-01 11:55:30", 0.0),   # -4m30s of 12:00: inside
+        (5, 2, "2024-01-01 10:04:00", 0.0),   # same ts other user: inside for 12 only
+    ])
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in range_join(
+            left, right, key_col="user_id", ts_col="ts", radius_s=300.0,
+            right_cols=("event_id",),
+        ).collect()
+    }
+    assert got == {(10, 1), (10, 2), (11, 4), (12, 5)}
+
+    # oracle: naive theta join on the same inputs
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.abs(F.unix_micros("l.ts") - F.unix_micros("r.ts")) <= 300_000_000),
+    ).select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
+    assert got == {(r["a"], r["b"]) for r in naive.collect()}

@@ -111,6 +111,57 @@ def sessionize(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    radius_s: float = 300.0,
+    right_cols: tuple[str, ...] = ("event_id", "ts"),
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Band/interval join: every right row whose timestamp lies within
+    `radius_s` seconds of a left row's, same key. The naive formulation is a
+    theta join (`abs(l.ts - r.ts) <= r`) which Spark can only execute as a
+    per-key cross product; this is the 100 TB-safe *banded equi-join*:
+
+    - bucket both sides by `floor(unix_micros(ts) / radius_us)`;
+    - a right row within the radius lives in the left row's bucket or an
+      adjacent one, so the left side explodes to 3 bucket keys — a constant
+      3x, independent of data size;
+    - equi-join on (key, bucket) — an ordinary shuffle hash join that AQE
+      can re-plan and skew-split — then filter the exact |delta| <= radius.
+
+    Bucket width = radius keeps per-bucket population proportional to event
+    rate x radius; the exchange carries hash keys, never a range predicate,
+    so join selection stays Catalyst-native. Returns every left column plus
+    `right_prefix`-prefixed `right_cols` (inner join: left rows with no
+    neighbor drop out; wrap with a left join downstream if needed).
+    """
+    radius_us = int(radius_s * 1_000_000)
+    l_b = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(radius_us))
+    lcols = left.columns
+    lx = left.select(
+        *lcols,
+        F.explode(F.array(l_b - 1, l_b, l_b + 1)).alias("_bucket"),
+    )
+    rx = right.select(
+        F.col(key_col).alias("_rkey"),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(radius_us)).alias("_bucket"),
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(right_prefix + c) for c in right_cols],
+    )
+    return (
+        lx.join(rx, (F.col(key_col) == F.col("_rkey")) & (lx["_bucket"] == rx["_bucket"]))
+        .filter(
+            F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rts")))
+            <= F.lit(radius_us)
+        )
+        .drop("_bucket", "_rkey", "_rts")
+    )
+
+
 def session_stats(
     events: DataFrame,
     *,

@@ -1361,6 +1361,42 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (purchase, click) pair by the same user within
+    ±10 minutes — executed as the banded equi-join (bucket = radius-wide
+    epoch bands, left exploded to 3 adjacent bands, exact |delta| filter
+    after the hash join; operators/temporal.py::range_join). The oracle is
+    the declarative inequality join DuckDB runs as an IEJoin."""
+    from vettore_spark.operators.temporal import range_join
+
+    ev = _events_ts(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join(
+        left, right, key_col="user_id", ts_col="ts", radius_s=600.0,
+        right_cols=("event_id", "ts"),
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("delta_us"),
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts + INTERVAL 10 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity gap) + per-session
     aggregates; one shuffle on user_id shared by the window and the groupBy."""
@@ -1625,6 +1661,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
