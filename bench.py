@@ -50,6 +50,7 @@ HEADLINE = [
     "events_hourly",
     "events_asof_join",
     "events_range_join",
+    "events_time_rollup",
     "user_sessions",
     "hashed_embedding",
     "multi_query_quantized",

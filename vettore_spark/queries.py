@@ -1397,6 +1397,43 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: ROLLUP over the time hierarchy
+    (day -> hour) x event_type in ONE pass — Spark computes all grouping
+    sets from a single shuffle with partial aggregation, which at 100 TB is
+    the continuous-rollup maintenance plan (day/total rows derive from the
+    same exchange as the hour rows, no second scan). Subtotal levels are
+    labeled 'ALL' (NULLs are not orderable in the driver comparator)."""
+    ev = _events_ts(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "HH:00")
+    return (
+        ev.select(
+            day.alias("day"), hour.alias("hour"), "event_type", "value"
+        )
+        .rollup("day", "hour", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_TIME_ROLLUP = """
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(strftime(date_trunc('hour', ts), '%H:00'), 'ALL') AS hour,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity gap) + per-session
     aggregates; one shuffle on user_id shared by the window and the groupBy."""
@@ -1662,6 +1699,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "events_time_rollup": (q_events_time_rollup, SQL_EVENTS_TIME_ROLLUP),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
