@@ -1,0 +1,171 @@
+"""Hypothesis property tests for the pure-Python kernels (no Spark session):
+HNSW graph invariants + exact-agreement, MMR greedy optimality, MUVERA FDE
+algebraic properties. These widen the seeded-fixture coverage with
+adversarially-shrunk random inputs — the reference's own invariants
+(hnsw.rs:659-750, multi_vector tests, muvera.rs:296-378) hold for EVERY
+input, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from vettore_spark.encodings import muvera as MU
+from vettore_spark.operators.hnsw import HnswGraph, HnswParams
+from vettore_spark.operators.rerank import mmr_rerank_rows
+
+
+def _vectors(n, dims, seed):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dims)).round(3)
+
+
+# ---------------------------------------------------------------------------
+# HNSW graph invariants (hnsw.rs:708-750) on random corpora
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    dims=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_hnsw_invariants_random(n, dims, seed):
+    vs = _vectors(n, dims, seed)
+    g = HnswGraph(metric="l2", params=HnswParams(m=4, m0=8, ef_construction=16))
+    for i in range(n):
+        g.insert(f"n{i:03d}", vs[i])
+    for nid, layers in enumerate(g.connections):
+        for layer, nbrs in enumerate(layers):
+            limit = g.params.m0 if layer == 0 else g.params.m
+            assert len(nbrs) <= limit, "degree bound violated"
+            assert nid not in nbrs, "self edge"
+            assert len(set(nbrs)) == len(nbrs), "duplicate edge"
+            for nb in nbrs:
+                assert 0 <= nb < len(g.vectors), "dangling edge"
+                assert g.levels[nb] >= layer, "edge to node missing this layer"
+    # NOTE deliberately NOT asserted: global layer-0 reachability. The
+    # keep-nearest prune (identical to hnsw.rs:437-465) can disconnect a
+    # node at tiny m on adversarial data; the reference only observes full
+    # reachability at its default density (m=16/m0=32 over a smooth curve,
+    # hnsw.rs:708-750) — mirrored in tests/test_hnsw.py. The search
+    # contract under disconnection is pinned below.
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_hnsw_high_ef_equals_exact_on_reachable(n, seed):
+    """With ef covering the corpus, graph search == exact scan over the
+    layer-0 component reachable from the entry, ordered by (distance, id) —
+    the reference's agreement invariant (hnsw.rs:659-687) stated for the
+    set the beam can actually visit."""
+    dims = 4
+    vs = _vectors(n, dims, seed)
+    g = HnswGraph(metric="l2", params=HnswParams(ef_search=1_000_000))
+    ids = [f"n{i:03d}" for i in range(n)]
+    for i in range(n):
+        g.insert(ids[i], vs[i])
+    q = _vectors(1, dims, seed + 1)[0]
+    # replicate the descent to find the layer-0 beam start, then BFS its
+    # component = the set an unbounded beam can visit
+    start = g.entry
+    for layer in range(g.levels[start], 0, -1):
+        start = g._greedy_closest(start, q, layer)
+    seen, stack = {start}, [start]
+    while stack:
+        cur = stack.pop()
+        for nb in g.connections[cur][0]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    k = min(5, n)
+    got = [eid for eid, _ in g.search(q, k)]
+    d = np.linalg.norm(vs - q, axis=1)
+    reach = sorted(seen, key=lambda i: (d[i], ids[i]))
+    want = [ids[i] for i in reach[:k]]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy optimality (vettore_distance.ex:325-436)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    alpha=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_mmr_each_pick_is_argmax(n, alpha, seed):
+    rng = np.random.default_rng(seed)
+    ids = [f"c{i}" for i in range(n)]
+    vecs = {i: rng.standard_normal(4).round(3).tolist() for i in ids}
+    initial = [(i, float(rng.uniform(-1, 1))) for i in ids]
+    out = mmr_rerank_rows(initial, vecs, metric="cosine", alpha=alpha, k=n)
+    assert [i for i, _ in out] != [] or n == 0
+    assert len(out) == n and len({i for i, _ in out}) == n, "must permute"
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return float(np.clip(a @ b / (na * nb), -1.0, 1.0))
+
+    score = dict(initial)
+    picked: list[str] = []
+    for cid, val in out:
+        objective = {
+            c: alpha * score[c]
+            - (1 - alpha) * max((cos(vecs[c], vecs[p]) for p in picked), default=0.0)
+            for c in ids
+            if c not in picked
+        }
+        best = max(objective.values())
+        assert objective[cid] == pytest.approx(best, abs=1e-9), (
+            f"pick {cid} not argmax at step {len(picked)}"
+        )
+        assert val == pytest.approx(objective[cid], abs=1e-9)
+        picked.append(cid)
+
+
+# ---------------------------------------------------------------------------
+# MUVERA FDE algebra (muvera.rs:26-74, 164-177)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    nv=st.integers(min_value=1, max_value=6),
+    reps=st.integers(min_value=1, max_value=3),
+    proj=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_muvera_query_additivity_doc_mean(nv, reps, proj, seed):
+    """Query FDE accumulates a SUM over vectors and document FDE an online
+    MEAN — so query(all) == sum(query(each)) and doc(all) == mean-weighted
+    combination, for any config."""
+    dims = 6
+    cfg = MU.MuveraConfig(
+        dimension=dims, num_repetitions=reps, num_simhash_projections=proj,
+        seed=seed % 97 + 1, projection_dimension=4,
+    )
+    vs = _vectors(nv, dims, seed).astype(np.float32)
+    q_all = MU.encode_query(vs, cfg)
+    q_sum = np.sum([MU.encode_query(vs[i : i + 1], cfg) for i in range(nv)], axis=0)
+    assert np.allclose(q_all, q_sum, atol=1e-4)
+
+    d_all = MU.encode_document(vs, cfg)
+    # online mean == arithmetic mean of per-vector (partition-routed) sums:
+    # reconstruct via single-vector documents weighted by routing counts is
+    # non-trivial; instead check the repetition-duplication identity —
+    # duplicating every vector leaves the document mean unchanged
+    d_dup = MU.encode_document(np.concatenate([vs, vs]), cfg)
+    assert np.allclose(d_all, d_dup, atol=1e-4)
