@@ -422,11 +422,25 @@ ORDER BY d, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 
-def q_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-vector 'document' table (embeddings grouped by label) —
+    derived collection state shared by the MaxSim and MUVERA queries,
+    persisted once per source (reference model: `vectors` live on the
+    stored embedding row, not rebuilt per search)."""
+    from vettore_spark.plans.cache import cached_persist
+
     emb = _t(spark, sf_dir, "embeddings")
-    docs = emb.groupBy("label").agg(
-        F.collect_list(F.col("embedding").cast("array<double>")).alias("vectors")
+    return cached_persist(
+        emb,
+        ("docs_by_label",),
+        lambda s: s.groupBy("label").agg(
+            F.collect_list(F.col("embedding").cast("array<double>")).alias("vectors")
+        ),
     )
+
+
+def q_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_by_label(spark, sf_dir)
     q0 = _qvec(spark, sf_dir, 0)
     q1 = _qvec(spark, sf_dir, 1)
     out = MV.maxsim_topk(
@@ -865,18 +879,16 @@ def q_muvera_fde_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vettore_spark.plans.cache import cached_persist
 
-    emb = _t(spark, sf_dir, "embeddings")
     # doc-side FDE table = the MUVERA index (encode documents once at ingest,
-    # reference README.md:327-334); persisted and reused across query batches
+    # reference README.md:327-334); persisted on top of the shared
+    # docs-by-label table and reused across query batches
+    docs = _docs_by_label(spark, sf_dir)
     fdes = cached_persist(
-        emb,
+        docs,
         ("muvera_fde", cfg.dimension, cfg.num_repetitions,
          cfg.num_simhash_projections, cfg.seed, cfg.projection_dimension),
-        lambda s: s.groupBy("label")
-        .agg(F.collect_list(F.col("embedding")).alias("vectors"))
-        .withColumn("fde", MU.fde_column("vectors", cfg, "document")),
+        lambda s: s.withColumn("fde", MU.fde_column("vectors", cfg, "document")),
     )
-    docs = fdes.select("label", "vectors")
     q0 = np.array([_qvec(spark, sf_dir, 0), _qvec(spark, sf_dir, 1)], dtype=np.float32)
     qf = [float(x) for x in MU.encode_query(q0, cfg)]
     cand = S.flat_topk(
