@@ -254,6 +254,27 @@ def test_snapshot_roundtrip(spark, tmp_path):
         Collection.load_snapshot(spark, path, bogus=1)
 
 
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_snapshot_interchange_formats(spark, tmp_path, fmt):
+    """JSON/CSV snapshot round-trips (Spark writer family — the reference
+    has only :ets.tab2file). CSV JSON-encodes nested columns per cell."""
+    c = Collection.create(spark, "snapx", 2, metric="l2")
+    c.put_many([
+        {"id": "a", "vector": [1.0, 2.0], "metadata": {"k": "v"}},
+        {"id": "b", "vector": [3.0, 4.0]},
+    ])
+    path = str(tmp_path / f"snap_{fmt}")
+    c.snapshot(path, format=fmt)
+    c2 = Collection.load_snapshot(spark, path)
+    assert c2.count() == 2
+    row = c2.get("a")
+    assert list(row["vector"]) == [1.0, 2.0]
+    assert row["metadata"] == {"k": "v"}
+    assert c2.search([1.0, 2.0], limit=1).collect()[0]["id"] == "a"
+    with pytest.raises(ValueError, match="snapshot format"):
+        c.snapshot(path, format="orc-nope")
+
+
 def test_closed_collection(spark):
     c = Collection.create(spark, "closing", 2)
     c.close()

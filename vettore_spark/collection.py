@@ -352,17 +352,41 @@ class Collection:
 
     # -- snapshot (S7/S8) ---------------------------------------------------
 
-    def snapshot(self, path: str) -> None:
-        """Persist: parquet dir (atomic commit) + config JSON sidecar
+    _SNAPSHOT_FORMATS = ("parquet", "json", "csv")
+
+    def snapshot(self, path: str, *, format: str = "parquet") -> None:
+        """Persist: data dir (atomic commit) + config JSON sidecar
         (store/ets.ex:27-47). The derived index is NOT persisted — it is
-        rebuilt from canonical rows on load (collection.ex:426-433)."""
+        rebuilt from canonical rows on load (collection.ex:426-433).
+
+        The reference has exactly one snapshot codec (:ets.tab2file);
+        Spark's writer family comes free, so `format` may be parquet
+        (default), json, or csv. CSV cannot carry nested arrays/maps, so
+        array and map columns are JSON-encoded per cell on write and decoded
+        on load — interchange format for export, parquet for fidelity."""
         self._check_open()
+        if format not in self._SNAPSHOT_FORMATS:
+            raise ValueError(f"snapshot format must be one of {self._SNAPSHOT_FORMATS}")
         codec = "zstd" if self.config.compressed else "snappy"
-        self.df.write.mode("overwrite").option("compression", codec).parquet(
-            os.path.join(path, "data")
-        )
+        data = os.path.join(path, "data")
+        if format == "parquet":
+            self.df.write.mode("overwrite").option("compression", codec).parquet(data)
+        elif format == "json":
+            self.df.write.mode("overwrite").json(data)
+        else:
+            flat = self.df.select(
+                "id",
+                "value",
+                F.to_json("vector").alias("vector"),
+                F.to_json("vectors").alias("vectors"),
+                F.to_json("binary_vector").alias("binary_vector"),
+                F.to_json("metadata").alias("metadata"),
+            )
+            flat.write.mode("overwrite").option("header", "true").csv(data)
+        cfg = asdict(self.config)
+        cfg["_snapshot_format"] = format
         with open(os.path.join(path, "config.json"), "w") as f:
-            json.dump(asdict(self.config), f)
+            json.dump(cfg, f)
 
     @classmethod
     def load_snapshot(cls, spark: SparkSession, path: str, **overrides: Any) -> "Collection":
@@ -377,9 +401,30 @@ class Collection:
             raise ValueError(f"unknown override: {sorted(unknown)}")
         with open(os.path.join(path, "config.json")) as f:
             raw = json.load(f)
+        fmt = raw.pop("_snapshot_format", "parquet")
         raw.update(overrides)
         cfg = CollectionConfig(**raw)
-        df = spark.read.parquet(os.path.join(path, "data"))
+        data = os.path.join(path, "data")
+        if fmt == "parquet":
+            df = spark.read.parquet(data)
+        elif fmt == "json":
+            df = spark.read.schema(EMBEDDING_SCHEMA).json(data)
+        elif fmt == "csv":
+            flat = spark.read.option("header", "true").csv(data)
+            df = flat.select(
+                F.col("id"),
+                F.col("value"),
+                F.from_json("vector", EMBEDDING_SCHEMA["vector"].dataType).alias("vector"),
+                F.from_json("vectors", EMBEDDING_SCHEMA["vectors"].dataType).alias("vectors"),
+                F.from_json(
+                    "binary_vector", EMBEDDING_SCHEMA["binary_vector"].dataType
+                ).alias("binary_vector"),
+                F.from_json(
+                    "metadata", EMBEDDING_SCHEMA["metadata"].dataType
+                ).alias("metadata"),
+            )
+        else:
+            raise ValueError(f"unknown snapshot format {fmt!r}")
         missing = set(EMBEDDING_SCHEMA.fieldNames()) - set(df.columns)
         if missing:
             raise ValueError(f"snapshot schema missing columns: {sorted(missing)}")
