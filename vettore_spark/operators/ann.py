@@ -176,6 +176,10 @@ def cosine_neardup_gemm(
     return coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
 
 
+# driver-resident IVF codebooks, keyed by (applicationId, centroid plan hash)
+_IVF_CENT_CACHE: dict = {}
+
+
 def ivf_topk(
     coll: DataFrame,
     queries: DataFrame,
@@ -203,15 +207,29 @@ def ivf_topk(
     from vettore_spark.functions import kernels as K
 
     spark = coll.sparkSession
-    cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
-    # columns pre-sorted by centroid id: stable argsort over columns then
-    # resolves distance ties by ascending centroid id (deterministic)
-    cent_rows.sort(key=lambda r: r[centroid_id_col])
-    cids = np.array([int(r[centroid_id_col]) for r in cent_rows], dtype=np.int64)
-    cmat = _l2norm_rows(
-        np.array([np.asarray(r[centroid_vec_col], dtype=np.float64) for r in cent_rows])
-    )
-    bc = spark.sparkContext.broadcast((cids, cmat))
+    # The centroid matrix is the IVF codebook — tiny, but computing it runs a
+    # Spark job. Memoize the collected matrix per (app, plan) so repeated
+    # query batches over the same index skip the job entirely (the codebook
+    # is built once with the inverted file, reference residency model).
+    try:
+        cent_key = (spark.sparkContext.applicationId, centroids.semanticHash())
+    except Exception:  # noqa: BLE001
+        cent_key = (spark.sparkContext.applicationId, id(centroids))
+    hit = _IVF_CENT_CACHE.get(cent_key)
+    if hit is None:
+        cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+        # columns pre-sorted by centroid id: stable argsort over columns then
+        # resolves distance ties by ascending centroid id (deterministic)
+        cent_rows.sort(key=lambda r: r[centroid_id_col])
+        cids = np.array([int(r[centroid_id_col]) for r in cent_rows], dtype=np.int64)
+        cmat = _l2norm_rows(
+            np.array(
+                [np.asarray(r[centroid_vec_col], dtype=np.float64) for r in cent_rows]
+            )
+        )
+        hit = (cids, cmat, spark.sparkContext.broadcast((cids, cmat)))
+        _IVF_CENT_CACHE[cent_key] = hit
+    cids, cmat, bc = hit
 
     @F.pandas_udf("long")
     def nearest_cell(vs: pd.Series) -> pd.Series:
@@ -220,13 +238,19 @@ def ivf_topk(
         d = 1.0 - m @ mat.T
         return pd.Series(ids[np.argmin(d, axis=1)])
 
-    @F.pandas_udf("array<long>")
-    def probe_cells(vs: pd.Series) -> pd.Series:
-        ids, mat = bc.value
-        m = _l2norm_rows(_matrix(vs))
-        d = 1.0 - m @ mat.T
-        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([ids[row] for row in order])
+    # Probe selection stays JVM-side: query count is small relative to the
+    # collection, so a literal-array cross of queries x codebook + windowed
+    # top-n_probe avoids spinning a Python worker on the query path. The
+    # codebook enters the plan as a literal (it is already driver-resident).
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in row]).alias("cv"),
+            )
+            for cid, row in zip(cids, cmat)
+        ]
+    )
 
     # cell assignment is the map-heavy step at scale: one vectorized GEMM
     # per Arrow batch against the broadcast centroid matrix, no join. The
@@ -244,13 +268,43 @@ def ivf_topk(
         ("ivf_assign", cent_key, vector_col),
         lambda s: s.withColumn("_cell", nearest_cell(F.col(vector_col))),
     )
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (1.0 - K.cosine(F.col(query_vec_col), c["cv"])).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # struct sort orders by (distance, cid) — ascending cid breaks ties,
+    # matching the stable argsort over id-sorted codebook columns
+    probe_arr = F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+    )
     probes = queries.select(
         query_id_col,
         query_vec_col,
-        F.explode(probe_cells(F.col(query_vec_col))).alias("_cell"),
+        F.explode(probe_arr).alias("_cell"),
     )
     joined = assigned.join(F.broadcast(probes), on="_cell")
-    raw = K.cosine(F.col(vector_col), F.col(query_vec_col))
+
+    # Within-cell scoring is the volume stage (rows_in_probed_cells x dims):
+    # Arrow-vectorized NumPy cosine instead of the interpreted aggregate()
+    # fold — higher-order functions are CodegenFallback, so at 10^5+ rows the
+    # batched kernel is the reference's batched-NIF analog (SURVEY P4).
+    @F.pandas_udf("double")
+    def cos_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _matrix(a), _matrix(b)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        denom = na * nb
+        sims = np.einsum("ij,ij->i", ma, mb)
+        out = np.where(denom == 0.0, 0.0, sims / np.where(denom == 0.0, 1.0, denom))
+        return pd.Series(np.clip(out, -1.0, 1.0))
+
+    raw = cos_pd(
+        F.col(vector_col).cast("array<double>"),
+        F.col(query_vec_col).cast("array<double>"),
+    )
     return (
         joined.select(
             query_id_col,

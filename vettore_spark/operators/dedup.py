@@ -385,11 +385,42 @@ def simhash_pairs(
         src = src.repartition(target)
 
     def build(s: DataFrame) -> DataFrame:
-        return s.select(
+        # Two pinned projections instead of one simhash64 expression: stage 1
+        # materializes the token-hash array (each token hashed exactly once),
+        # stage 2 counts per-bit votes by re-scanning that materialized array
+        # — O(64 x tokens) comparisons with NO per-token 64-array allocation
+        # (simhash64's single-expression fold allocates one votes array per
+        # token). The non-deterministic _pin blocks CollapseProject from
+        # merging the stages, which would inline the hash transform into all
+        # 64 per-bit filters.
+        hf = hash_fn if hash_fn is not None else F.xxhash64
+        th = F.transform(tokens(text_col), lambda t: hf(t))
+        staged = s.select(
             F.col(id_col),
-            simhash64(tokens(text_col), hash_fn).alias("_sh"),
+            th.alias("_th"),
             F.monotonically_increasing_id().alias("_pin"),
         )
+        masks = _bit_masks()
+        n = F.size(F.col("_th"))
+        ones = F.transform(
+            masks,
+            lambda m: F.size(
+                F.filter(F.col("_th"), lambda h: h.bitwiseAND(m) != 0)
+            ),
+        )
+        # bit b set iff votes = ones - (n - ones) > 0  <=>  2*ones > n
+        word = F.aggregate(
+            F.zip_with(
+                ones,
+                masks,
+                lambda o, m: F.when(o * 2 > n, m).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseOR(x),
+        )
+        return staged.select(F.col(id_col), word.alias("_sh"), F.col("_pin"))
 
     hash_name = getattr(hash_fn, "__name__", "xxhash64") if hash_fn else "xxhash64"
     base = _cached_persist(src, ("simhash", id_col, text_col, hash_name), build)

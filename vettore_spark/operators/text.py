@@ -158,29 +158,72 @@ def hashed_token_features(
     """Feature-hashing text embedding (the hashing trick): each token hashes
     to a slot `h % dim` with sign from `(h / dim) % 2`; slot values are
     summed per document and L2-normalized. Returns the sparse relational
-    form (id, idx, w) — one shuffle on (id, idx), map-side combined.
+    form (id, idx, w).
+
+    ZERO-SHUFFLE plan: the whole pipeline is per-document HOF expressions
+    (token hash -> fold into a dim-slot accumulator -> row-local norm ->
+    posexplode to sparse). The earlier explode + groupBy(id, idx) + window
+    form shuffled ~#tokens narrow rows twice; this one is a pure map pass,
+    which is the plan that survives 100 TB (no exchange at all).
 
     Use `hashed_embedding` for the dense array<float> form consumed by the
     search operators."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
-    ).filter(F.col("_tok") != "")
-    h = _poly_hash(F.col("_tok"))
-    feats = tok.select(
-        F.col(id_col),
-        (h % dim).cast("int").alias("idx"),
-        F.when((h.cast("long") / dim).cast("long") % 2 == 0, 1.0)
-        .otherwise(-1.0)
-        .alias("_sgn"),
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    # Chained transforms bind the char-fold hash once per token instance
+    # (referencing a lambda variable twice is free; referencing the fold
+    # expression twice would duplicate it after CollapseProject).
+    hashes = F.transform(
+        toks,
+        lambda tok: F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * 31 + F.ascii(c)) % 2147483647,
+        ),
     )
-    agg = feats.groupBy(id_col, "idx").agg(F.sum("_sgn").alias("_v"))
-    from pyspark.sql import Window
-
-    norm = F.sqrt(F.sum(F.col("_v") * F.col("_v")).over(Window.partitionBy(id_col)))
-    return agg.select(
-        F.col(id_col),
-        F.col("idx"),
-        F.round(F.col("_v") / norm, 5).alias("w"),
+    pairs = F.transform(
+        hashes,
+        lambda h: F.struct(
+            (h % dim).cast("int").alias("idx"),
+            F.when((h.cast("long") / dim).cast("long") % 2 == 0, 1.0)
+            .otherwise(-1.0)
+            .alias("sgn"),
+        ),
+    )
+    # Never-hit slots stay NULL so the sparse output keeps slots whose signs
+    # cancelled to 0.0 (exactly the rows the groupBy form produced).
+    acc0 = F.array_repeat(F.lit(None).cast("double"), dim)
+    slots = F.sequence(F.lit(0), F.lit(dim - 1))
+    dense = F.aggregate(
+        pairs,
+        acc0,
+        lambda acc, p: F.zip_with(
+            acc,
+            slots,
+            lambda v, i: F.when(
+                p["idx"] == i, F.coalesce(v, F.lit(0.0)) + p["sgn"]
+            ).otherwise(v),
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_d"),
+            F.lit(0.0),
+            lambda a, v: a + F.coalesce(v, F.lit(0.0)) * F.coalesce(v, F.lit(0.0)),
+        )
+    )
+    rows = df.select(F.col(id_col), dense.alias("_d")).select(
+        F.col(id_col), F.col("_d"), norm.alias("_n")
+    )
+    return (
+        rows.select(
+            F.col(id_col), F.col("_n"), F.posexplode(F.col("_d")).alias("idx", "_v")
+        )
+        .filter(F.col("_v").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("idx"),
+            F.round(F.col("_v") / F.col("_n"), 5).alias("w"),
+        )
     )
 
 

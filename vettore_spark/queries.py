@@ -722,11 +722,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vettore_spark.operators import ann as ANN
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.groupBy("label").agg(
-        F.collect_list(F.col("embedding").cast("array<double>")).alias("_vs")
-    ).select(
-        F.col("label").alias("centroid_id"),
-        K.mean_vector("_vs", DIMS).alias("centroid"),
+    # per-label centroids via posexplode + avg: the (label, pos) partial
+    # aggregate is map-side combined, so the shuffle carries n_labels x dims
+    # rows per partition — unlike collect_list, which shuffles every full
+    # vector into one group per label
+    centroids = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_ps"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform("_ps", lambda p: p["m"]).alias("centroid"),
+        )
     )
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
