@@ -50,6 +50,23 @@ def score_columns(
     return rank, score, dist
 
 
+def _staged_raw(df: DataFrame, raw: Column, keep: list[Column]) -> DataFrame:
+    """Materialize the raw metric value ONCE per row in a pinned projection.
+
+    rank/score/distance are all CASE exprs over the raw value; after
+    CollapseProject inlines the kernel into each consumer, cosine's
+    struct-accumulator fold appears ~12x in the final Project — and
+    higher-order functions are CodegenFallback (interpreted, no codegen
+    subexpression elimination), so every copy runs. The non-deterministic
+    `_pin` column keeps this projection from collapsing into the consumer:
+    the fold runs once and consumers read the materialized double."""
+    return df.select(
+        *keep,
+        raw.alias("_raw"),
+        F.monotonically_increasing_id().alias("_pin"),
+    )
+
+
 def flat_topk(
     coll: DataFrame,
     query: list[float],
@@ -70,9 +87,10 @@ def flat_topk(
     """
     metric = K.canonical_metric(metric)
     raw = K.raw_metric(metric, F.col(vector_col), _query_lit(query), pre_normalized=pre_normalized)
-    rank, score, dist = score_columns(metric, raw, score_mode)
     cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
-    scored = coll.select(
+    staged = _staged_raw(coll, raw, cols)
+    rank, score, dist = score_columns(metric, F.col("_raw"), score_mode)
+    scored = staged.select(
         *cols,
         rank.alias("_rank"),
         score.alias("score"),
@@ -421,8 +439,9 @@ def multi_query_topk(
     raw = K.raw_metric(
         metric, F.col(vector_col), F.col(query_vec_col), pre_normalized=pre_normalized
     )
-    rank, score, dist = score_columns(metric, raw, score_mode)
-    scored = joined.select(
+    staged = _staged_raw(joined, raw, [F.col(query_id_col), F.col(id_col)])
+    rank, score, dist = score_columns(metric, F.col("_raw"), score_mode)
+    scored = staged.select(
         F.col(query_id_col),
         F.col(id_col),
         rank.alias("_rank"),
