@@ -156,74 +156,85 @@ def hashed_token_features(
     dim: int = 32,
 ) -> DataFrame:
     """Feature-hashing text embedding (the hashing trick): each token hashes
-    to a slot `h % dim` with sign from `(h / dim) % 2`; slot values are
-    summed per document and L2-normalized. Returns the sparse relational
-    form (id, idx, w).
+    to a slot `h % dim` with sign from `(h / dim) % 2` (polynomial 31-hash
+    of the token's character codes mod 2147483647); slot values are summed
+    per document and L2-normalized. Returns the sparse relational form
+    (id, idx, w). Slots that were hit but cancelled to 0.0 are kept; docs
+    with no tokens produce no rows.
 
-    ZERO-SHUFFLE plan: the whole pipeline is per-document HOF expressions
-    (token hash -> fold into a dim-slot accumulator -> row-local norm ->
-    posexplode to sparse). The earlier explode + groupBy(id, idx) + window
-    form shuffled ~#tokens narrow rows twice; this one is a pure map pass,
-    which is the plan that survives 100 TB (no exchange at all).
+    ZERO-SHUFFLE plan: one Arrow-batched mapInPandas pass. A pure-expression
+    form exists (char-fold hash + dim-slot accumulator fold), but Spark HOFs
+    are CodegenFallback — every token paid an interpreted O(dim) zip_with —
+    which made this the slowest query in the bench by 3x. The numpy version
+    vectorizes the polynomial hash as a power-table dot product segmented
+    with add.reduceat, so per-row cost is a handful of array ops. Rounding
+    stays Spark-side (F.round, HALF_UP) so oracle semantics are unchanged.
+    Assumes single-byte (ASCII) text: the hash consumes character codes,
+    mirroring `ascii(ch)` in the SQL oracle.
 
     Use `hashed_embedding` for the dense array<float> form consumed by the
     search operators."""
-    toks = F.filter(tokens(text_col), lambda x: x != "")
-    # Chained transforms bind the char-fold hash once per token instance
-    # (referencing a lambda variable twice is free; referencing the fold
-    # expression twice would duplicate it after CollapseProject).
-    hashes = F.transform(
-        toks,
-        lambda tok: F.aggregate(
-            F.split(tok, ""),
-            F.lit(0).cast("long"),
-            lambda a, c: (a * 31 + F.ascii(c)) % 2147483647,
-        ),
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    P = 2147483647
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("_w", T.DoubleType()),
+        ]
     )
-    pairs = F.transform(
-        hashes,
-        lambda h: F.struct(
-            (h % dim).cast("int").alias("idx"),
-            F.when((h.cast("long") / dim).cast("long") % 2 == 0, 1.0)
-            .otherwise(-1.0)
-            .alias("sgn"),
-        ),
-    )
-    # Never-hit slots stay NULL so the sparse output keeps slots whose signs
-    # cancelled to 0.0 (exactly the rows the groupBy form produced).
-    acc0 = F.array_repeat(F.lit(None).cast("double"), dim)
-    slots = F.sequence(F.lit(0), F.lit(dim - 1))
-    dense = F.aggregate(
-        pairs,
-        acc0,
-        lambda acc, p: F.zip_with(
-            acc,
-            slots,
-            lambda v, i: F.when(
-                p["idx"] == i, F.coalesce(v, F.lit(0.0)) + p["sgn"]
-            ).otherwise(v),
-        ),
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("_d"),
-            F.lit(0.0),
-            lambda a, v: a + F.coalesce(v, F.lit(0.0)) * F.coalesce(v, F.lit(0.0)),
-        )
-    )
-    rows = df.select(F.col(id_col), dense.alias("_d")).select(
-        F.col(id_col), F.col("_d"), norm.alias("_n")
-    )
-    return (
-        rows.select(
-            F.col(id_col), F.col("_n"), F.posexplode(F.col("_d")).alias("idx", "_v")
-        )
-        .filter(F.col("_v").isNotNull())
-        .select(
-            F.col(id_col),
-            F.col("idx"),
-            F.round(F.col("_v") / F.col("_n"), 5).alias("w"),
-        )
+
+    def featurize(batches):
+        pow31 = np.array([pow(31, e, P) for e in range(256)], dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col]
+            tok_lists = pdf[text_col].fillna("").str.split()
+            n_toks = tok_lists.str.len().to_numpy(dtype=np.int64)
+            n_docs = len(pdf)
+            acc = np.zeros((n_docs, dim), dtype=np.float64)
+            hit = np.zeros((n_docs, dim), dtype=bool)
+            if n_toks.sum() > 0:
+                flat = [t for lst in tok_lists for t in lst]
+                doc_of_tok = np.repeat(np.arange(n_docs), n_toks)
+                lens = np.fromiter(
+                    (len(t) for t in flat), dtype=np.int64, count=len(flat)
+                )
+                if lens.max() >= len(pow31):
+                    pow31 = np.array(
+                        [pow(31, e, P) for e in range(int(lens.max()) + 1)],
+                        dtype=np.int64,
+                    )
+                chars = np.frombuffer(
+                    "".join(flat).encode("utf-8"), dtype=np.uint8
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                # exponent of 31 for each char = distance from its token's end
+                pos = np.arange(len(chars)) - np.repeat(starts, lens)
+                exp = np.repeat(lens, lens) - 1 - pos
+                h = np.add.reduceat(chars * pow31[exp], starts) % P
+                idx = (h % dim).astype(np.int64)
+                sgn = np.where((h // dim) % 2 == 0, 1.0, -1.0)
+                np.add.at(acc, (doc_of_tok, idx), sgn)
+                hit[doc_of_tok, idx] = True
+            norm = np.sqrt((acc * acc).sum(axis=1))
+            di, si = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    id_col: ids.iloc[di].reset_index(drop=True),
+                    "idx": si.astype(np.int32),
+                    "_w": acc[di, si] / norm[di],
+                }
+            )
+
+    sparse = df.select(id_col, text_col).mapInPandas(featurize, out_schema)
+    return sparse.select(
+        F.col(id_col), F.col("idx"), F.round(F.col("_w"), 5).alias("w")
     )
 
 
