@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vettore_spark.functions import kernels as K
+from vettore_spark.operators import ann as ANN
 from vettore_spark.operators import dedup as D
 from vettore_spark.operators import multivector as MV
 from vettore_spark.operators import search as S
@@ -178,13 +179,20 @@ ORDER BY d, vec_id LIMIT 10
 
 
 def q_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query top-k (J3). Physical strategy: Arrow GEMM
+    (operators/ann.brute_force_topk) — identical semantics to the
+    expression path (operators/search.multi_query_topk, exercised in
+    tests), but the per-pair true-cosine is a NumPy matrix product per
+    Arrow batch instead of three interpreted 64-step folds, the reference's
+    batched-SIMD design point (SURVEY §4 P4). Per-partition local top-k
+    bounds the shuffle at O(queries x k)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
-    out = S.multi_query_topk(
-        queries, emb, metric="cosine", k=5,
-        id_col="vec_id", vector_col="embedding", pre_normalized=False,
+    out = ANN.brute_force_topk(
+        emb, queries, metric="cosine", k=5,
+        id_col="vec_id", vector_col="embedding",
     )
     out = out.withColumn("rank", F.col("rank").cast("long"))
     return _round(out, {"score": 5, "distance": 5})

@@ -63,11 +63,24 @@ def image_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
     feature_dim: int = 12,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Decode + featurize media payloads per Arrow batch: per-channel mean/
     std/min/max pooled over pixels -> a dense feature vector usable by every
     search/dedup operator. The decode runs inside mapInPandas so payloads
-    never leave the executor, and batches bound peak memory."""
+    never leave the executor, and batches bound peak memory.
+
+    Decode is the CPU-heavy stage, so the input is spread across at least
+    `parallelism` partitions first (default: the cluster's default
+    parallelism; pass 0 to keep the input partitioning). A small file that
+    Spark reads as one partition would otherwise serialize every decode
+    through a single Python worker — the round-robin repartition costs one
+    cheap shuffle of (id, payload) rows and buys cores-wide decode."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, payload_col)
+    if parallelism and src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -88,7 +101,7 @@ def image_features(
                 feats.append(f.astype(np.float32))
             yield pd.DataFrame({id_col: ids, "features": feats})
 
-    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+    return src.mapInPandas(run, out_schema)
 
 
 def frame_sample(
