@@ -210,6 +210,37 @@ def test_frame_sample(spark):
     assert frames[1]["frame"][0] == 50
 
 
+def test_audio_features_numpy_oracle(spark):
+    payload = bytes((i * 37 + 11) % 256 for i in range(300))
+    df = spark.createDataFrame(
+        [("a1", payload, "audio/wav", None), ("short", b"\x01\x02", None, None)],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["rms"], r["zcr"])
+        for r in MM.audio_features(df, frame_bytes=64).collect()
+    }
+    # trailing partial frame dropped; sub-frame payloads produce no rows
+    assert set(got) == {("a1", 0), ("a1", 1), ("a1", 2), ("a1", 3)}
+    s = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    for i in range(4):
+        fr = s[i * 64 : (i + 1) * 64]
+        rms = float(np.sqrt(((fr - 128.0) ** 2).sum() / 64))
+        hi = fr >= 128.0
+        zcr = int((hi[1:] != hi[:-1]).sum())
+        assert got[("a1", i)] == (pytest.approx(rms), zcr)
+
+
+def test_image_resize_block_mean(spark):
+    df = spark.createDataFrame([("m1", b"\x09", "image/png", None)], MM.MEDIA_SCHEMA)
+    row = MM.image_resize(df, out_h=4, out_w=4).collect()[0]
+    assert (row["height"], row["width"], len(row["pixels"])) == (4, 4, 48)
+    img = MM.fake_decode_image(b"\x09").astype(np.float64)  # 8x8x3
+    # 4x4 output over an 8x8 image = mean of each 2x2 block
+    expect = img.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3)).astype(np.float32)
+    assert np.allclose(np.array(row["pixels"]).reshape(4, 4, 3), expect)
+
+
 # -- text -> embedding pipeline ----------------------------------------------
 
 

@@ -1685,6 +1685,67 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio featurization over binary payloads (8-bit PCM
+    stand-in): per 64-sample frame, RMS amplitude and zero-crossing count
+    at center level 96 (between lowercase letters and other ASCII, so the
+    text corpus exercises real crossings). Every step is exact-integer
+    arithmetic in f64, so the DuckDB oracle — which re-derives the byte
+    values from the hex of the utf-8 payload — hash-matches exactly."""
+    from vettore_spark.sources import multimodal as MM
+
+    out = MM.audio_features(
+        _media(spark, sf_dir), frame_bytes=64, center=96.0
+    )
+    return out.select(
+        "media_id", "frame_idx", F.round("rms", 5).alias("rms"), "zcr"
+    )
+
+
+# Byte values are recovered engine-agnostically: hex() the utf-8 payload,
+# then each byte = 16*hi + lo via strpos into the hex alphabet. Frames are
+# list_slice windows; RMS/ZCR arithmetic is exact in f64 (integer squares,
+# /64 is a power of two), so round(.,5) matches Spark bit-for-bit.
+SQL_MEDIA_AUDIO_FEATURES = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+), s AS (
+  SELECT media_id,
+         list_transform(range(1, n + 1),
+            i -> (strpos('0123456789ABCDEF', h[2*i-1]) - 1) * 16
+               + (strpos('0123456789ABCDEF', h[2*i]) - 1)) AS bytes
+  FROM b
+), fr AS (
+  SELECT media_id, i AS frame_idx,
+         list_slice(bytes, i*64 + 1, i*64 + 64) AS f
+  FROM s, LATERAL (SELECT unnest(range(0, len(bytes) // 64)) AS i) t
+)
+SELECT media_id, frame_idx,
+       round(sqrt(list_avg(list_transform(f, x -> (x-96.0)*(x-96.0)))), 5) AS rms,
+       len(list_filter(range(1, len(f)), j -> (f[j] >= 96) <> (f[j+1] >= 96))) AS zcr
+FROM fr
+"""
+
+
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean image resize to 4x4 thumbnails over the fake-decoded
+    (sha256-seeded) 8x8 images; reported as the per-image pixel sum. Not
+    SQL-expressible (seeded pixel synthesis) -> rows-only driver check; the
+    NumPy block-mean oracle lives in tests."""
+    from vettore_spark.sources import multimodal as MM
+
+    out = MM.image_resize(_media(spark, sf_dir), out_h=4, out_w=4)
+    return out.select(
+        "media_id",
+        "height",
+        "width",
+        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 3).alias(
+            "pixel_sum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1727,6 +1788,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_image_features": (q_media_image_features, None),
+    "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
+    "media_image_resize": (q_media_image_resize, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),

@@ -76,11 +76,7 @@ def image_features(
     Spark reads as one partition would otherwise serialize every decode
     through a single Python worker — the round-robin repartition costs one
     cheap shuffle of (id, payload) rows and buys cores-wide decode."""
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(id_col, payload_col)
-    if parallelism and src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    src = _spread(df, [id_col, payload_col], parallelism)
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -100,6 +96,140 @@ def image_features(
                 ids.append(mid)
                 feats.append(f.astype(np.float32))
             yield pd.DataFrame({id_col: ids, "features": feats})
+
+    return src.mapInPandas(run, out_schema)
+
+
+def fake_decode_audio(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in audio decode: interpret the raw payload bytes
+    as unsigned 8-bit PCM samples (center 128). Real decoders (ffmpeg /
+    soundfile) are not in this environment; swap one in via `decode_fn` —
+    the Spark-side plumbing is identical for any `bytes -> 1-D sample
+    array` callable."""
+    return np.frombuffer(payload or b"", dtype=np.uint8)
+
+
+def _spread(df: DataFrame, cols: list[str], parallelism: int | None) -> DataFrame:
+    """Repartition a narrow (id, payload) projection to at least the
+    cluster's default parallelism so the CPU-heavy Python decode stage uses
+    every core; pass parallelism=0 to keep the input partitioning."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(*cols)
+    if parallelism and src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode_audio,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    center: float = 128.0,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Windowed audio featurization: decode each payload to 8-bit PCM
+    samples, split into non-overlapping frames of `frame_bytes` samples
+    (trailing partial frame dropped), and emit per-frame RMS amplitude
+    (samples centered at `center` — 128 for true unsigned PCM; pick a
+    mid-corpus level for other byte streams) and zero-crossing count
+    (adjacent samples on opposite sides of the center). The classic cheap
+    audio fingerprint — enough to
+    segment silence/speech/music — and every arithmetic step is exact in
+    f64 (integer squares summed), so the result is engine-reproducible.
+
+    Decode+featurize runs inside mapInPandas (Arrow batches, payloads never
+    leave the executor); the input is spread across the cluster first like
+    `image_features`."""
+    src = _spread(df, [id_col, payload_col], parallelism)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.LongType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, rmss, zcrs = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = decode_fn(bytes(payload) if payload is not None else b"")
+                n = len(s) // frame_bytes
+                if n == 0:
+                    continue
+                m = np.asarray(s[: n * frame_bytes], dtype=np.float64).reshape(
+                    n, frame_bytes
+                )
+                c = m - float(center)
+                rms = np.sqrt((c * c).sum(axis=1) / frame_bytes)
+                hi = m >= float(center)
+                zcr = (hi[:, 1:] != hi[:, :-1]).sum(axis=1)
+                ids.extend([mid] * n)
+                idxs.extend(range(n))
+                rmss.extend(rms.tolist())
+                zcrs.extend(int(z) for z in zcr)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "rms": rmss, "zcr": zcrs}
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
+def image_resize(
+    df: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    out_h: int = 4,
+    out_w: int = 4,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Block-mean (area) resize of decoded images to (out_h, out_w):
+    pixel rows/columns are split into out_h × out_w near-equal blocks and
+    averaged per channel — the deterministic downsample used for thumbnail
+    pyramids and perceptual-hash preprocessing. Output is the flattened
+    float32 pixel array (out_h*out_w*channels) plus the output dims, ready
+    for the embedding/dedup operators. Runs in mapInPandas like the other
+    decode stages."""
+    src = _spread(df, [id_col, payload_col], parallelism)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, pix = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_fn(bytes(payload) if payload is not None else b"")
+                h, w = img.shape[0], img.shape[1]
+                ys = (np.arange(out_h + 1) * h) // out_h
+                xs = (np.arange(out_w + 1) * w) // out_w
+                out = np.empty((out_h, out_w, img.shape[2]), dtype=np.float64)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        block = img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+                        out[i, j] = block.reshape(-1, img.shape[2]).mean(axis=0)
+                ids.append(mid)
+                pix.append(out.astype(np.float32).ravel())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "height": [out_h] * len(ids),
+                    "width": [out_w] * len(ids),
+                    "pixels": pix,
+                }
+            )
 
     return src.mapInPandas(run, out_schema)
 
