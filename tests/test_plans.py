@@ -146,3 +146,11 @@ def test_multi_query_quantized_stage_shape(spark, coll):
             for i, r in enumerate(single.collect())
         ]
         assert sorted(by_q[qid]) == want
+
+    # the Arrow GEMM stage 1 must select identical candidates and produce
+    # identical final results to the packed-expression stage 1
+    arrow = S.multi_query_quantized(
+        queries, df, dims=8, metric="l2", k=3, candidates=20, stage1="arrow"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, arrow)) == sorted(map(key, batch))

@@ -131,6 +131,81 @@ def brute_force_topk(
     )
 
 
+def hamming_brute_topk(
+    coll: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Batched sign-bit Hamming top-k (stage 1 of quantized search, K18/K19
+    semantics): bit i is `vector[i] >= 0`, distance is the mismatch count.
+    Instead of packing to u64 words and folding per pair (the expression
+    path in operators/search.py — reference kernel distances.rs:413-481),
+    each Arrow batch computes all pairwise mismatch counts in one float
+    GEMM: mismatches = s@(1-q)^T + (1-s)@q^T over the {0,1} sign matrices.
+    Local per-partition top-k bounds the shuffle at O(queries x k x
+    partitions); ties break by ascending id, matching packed Hamming
+    ordering exactly.
+
+    Returns (query_id, id, hamming, rank) with rank 1..k per query.
+    """
+    spark = coll.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qsigns = np.array(
+        [np.asarray(r[query_vec_col], dtype=np.float64) >= 0.0 for r in qrows],
+        dtype=np.float64,
+    )
+    bc = spark.sparkContext.broadcast((qids, qsigns))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, coll.schema[id_col].dataType),
+            T.StructField("hamming", T.LongType()),
+        ]
+    )
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, qs = bc.value
+        nq = len(qids_l)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            s = (_matrix(pdf[vector_col]) >= 0.0).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            # {0,1} matrices: s@(1-q)^T counts bits set here but not in the
+            # query, (1-s)@q^T the reverse — the sum is the XOR popcount
+            ham = np.rint(s @ (1.0 - qs).T + (1.0 - s) @ qs.T).astype(np.int64)
+            out = []
+            kk = min(k, len(ids))
+            for j in range(nq):
+                idx = np.lexsort((ids, ham[:, j]))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: [qids_l[j]] * len(idx),
+                            id_col: ids[idx],
+                            "hamming": ham[idx, j],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_gemm(
     coll: DataFrame,
     *,

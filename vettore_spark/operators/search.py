@@ -360,16 +360,24 @@ def multi_query_quantized(
     binary_col: str = "binary_vector",
     score_mode: str = "raw",
     pre_normalized: bool = True,
+    stage1: str = "expr",
 ) -> DataFrame:
     """Batched two-stage quantized search: the multi-query generalization of
     Q4 (the reference is one query per call; SURVEY §2.3 J3 is the batch
     idiom).
 
-    Stage 1 broadcasts the queries' packed sign bits against the collection
-    and takes per-query Hamming top-C via window group-limit — the scan
-    reads ONLY (id, binary_vector). Stage 2 joins the small (query, id)
-    candidate set back to full vectors for the exact rerank. Shuffled data
-    is O(queries * candidates), never O(rows)."""
+    Stage 1 takes per-query sign-bit Hamming top-C; stage 2 joins the small
+    (query, id) candidate set back to full vectors for the exact rerank.
+    Shuffled data is O(queries * candidates), never O(rows).
+
+    Two stage-1 physical strategies with identical candidate sets:
+    - `stage1="expr"`: broadcast the queries' packed sign bits and fold
+      packed Hamming per pair (pure Column expressions over the stored
+      `binary_col`; the scan reads ONLY (id, binary_vector)).
+    - `stage1="arrow"`: Arrow-batched sign-mismatch GEMM straight off the
+      float vectors (operators/ann.hamming_brute_topk) — no bit-packing
+      pass over the collection at all, and 10-100x faster per pair than
+      the interpreted fold once rows x queries is large (SURVEY §4 P4)."""
     metric = K.canonical_metric(metric)
     c = candidates if candidates is not None else max(k * 10, k)
 
@@ -378,16 +386,25 @@ def multi_query_quantized(
         F.col(query_vec_col),
         K.compress_sign_bits(F.col(query_vec_col).cast("array<double>"), dims).alias("_qb"),
     )
-    ham = coll.select(id_col, binary_col).crossJoin(
-        F.broadcast(qbits.select(query_id_col, "_qb"))
-    )
-    raw1 = K.packed_hamming(F.col(binary_col), F.col("_qb"), dims)
-    w1 = Window.partitionBy(query_id_col).orderBy(raw1.asc(), F.col(id_col).asc())
-    cand = (
-        ham.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= c)
-        .select(query_id_col, id_col)
-    )
+    if stage1 == "arrow":
+        from vettore_spark.operators import ann as _ann
+
+        cand = _ann.hamming_brute_topk(
+            coll, queries, k=c,
+            id_col=id_col, vector_col=vector_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col)
+    else:
+        ham = coll.select(id_col, binary_col).crossJoin(
+            F.broadcast(qbits.select(query_id_col, "_qb"))
+        )
+        raw1 = K.packed_hamming(F.col(binary_col), F.col("_qb"), dims)
+        w1 = Window.partitionBy(query_id_col).orderBy(raw1.asc(), F.col(id_col).asc())
+        cand = (
+            ham.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= c)
+            .select(query_id_col, id_col)
+        )
 
     rejoined = (
         coll.select(id_col, vector_col)

@@ -688,19 +688,21 @@ FROM ranked WHERE rn <= 5
 
 
 def q_multi_query_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched two-stage quantized search: per-query Hamming top-50 over
-    packed sign bits, exact l2 rerank to top-5 (multi-query generalization
-    of Q4; the oracle recomputes packed Hamming as a sign-disagreement
-    count, which is definitionally identical)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "binary_vector", K.compress_sign_bits("embedding", DIMS)
-    )
+    """Batched two-stage quantized search: per-query sign-bit Hamming
+    top-50, exact l2 rerank to top-5 (multi-query generalization of Q4; the
+    oracle recomputes packed Hamming as a sign-disagreement count, which is
+    definitionally identical). Physical strategy: stage1="arrow" — the
+    sign-mismatch count is a NumPy GEMM per Arrow batch instead of a packed
+    u64 fold per pair, so no bit-packing pass over the collection runs at
+    all (the packed-expression path is exercised by `quantized_topk` and
+    `signbit_popcount`)."""
+    emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
     out = S.multi_query_quantized(
         queries_df, emb, dims=DIMS, metric="l2", k=5, candidates=50,
-        id_col="vec_id", vector_col="embedding",
+        id_col="vec_id", vector_col="embedding", stage1="arrow",
     )
     out = out.withColumn("rank", F.col("rank").cast("long"))
     return _round(out, {"score": 5, "distance": 5})
