@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_fingerprint",
     "media_frame_sample",
     "media_image_features",
+    "media_audio_features",
     "events_hourly",
     "events_asof_join",
     "events_range_join",
