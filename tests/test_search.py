@@ -254,6 +254,33 @@ def test_snapshot_roundtrip(spark, tmp_path):
         Collection.load_snapshot(spark, path, bogus=1)
 
 
+def test_snapshot_integrity_check(spark, tmp_path):
+    """A tampered snapshot data dir fails the count/checksum verification at
+    load time, not at query time (reference: extended_info verified on
+    file2tab, store/ets.ex:29-58; corruption tests
+    vector_adversarial_test.exs:294-331)."""
+    import glob
+    import os
+
+    c = Collection.create(spark, "snapi", 2, metric="l2")
+    c.put_many([
+        {"id": "a", "vector": [1.0, 0.0]},
+        {"id": "b", "vector": [0.0, 1.0]},
+        {"id": "c", "vector": [1.0, 1.0]},
+    ])
+    path = str(tmp_path / "snapi")
+    c.snapshot(path)
+    # clean load passes
+    assert Collection.load_snapshot(spark, path).count() == 3
+    # drop the largest data file (small partitions may be empty) -> row
+    # count / checksum mismatch
+    parts = glob.glob(os.path.join(path, "data", "part-*"))
+    assert parts
+    os.remove(max(parts, key=os.path.getsize))
+    with pytest.raises(ValueError, match="integrity"):
+        Collection.load_snapshot(spark, path)
+
+
 @pytest.mark.parametrize("fmt", ["json", "csv"])
 def test_snapshot_interchange_formats(spark, tmp_path, fmt):
     """JSON/CSV snapshot round-trips (Spark writer family — the reference

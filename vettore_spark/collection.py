@@ -385,6 +385,16 @@ class Collection:
             flat.write.mode("overwrite").option("header", "true").csv(data)
         cfg = asdict(self.config)
         cfg["_snapshot_format"] = format
+        # integrity sidecar, mirroring the reference's ETS extended_info
+        # (object_count + md5sum, store/ets.ex:29-47): row count plus an
+        # order-insensitive id checksum (XOR of xxhash64(id) survives any
+        # partitioning/row order and every interchange format exactly)
+        stats = self.df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("id")).alias("ck"),
+        ).collect()[0]
+        cfg["_object_count"] = stats["n"]
+        cfg["_id_checksum"] = stats["ck"]
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(cfg, f)
 
@@ -402,6 +412,8 @@ class Collection:
         with open(os.path.join(path, "config.json")) as f:
             raw = json.load(f)
         fmt = raw.pop("_snapshot_format", "parquet")
+        want_count = raw.pop("_object_count", None)
+        want_ck = raw.pop("_id_checksum", None)
         raw.update(overrides)
         cfg = CollectionConfig(**raw)
         data = os.path.join(path, "data")
@@ -428,6 +440,21 @@ class Collection:
         missing = set(EMBEDDING_SCHEMA.fieldNames()) - set(df.columns)
         if missing:
             raise ValueError(f"snapshot schema missing columns: {sorted(missing)}")
+        # integrity verification against the sidecar (reference: tab2file
+        # extended_info verified on file2tab, store/ets.ex:49-58) — a
+        # truncated/merged/hand-edited data dir fails here, not at query time
+        if want_count is not None:
+            stats = df.agg(
+                F.count("*").alias("n"), F.bit_xor(F.xxhash64("id")).alias("ck")
+            ).collect()[0]
+            if stats["n"] != want_count or (
+                want_ck is not None and stats["ck"] != want_ck
+            ):
+                raise ValueError(
+                    "snapshot integrity check failed: "
+                    f"expected {want_count} rows, found {stats['n']}"
+                    + ("" if want_ck is None else " (or id checksum mismatch)")
+                )
         # re-validate every record like the reference load path
         n_bad = df.filter(~K.is_valid_vector("vector", cfg.dimensions)).limit(1).count()
         if n_bad:
