@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vettore_spark.functions import kernels as K
 from vettore_spark.operators import ann as ANN
@@ -1058,13 +1059,7 @@ FROM parts
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    # read it as long nanos and convert (truncation to micros is exact here
-    # since date_trunc('hour') discards sub-second precision anyway).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = _events_ts(spark, sf_dir)
     return (
         ev.groupBy(
             "event_type",
@@ -1093,10 +1088,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Structured Streaming ingest path."""
     from vettore_spark.streaming.ingest import windowed_event_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = _events_ts(spark, sf_dir)
     return windowed_event_counts(ev, window="1 hour", slide="30 minutes")
 
 
@@ -1346,13 +1338,24 @@ GROUP BY 1
 
 
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as an exact-micros timestamp: `ts div 1000` is integer
-    division on the nanos LONG (the `/ 1000` double path can be off by 1us at
-    2024-epoch magnitudes — harmless for hour windows, fatal for as-of lags)."""
+    """events with ts as an exact-micros timestamp, robust to how this Spark
+    version reads parquet TIMESTAMP(NANOS): Spark 4.1+ reads it natively as
+    TIMESTAMP_NTZ (micros truncation, matching DuckDB's read of the same
+    file); older versions require spark.sql.legacy.parquet.nanosAsLong=true
+    and surface a nanos LONG, converted here with integer division
+    (`ts div 1000` — the `/ 1000` double path can be off by 1us at
+    2024-epoch magnitudes, harmless for hour windows, fatal for as-of lags)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _t(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        # downstream operators use unix_micros(), which rejects NTZ; pin the
+        # session zone to UTC so the cast interprets the wall-clock exactly
+        # as DuckDB's epoch() does on the same file
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
