@@ -464,6 +464,122 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_out: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: returns
+    (`id_out`, component) where component is the minimum id reachable from
+    the node. The clustering step of a near-dup pipeline (pairs from
+    MinHash/SimHash/embedding candidates -> clusters -> keep one canonical
+    doc per cluster).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+    O(log n) rounds, each round two shuffles keyed on node id (a groupBy for
+    the neighborhood minimum + a join to re-point edges). No driver-side
+    state: the driver loop only compares a (count, hash-sum) convergence
+    signature per round, and localCheckpoint truncates lineage so the plan
+    does not grow with iterations. At 100 TB the edge set after exact-hash
+    pre-dedup is sparse (bounded by LSH bucket caps), so every round is a
+    narrow shuffle on integral ids that AQE can rebalance.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias(id_out))
+        .union(edges.select(F.col("v").alias(id_out)))
+        .distinct()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    e = edges.localCheckpoint(eager=False)
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: connect every strictly-larger neighbor of u to the
+        # minimum of u's full neighborhood (including u itself)
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges to the smaller endpoint; connect each
+        # smaller neighbor (and u itself) to the minimum of those
+        smaller = _sym(e).filter(F.col("v") < F.col("u"))
+        mins_s = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            smaller.join(mins_s, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins_s.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    assign = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(
+        assign.withColumnRenamed("u", id_out), id_out, "left"
+    ).select(
+        F.col(id_out),
+        F.coalesce(F.col("component"), F.col(id_out)).alias("component"),
+    )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_out: str = "id",
+) -> DataFrame:
+    """Cluster near-dup pairs into components and annotate cluster size:
+    (`id_out`, component, cluster_size). Canonical doc = the component id."""
+    cc = connected_components(pairs, src=src, dst=dst, id_out=id_out)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "component").select(
+        id_out, "component", "cluster_size"
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster (keep the
+    minimum id). The anti-join side is the (small) set of ids to drop —
+    broadcastable; the corpus side streams."""
+    cc = connected_components(pairs, src=src, dst=dst, id_out=id_col)
+    drop = cc.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -604,6 +604,50 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_LSH_PAIRS = SQL_NGRAM_JACCARD_PAIRS.replace(">= 0.5", ">= 0.8")
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash+LSH pairs (>=0.8 Jaccard, exact-verified)
+    -> connected components (alternating large-star/small-star) -> cluster
+    assignment with sizes. The full dedup pipeline a 100 TB corpus needs:
+    candidate generation, verification, and transitive-closure clustering.
+    Oracle: recursive-CTE reachability over the same exact-Jaccard pair set
+    (component = min reachable doc_id)."""
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=64, bands=16, threshold=0.8
+    )
+    return D.neardup_clusters(pairs, id_out="doc_id")
+
+
+SQL_NEARDUP_CLUSTERS = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b USING (s)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+),
+assign AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id)
+SELECT a.doc_id, a.component, s.cluster_size
+FROM assign a
+JOIN (SELECT component, count(*) AS cluster_size FROM assign GROUP BY component) s
+  ON a.component = s.component
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vettore_spark.operators import ann as ANN
 
@@ -1777,6 +1821,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
