@@ -1,0 +1,101 @@
+"""Deterministic sampling / splitting / sharding.
+
+Oracle: Python hashlib md5 re-derivation of every decision (exact), plus
+distribution sanity checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import sampling as SMP
+
+
+def _draw(key, salt=""):
+    return hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_sample_matches_hash_oracle(docs):
+    got = {
+        r["doc_id"]
+        for r in SMP.deterministic_sample(
+            docs, 0.3, key_col="doc_id", salt="x"
+        ).collect()
+    }
+    thr = SMP._threshold_hex(0.3)
+    want = {i for i in range(3000) if _draw(i, "x") < thr}
+    assert got == want
+    # ~30% within statistical slack
+    assert 0.25 < len(got) / 3000 < 0.35
+
+
+def test_sample_stable_under_growth(docs):
+    small = docs.filter(F.col("doc_id") < 1000)
+    s_small = {
+        r["doc_id"]
+        for r in SMP.deterministic_sample(small, 0.5, key_col="doc_id").collect()
+    }
+    s_full = {
+        r["doc_id"]
+        for r in SMP.deterministic_sample(docs, 0.5, key_col="doc_id").collect()
+    }
+    assert s_small == {i for i in s_full if i < 1000}
+
+
+def test_stratified_fractions(docs):
+    out = SMP.stratified_sample(
+        docs,
+        {"en": 1.0, "de": 0.2},
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=0.0,
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("fr") is None  # default 0.0
+    assert counts["en"] == 1000  # fraction 1.0 keeps everything
+    assert 120 < counts["de"] < 280
+
+
+def test_train_test_split_partition_invariant(docs):
+    a = SMP.train_test_split(docs, key_col="doc_id", test_fraction=0.2)
+    b = SMP.train_test_split(
+        docs.repartition(7), key_col="doc_id", test_fraction=0.2
+    )
+    ga = {(r["doc_id"], r["split"]) for r in a.collect()}
+    gb = {(r["doc_id"], r["split"]) for r in b.collect()}
+    assert ga == gb
+    n_test = sum(1 for _, s in ga if s == "test")
+    assert 0.15 < n_test / 3000 < 0.25
+
+
+def test_shard_assign_balance_and_oracle(docs):
+    out = SMP.shard_assign(docs, 16, key_col="doc_id").collect()
+    for r in out:
+        assert r["shard"] == int(_draw(r["doc_id"]), 16) % 16
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert len(sizes) == 16
+    assert max(sizes.values()) < 2 * min(sizes.values())
+
+
+def test_write_shards_roundtrip(docs, tmp_path):
+    path = str(tmp_path / "shards")
+    SMP.write_shards(docs, path, 4, key_col="doc_id")
+    spark = docs.sparkSession
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # a single shard is readable alone (partition pruning) and matches
+    one = spark.read.parquet(path).filter(F.col("shard") == 2)
+    want = {i for i in range(3000) if int(_draw(i), 16) % 4 == 2}
+    assert {r["doc_id"] for r in one.collect()} == want

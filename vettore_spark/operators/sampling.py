@@ -1,0 +1,134 @@
+"""Deterministic sampling / splitting / sharding for training-data pipelines.
+
+Everything here derives its randomness from `md5(salt || key)` — a pure
+per-row expression, so:
+
+- results are identical across runs, engines, partitionings, retries, and
+  speculative task attempts (unlike `df.sample`, whose output depends on
+  partition layout and the per-partition RNG stream);
+- any SQL engine can reproduce the decision (the hex digest compares
+  lexicographically), so the DuckDB oracle verifies bit-for-bit;
+- adding/removing rows never flips the decision for unrelated rows —
+  samples are stable under corpus growth (critical when resampling a
+  100 TB corpus incrementally).
+
+No shuffle is introduced by sampling or splitting (row-local predicates).
+`shard_assign` + `write_shards` is the global-shuffle primitive: the hash
+ensures shard sizes concentrate tightly around n/num_shards regardless of
+input order or skew in the key distribution's *values* (only key
+*duplicates* skew a shard, which ids don't have).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 32 bits of the digest: resolution 1/2^32 ~ 2.3e-10
+
+
+def _bucket_hex(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || key) — the row's uniform draw in
+    [0, 16^8), encoded as lowercase hex (lexicographic order == numeric)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _HEX_DIGITS)
+
+
+def _threshold_hex(fraction: float) -> str:
+    f = min(max(float(fraction), 0.0), 1.0)
+    v = int(round(f * (16**_HEX_DIGITS)))
+    if v >= 16**_HEX_DIGITS:
+        # fraction 1.0: any string sorting after every hex digest ('g' > 'f')
+        return "g"
+    return format(v, f"0{_HEX_DIGITS}x")
+
+
+def sample_predicate(key: Column | str, fraction: float, *, salt: str = "") -> Column:
+    """Boolean column: does this row fall in a deterministic `fraction`
+    sample keyed on `key`? SQL twin:
+    `substr(md5(salt || key), 1, 8) < '<threshold_hex>'`."""
+    c = F.col(key) if isinstance(key, str) else key
+    return _bucket_hex(c, salt) < F.lit(_threshold_hex(fraction))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, *, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic, engine-reproducible `fraction` of rows."""
+    return df.filter(sample_predicate(key_col, fraction, salt=salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). `fractions` maps stratum value ->
+    keep fraction; strata not listed keep `default_fraction`."""
+    thr = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(_bucket_hex(F.col(key_col), salt) < thr)
+
+
+def train_test_split(
+    df: DataFrame, *, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Adds a `split` column ('train'/'test') — stable under corpus growth:
+    a row's split never changes when other rows come or go."""
+    return df.withColumn(
+        "split",
+        F.when(
+            sample_predicate(key_col, test_fraction, salt=salt), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def shard_column(key: Column | str, num_shards: int, *, salt: str = "") -> Column:
+    """Deterministic shard in [0, num_shards): the 32-bit digest prefix
+    mod num_shards. Reproducible in SQL by folding the 8 hex chars."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (F.conv(_bucket_hex(c, salt), 16, 10).cast("long") % num_shards).cast(
+        "int"
+    )
+
+
+def shard_assign(
+    df: DataFrame, num_shards: int, *, key_col: str, salt: str = ""
+) -> DataFrame:
+    return df.withColumn("shard", shard_column(key_col, num_shards, salt=salt))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    *,
+    key_col: str,
+    salt: str = "",
+    format: str = "parquet",
+) -> None:
+    """Globally-shuffled training shards: one exchange hash-partitioned on
+    the shard id, rows ordered within a shard by their digest (a uniform
+    deterministic permutation — the 'global shuffle' a trainer wants,
+    without a random sort key that breaks retry idempotence). Written
+    partitioned by shard so a loader can read any subset of shards with
+    partition pruning."""
+    keyed = df.withColumn(
+        "shard", shard_column(key_col, num_shards, salt=salt)
+    ).withColumn("_ord", _bucket_hex(F.col(key_col), salt + "#ord"))
+    (
+        keyed.repartition(num_shards, "shard")
+        .sortWithinPartitions("_ord")
+        .drop("_ord")
+        .write.format(format)
+        .partitionBy("shard")
+        .mode("overwrite")
+        .save(path)
+    )

@@ -269,6 +269,47 @@ def hashed_embedding(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus TF-IDF with the top-`k` highest-scoring terms per document:
+    (id, term, tfidf, rank). Terms are lowercased whitespace tokens; idf is
+    the smoothed `ln((N+1)/(df+1)) + 1` (sklearn's convention, never
+    negative); score = tf * idf rounded to 5 decimals BEFORE ranking so the
+    (score desc, term asc) order is reproducible across engines regardless
+    of last-ulp libm differences.
+
+    Physical shape at scale: explode -> (doc, term) count [shuffle on the
+    composite key] -> term document-frequency [shuffle on term, partial
+    aggs map-side] -> join scores to idf [AQE picks broadcast when the
+    vocabulary fits] -> per-doc top-k window [shuffle on doc id, window
+    group-limit pushdown keeps only k rows per partition before the final
+    sort]. The corpus size N is one count job, not a collected table.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(F.transform(tokens(text_col), F.lower)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 5)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def fingerprint(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -888,6 +888,87 @@ SELECT doc_id, {pred} AS lang_pred, {best}::BIGINT AS lang_hits FROM scored
 SQL_LANG_ID = _sql_lang_id()
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (SELECT doc_id, lower(t.term) AS term
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, term,
+                  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 5) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling keyed on md5(doc_id): downsample
+    the dominant language, keep rare ones, default fraction for the rest.
+    Engine-reproducible (the digest-prefix draw compares lexicographically
+    in any SQL dialect), retry-stable, and growth-stable — unlike
+    df.sample, whose output depends on partition layout."""
+    from vettore_spark.operators import sampling as SMP
+
+    return SMP.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.4, "de": 1.0, "fr": 0.8},
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=0.25,
+        salt="s1",
+    ).select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    from vettore_spark.operators.sampling import _threshold_hex
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('s1' || doc_id), 1, 8) <
+      CASE lang WHEN 'de' THEN '{_threshold_hex(1.0)}'
+                WHEN 'en' THEN '{_threshold_hex(0.4)}'
+                WHEN 'fr' THEN '{_threshold_hex(0.8)}'
+                ELSE '{_threshold_hex(0.25)}' END
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for globally-shuffled training data:
+    shard = 32-bit md5-prefix mod 8. Reports per-shard count + id checksum;
+    the oracle refolds the hex digest arithmetically."""
+    from vettore_spark.operators import sampling as SMP
+
+    out = SMP.shard_assign(_t(spark, sf_dir, "documents"), 8, key_col="doc_id")
+    return out.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_doc_id")
+    )
+
+
+SQL_TRAIN_SHARDS = """
+WITH s AS (
+  SELECT doc_id, substr(md5('' || doc_id), 1, 8) AS h FROM documents
+), v AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef', h[i]) - 1) * power(16, 8 - i))) AS BIGINT) AS x
+  FROM s
+)
+SELECT CAST(x % 8 AS INT) AS shard, count(*) AS n_docs, sum(doc_id) AS sum_doc_id
+FROM v GROUP BY 1
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1835,6 +1916,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "train_shards": (q_train_shards, SQL_TRAIN_SHARDS),
     "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_image_features": (q_media_image_features, None),
