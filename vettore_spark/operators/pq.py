@@ -1,0 +1,268 @@
+"""Product quantization (PQ) — compressed-domain approximate search.
+
+The scale complement to the reference's sign-bit binary quantization
+(`compress_sign_bits`, distances.rs:413-423): where binary quantization
+keeps 1 bit/dimension, PQ splits the vector into `m` subspaces and stores
+one learned code (byte) per subspace — 64x smaller than f32 at m=8 over
+64 dims — and searches the compressed domain with asymmetric distance
+computation (ADC, Jégou et al., TPAMI'11).
+
+Spark shape (100 TB):
+- Codebooks are tiny (m * n_codes * dsub floats) — driver-trained on a
+  deterministic sample, broadcast everywhere; never a shuffle.
+- Encoding is one Arrow-batched pass over the collection (a GEMM per
+  subspace against the broadcast codebook); the code table is the
+  persisted index (plans/cache.py residency model) at ~m bytes/row.
+- ADC search never touches full vectors: per query a [m x n_codes] LUT of
+  squared sub-distances is built driver-side-free inside each task, and
+  each row's distance is m table lookups — the scan is bandwidth-bound on
+  the code table, not the vectors. Local per-partition top-k bounds the
+  shuffle at O(queries x k x partitions).
+- Exact rerank of the top candidates re-joins the full vectors by id
+  (broadcast hash join on the small candidate set), the same two-stage
+  shape as `quantized_search` (reference collection.ex:263-295).
+
+Training is deterministic: fixed seed, ties to the lowest code index, so
+rebuilds on any cluster produce byte-identical code tables (the
+reference's reproducible-index principle, SURVEY P9).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vettore_spark.operators.ann import _matrix
+
+
+def pq_train_kmeans(
+    sample: np.ndarray,
+    *,
+    m: int,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 20260813,
+) -> np.ndarray:
+    """Train PQ codebooks with deterministic Lloyd k-means per subspace.
+
+    `sample` is an (n, dims) f64 matrix (a driver-collected deterministic
+    sample of the collection — codebooks need thousands of rows, not the
+    corpus). Returns codebooks of shape (m, n_codes, dims//m).
+
+    Determinism: seeded init (distinct row picks), argmin ties to the
+    lowest code, empty clusters re-seeded from the farthest points in a
+    fixed order — identical output for identical input on any host.
+    """
+    n, dims = sample.shape
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    if n < n_codes:
+        raise ValueError(f"sample of {n} rows < n_codes {n_codes}")
+    dsub = dims // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for s in range(m):
+        x = np.ascontiguousarray(sample[:, s * dsub : (s + 1) * dsub])
+        cent = x[rng.choice(n, size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cent.T)
+                + (cent * cent).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+                else:
+                    # deterministic re-seed: farthest point from its centroid
+                    far = np.argmax(d2[np.arange(n), assign])
+                    cent[c] = x[far]
+        books[s] = cent
+    return books
+
+
+def _encode_batch(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, dims) -> (rows, m) int32 code matrix; ties to lowest code."""
+    m, n_codes, dsub = books.shape
+    out = np.empty((mat.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        x = mat[:, s * dsub : (s + 1) * dsub]
+        cent = books[s]
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)
+        )
+        out[:, s] = np.argmin(d2, axis=1)
+    return out
+
+
+def pq_encode(
+    coll: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Encode every row to its (id, codes array<int>) PQ representation —
+    the persisted compressed index. One Arrow pass, no shuffle."""
+    spark = coll.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def codes_of(vs: pd.Series) -> pd.Series:
+        books = bc.value
+        mat = _matrix(vs)
+        codes = _encode_batch(mat, books)
+        return pd.Series(list(codes))
+
+    return coll.select(id_col, codes_of(F.col(vector_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the compressed code table: per query
+    a [m x n_codes] LUT of squared subspace distances, each row costs m
+    lookups. Returns (query_id, id, distance, rank) ascending (distance,
+    id); `distance` is the approximate L2 (sqrt of summed subspace d2).
+
+    With `round_digits`, the rank order uses the ROUNDED distance (ties
+    then broken by id) so orderings are reproducible across engines
+    regardless of float summation order."""
+    spark = codes_df.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, qmat, codebooks))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, codes_df.schema[id_col].dataType),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, qmat_l, books = bc.value
+        m, n_codes, dsub = books.shape
+        nq = len(qids_l)
+        # LUT per query: lut[j, s, c] = ||q_j_sub_s - books[s, c]||^2
+        diff = qmat_l.reshape(nq, m, 1, dsub) - books[None, :, :, :]
+        lut = (diff * diff).sum(axis=3)  # nq x m x n_codes
+        subs = np.arange(m)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf[codes_col]])
+            out = []
+            kk = min(k, len(ids))
+            for j in range(nq):
+                d2 = lut[j][subs[None, :], codes].sum(axis=1)
+                d = np.sqrt(np.maximum(d2, 0.0))
+                key = np.round(d, round_digits) if round_digits is not None else d
+                idx = np.lexsort((ids, key))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: [qids_l[j]] * len(idx),
+                            id_col: ids[idx],
+                            "distance": d[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = codes_df.select(id_col, codes_col).mapInPandas(compute, out_schema)
+    rank_key = (
+        F.round(F.col("distance"), round_digits)
+        if round_digits is not None
+        else F.col("distance")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_search(
+    coll: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    candidates: int = 100,
+    k: int = 10,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Two-stage PQ search: ADC top-`candidates` over the code table, then
+    exact rerank of each query's OWN candidate set on full vectors — the
+    quantized_search shape (reference collection.ex:263-295) with PQ codes
+    instead of sign bits. The candidate pair list is O(queries x
+    candidates) — broadcast against the collection, so hydration streams
+    the big side with no shuffle."""
+    from vettore_spark.functions import kernels as K
+    from vettore_spark.operators.search import score_columns
+    from vettore_spark.plans.cache import cached_persist
+
+    key_hash = hash(codebooks.tobytes())
+    codes_df = cached_persist(
+        coll,
+        ("pq_codes", id_col, vector_col, key_hash),
+        lambda s: pq_encode(s, codebooks, id_col=id_col, vector_col=vector_col),
+    )
+    cand = pq_adc_topk(
+        codes_df,
+        queries,
+        codebooks,
+        k=candidates,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    metric = K.canonical_metric(metric)
+    hydrated = (
+        F.broadcast(cand)
+        .join(coll.select(id_col, vector_col), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+    )
+    raw = K.raw_metric(
+        metric, F.col(vector_col), F.col(query_vec_col), pre_normalized=False
+    )
+    rank, score, dist = score_columns(metric, raw, "raw")
+    return (
+        hydrated.select(
+            query_id_col,
+            id_col,
+            score.alias("score"),
+            dist.alias("distance"),
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    rank.asc(), F.col(id_col).asc()
+                )
+            ).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -839,6 +839,84 @@ QUALIFY rank <= 5
 # ---------------------------------------------------------------------------
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (compressed-domain search). For
+    oracle checkability the codebooks are per-label subspace means (the
+    SQL recomputes them exactly, like SQL_ANN_IVF_TOPK's centroids) rather
+    than k-means-trained; the k-means trainer is exercised with NumPy
+    oracles + overlap@k in tests/test_pq.py. Rank order uses the ROUNDED
+    distance with id tie-break so float summation order cannot flip it."""
+    import numpy as np
+
+    from vettore_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    label_means = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_ps"))
+        .select("label", F.transform("_ps", lambda p: p["m"]).alias("mean"))
+        .collect()
+    )
+    label_means.sort(key=lambda r: r["label"])
+    flat = np.array([r["mean"] for r in label_means])  # n_labels x 64
+    m_sub, dsub = 4, flat.shape[1] // 4
+    books = np.stack(
+        [flat[:, s * dsub : (s + 1) * dsub] for s in range(m_sub)]
+    )  # m x n_codes x dsub
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    codes_df = PQ.pq_encode(emb, books, id_col="vec_id", vector_col="embedding")
+    out = PQ.pq_adc_topk(
+        codes_df, queries_df, books, k=5, id_col="vec_id"
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"distance": 5})
+
+
+SQL_PQ_ADC_TOPK = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cb AS (
+  SELECT label::BIGINT AS code, CAST((i - 1) // 16 AS INT) AS sub,
+         list(m ORDER BY i) AS cv
+  FROM pos GROUP BY 1, CAST((i - 1) // 16 AS INT)),
+rows_s AS (
+  SELECT vec_id, s::INT AS sub,
+         list_transform(range(s * 16 + 1, s * 16 + 17), i -> embedding[i]::DOUBLE) AS rv
+  FROM embeddings, range(0, 4) t(s)),
+assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT r.vec_id, r.sub, c.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.sub
+               ORDER BY list_sum(list_transform(range(1, 17), i -> (r.rv[i] - c.cv[i])^2)), c.code) AS rn
+    FROM rows_s r JOIN cb c USING (sub)) WHERE rn = 1),
+q_s AS (
+  SELECT vec_id AS query_id, s::INT AS sub,
+         list_transform(range(s * 16 + 1, s * 16 + 17), i -> embedding[i]::DOUBLE) AS qv
+  FROM embeddings, range(0, 4) t(s) WHERE vec_id < 4),
+lut AS (
+  SELECT query_id, sub, code,
+         list_sum(list_transform(range(1, 17), i -> (qv[i] - cv[i])^2)) AS d2
+  FROM q_s JOIN cb USING (sub)),
+adc AS (
+  SELECT l.query_id, a.vec_id, sqrt(sum(l.d2)) AS d
+  FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, round(d, 5) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(d, 5), vec_id) AS rank
+FROM adc
+QUALIFY rank <= 5
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -1908,6 +1986,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_brp_lsh_topk": (q_ann_brp_lsh_topk, SQL_ANN_BRP_LSH_TOPK),
+    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
