@@ -39,12 +39,17 @@ HEADLINE = [
     "maxsim_label_topk",
     "mean_vector_by_label",
     "normalize_stats",
+    "pq_adc_topk",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_neardup",
+    "neardup_clusters",
     "text_stats",
     "doc_fingerprint",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "train_shards",
     "media_frame_sample",
     "media_image_features",
     "media_audio_features",

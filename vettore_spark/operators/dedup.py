@@ -492,6 +492,10 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # checkpoint the input edge list once: the node set and every loop
+        # round derive from it, and without the cut each downstream action
+        # would re-run the (expensive) upstream pair-generation plan
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("u").alias(id_out))
@@ -502,7 +506,7 @@ def connected_components(
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    e = edges.localCheckpoint(eager=False)
+    e = edges
     prev_sig = None
     for _ in range(max_iter):
         # large-star: connect every strictly-larger neighbor of u to the

@@ -32,7 +32,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 _PERSIST_CACHE: OrderedDict = OrderedDict()
-_PERSIST_CACHE_MAX = 8
+# Sized for the full headline workload: every derived-index family (shingle
+# base/postings, minhash signatures, LSH buckets, simhash words, IVF/PQ
+# assignments, HNSW shards, MUVERA FDEs) keeps its entry resident without
+# evicting another family's. Entries are small relative to executor storage
+# (derived tables, not raw corpus); StorageLevel spills under pressure, so a
+# larger registry trades disk for rebuild compute — the right trade at scale.
+_PERSIST_CACHE_MAX = 32
 
 
 def cached_persist(
