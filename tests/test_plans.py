@@ -154,3 +154,69 @@ def test_multi_query_quantized_stage_shape(spark, coll):
     ).collect()
     key = lambda r: (r["query_id"], r["rank"], r["id"], round(r["score"], 9))  # noqa: E731
     assert sorted(map(key, arrow)) == sorted(map(key, batch))
+
+
+# ---------------------------------------------------------------------------
+# new operator families: sampling, TF-IDF, PQ
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_pq(spark, tmp_path_factory):
+    rows = [
+        (i, f"token{i % 7} token{i % 13} alpha beta {i}", ["en", "de"][i % 2])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path_factory.mktemp("plans2") / "docs")
+    df.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_sampling_is_shuffle_free(docs_pq):
+    from vettore_spark.operators import sampling as SMP
+    from vettore_spark.plans import checks as PC
+
+    sampled = SMP.deterministic_sample(docs_pq, 0.5, key_col="doc_id")
+    assert PC.shuffle_count(sampled) == 0
+    split = SMP.train_test_split(docs_pq, key_col="doc_id")
+    assert PC.shuffle_count(split) == 0
+    strat = SMP.stratified_sample(
+        docs_pq, {"en": 0.5}, strata_col="lang", key_col="doc_id"
+    )
+    assert PC.shuffle_count(strat) == 0
+
+
+def test_tfidf_group_limit_and_single_corpus_pass(docs_pq):
+    from vettore_spark.operators import text as TX
+    from vettore_spark.plans import checks as PC
+
+    out = TX.tfidf_top_terms(docs_pq, k=3)
+    plan = PC.executed_plan(out)
+    # per-doc top-k is a group-limit window, never a global sort of scores
+    assert PC.has_window_group_limit(out)
+    # the tokenize+explode runs once: BOTH the score branch and the
+    # document-frequency branch read the persisted tf table (the printed
+    # plan repeats the cached subtree per reader, so count the readers)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_pq_search_broadcasts_candidates(spark, coll):
+    from vettore_spark.operators import pq as PQ
+    from vettore_spark.plans import checks as PC
+
+    rows = sorted(coll.collect(), key=lambda r: r["id"])
+    mat = np.array([r["vector"] for r in rows])
+    books = PQ.pq_train_kmeans(mat, m=2, n_codes=8, iters=2)
+    queries = spark.createDataFrame(
+        [("q0", rows[0]["vector"])], "query_id string, query_vector array<double>"
+    )
+    out = PQ.pq_search(
+        coll, queries, books, candidates=20, k=5, metric="l2",
+        id_col="id", vector_col="vector",
+    )
+    plan = PC.executed_plan(out)
+    assert not PC.has_cartesian(out)
+    # candidate list and query table are broadcast against the collection
+    assert PC.broadcast_join_count(out) >= 2
+    assert "WindowGroupLimit" in plan or "TakeOrdered" in plan

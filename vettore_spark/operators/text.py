@@ -292,11 +292,22 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    from vettore_spark.plans.cache import cached_persist
+
     n_docs = df.count()
-    toks = df.select(
-        F.col(id_col), F.explode(F.transform(tokens(text_col), F.lower)).alias("term")
+    # persist the (doc, term, tf) table: both the score branch and the
+    # document-frequency branch consume it, and without the persist each
+    # branch re-runs the tokenize+explode over the whole corpus
+    tf = cached_persist(
+        df.select(id_col, text_col),
+        ("tfidf_tf", id_col, text_col),
+        lambda s: s.select(
+            F.col(id_col),
+            F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf")),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = tf.join(dfreq, "term").withColumn(
