@@ -204,6 +204,178 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_train(
+    sample: np.ndarray,
+    *,
+    n_cells: int,
+    m: int,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 20260813,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train an IVF-PQ index (coarse k-means quantizer + PQ codebooks on
+    the RESIDUALS x - coarse[cell]) from a driver-collected sample.
+    Returns (coarse: n_cells x dims, books: m x n_codes x dims//m)."""
+    coarse = pq_train_kmeans(
+        sample, m=1, n_codes=n_cells, iters=iters, seed=seed
+    )[0]
+    d2 = (
+        (sample * sample).sum(axis=1, keepdims=True)
+        - 2.0 * (sample @ coarse.T)
+        + (coarse * coarse).sum(axis=1)
+    )
+    residuals = sample - coarse[np.argmin(d2, axis=1)]
+    books = pq_train_kmeans(
+        residuals, m=m, n_codes=n_codes, iters=iters, seed=seed + 1
+    )
+    return coarse, books
+
+
+def ivfpq_encode(
+    coll: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes) — the IVF-PQ index table: cell = nearest coarse
+    centroid (L2, ties to lowest cell), codes = PQ codes of the residual.
+    One Arrow pass, no shuffle; at scale this table is written partitioned
+    by cell so probes become partition-pruned scans (the
+    CellPartitionedStore layout in sources/store.py)."""
+    spark = coll.sparkSession
+    bc = spark.sparkContext.broadcast((coarse, codebooks))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, coll.schema[id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coarse_l, books_l = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _matrix(pdf[vector_col])
+            d2 = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ coarse_l.T)
+                + (coarse_l * coarse_l).sum(axis=1)
+            )
+            cells = np.argmin(d2, axis=1)
+            codes = _encode_batch(mat - coarse_l[cells], books_l)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return coll.select(id_col, vector_col).mapInPandas(encode, out_schema)
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    queries: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """IVF-PQ ADC search: probe each query's `n_probe` nearest cells and
+    rank rows there by the residual-PQ approximate L2. Per (query, probed
+    cell) the LUT is built from (q - coarse[cell]); rows outside probed
+    cells are skipped inside the Arrow batch, so compute scales with
+    n_probe/n_cells of the data — and with a cell-partitioned index table
+    the skipped rows are never even read (partition pruning).
+
+    Rank order uses the ROUNDED distance + id tie-break (engine-stable)."""
+    spark = index_df.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
+    # deterministic probe selection: (d2, cell) ascending
+    qd2 = (
+        (qmat * qmat).sum(axis=1, keepdims=True)
+        - 2.0 * (qmat @ coarse.T)
+        + (coarse * coarse).sum(axis=1)
+    )
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    bc = spark.sparkContext.broadcast((qids, qmat, probes, coarse, codebooks))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, index_df.schema[id_col].dataType),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, qmat_l, probes_l, coarse_l, books_l = bc.value
+        m, n_codes, dsub = books_l.shape
+        subs = np.arange(m)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            out = []
+            for j, qid in enumerate(qids_l):
+                for cell in probes_l[j]:
+                    mask = cells == cell
+                    if not mask.any():
+                        continue
+                    resid_q = qmat_l[j] - coarse_l[cell]
+                    diff = resid_q.reshape(m, 1, dsub) - books_l
+                    lut = (diff * diff).sum(axis=2)  # m x n_codes
+                    d2 = lut[subs[None, :], codes[mask]].sum(axis=1)
+                    d = np.sqrt(np.maximum(d2, 0.0))
+                    key = (
+                        np.round(d, round_digits)
+                        if round_digits is not None
+                        else d
+                    )
+                    sel_ids = ids[mask]
+                    idx = np.lexsort((sel_ids, key))[: min(k, mask.sum())]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                query_id_col: [qid] * len(idx),
+                                id_col: sel_ids[idx],
+                                "distance": d[idx],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = index_df.select(id_col, "cell", "codes").mapInPandas(
+        compute, out_schema
+    )
+    rank_key = (
+        F.round(F.col("distance"), round_digits)
+        if round_digits is not None
+        else F.col("distance")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_search(
     coll: DataFrame,
     queries: DataFrame,
