@@ -85,3 +85,36 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         for r in spark.sql("select * from sess").collect()
     }
     assert stream_out == batch
+
+
+def test_streaming_exact_dedup_first_wins_across_batches(spark, tmp_path):
+    from vettore_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    schema = "doc_id: long, text: string"
+    # batch 1: two distinct texts, one intra-batch duplicate (ids 3 > 1).
+    # coalesce(1): each batch must be ONE file, else maxFilesPerTrigger=1
+    # splits it into arbitrary micro-batches and first-wins is untestable.
+    spark.createDataFrame(
+        [(3, "hello world"), (1, "hello world"), (2, "other text")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: re-sends "hello world" (suppressed) + one new text
+    spark.createDataFrame(
+        [(9, "hello world"), (4, "third text")], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("select * from dedup").collect()}
+    # 1 beats 3 (intra-batch min), 9 suppressed by state from batch 1
+    assert kept == {1, 2, 4}

@@ -107,3 +107,52 @@ def streaming_session_counts(
             "sum_value",
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document ever seen with
+    each content digest, across all micro-batches (first-wins, matching the
+    batch exact_dedup's keep-lowest semantics within a batch: intra-batch
+    ties resolve to the lowest id).
+
+    State per digest is a single boolean + keeper id — bounded by the
+    number of DISTINCT documents, not the stream length. At 100 TB-scale
+    ingest the digest key-space shuffles uniformly (md5), so state spreads
+    evenly across executors; pair with an upstream time-window digest
+    filter (dropDuplicatesWithinWatermark) when the duplicate horizon is
+    known to bound state further.
+    """
+    out_schema = f"{id_col} long, digest string"
+    state_schema = "keeper long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            ids = pdf[id_col]
+            if len(ids) == 0:
+                continue
+            m = int(ids.min())
+            best = m if best is None else min(best, m)
+        if best is not None:
+            state.update((best,))
+            yield pd.DataFrame({id_col: [best], "digest": [key[0]]})
+
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    return hashed.groupBy("digest").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
