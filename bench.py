@@ -50,6 +50,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "stratified_sample",
     "train_shards",
+    "training_pipeline",
     "media_frame_sample",
     "media_image_features",
     "media_audio_features",

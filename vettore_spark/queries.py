@@ -1256,6 +1256,104 @@ FROM parts
 """
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline — the flagship composition every
+    100 TB corpus runs, as one declarative DataFrame chain:
+
+      quality filter (>= 0.5 composite) -> exact dedup (keep lowest id per
+      digest) -> MinHash-LSH near-dup clustering -> drop non-canonical
+      cluster members -> deterministic stratified sampling by language ->
+      shard assignment -> per (shard, lang) counts + id checksum.
+
+    Every stage is individually oracled elsewhere; this query verifies the
+    COMPOSITION (stage ordering, column flow, determinism) against one
+    DuckDB query built from the same pieces."""
+    from vettore_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    good_ids = TX.quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
+    good = docs.join(good_ids, "doc_id", "left_semi")
+    uniq = D.exact_dedup(good, id_col="doc_id", text_col="text")
+    pairs = D.minhash_lsh_pairs(
+        uniq, n=3, num_perm=64, bands=16, threshold=0.8
+    )
+    kept = D.dedup_keep_canonical(uniq, pairs, id_col="doc_id")
+    sampled = SMP.stratified_sample(
+        kept,
+        {"en": 0.5, "zh": 1.0},
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=0.75,
+        salt="tp",
+    )
+    sharded = SMP.shard_assign(sampled, 4, key_col="doc_id")
+    return sharded.groupBy("shard", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_doc_id")
+    )
+
+
+def _sql_training_pipeline() -> str:
+    from vettore_spark.operators.sampling import _threshold_hex
+
+    return rf"""
+WITH RECURSIVE
+toksq AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+parts AS (
+  SELECT doc_id,
+         len(t) * 1.0 AS n,
+         len(list_filter(list_transform(t, x -> lower(x)),
+             x -> list_contains(['the','and','of','to','is','in','that','it'], x))) * 1.0 AS stop,
+         len(list_distinct(t)) * 1.0 / len(t) AS ttr
+  FROM toksq),
+q AS (SELECT doc_id,
+             round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+                    + least(stop / n * 5, 1.0) + ttr) / 3.0, 5) AS quality
+      FROM parts),
+good AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5),
+uniq AS (SELECT * FROM good
+         WHERE doc_id IN (SELECT min(doc_id) FROM good GROUP BY md5(text))),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM uniq),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b USING (s)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION
+    SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+),
+assign AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id),
+kept AS (SELECT u.doc_id, u.lang FROM uniq u LEFT JOIN assign a USING (doc_id)
+         WHERE a.component IS NULL OR a.component = u.doc_id),
+sampled AS (SELECT doc_id, lang FROM kept
+            WHERE substr(md5('tp' || doc_id), 1, 8) <
+                  CASE lang WHEN 'en' THEN '{_threshold_hex(0.5)}'
+                            WHEN 'zh' THEN '{_threshold_hex(1.0)}'
+                            ELSE '{_threshold_hex(0.75)}' END),
+hashed AS (SELECT doc_id, lang, substr(md5('' || doc_id), 1, 8) AS h FROM sampled),
+v AS (SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(1, 9),
+                  i -> (strpos('0123456789abcdef', h[i]) - 1) * power(16, 8 - i))) AS BIGINT) AS x
+      FROM hashed)
+SELECT CAST(x % 4 AS INT) AS shard, lang, count(*) AS n_docs, sum(doc_id) AS sum_doc_id
+FROM v GROUP BY 1, 2
+"""
+
+
+SQL_TRAINING_PIPELINE = _sql_training_pipeline()
+
+
 # ---------------------------------------------------------------------------
 # relational / events breadth
 # ---------------------------------------------------------------------------
@@ -1998,6 +2096,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "train_shards": (q_train_shards, SQL_TRAIN_SHARDS),
+    "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
     "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_image_features": (q_media_image_features, None),
