@@ -271,3 +271,28 @@ def test_hashed_embedding_dense_form(spark):
     emb_df = hashed_embedding(df, dim=16)
     top = flat_topk(emb_df, dense[1], metric="cosine", k=1, id_col="doc_id").collect()
     assert top[0]["doc_id"] == 1
+
+
+def test_pq_index_backend(spark):
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+    from vettore_spark.sources.store import PqIndex
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {"id": f"v{i:02d}", "vector": rng.standard_normal(8).tolist()}
+        for i in range(60)
+    ]
+    c = Collection.create(spark, "pqix", 8, metric="l2")
+    c.put_many(rows)
+    q = rows[0]["vector"]
+    idx = PqIndex(m=2, n_codes=8, iters=3, candidates_factor=4).build(c.df)
+    cand = idx.candidates(c.df, q, 5)
+    n = cand.count()
+    assert 0 < n <= 60
+    # candidate schema matches the collection (semi-join, rerank-ready)
+    assert set(cand.columns) == set(c.df.columns)
+    # the query's own row reconstructs with zero residual in its own cells
+    # and must rank in the ADC top candidates
+    assert cand.filter(F.col("id") == "v00").count() == 1

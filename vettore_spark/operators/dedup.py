@@ -563,9 +563,9 @@ def neardup_clusters(
     (`id_out`, component, cluster_size). Canonical doc = the component id."""
     cc = connected_components(pairs, src=src, dst=dst, id_out=id_out)
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return cc.join(F.broadcast(sizes), "component").select(
-        id_out, "component", "cluster_size"
-    )
+    # no forced broadcast: at corpus scale the clustered-doc set can be a
+    # large fraction of the data — AQE picks broadcast when sizes is small
+    return cc.join(sizes, "component").select(id_out, "component", "cluster_size")
 
 
 def dedup_keep_canonical(
@@ -577,11 +577,13 @@ def dedup_keep_canonical(
     dst: str = "doc_b",
 ) -> DataFrame:
     """Drop every non-canonical member of each near-dup cluster (keep the
-    minimum id). The anti-join side is the (small) set of ids to drop —
-    broadcastable; the corpus side streams."""
+    minimum id). The drop list is left to AQE join selection: on a heavily
+    duplicated corpus it can be a large fraction of the rows (a forced
+    broadcast would OOM the driver at 100 TB); when it is small AQE
+    broadcasts it and the corpus side streams."""
     cc = connected_components(pairs, src=src, dst=dst, id_out=id_col)
     drop = cc.filter(F.col(id_col) != F.col("component")).select(id_col)
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
 
 
 def embedding_neardup_pairs(

@@ -166,6 +166,64 @@ class LshIndex:
         return coll.join(F.broadcast(cand.select("id")), on="id", how="left_semi")
 
 
+class PqIndex:
+    """Product-quantization index backend (Index protocol): `build` trains
+    deterministic codebooks on a driver-collected sample (sorted by id —
+    reproducible) and encodes the collection into a persisted code table;
+    `candidates` ADC-scans the compressed domain for the top n*factor ids
+    and semi-joins them back (exact rerank happens at the operator layer,
+    same two-stage contract as LshIndex)."""
+
+    def __init__(
+        self,
+        *,
+        m: int = 8,
+        n_codes: int = 16,
+        iters: int = 5,
+        candidates_factor: int = 10,
+        sample_rows: int = 10_000,
+    ):
+        self.m = m
+        self.n_codes = n_codes
+        self.iters = iters
+        self.factor = candidates_factor
+        self.sample_rows = sample_rows
+        self._books = None
+        self._codes = None
+
+    def build(self, coll: DataFrame) -> "PqIndex":
+        import numpy as np
+
+        from vettore_spark.operators import pq as PQ
+
+        rows = (
+            coll.select("id", "vector").orderBy("id").limit(self.sample_rows).collect()
+        )
+        sample = np.array([r["vector"] for r in rows], dtype=np.float64)
+        self._books = PQ.pq_train_kmeans(
+            sample, m=self.m, n_codes=self.n_codes, iters=self.iters
+        )
+        self._codes = PQ.pq_encode(
+            coll, self._books, id_col="id", vector_col="vector"
+        ).persist()
+        return self
+
+    def candidates(self, coll: DataFrame, query: list[float], n: int) -> DataFrame:
+        if self._books is None:
+            self.build(coll)
+        from vettore_spark.operators import pq as PQ
+
+        spark = coll.sparkSession
+        queries = spark.createDataFrame(
+            [("q", [float(x) for x in query])],
+            "query_id string, query_vector array<double>",
+        )
+        cand = PQ.pq_adc_topk(
+            self._codes, queries, self._books, k=n * self.factor, id_col="id"
+        )
+        return coll.join(F.broadcast(cand.select("id")), on="id", how="left_semi")
+
+
 def bucketed_write(
     df: DataFrame,
     table: str,
