@@ -29,11 +29,6 @@ def _union_find(edges):
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
-    # min id per component
-    comp = {}
-    for x in list(parent):
-        root = find(x)
-        comp.setdefault(root, root)
     out = {}
     for x in parent:
         r = find(x)
@@ -56,8 +51,12 @@ def _check(spark, edges):
 
 
 def test_cc_simple_shapes(spark):
-    # path, star, two components, self-contained triangle
-    _check(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21), (21, 20)])
+    # path, star, two components, self-contained triangle, self-loop-only
+    # node (must appear as its own singleton component)
+    _check(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21), (21, 20), (30, 30)],
+    )
 
 
 def test_cc_chain_long(spark):

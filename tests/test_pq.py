@@ -210,3 +210,64 @@ def test_ivfpq_recall_vs_exact(spark, emb, mat):
         overlaps.append(len(e & set(rer)) / 10)
     # candidate-generation recall@10-from-30 over 6/8 probes
     assert sum(overlaps) / len(overlaps) >= 0.75, overlaps
+
+
+def test_pq_search_cosine_full_candidates_equals_exact(spark, emb, mat):
+    """Cosine path: collection and queries are L2-normalized before
+    encode/ADC; with full candidates the rerank must equal exact cosine."""
+    ids, m = mat
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    books = PQ.pq_train_kmeans(norm, m=4, n_codes=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    n = emb.count()
+    exact = ANN.brute_force_topk(
+        emb, queries, k=10, metric="cosine", id_col="vec_id", vector_col="embedding"
+    ).collect()
+    full = PQ.pq_search(
+        emb, queries, books, candidates=n, k=10, metric="cosine",
+        id_col="vec_id", vector_col="embedding",
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [
+        (r["query_id"], r["vec_id"], r["rank"]) for r in sorted(full, key=key)
+    ] == [
+        (r["query_id"], r["vec_id"], r["rank"]) for r in sorted(exact, key=key)
+    ]
+
+
+def test_pq_search_rejects_inner_product(spark, emb, mat):
+    _, m = mat
+    books = PQ.pq_train_kmeans(m, m=4, n_codes=16, iters=1)
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    with pytest.raises(ValueError, match="l2/cosine"):
+        PQ.pq_search(emb, queries, books, metric="inner_product",
+                     id_col="vec_id", vector_col="embedding")
+
+
+def test_empty_query_sets_return_empty(spark, emb, mat):
+    ids, m = mat
+    books = PQ.pq_train_kmeans(m, m=4, n_codes=16, iters=1)
+    no_queries = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    codes_df = PQ.pq_encode(emb, books)
+    assert PQ.pq_adc_topk(codes_df, no_queries, books, k=5).count() == 0
+    coarse, rbooks = PQ.ivfpq_train(m, n_cells=4, m=4, n_codes=16, iters=1)
+    index_df = PQ.ivfpq_encode(emb, coarse, rbooks)
+    assert PQ.ivfpq_topk(index_df, no_queries, coarse, rbooks, k=5).count() == 0
+    assert (
+        ANN.brute_force_topk(
+            emb, no_queries, k=5, metric="l2", id_col="vec_id", vector_col="embedding"
+        ).count()
+        == 0
+    )
+    assert (
+        ANN.hamming_brute_topk(
+            emb, no_queries, k=5, id_col="vec_id", vector_col="embedding"
+        ).count()
+        == 0
+    )

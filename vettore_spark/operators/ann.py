@@ -65,7 +65,6 @@ def brute_force_topk(
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = [r[query_id_col] for r in qrows]
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
-    bc = spark.sparkContext.broadcast((qids, qmat))
 
     id_field = coll.schema[id_col]
     out_schema = T.StructType(
@@ -77,6 +76,13 @@ def brute_force_topk(
             T.StructField("_rank", T.DoubleType()),
         ]
     )
+    if not qids:  # empty query set -> empty result, not a concat crash
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+            .drop("_rank")
+        )
+    bc = spark.sparkContext.broadcast((qids, qmat))
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_l, qmat_l = bc.value
@@ -160,7 +166,6 @@ def hamming_brute_topk(
         [np.asarray(r[query_vec_col], dtype=np.float64) >= 0.0 for r in qrows],
         dtype=np.float64,
     )
-    bc = spark.sparkContext.broadcast((qids, qsigns))
 
     out_schema = T.StructType(
         [
@@ -169,6 +174,11 @@ def hamming_brute_topk(
             T.StructField("hamming", T.LongType()),
         ]
     )
+    if not qids:  # empty query set -> empty result, not a concat crash
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("int")
+        )
+    bc = spark.sparkContext.broadcast((qids, qsigns))
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_l, qs = bc.value

@@ -488,20 +488,20 @@ def connected_components(
     pre-dedup is sparse (bounded by LSH bucket caps), so every round is a
     narrow shuffle on integral ids that AQE can rebalance.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        # checkpoint the input edge list once: the node set and every loop
-        # round derive from it, and without the cut each downstream action
-        # would re-run the (expensive) upstream pair-generation plan
-        .localCheckpoint(eager=False)
+    # checkpoint the raw pair list once: the node set and every loop round
+    # derive from it, and without the cut each downstream action would
+    # re-run the (expensive) upstream pair-generation plan
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
     )
+    # node set BEFORE dropping self-loops: a node whose only pair is (x, x)
+    # is still a (singleton) component and must appear in the output
     nodes = (
-        edges.select(F.col("u").alias(id_out))
-        .union(edges.select(F.col("v").alias(id_out)))
+        raw.select(F.col("u").alias(id_out))
+        .union(raw.select(F.col("v").alias(id_out)))
         .distinct()
     )
+    edges = raw.filter(F.col("u") != F.col("v")).distinct()
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -76,14 +76,19 @@ def pq_train_kmeans(
                 + (cent * cent).sum(axis=1)
             )
             assign = np.argmin(d2, axis=1)
+            # deterministic empty-cluster re-seed: hand out DISTINCT points
+            # in descending distance-to-their-centroid order (one per empty
+            # cluster — reseeding them all from the single argmax would
+            # leave permanently duplicated dead codes)
+            far_order = np.argsort(-d2[np.arange(n), assign], kind="stable")
+            next_far = 0
             for c in range(n_codes):
                 mask = assign == c
                 if mask.any():
                     cent[c] = x[mask].mean(axis=0)
                 else:
-                    # deterministic re-seed: farthest point from its centroid
-                    far = np.argmax(d2[np.arange(n), assign])
-                    cent[c] = x[far]
+                    cent[c] = x[far_order[next_far]]
+                    next_far += 1
         books[s] = cent
     return books
 
@@ -159,6 +164,10 @@ def pq_adc_topk(
             T.StructField("distance", T.DoubleType()),
         ]
     )
+    if not qids:  # empty query set -> empty result, not a concat crash
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("int")
+        )
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_l, qmat_l, books = bc.value
@@ -189,7 +198,8 @@ def pq_adc_topk(
                         }
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     local = codes_df.select(id_col, codes_col).mapInPandas(compute, out_schema)
     rank_key = (
@@ -303,6 +313,17 @@ def ivfpq_topk(
     spark = index_df.sparkSession
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = [r[query_id_col] for r in qrows]
+    if not qids:  # empty query set -> empty result
+        empty_schema = T.StructType(
+            [
+                T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+                T.StructField(id_col, index_df.schema[id_col].dataType),
+                T.StructField("distance", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema).withColumn(
+            "rank", F.lit(1).cast("int")
+        )
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
     # deterministic probe selection: (d2, cell) ascending
     qd2 = (
@@ -394,27 +415,46 @@ def pq_search(
     quantized_search shape (reference collection.ex:263-295) with PQ codes
     instead of sign bits. The candidate pair list is O(queries x
     candidates) — broadcast against the collection, so hydration streams
-    the big side with no shuffle."""
+    the big side with no shuffle.
+
+    Metrics: `l2` natively; `cosine` by L2-normalizing both sides before
+    encode/ADC (on unit vectors L2^2 = 2 - 2cos, so L2-ADC candidate order
+    is cosine order) — train the codebooks on a NORMALIZED sample for best
+    distortion. Inner product has no L2-ADC equivalent and is rejected
+    (use brute_force_topk or an IP-specific quantizer)."""
     from vettore_spark.functions import kernels as K
     from vettore_spark.operators.search import score_columns
     from vettore_spark.plans.cache import cached_persist
 
+    metric = K.canonical_metric(metric)
+    if metric not in ("l2", "cosine"):
+        raise ValueError(
+            f"pq_search supports l2/cosine, not {metric!r}: the ADC stage is "
+            "an L2 quantizer and would generate candidates misaligned with "
+            "the rerank metric"
+        )
+    if metric == "cosine":
+        base = coll.select(F.col(id_col), K.normalize_l2(vector_col).alias(vector_col))
+        adc_queries = queries.select(
+            F.col(query_id_col), K.normalize_l2(query_vec_col).alias(query_vec_col)
+        )
+    else:
+        base, adc_queries = coll, queries
     key_hash = hash(codebooks.tobytes())
     codes_df = cached_persist(
-        coll,
-        ("pq_codes", id_col, vector_col, key_hash),
+        base,
+        ("pq_codes", id_col, vector_col, metric, key_hash),
         lambda s: pq_encode(s, codebooks, id_col=id_col, vector_col=vector_col),
     )
     cand = pq_adc_topk(
         codes_df,
-        queries,
+        adc_queries,
         codebooks,
         k=candidates,
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).select(query_id_col, id_col)
-    metric = K.canonical_metric(metric)
     hydrated = (
         F.broadcast(cand)
         .join(coll.select(id_col, vector_col), id_col)

@@ -617,9 +617,14 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(pairs, id_out="doc_id")
 
 
-SQL_NEARDUP_CLUSTERS = r"""
-WITH RECURSIVE
-toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+def _sql_cc_block(src: str, threshold: float) -> str:
+    """Shared CTE chain: word-3-gram shingles on `src` -> exact-Jaccard
+    pairs >= threshold -> recursive-CTE connected components (`assign` maps
+    doc_id -> component = min reachable id). Used by SQL_NEARDUP_CLUSTERS
+    and the training-pipeline oracle — one definition so the two cannot
+    diverge. The enclosing query must open with WITH RECURSIVE."""
+    return rf"""
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM {src}),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -632,7 +637,7 @@ pairs AS (SELECT doc_a, doc_b
           FROM inter
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}),
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(id, comp) AS (
@@ -640,12 +645,19 @@ reach(id, comp) AS (
     UNION
     SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
 ),
-assign AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id)
+assign AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id)"""
+
+
+SQL_NEARDUP_CLUSTERS = (
+    "WITH RECURSIVE"
+    + _sql_cc_block("documents", 0.8)
+    + """
 SELECT a.doc_id, a.component, s.cluster_size
 FROM assign a
 JOIN (SELECT component, count(*) AS cluster_size FROM assign GROUP BY component) s
   ON a.component = s.component
 """
+)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,29 +1323,7 @@ q AS (SELECT doc_id,
       FROM parts),
 good AS (SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5),
 uniq AS (SELECT * FROM good
-         WHERE doc_id IN (SELECT min(doc_id) FROM good GROUP BY md5(text))),
-toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM uniq),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(range(1, len(t) - 1),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-       FROM toks WHERE len(t) >= 3),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b USING (s)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-pairs AS (SELECT doc_a, doc_b
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, comp) AS (
-    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-    UNION
-    SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
-),
-assign AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id),
+         WHERE doc_id IN (SELECT min(doc_id) FROM good GROUP BY md5(text))),{_sql_cc_block('uniq', 0.8).lstrip()},
 kept AS (SELECT u.doc_id, u.lang FROM uniq u LEFT JOIN assign a USING (doc_id)
          WHERE a.component IS NULL OR a.component = u.doc_id),
 sampled AS (SELECT doc_id, lang FROM kept

@@ -195,6 +195,7 @@ class PqIndex:
         import numpy as np
 
         from vettore_spark.operators import pq as PQ
+        from vettore_spark.plans.cache import cached_persist
 
         rows = (
             coll.select("id", "vector").orderBy("id").limit(self.sample_rows).collect()
@@ -203,9 +204,14 @@ class PqIndex:
         self._books = PQ.pq_train_kmeans(
             sample, m=self.m, n_codes=self.n_codes, iters=self.iters
         )
-        self._codes = PQ.pq_encode(
-            coll, self._books, id_col="id", vector_col="vector"
-        ).persist()
+        # registry-managed persist (LRU + explicit unpersist), keyed the same
+        # way as pq_search's code table so the two share one materialization
+        books = self._books
+        self._codes = cached_persist(
+            coll,
+            ("pq_codes", "id", "vector", "l2", hash(books.tobytes())),
+            lambda s: PQ.pq_encode(s, books, id_col="id", vector_col="vector"),
+        )
         return self
 
     def candidates(self, coll: DataFrame, query: list[float], n: int) -> DataFrame:

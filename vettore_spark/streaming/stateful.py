@@ -127,8 +127,13 @@ def streaming_exact_dedup(
     filter (dropDuplicatesWithinWatermark) when the duplicate horizon is
     known to bound state further.
     """
-    out_schema = f"{id_col} long, digest string"
-    state_schema = "keeper long"
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("digest", T.StringType())]
+    )
+    state_schema = T.StructType([T.StructField("keeper", id_type)])
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -140,7 +145,7 @@ def streaming_exact_dedup(
             ids = pdf[id_col]
             if len(ids) == 0:
                 continue
-            m = int(ids.min())
+            m = ids.min()  # native dtype: works for integral and string ids
             best = m if best is None else min(best, m)
         if best is not None:
             state.update((best,))
