@@ -64,3 +64,39 @@ def test_probe_read_topk_correct(spark, store):
     ).collect()
     full_top = flat_topk(st.read(spark), q, metric="l2", k=5).collect()
     assert [r["id"] for r in pruned_top] == [r["id"] for r in full_top]
+
+
+def test_range_sorted_write_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vettore_spark.sources.store import range_sorted_write
+
+    df = spark.createDataFrame(
+        [(i * 7919 % 10000, f"p{i}") for i in range(5000)], "k long, payload string"
+    )
+    path = str(tmp_path / "ranged")
+    range_sorted_write(df, path, sort_col="k", num_files=8)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner actually split the data
+    # every file covers a disjoint range -> min/max stats skip whole files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # read-back with a range predicate pushes the filter to the scan
+    back = spark.read.parquet(path).filter(F.col("k") < 100)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), LessThan(k,100)]" in plan
+    assert back.count() == df.filter(F.col("k") < 100).count()
