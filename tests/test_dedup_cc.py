@@ -113,3 +113,17 @@ def test_neardup_clusters_and_keep_canonical(spark):
     )
     # 2, 5, 8 dropped (non-canonical members); everything else kept
     assert kept == [0, 1, 3, 4, 6, 7, 9]
+
+
+def test_cc_idempotent_on_own_output(spark):
+    """Running connected_components on its own (id, component) assignment
+    pairs returns the same assignment — the fixed point of the clustering."""
+    edges = [(1, 2), (2, 3), (9, 8), (7, 8)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    first = D.connected_components(pairs, id_out="id")
+    again = D.connected_components(
+        first.select(F.col("id").alias("doc_a"), F.col("component").alias("doc_b"))
+    )
+    assert {
+        (r["id"], r["component"]) for r in again.collect()
+    } == {(r["id"], r["component"]) for r in first.collect()}

@@ -99,3 +99,21 @@ def test_write_shards_roundtrip(docs, tmp_path):
     one = spark.read.parquet(path).filter(F.col("shard") == 2)
     want = {i for i in range(3000) if int(_draw(i), 16) % 4 == 2}
     assert {r["doc_id"] for r in one.collect()} == want
+
+
+def test_sample_monotone_in_fraction(docs):
+    """p1 <= p2 => sample(p1) is a subset of sample(p2) — the property that
+    makes digest-threshold sampling safely tunable: raising the rate only
+    ADDS rows, so downstream incremental jobs never lose previously
+    sampled data."""
+    prev: set = set()
+    for frac in (0.1, 0.3, 0.6, 1.0):
+        cur = {
+            r["doc_id"]
+            for r in SMP.deterministic_sample(
+                docs, frac, key_col="doc_id", salt="mono"
+            ).collect()
+        }
+        assert prev <= cur
+        prev = cur
+    assert len(prev) == 3000  # fraction 1.0 keeps everything
