@@ -40,6 +40,29 @@ from pyspark.sql import types as T
 from vettore_spark.operators.ann import _matrix
 
 
+def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """All-pairs squared L2 between rows of x and rows of cent via the
+    expansion ||x||^2 - 2x·c + ||c||^2 (one GEMM, no materialized diffs)."""
+    return (
+        (x * x).sum(axis=1, keepdims=True)
+        - 2.0 * (x @ cent.T)
+        + (cent * cent).sum(axis=1)
+    )
+
+
+def _rank_merge(local: DataFrame, *, k: int, query_id_col: str, id_col: str,
+                round_digits: int | None) -> DataFrame:
+    """Global per-query top-k merge of per-partition candidates, ranked by
+    (rounded) distance with id tie-break."""
+    rank_key = (
+        F.round(F.col("distance"), round_digits)
+        if round_digits is not None
+        else F.col("distance")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def pq_train_kmeans(
     sample: np.ndarray,
     *,
@@ -70,11 +93,7 @@ def pq_train_kmeans(
         x = np.ascontiguousarray(sample[:, s * dsub : (s + 1) * dsub])
         cent = x[rng.choice(n, size=n_codes, replace=False)].copy()
         for _ in range(iters):
-            d2 = (
-                (x * x).sum(axis=1, keepdims=True)
-                - 2.0 * (x @ cent.T)
-                + (cent * cent).sum(axis=1)
-            )
+            d2 = _sq_dists(x, cent)
             assign = np.argmin(d2, axis=1)
             # deterministic empty-cluster re-seed: hand out DISTINCT points
             # in descending distance-to-their-centroid order (one per empty
@@ -100,11 +119,7 @@ def _encode_batch(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     for s in range(m):
         x = mat[:, s * dsub : (s + 1) * dsub]
         cent = books[s]
-        d2 = (
-            (x * x).sum(axis=1, keepdims=True)
-            - 2.0 * (x @ cent.T)
-            + (cent * cent).sum(axis=1)
-        )
+        d2 = _sq_dists(x, cent)
         out[:, s] = np.argmin(d2, axis=1)
     return out
 
@@ -202,15 +217,9 @@ def pq_adc_topk(
                 yield pd.concat(out, ignore_index=True)
 
     local = codes_df.select(id_col, codes_col).mapInPandas(compute, out_schema)
-    rank_key = (
-        F.round(F.col("distance"), round_digits)
-        if round_digits is not None
-        else F.col("distance")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(rank_key.asc(), F.col(id_col).asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _rank_merge(
+        local, k=k, query_id_col=query_id_col, id_col=id_col,
+        round_digits=round_digits,
     )
 
 
@@ -229,11 +238,7 @@ def ivfpq_train(
     coarse = pq_train_kmeans(
         sample, m=1, n_codes=n_cells, iters=iters, seed=seed
     )[0]
-    d2 = (
-        (sample * sample).sum(axis=1, keepdims=True)
-        - 2.0 * (sample @ coarse.T)
-        + (coarse * coarse).sum(axis=1)
-    )
+    d2 = _sq_dists(sample, coarse)
     residuals = sample - coarse[np.argmin(d2, axis=1)]
     books = pq_train_kmeans(
         residuals, m=m, n_codes=n_codes, iters=iters, seed=seed + 1
@@ -271,11 +276,7 @@ def ivfpq_encode(
             if len(pdf) == 0:
                 continue
             mat = _matrix(pdf[vector_col])
-            d2 = (
-                (mat * mat).sum(axis=1, keepdims=True)
-                - 2.0 * (mat @ coarse_l.T)
-                + (coarse_l * coarse_l).sum(axis=1)
-            )
+            d2 = _sq_dists(mat, coarse_l)
             cells = np.argmin(d2, axis=1)
             codes = _encode_batch(mat - coarse_l[cells], books_l)
             yield pd.DataFrame(
@@ -326,11 +327,7 @@ def ivfpq_topk(
         )
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
     # deterministic probe selection: (d2, cell) ascending
-    qd2 = (
-        (qmat * qmat).sum(axis=1, keepdims=True)
-        - 2.0 * (qmat @ coarse.T)
-        + (coarse * coarse).sum(axis=1)
-    )
+    qd2 = _sq_dists(qmat, coarse)
     probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
     bc = spark.sparkContext.broadcast((qids, qmat, probes, coarse, codebooks))
 
@@ -385,15 +382,9 @@ def ivfpq_topk(
     local = index_df.select(id_col, "cell", "codes").mapInPandas(
         compute, out_schema
     )
-    rank_key = (
-        F.round(F.col("distance"), round_digits)
-        if round_digits is not None
-        else F.col("distance")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(rank_key.asc(), F.col(id_col).asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _rank_merge(
+        local, k=k, query_id_col=query_id_col, id_col=id_col,
+        round_digits=round_digits,
     )
 
 

@@ -785,15 +785,13 @@ QUALIFY rank <= 5
 """
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vettore_spark.operators import ann as ANN
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # per-label centroids via posexplode + avg: the (label, pos) partial
-    # aggregate is map-side combined, so the shuffle carries n_labels x dims
-    # rows per partition — unlike collect_list, which shuffles every full
-    # vector into one group per label
-    centroids = (
+def _label_mean_vectors(emb: DataFrame) -> DataFrame:
+    """(label, mean array<double>) — per-label centroid via posexplode +
+    avg: the (label, pos) partial aggregate is map-side combined, so the
+    shuffle carries n_labels x dims rows per partition — unlike
+    collect_list, which shuffles every full vector into one group per
+    label. Shared by the IVF and PQ oracle queries."""
+    return (
         emb.select(
             "label",
             F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
@@ -802,10 +800,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("x").alias("m"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_ps"))
-        .select(
-            F.col("label").alias("centroid_id"),
-            F.transform("_ps", lambda p: p["m"]).alias("centroid"),
-        )
+        .select("label", F.transform("_ps", lambda p: p["m"]).alias("mean"))
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _label_mean_vectors(emb).select(
+        F.col("label").alias("centroid_id"), F.col("mean").alias("centroid")
     )
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
@@ -863,18 +867,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vettore_spark.operators import pq as PQ
 
     emb = _t(spark, sf_dir, "embeddings")
-    label_means = (
-        emb.select(
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-        )
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_ps"))
-        .select("label", F.transform("_ps", lambda p: p["m"]).alias("mean"))
-        .collect()
-    )
+    label_means = _label_mean_vectors(emb).collect()
     label_means.sort(key=lambda r: r["label"])
     flat = np.array([r["mean"] for r in label_means])  # n_labels x 64
     m_sub, dsub = 4, flat.shape[1] // 4
