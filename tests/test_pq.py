@@ -271,3 +271,27 @@ def test_empty_query_sets_return_empty(spark, emb, mat):
         ).count()
         == 0
     )
+
+
+def test_collection_pq_search_facade(spark):
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"id": f"v{i:02d}", "vector": rng.standard_normal(8).tolist()}
+        for i in range(64)
+    ]
+    c = Collection.create(spark, "pqfacade", 8, metric="l2")
+    c.put_many(rows)
+    q = rows[0]["vector"]
+    exact = [r["id"] for r in c.search(q, limit=5).collect()]
+    # full-coverage candidates -> must equal exact search
+    got = [
+        r["id"]
+        for r in c.pq_search(q, limit=5, candidates=64, m=2, n_codes=8).collect()
+    ]
+    assert got == exact
+    # second call reuses the resident index (same object)
+    assert len(c._pq_indexes) == 1
+    c.pq_search(q, limit=3, candidates=64, m=2, n_codes=8).collect()
+    assert len(c._pq_indexes) == 1

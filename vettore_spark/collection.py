@@ -323,6 +323,34 @@ class Collection:
             score_mode=self.config.score,
         )
 
+    def pq_search(self, query: list[float], *, limit: int = 10,
+                  candidates: int = 100, m: int = 8, n_codes: int = 16,
+                  iters: int = 5) -> DataFrame:
+        """Two-stage product-quantization search (extension beyond the
+        reference's binary quantization): deterministic codebooks trained
+        on an id-sorted sample, ADC candidate generation over the persisted
+        code table, exact rerank with the collection metric. Supported for
+        l2/cosine collections (the ADC stage is an L2 quantizer)."""
+        from vettore_spark.sources.store import PqIndex
+
+        q = self._prepare_query(query)
+        # index residency: train/encode once per (params) and reuse across
+        # queries, like the reference's insert-time index maintenance
+        key = (m, n_codes, iters)
+        cache = self.__dict__.setdefault("_pq_indexes", {})
+        idx = cache.get(key)
+        if idx is None:
+            idx = PqIndex(m=m, n_codes=n_codes, iters=iters).build(self.df)
+            cache[key] = idx
+        idx.factor = max(1, candidates // max(limit, 1))
+        pruned = idx.candidates(self.df, q, limit)
+        from vettore_spark.operators import search as S
+
+        return S.flat_topk(
+            pruned, q, metric=self.config.metric, k=limit,
+            score_mode=self.config.score,
+        )
+
     def hybrid_search(self, query: list[float], *, generators: list[str] | None = None,
                       limit: int = 10, candidates: int | None = None,
                       rerank: str = "exact",
