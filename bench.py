@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 HEADLINE = [
     "flat_topk_l2",
     "flat_topk_cosine",
+    "filtered_topk",
     "multi_query_topk",
     "quantized_topk",
     "funnel_topk",

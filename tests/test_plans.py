@@ -220,3 +220,22 @@ def test_pq_search_broadcasts_candidates(spark, coll):
     # candidate list and query table are broadcast against the collection
     assert PC.broadcast_join_count(out) >= 2
     assert "WindowGroupLimit" in plan or "TakeOrdered" in plan
+
+
+def test_filtered_topk_prunes_before_scoring(spark):
+    """The label predicate must sit below the distance projection (scoring
+    runs only on surviving rows), and the top-k must stay a bounded
+    TakeOrderedAndProject."""
+    from vettore_spark import queries as Q
+    from vettore_spark.plans import checks as PC
+
+    df = Q.q_filtered_topk(spark, "/root/testdata/sf0.001")
+    plan = PC.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    opt = PC.optimized_plan(df)
+    # filter applies directly to the relation output, not to the scored
+    # projection: in the optimized plan the Filter's child is the relation
+    import re
+
+    m = re.search(r"Filter .*label.*< 3", opt)
+    assert m, opt

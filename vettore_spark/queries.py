@@ -104,6 +104,29 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + search composition (SURVEY §2.2: the reference stores
+    metadata but cannot filter on it — declarative pre-filtering is the
+    Spark superset surface). The label predicate prunes BEFORE scoring:
+    Catalyst pushes it into the parquet scan, so the distance expression
+    runs only on surviving rows — at 100 TB a selective filter turns a
+    full-corpus scan into a fraction of it for free."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") < 3)
+    out = S.flat_topk(
+        emb, _qvec(spark, sf_dir), metric="l2", k=10,
+        id_col="vec_id", vector_col="embedding", extra_cols=["label"],
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FILTERED_TOPK = f"""
+SELECT vec_id, label, round(-d, 5) AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, label, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE label < 3)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
 def q_flat_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = S.flat_topk(
@@ -2042,6 +2065,7 @@ def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "flat_topk_l2": (q_flat_topk_l2, SQL_FLAT_TOPK_L2),
     "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
+    "filtered_topk": (q_filtered_topk, SQL_FILTERED_TOPK),
     "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
     "flat_topk_manhattan": (q_flat_topk_manhattan, SQL_FLAT_TOPK_MANHATTAN),
     "flat_topk_chebyshev": (q_flat_topk_chebyshev, SQL_FLAT_TOPK_CHEBYSHEV),
