@@ -59,6 +59,7 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "events_time_rollup",
+    "events_anomaly",
     "user_sessions",
     "hashed_embedding",
     "multi_query_quantized",

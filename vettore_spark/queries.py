@@ -1389,6 +1389,50 @@ GROUP BY 1, 2
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: per user, each event's value is
+    z-scored against the 20 PRECEDING events (sample stddev, current row
+    excluded — no leakage); |z| > 2.5 flags the anomaly. One shuffle on
+    user_id; the running window is a single pass per partition. Ties in
+    event time are ordered by event_id so the frame is deterministic."""
+    ev = _events_ts(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    mean, std = F.avg("value").over(w), F.stddev_samp("value").over(w)
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        mean.alias("_m"),
+        std.alias("_s"),
+    )
+    return (
+        scored.filter(F.col("_s") > 1e-12)
+        .withColumn("z", F.round((F.col("value") - F.col("_m")) / F.col("_s"), 4))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "user_id", F.round("value", 4).alias("value"), "z")
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, round(value, 4) AS value,
+       round((value - m) / s, 4) AS z
+FROM scored
+WHERE s > 1e-12 AND abs((value - m) / s) > 2.5
+"""
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1h window, 30m slide) via the streaming
     module's plan run in batch mode — the same windowed_event_counts used by
@@ -2111,6 +2155,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "media_image_resize": (q_media_image_resize, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
+    "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_time_rollup": (q_events_time_rollup, SQL_EVENTS_TIME_ROLLUP),
