@@ -75,3 +75,33 @@ def test_distance_is_exact_within_candidates(coll, queries):
     for r in got:
         want = float(np.linalg.norm(vecs[r["vec_id"]] - qvs[r["query_id"]]))
         assert r["distance"] == pytest.approx(want, rel=1e-9)
+
+
+def test_kmeans_centroids_ivf_recall(spark):
+    """MLlib-trained IVF centroids: cells must cover the data (every vector
+    assigned) and IVF search over them must reach high overlap@10 vs exact
+    at generous n_probe."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark.operators import ann as ANN
+    from vettore_spark.operators.mllib_lsh import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8, vector_col="embedding")
+    assert cents.count() == 8
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    exact = ANN.brute_force_topk(
+        emb, queries, k=10, metric="cosine", id_col="vec_id", vector_col="embedding"
+    ).collect()
+    approx = ANN.ivf_topk(
+        emb, queries, centroids=cents, n_probe=6, k=10,
+        id_col="vec_id", vector_col="embedding",
+    ).collect()
+    overlaps = []
+    for qid in range(6):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+        overlaps.append(len(e & a) / 10)
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps

@@ -98,3 +98,37 @@ def brp_lsh_topk(
             F.col("_rn").cast("long").alias("rank"),
         )
     )
+
+
+def kmeans_centroids(
+    coll: DataFrame,
+    *,
+    k: int,
+    max_iter: int = 20,
+    seed: int = 20260813,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """Cluster-scale IVF centroid training with MLlib KMeans (the BASELINE
+    "bulk index build via Spark + MLlib" posture): unlike the driver-side
+    codebook trainers in operators/pq.py (which collect a sample), this
+    trains distributed — the right path when even a training sample is too
+    large for one machine. Fixed seed for reproducibility (kmeans|| init +
+    float reduction order make it deterministic per Spark version/layout,
+    not bit-portable across clusters — recall is validated by overlap@k,
+    not value equality, like every approximate mode).
+
+    Returns (centroid_id, centroid array<double>) ready for
+    operators/ann.ivf_topk or sources/store.CellPartitionedStore."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    assembled = coll.select(
+        array_to_vector(F.col(vector_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(assembled)
+    spark = coll.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id long, centroid array<double>",
+    )
+    return cents
