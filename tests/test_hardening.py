@@ -180,3 +180,41 @@ def test_empty_collection_search(spark):
     c = Collection.create(spark, "empty", 2)
     assert c.search([1.0, 0.0]).count() == 0
     assert c.count() == 0
+
+
+# -- new-operator error paths (reference posture: malformed input errors
+# cleanly, never crashes mid-job — vector_hardening_test.exs:475-516) ------
+
+
+def test_pq_train_rejects_bad_shapes():
+    import numpy as np
+    import pytest
+
+    from vettore_spark.operators import pq as PQ
+
+    mat = np.zeros((32, 10))
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_train_kmeans(mat, m=3, n_codes=4)
+    with pytest.raises(ValueError, match="< n_codes"):
+        PQ.pq_train_kmeans(np.zeros((3, 8)), m=2, n_codes=8)
+
+
+def test_cc_nonconvergence_raises(spark):
+    import pytest
+
+    from vettore_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=0)
+
+
+def test_collection_pq_search_rejects_unsupported_metric(spark):
+    import pytest
+
+    from vettore_spark.collection import Collection
+
+    c = Collection.create(spark, "pqbad", 4, metric="manhattan")
+    c.put_many([{"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]}])
+    with pytest.raises(ValueError, match="l2/cosine"):
+        c.pq_search([1.0, 0.0, 0.0, 0.0])

@@ -333,6 +333,11 @@ class Collection:
         l2/cosine collections (the ADC stage is an L2 quantizer)."""
         from vettore_spark.sources.store import PqIndex
 
+        if self.config.metric not in ("l2", "euclidean", "cosine"):
+            raise ValueError(
+                f"pq_search supports l2/cosine collections, not "
+                f"{self.config.metric!r} (the ADC stage is an L2 quantizer)"
+            )
         q = self._prepare_query(query)
         # index residency: train/encode once per (params) and reuse across
         # queries, like the reference's insert-time index maintenance
