@@ -30,6 +30,7 @@ HEADLINE = [
     "flat_topk_cosine",
     "filtered_topk",
     "multi_query_topk",
+    "knn_graph",
     "quantized_topk",
     "funnel_topk",
     "hybrid_topk",

@@ -237,6 +237,42 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self k-NN graph: every vector's 3 nearest neighbors (+ itself at
+    rank 1) — the graph-construction primitive under graph dedup and
+    HNSW-style indexes. Here the whole collection doubles as the query set
+    through the broadcast-GEMM path (valid while the collection fits a
+    broadcast); at 100 TB the same shape runs blocked — IVF cells or LSH
+    buckets as the block key (embedding_neardup_pairs block_col) so the
+    quadratic term is bounded per block."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = ANN.brute_force_topk(
+        emb, queries_df, k=4, metric="cosine",
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_KNN_GRAPH = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS c
+  FROM embeddings a CROSS JOIN embeddings b),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(c, 5) AS score, round(1 - c, 5) AS distance, rn AS rank
+FROM ranked WHERE rn <= 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # prefix / quantized / funnel / hybrid pipelines (Q2-Q5, Q9)
 # ---------------------------------------------------------------------------
@@ -2118,6 +2154,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
     "similarity_score_mode": (q_similarity_score_mode, SQL_SIMILARITY_SCORE_MODE),
     "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
+    "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "funnel_topk": (q_funnel_topk, SQL_FUNNEL_TOPK),
