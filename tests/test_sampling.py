@@ -117,3 +117,27 @@ def test_sample_monotone_in_fraction(docs):
         assert prev <= cur
         prev = cur
     assert len(prev) == 3000  # fraction 1.0 keeps everything
+
+
+def test_write_shards_order_deterministic(docs, tmp_path):
+    """Within-shard row order is the digest permutation — identical across
+    writes (retry/rerun idempotence), not dependent on input partitioning."""
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    SMP.write_shards(docs, p1, 4, key_col="doc_id")
+    SMP.write_shards(docs.repartition(13), p2, 4, key_col="doc_id")
+    spark = docs.sparkSession
+    import glob
+
+    def shard_orders(path):
+        out = {}
+        for d in sorted(glob.glob(path + "/shard=*")):
+            rows = spark.read.parquet(d).select("doc_id").collect()
+            out[d.rsplit("=", 1)[1]] = [r["doc_id"] for r in rows]
+        return out
+
+    o1, o2 = shard_orders(p1), shard_orders(p2)
+    assert o1.keys() == o2.keys()
+    for s in o1:
+        assert o1[s] == o2[s], f"shard {s} order differs"
+        # order is the digest permutation, not id order
+        assert o1[s] != sorted(o1[s])

@@ -118,3 +118,58 @@ def test_streaming_exact_dedup_first_wins_across_batches(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.sql("select * from dedup").collect()}
     # 1 beats 3 (intra-batch min), 9 suppressed by state from batch 1
     assert kept == {1, 2, 4}
+
+
+def test_windowed_counts_drop_late_events_past_watermark(spark, tmp_path):
+    """Append-mode watermark semantics: an event arriving AFTER the
+    watermark has advanced past its window must be dropped, and a window is
+    only emitted once finalized. Batch 1 advances the watermark to
+    12:00 - 1h = 11:00, closing the 09:00 hour; batch 2's 09:30 straggler
+    is behind the watermark and must NOT reopen it."""
+    from vettore_spark.streaming.ingest import windowed_event_counts
+
+    src = tmp_path / "late"
+    schema = "event_id: long, ts_s: string, event_type: string, value: double"
+    b1 = [
+        (1, "2024-01-01 09:10:00", "click", 1.0),
+        (2, "2024-01-01 09:20:00", "click", 2.0),
+        (3, "2024-01-01 12:00:00", "click", 4.0),
+    ]
+    b2 = [
+        (4, "2024-01-01 09:30:00", "click", 100.0),  # late: watermark 11:00
+        (5, "2024-01-01 13:00:00", "click", 8.0),
+    ]
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_batch(name, rows):
+        # one writeStream RUN per batch, shared checkpoint + file sink
+        # (recoverable, unlike the memory sink): guarantees the watermark
+        # from the previous run is applied to this run's data
+        # (same-directory files can coalesce into one trigger otherwise)
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "to_timestamp(ts_s) AS ts", "event_type", "value"
+        ).coalesce(1).write.parquet(str(src / name))
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(str(src) + "/*")
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch("b1", b1)
+    run_batch("b2", b2)
+    rows = {
+        r["window_start"]: (r["n"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the 09:00 window was finalized from batch 1 only — the late event 4
+    # (value 100.0) must not appear in it
+    assert rows.get("2024-01-01 09:00:00") == (2, 3.0)
