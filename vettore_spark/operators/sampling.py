@@ -123,9 +123,14 @@ def write_shards(
     keyed = df.withColumn(
         "shard", shard_column(key_col, num_shards, salt=salt)
     ).withColumn("_ord", _bucket_hex(F.col(key_col), salt + "#ord"))
+    # sort key is (shard, _ord), not _ord alone: the partitioned file writer
+    # requires ordering by the partition column and would insert its own
+    # Sort[shard] — letting EliminateSorts drop a bare Sort[_ord] entirely.
+    # The composite sort satisfies the writer's requirement as a prefix, so
+    # the digest permutation survives into the files.
     (
         keyed.repartition(num_shards, "shard")
-        .sortWithinPartitions("_ord")
+        .sortWithinPartitions("shard", "_ord")
         .drop("_ord")
         .write.format(format)
         .partitionBy("shard")
