@@ -135,6 +135,35 @@ def main() -> None:
         for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk"):
             got = {r["vec_id"] for r in qs[mode](spark, sf_dir).collect()}
             overlap[mode] = round(len(exact & got) / max(len(exact), 1), 3)
+        # compressed/partitioned ANN modes answer multiple queries; their
+        # query 0 is the same vector as the flat baselines' (embedding of
+        # vec 0), so overlap@5 against the matching-metric exact top-5
+        ex5_l2 = sorted(
+            qs["flat_topk_l2"](spark, sf_dir).collect(), key=lambda r: r["distance"]
+        )[:5]
+        pq0 = {
+            r["vec_id"]
+            for r in qs["pq_adc_topk"](spark, sf_dir).collect()
+            if r["query_id"] == 0
+        }
+        # pure compressed-domain ranking (m=4, 10 label-mean codes — no
+        # rerank stage): low overlap is the PQ distortion the two-stage
+        # pq_search exists to absorb (rerank-recall 0.85+ in tests)
+        overlap["pq_adc_topk@5_norerank"] = round(
+            len({r["vec_id"] for r in ex5_l2} & pq0) / 5, 3
+        )
+        ex5_cos = sorted(
+            qs["flat_topk_cosine"](spark, sf_dir).collect(),
+            key=lambda r: r["distance"],
+        )[:5]
+        ivf0 = {
+            r["vec_id"]
+            for r in qs["ann_ivf_topk"](spark, sf_dir).collect()
+            if r["query_id"] == 0
+        }
+        overlap["ann_ivf_topk@5"] = round(
+            len({r["vec_id"] for r in ex5_cos} & ivf0) / 5, 3
+        )
     except Exception:  # noqa: BLE001
         pass
 
