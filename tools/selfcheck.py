@@ -38,13 +38,17 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def _norm(v):
+    """Strict driver-mimicking normalization: floats stay floats (repr
+    distinguishes -0.0 from 0.0 — the round-1 hash_match trap) and ints stay
+    ints (DuckDB HUGEINT surfacing as float64 through pandas must NOT be
+    silently unified with Spark's int64)."""
     if v is None:
         return None
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return int(v)
-        return round(v, 9)
-    if isinstance(v, (int, str, bool)):
+    if hasattr(v, "item"):  # numpy scalar from fetchdf
+        v = v.item()
+    if isinstance(v, float) and v != v:  # pandas NULL -> NaN
+        return None
+    if isinstance(v, (bool, int, float, str)):
         return v
     return str(v)
 
@@ -92,7 +96,10 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
-            orows = [tuple(r) for r in rel.fetchall()]
+            # pandas fetch on purpose: reproduces the driver's dtype
+            # conversions (HUGEINT -> float64) that fetchall() would hide
+            odf = rel.fetchdf()
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

@@ -98,7 +98,7 @@ def q_flat_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FLAT_TOPK_L2 = f"""
-SELECT vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
 ORDER BY d, vec_id LIMIT 10
 """
@@ -120,7 +120,7 @@ def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FILTERED_TOPK = f"""
-SELECT vec_id, label, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT vec_id, label, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, label, list_distance(embedding::DOUBLE[], {_QV}) AS d
       FROM embeddings WHERE label < 3)
 ORDER BY d, vec_id LIMIT 10
@@ -153,7 +153,7 @@ def q_flat_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FLAT_TOPK_DOT = f"""
-SELECT vec_id, round(p, 5) AS score, round(-p, 5) AS distance
+SELECT vec_id, round(p, 5) AS score, round(-p, 5) + 0.0 AS distance
 FROM (SELECT vec_id, list_dot_product(embedding::DOUBLE[], {_QV}) AS p FROM embeddings)
 ORDER BY -p, vec_id LIMIT 10
 """
@@ -169,7 +169,7 @@ def q_flat_topk_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FLAT_TOPK_MANHATTAN = f"""
-SELECT vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id,
         list_sum(list_transform(list_zip(embedding::DOUBLE[], {_QV}),
                  z -> abs(z[1] - z[2]))) AS d
@@ -188,7 +188,7 @@ def q_flat_topk_chebyshev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FLAT_TOPK_CHEBYSHEV = f"""
-SELECT vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id,
         list_reduce(list_transform(list_zip(embedding::DOUBLE[], {_QV}),
                     z -> abs(z[1] - z[2])), (a, b) -> greatest(a, b)) AS d
@@ -317,7 +317,7 @@ WITH cand AS (
                z -> (z[1] >= 0) != (z[2] >= 0))) AS ham
     FROM embeddings)
   ORDER BY ham, vec_id LIMIT 200)
-SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT e.vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
 ORDER BY d, vec_id LIMIT 10
@@ -340,7 +340,7 @@ WITH cand AS (
            list_distance((embedding::DOUBLE[])[1:16], ({_QV})[1:16]) AS pd
     FROM embeddings)
   ORDER BY pd, vec_id LIMIT 200)
-SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT e.vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
 ORDER BY d, vec_id LIMIT 10
@@ -372,7 +372,7 @@ quant_cand AS (
     FROM embeddings)
   ORDER BY ham, vec_id LIMIT 200),
 cand AS (SELECT vec_id FROM funnel_cand UNION SELECT vec_id FROM quant_cand)
-SELECT e.vec_id, round(-d, 5) AS score, round(d, 5) AS distance
+SELECT e.vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)) e
 ORDER BY d, vec_id LIMIT 10
@@ -410,7 +410,7 @@ d AS (SELECT vec_id,
                       / len(list_filter(list_zip(v, {_SPARSE_Q}), z -> z[1] != 0 OR z[2] != 0))
         END AS jd
       FROM s)
-SELECT vec_id, round(-jd, 5) AS score, round(jd, 5) AS distance
+SELECT vec_id, round(-jd, 5) + 0.0 AS score, round(jd, 5) AS distance
 FROM d ORDER BY jd, vec_id LIMIT 10
 """
 
@@ -429,7 +429,7 @@ WITH s AS (SELECT vec_id, {_SPARSE} AS v FROM embeddings),
 d AS (SELECT vec_id,
         len(list_filter(list_zip(v, {_SPARSE_Q}), z -> (z[1] != 0) != (z[2] != 0)))::DOUBLE AS hd
       FROM s)
-SELECT vec_id, round(-hd, 5) AS score, round(hd, 5) AS distance
+SELECT vec_id, round(-hd, 5) + 0.0 AS score, round(hd, 5) AS distance
 FROM d ORDER BY hd, vec_id LIMIT 10
 """
 
@@ -797,7 +797,7 @@ ranked AS (
   SELECT query_id, vec_id, d,
          row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
   FROM scored)
-SELECT query_id, vec_id, round(-d, 5) AS score, round(d, 5) AS distance,
+SELECT query_id, vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance,
        rn AS rank
 FROM ranked WHERE rn <= 5
 """
@@ -837,7 +837,7 @@ scored AS (
   SELECT c.query_id, c.vec_id,
          list_distance(e.embedding::DOUBLE[], q.qv) AS d
   FROM cand c JOIN embeddings e USING (vec_id) JOIN q ON q.query_id = c.query_id)
-SELECT query_id, vec_id, round(-d, 5) AS score, round(d, 5) AS distance,
+SELECT query_id, vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance,
        row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
 FROM scored
 QUALIFY rank <= 5
@@ -1106,7 +1106,7 @@ WITH s AS (
               i -> (strpos('0123456789abcdef', h[i]) - 1) * power(16, 8 - i))) AS BIGINT) AS x
   FROM s
 )
-SELECT CAST(x % 8 AS INT) AS shard, count(*) AS n_docs, sum(doc_id) AS sum_doc_id
+SELECT CAST(x % 8 AS INT) AS shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM v GROUP BY 1
 """
 
@@ -1142,7 +1142,7 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HNSW_TOPK = f"""
-SELECT 'q0' AS query_id, vec_id, round(-d, 5) AS score, round(d, 5) AS distance,
+SELECT 'q0' AS query_id, vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance,
        row_number() OVER (ORDER BY d, vec_id) AS rank
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
 ORDER BY d, vec_id LIMIT 10
@@ -1388,7 +1388,7 @@ v AS (SELECT doc_id, lang,
              CAST(list_sum(list_transform(range(1, 9),
                   i -> (strpos('0123456789abcdef', h[i]) - 1) * power(16, 8 - i))) AS BIGINT) AS x
       FROM hashed)
-SELECT CAST(x % 4 AS INT) AS shard, lang, count(*) AS n_docs, sum(doc_id) AS sum_doc_id
+SELECT CAST(x % 4 AS INT) AS shard, lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM v GROUP BY 1, 2
 """
 
@@ -1688,8 +1688,8 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SHIPMODE_PRIORITY = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
 GROUP BY 1
@@ -1881,7 +1881,7 @@ s AS (
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
   FROM e)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6) AS duration_s,
        round(sum(value), 4) AS sum_value
 FROM s GROUP BY 1, 2
