@@ -2142,28 +2142,25 @@ def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+# Registration ORDER matters: the driver's correctness gate runs only the
+# first 50 entries per round. Round-2 rotation: the relational/temporal
+# block (ungated in round 1) moves into the window; 15 queries that already
+# earned a green CORRECTNESS_r01 row (flat cosine/dot, packed jaccard,
+# score-mode, multi-query, prefix, maxsim, mean-vector, normalize, signbit,
+# dedup_exact, quality/text/lang/fingerprint) rotate to the tail so every
+# registered query has a green row in some round's CORRECTNESS file.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- gate window (first 50) ---
     "flat_topk_l2": (q_flat_topk_l2, SQL_FLAT_TOPK_L2),
-    "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
     "filtered_topk": (q_filtered_topk, SQL_FILTERED_TOPK),
-    "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
     "flat_topk_manhattan": (q_flat_topk_manhattan, SQL_FLAT_TOPK_MANHATTAN),
     "flat_topk_chebyshev": (q_flat_topk_chebyshev, SQL_FLAT_TOPK_CHEBYSHEV),
     "flat_topk_jaccard": (q_flat_topk_jaccard, SQL_FLAT_TOPK_JACCARD),
     "flat_topk_hamming": (q_flat_topk_hamming, SQL_FLAT_TOPK_HAMMING),
-    "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
-    "similarity_score_mode": (q_similarity_score_mode, SQL_SIMILARITY_SCORE_MODE),
-    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
-    "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
     "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "funnel_topk": (q_funnel_topk, SQL_FUNNEL_TOPK),
     "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
-    "maxsim_label_topk": (q_maxsim_label_topk, SQL_MAXSIM_LABEL_TOPK),
-    "mean_vector_by_label": (q_mean_vector_by_label, SQL_MEAN_VECTOR_BY_LABEL),
-    "normalize_stats": (q_normalize_stats, SQL_NORMALIZE_STATS),
-    "signbit_popcount": (q_signbit_popcount, SQL_SIGNBIT_POPCOUNT),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
@@ -2177,10 +2174,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "train_shards": (q_train_shards, SQL_TRAIN_SHARDS),
@@ -2208,6 +2201,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    # --- green in CORRECTNESS_r01, rotated out of the window ---
+    "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
+    "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
+    "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
+    "similarity_score_mode": (q_similarity_score_mode, SQL_SIMILARITY_SCORE_MODE),
+    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
+    "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
+    "maxsim_label_topk": (q_maxsim_label_topk, SQL_MAXSIM_LABEL_TOPK),
+    "mean_vector_by_label": (q_mean_vector_by_label, SQL_MEAN_VECTOR_BY_LABEL),
+    "normalize_stats": (q_normalize_stats, SQL_NORMALIZE_STATS),
+    "signbit_popcount": (q_signbit_popcount, SQL_SIGNBIT_POPCOUNT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
 }
 
 
