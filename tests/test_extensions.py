@@ -296,3 +296,52 @@ def test_pq_index_backend(spark):
     # the query's own row reconstructs with zero residual in its own cells
     # and must rank in the ADC top candidates
     assert cand.filter(F.col("id") == "v00").count() == 1
+
+
+def test_pq_search_sees_mutations(spark):
+    """put/delete invalidate the cached PQ index: a vector inserted after
+    the first pq_search must be findable, and a deleted id must vanish
+    (reference semantics: indexes maintained in the insert/delete path,
+    hnsw.rs:263-289)."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(7)
+    rows = [
+        {"id": f"v{i:02d}", "vector": rng.standard_normal(8).tolist()}
+        for i in range(40)
+    ]
+    c = Collection.create(spark, "pqmut", 8, metric="l2")
+    c.put_many(rows)
+    q = [3.0] * 8  # far corner: no stored vector is close
+    c.pq_search(q, limit=3, m=2, n_codes=8).collect()  # warm the index cache
+    c.put({"id": "vnew", "vector": [2.9] * 8})
+    hits = [r["id"] for r in c.pq_search(q, limit=3, m=2, n_codes=8).collect()]
+    assert "vnew" in hits
+    c.delete("vnew")
+    hits = [r["id"] for r in c.pq_search(q, limit=3, m=2, n_codes=8).collect()]
+    assert "vnew" not in hits
+
+
+def test_pq_index_tiny_collection(spark):
+    """Fewer rows than n_codes: codebook clamps instead of raising; an
+    empty collection degrades to the exact scan."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+    from vettore_spark.sources.store import PqIndex
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {"id": f"t{i}", "vector": rng.standard_normal(8).tolist()}
+        for i in range(3)
+    ]
+    c = Collection.create(spark, "pqtiny", 8, metric="l2")
+    c.put_many(rows)
+    idx = PqIndex(m=2, n_codes=16, iters=2, candidates_factor=4).build(c.df)
+    assert idx.candidates(c.df, rows[0]["vector"], 2).count() > 0
+
+    empty = Collection.create(spark, "pqempty", 8, metric="l2")
+    idx2 = PqIndex(m=2, n_codes=16, iters=2).build(empty.df)
+    assert idx2.candidates(empty.df, [0.0] * 8, 2).count() == 0

@@ -225,6 +225,7 @@ class Collection:
             F.col("metadata"),
         )
         self._df = self._df.unionByName(out)
+        self._invalidate_derived()
         return self
 
     def put(self, row: dict) -> "Collection":
@@ -242,7 +243,17 @@ class Collection:
     def delete(self, id_: str) -> "Collection":
         self._check_open()
         self._df = self._df.filter(F.col("id") != id_)
+        self._invalidate_derived()
         return self
+
+    def _invalidate_derived(self) -> None:
+        """Drop derived-index caches when self._df is rebound (put/delete):
+        a stale PQ code table would make newly inserted vectors unreachable
+        (the candidate semi-join only yields ids present in the old codes)
+        and deleted ids resurrectable. The reference maintains its indexes
+        in the insert/delete path (hnsw.rs:263-289); the Spark analog is
+        rebuild-on-next-search from the canonical rows."""
+        self.__dict__.pop("_pq_indexes", None)
 
     def all(self) -> DataFrame:
         return self.df

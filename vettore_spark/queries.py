@@ -625,13 +625,27 @@ FROM documents
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df: the web-scale posting-list cap (a shingle appearing in
+    # >20% of the corpus is boilerplate; uncapped, a hot shingle emits
+    # O(df^2) pairs). The oracle models the cap bit-for-bit.
     out = D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=100
     )
     return _round(out, {"jac": 5})
 
 
-SQL_NGRAM_JACCARD_PAIRS = r"""
+def _sql_ngram_pairs(threshold: float, max_df: int | None = None) -> str:
+    """Exact n-gram Jaccard pair oracle; with `max_df`, shingles whose
+    document frequency exceeds it are excluded from the INTERSECTION count
+    (sizes stay full) — exactly ngram_jaccard_pairs' capped-posting
+    semantics."""
+    cap = (
+        f"JOIN (SELECT s, count(*) AS df FROM sh GROUP BY s) fd USING (s)\n"
+        f"          WHERE fd.df <= {max_df} AND a.doc_id < b.doc_id"
+        if max_df is not None
+        else "WHERE a.doc_id < b.doc_id"
+    )
+    return rf"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(t) - 1),
@@ -640,13 +654,16 @@ sh AS (SELECT DISTINCT doc_id,
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM sh a JOIN sh b USING (s)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          {cap} GROUP BY 1, 2)
 SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 5) AS jac
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
 """
+
+
+SQL_NGRAM_JACCARD_PAIRS = _sql_ngram_pairs(0.5, max_df=100)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,7 +677,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"jac": 5})
 
 
-SQL_MINHASH_LSH_PAIRS = SQL_NGRAM_JACCARD_PAIRS.replace(">= 0.5", ">= 0.8")
+SQL_MINHASH_LSH_PAIRS = _sql_ngram_pairs(0.8)  # uncapped: LSH has no df cap
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,11 +1462,18 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("_m"),
         std.alias("_s"),
     )
+    # filter on the UNROUNDED z (the oracle does the same) — rounding before
+    # the threshold would drop rows with z in (2.5, 2.50005)
     return (
         scored.filter(F.col("_s") > 1e-12)
-        .withColumn("z", F.round((F.col("value") - F.col("_m")) / F.col("_s"), 4))
-        .filter(F.abs(F.col("z")) > 2.5)
-        .select("event_id", "user_id", F.round("value", 4).alias("value"), "z")
+        .withColumn("_z", (F.col("value") - F.col("_m")) / F.col("_s"))
+        .filter(F.abs(F.col("_z")) > 2.5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round("_z", 4).alias("z"),
+        )
     )
 
 

@@ -197,12 +197,25 @@ class PqIndex:
         from vettore_spark.operators import pq as PQ
         from vettore_spark.plans.cache import cached_persist
 
+        from vettore_spark.operators.sampling import _bucket_hex
+
+        # deterministic UNIFORM training sample: rank by the md5 draw of the
+        # id (not an id-prefix, which biases codebooks whenever ids correlate
+        # with content), tie-broken by id for full reproducibility
         rows = (
-            coll.select("id", "vector").orderBy("id").limit(self.sample_rows).collect()
+            coll.select("id", "vector")
+            .orderBy(_bucket_hex(F.col("id"), "pq_train"), F.col("id"))
+            .limit(self.sample_rows)
+            .collect()
         )
         sample = np.array([r["vector"] for r in rows], dtype=np.float64)
+        if len(sample) == 0:
+            return self  # empty collection: candidates() falls back to exact
+        # tiny collections: fewer rows than requested centroids — clamp so
+        # k-means trains instead of raising
+        n_codes = min(self.n_codes, len(sample))
         self._books = PQ.pq_train_kmeans(
-            sample, m=self.m, n_codes=self.n_codes, iters=self.iters
+            sample, m=self.m, n_codes=n_codes, iters=self.iters
         )
         # registry-managed persist (LRU + explicit unpersist), keyed the same
         # way as pq_search's code table so the two share one materialization
@@ -217,6 +230,8 @@ class PqIndex:
     def candidates(self, coll: DataFrame, query: list[float], n: int) -> DataFrame:
         if self._books is None:
             self.build(coll)
+        if self._books is None:  # empty collection at build time: exact scan
+            return coll
         from vettore_spark.operators import pq as PQ
 
         spark = coll.sparkSession
