@@ -91,3 +91,48 @@ def test_ivf_recall_and_determinism(spark, emb):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     overlaps = [len(ex[q] & got[q]) / 5 for q in ex]
     assert sum(overlaps) / len(overlaps) >= 0.9
+
+
+def test_self_knn_matches_broadcast_path(spark, emb):
+    """Block-grid self-kNN (no collect) must equal brute_force_topk with
+    queries == collection, bit for bit."""
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    for metric in ("cosine", "l2"):
+        want = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 6))
+            for r in ANN.brute_force_topk(
+                emb, queries, k=3, metric=metric
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 6))
+            for r in ANN.self_knn_topk(
+                emb, k=3, metric=metric, query_blocks=3, data_blocks=4
+            ).collect()
+        }
+        assert got == want
+
+
+def test_cosine_neardup_blocked_matches_gemm(spark, emb):
+    want = {
+        (r["id_a"], r["id_b"]): round(r["sim"], 6)
+        for r in ANN.cosine_neardup_gemm(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["sim"], 6)
+        for r in ANN.cosine_neardup_blocked(
+            emb, threshold=0.9, query_blocks=3, data_blocks=5
+        ).collect()
+    }
+    assert want  # non-degenerate: the clustered fixture has near-dups
+    assert got == want
+
+
+def test_brute_force_query_cap_guards_driver(spark, emb):
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        ANN.brute_force_topk(emb, queries, k=2, max_broadcast_queries=10)

@@ -239,3 +239,24 @@ def test_filtered_topk_prunes_before_scoring(spark):
 
     m = re.search(r"Filter .*label.*< 3", opt)
     assert m, opt
+
+
+def test_knn_graph_and_neardup_build_without_driver_collect(spark, monkeypatch):
+    """The self-kNN graph and all-pairs near-dup gate queries must stay
+    fully distributed: constructing their plans may not collect the
+    collection (or anything else) to the driver — the round-1 scale-killer
+    this pins against regressions."""
+    from pyspark.sql import DataFrame
+
+    from vettore_spark import queries as Q
+
+    def boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "head", boom)
+    sf = "/root/testdata/sf0.001"
+    assert Q.q_knn_graph(spark, sf) is not None
+    assert Q.q_embedding_neardup(spark, sf) is not None

@@ -42,6 +42,28 @@ def _l2norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _score_block(
+    m: np.ndarray, qmat: np.ndarray, metric: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(score, distance, rank) matrices of shape rows x n_queries for one
+    GEMM block — shared by the broadcast and block-grid paths so the two
+    are bit-identical."""
+    if metric == "cosine":
+        sims = _l2norm_rows(m) @ _l2norm_rows(qmat).T
+        np.clip(sims, -1.0, 1.0, out=sims)
+        return sims, 1.0 - sims, 1.0 - sims
+    if metric == "inner_product":
+        sims = m @ qmat.T
+        return sims, -sims, -sims
+    d2 = (
+        (m * m).sum(axis=1, keepdims=True)
+        - 2.0 * (m @ qmat.T)
+        + (qmat * qmat).sum(axis=1)
+    )
+    d = np.sqrt(np.maximum(d2, 0.0))
+    return -d, d, d
+
+
 def brute_force_topk(
     coll: DataFrame,
     queries: DataFrame,
@@ -52,17 +74,34 @@ def brute_force_topk(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    max_broadcast_queries: int = 65536,
 ) -> DataFrame:
     """Batched exact top-k via broadcast queries + per-partition NumPy GEMM.
 
     Semantics identical to operators.search.multi_query_topk with
     pre_normalized=False (true cosine) / l2 / inner_product: ascending
     (rank, id) order, rank column 1..k per query.
+
+    The query side is collected and broadcast — valid ONLY for bounded query
+    batches. `max_broadcast_queries` guards the driver: above it the collect
+    would be the 100 TB failure mode (query set ~ collection), and the call
+    fails fast pointing at `self_knn_topk`, the no-collect block-grid path.
     """
     if metric not in ("cosine", "l2", "inner_product"):
         raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
     spark = coll.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # limit(cap+1) bounds driver memory BEFORE the collect, not after
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_broadcast_queries:
+        raise ValueError(
+            f"query set exceeds max_broadcast_queries={max_broadcast_queries}; "
+            "a driver collect at this size is the scale failure mode — use "
+            "self_knn_topk (block-grid, no collect) or raise the cap explicitly"
+        )
     qids = [r[query_id_col] for r in qrows]
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
 
@@ -87,28 +126,12 @@ def brute_force_topk(
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_l, qmat_l = bc.value
         nq = len(qids_l)
-        if metric == "cosine":
-            qn = _l2norm_rows(qmat_l)
         for pdf in it:
             if len(pdf) == 0:
                 continue
             m = _matrix(pdf[vector_col])
             ids = pdf[id_col].to_numpy()
-            if metric == "cosine":
-                sims = _l2norm_rows(m) @ qn.T  # rows x nq
-                np.clip(sims, -1.0, 1.0, out=sims)
-                score, dist, rank = sims, 1.0 - sims, 1.0 - sims
-            elif metric == "inner_product":
-                sims = m @ qmat_l.T
-                score, dist, rank = sims, -sims, -sims
-            else:  # l2
-                d2 = (
-                    (m * m).sum(axis=1, keepdims=True)
-                    - 2.0 * (m @ qmat_l.T)
-                    + (qmat_l * qmat_l).sum(axis=1)
-                )
-                d = np.sqrt(np.maximum(d2, 0.0))
-                score, dist, rank = -d, d, d
+            score, dist, rank = _score_block(m, qmat_l, metric)
             # local top-k per query to bound the shuffle
             out = []
             kk = min(k, len(ids))
@@ -259,6 +282,177 @@ def cosine_neardup_gemm(
             )
 
     return coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
+
+
+def _block_grid(
+    coll: DataFrame,
+    *,
+    id_col: str,
+    vector_col: str,
+    query_blocks: int | None,
+    data_blocks: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(left, right) sides of the exact all-pairs block grid over ONE
+    collection. Every (query row, data row) pair meets in exactly one
+    (_qblk, _rblk) cogroup: the query side replicates across data blocks and
+    vice versa, so a group holds n/Bq query rows x n/Br data rows — bounded
+    task memory, NO driver collect, no broadcast of either side. Shuffle is
+    n*(Bq+Br) rows; choose blocks ~ sqrt(n/rows_per_task) at scale. This is
+    the distributed exact-kNN / all-pairs plan; the approximate web-scale
+    alternative is LSH/IVF blocking (dedup.embedding_neardup_pairs)."""
+    spark = coll.sparkSession
+    default_b = max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32) // 4
+    )
+    bq = query_blocks or default_b
+    br = data_blocks or default_b
+    src = coll.select(F.col(id_col), F.col(vector_col))
+    left = src.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vector_col).alias("_qv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bq)).alias("_qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(br - 1))).alias("_rblk"),
+    )
+    right = src.select(
+        F.col(id_col),
+        F.col(vector_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(br)).alias("_rblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(bq - 1))).alias("_qblk"),
+    )
+    return left, right
+
+
+def self_knn_topk(
+    coll: DataFrame,
+    *,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_blocks: int | None = None,
+    data_blocks: int | None = None,
+) -> DataFrame:
+    """Exact self k-NN graph (every row's top-k neighbors, itself included)
+    with NO driver collect: block-grid cogroup + per-group NumPy GEMM +
+    local top-k, merged by a (rank, id) window. Output matches
+    brute_force_topk with queries == collection: (query_id, id, score,
+    distance, rank 1..k).
+
+    The graph-construction primitive under graph dedup and HNSW-style
+    indexes. Exact is O(n^2) work no matter the plan — this shape spreads it
+    over Bq x Br bounded tasks; at corpus scale prefer IVF-cell or
+    LSH-bucket blocking for the approximate variant."""
+    if metric not in ("cosine", "l2", "inner_product"):
+        raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
+    left, right = _block_grid(
+        coll, id_col=id_col, vector_col=vector_col,
+        query_blocks=query_blocks, data_blocks=data_blocks,
+    )
+    id_type = coll.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField(id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("distance", T.DoubleType()),
+            T.StructField("_rank", T.DoubleType()),
+        ]
+    )
+
+    def gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+            )
+        qids = lpdf["_qid"].to_numpy()
+        qmat = _matrix(lpdf["_qv"])
+        ids = rpdf[id_col].to_numpy()
+        m = _matrix(rpdf[vector_col])
+        score, dist, rank = _score_block(m, qmat, metric)
+        kk = min(k, len(ids))
+        out = []
+        for j in range(len(qids)):
+            idx = np.lexsort((ids, rank[:, j]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": [qids[j]] * len(idx),
+                        id_col: ids[idx],
+                        "score": score[idx, j],
+                        "distance": dist[idx, j],
+                        "_rank": rank[idx, j],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    local = (
+        left.groupBy("_qblk", "_rblk")
+        .cogroup(right.groupBy("_qblk", "_rblk"))
+        .applyInPandas(gemm, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_rank").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+        .drop("_rank")
+    )
+
+
+def cosine_neardup_blocked(
+    coll: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_blocks: int | None = None,
+    data_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold with NO driver collect: the same
+    block-grid as self_knn_topk, emitting (id_a, id_b, sim) with
+    id_a < id_b (each unordered pair meets in exactly one cogroup, so no
+    dedup pass is needed). Replaces cosine_neardup_gemm's
+    collect-and-broadcast for collections that outgrow the driver; the
+    approximate scale path is LSH/cluster blocking
+    (dedup.embedding_neardup_pairs block_col)."""
+    left, right = _block_grid(
+        coll, id_col=id_col, vector_col=vector_col,
+        query_blocks=query_blocks, data_blocks=data_blocks,
+    )
+    id_type = coll.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def gemm(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+            )
+        a_ids = lpdf["_qid"].to_numpy()
+        a = _l2norm_rows(_matrix(lpdf["_qv"]))
+        b_ids = rpdf[id_col].to_numpy()
+        b = _l2norm_rows(_matrix(rpdf[vector_col]))
+        sims = a @ b.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = a_ids[ii] < b_ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {"id_a": a_ids[ii], "id_b": b_ids[jj], "sim": sims[ii, jj]}
+        )
+
+    return (
+        left.groupBy("_qblk", "_rblk")
+        .cogroup(right.groupBy("_qblk", "_rblk"))
+        .applyInPandas(gemm, out_schema)
+    )
 
 
 # driver-resident IVF codebooks, keyed by (applicationId, centroid plan hash)

@@ -240,20 +240,16 @@ FROM ranked WHERE rn <= 5
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self k-NN graph: every vector's 3 nearest neighbors (+ itself at
     rank 1) — the graph-construction primitive under graph dedup and
-    HNSW-style indexes. Here the whole collection doubles as the query set
-    through the broadcast-GEMM path (valid while the collection fits a
-    broadcast); at 100 TB the same shape runs blocked — IVF cells or LSH
-    buckets as the block key (embedding_neardup_pairs block_col) so the
-    quadratic term is bounded per block."""
+    HNSW-style indexes. Physical strategy: block-grid cogroup GEMM
+    (ann.self_knn_topk) — the query side is the collection itself, so no
+    driver collect and no broadcast; every (query-block, data-block) pair
+    is one bounded task. The approximate 100 TB variant blocks by IVF cell
+    or LSH bucket instead of the full grid."""
     from vettore_spark.operators import ann as ANN
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    out = ANN.brute_force_topk(
-        emb, queries_df, k=4, metric="cosine",
-        id_col="vec_id", vector_col="embedding",
+    out = ANN.self_knn_topk(
+        emb, k=4, metric="cosine", id_col="vec_id", vector_col="embedding",
     )
     out = out.withColumn("rank", F.col("rank").cast("long"))
     return _round(out, {"score": 5, "distance": 5})
@@ -737,9 +733,13 @@ JOIN (SELECT component, count(*) AS cluster_size FROM assign GROUP BY component)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs via the block-grid cogroup GEMM —
+    no driver collect (cosine_neardup_gemm's broadcast variant remains for
+    broadcast-fit collections; dedup.embedding_neardup_pairs(block_col=...)
+    is the approximate LSH-blocked path at corpus scale)."""
     from vettore_spark.operators import ann as ANN
 
-    out = ANN.cosine_neardup_gemm(
+    out = ANN.cosine_neardup_blocked(
         _t(spark, sf_dir, "embeddings"), threshold=0.45,
         id_col="vec_id", vector_col="embedding",
     )
