@@ -2088,8 +2088,10 @@ FROM documents, generate_series(0, 3) AS t(i)
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode→featurize plumbing (deterministic fake decoder —
     no imaging libs in this environment): per-channel mean/std/min/max
-    pooled features. Not SQL-expressible (sha256-seeded pixel synthesis) →
-    rows-only driver check; the NumPy oracle lives in tests."""
+    pooled features. The decoder expands counter-suffixed sha256 digests
+    straight into pixel bytes, and every arithmetic step (integer pixel
+    sums, power-of-two divisors, float32 casts) is bit-exact in f64 — so
+    the DuckDB oracle recomputes the features from sha256 hex exactly."""
     from vettore_spark.sources import multimodal as MM
 
     out = MM.image_features(_media(spark, sf_dir), feature_dim=12)
@@ -2099,6 +2101,60 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
     )
+
+
+# Shared pixel-byte recovery for the image oracles: 6 sha256 digests of
+# (text || ':' || counter) concatenated as hex -> 192 bytes -> the 8x8x3
+# fake-decoded image, byte-for-byte what fake_decode_image produces
+# (documents are pure ASCII, so VARCHAR sha256 == bytes sha256).
+_SQL_IMAGE_BYTES = """
+WITH hx AS (
+  SELECT doc_id AS media_id,
+         {hex_concat} AS h
+  FROM documents
+), b AS (
+  SELECT media_id,
+         list_transform(range(1, 193),
+            i -> (strpos('0123456789abcdef', h[2*i-1]) - 1) * 16
+               + (strpos('0123456789abcdef', h[2*i]) - 1)) AS bytes
+  FROM hx
+)""".format(
+    hex_concat="concat(" + ", ".join(f"sha256(text || ':{k}')" for k in range(6)) + ")"
+)
+
+
+def _sql_media_image_features() -> str:
+    # channel c values: pixels p=0..63 -> bytes[p*3 + c + 1]; mean/std are
+    # exact in f64 (integer sums, /64 and /4 are power-of-two divisions),
+    # float32 casts and the left-fold sum mirror Spark's array<float> +
+    # aggregate() exactly.
+    chan = "list_transform(range(0, 64), p -> bytes[p*3 + {c} + 1]::DOUBLE)"
+    stats = []
+    for kind in ("mean", "std", "min", "max"):
+        for c in range(3):
+            v = chan.format(c=c)
+            if kind == "mean":
+                e = f"list_sum({v}) / 64.0"
+            elif kind == "std":
+                e = (f"sqrt(list_sum(list_transform({v}, "
+                     f"x -> (x - list_sum({v}) / 64.0) ^ 2)) / 64.0)")
+            elif kind == "min":
+                e = f"list_min({v})"
+            else:
+                e = f"list_max({v})"
+            stats.append(f"({e})::FLOAT::DOUBLE")
+    feat_list = "[" + ",\n          ".join(stats) + "]"
+    return (
+        _SQL_IMAGE_BYTES
+        + f"""
+SELECT media_id,
+       round(list_reduce({feat_list}, (a, x) -> a + x), 3) AS feature_sum
+FROM b
+"""
+    )
+
+
+SQL_MEDIA_IMAGE_FEATURES = _sql_media_image_features()
 
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2146,9 +2202,9 @@ FROM fr
 
 def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-mean image resize to 4x4 thumbnails over the fake-decoded
-    (sha256-seeded) 8x8 images; reported as the per-image pixel sum. Not
-    SQL-expressible (seeded pixel synthesis) -> rows-only driver check; the
-    NumPy block-mean oracle lives in tests."""
+    (sha256-byte) 8x8 images; reported as the per-image pixel sum. The
+    2x2 block means are exact f64 (integer sums / 4), so the DuckDB oracle
+    reproduces the float32 thumbnail bit-for-bit from the sha256 hex."""
     from vettore_spark.sources import multimodal as MM
 
     out = MM.image_resize(_media(spark, sf_dir), out_h=4, out_w=4)
@@ -2160,6 +2216,32 @@ def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum"
         ),
     )
+
+
+def _sql_media_image_resize() -> str:
+    # flattened (i, j, c) order, i=t//12, j=(t//3)%4, c=t%3; pixel(y, x, c)
+    # = bytes[(y*8 + x)*3 + c + 1]; 2x2 block mean cast to FLOAT then summed
+    # as DOUBLE left-to-right — Spark's aggregate() over array<float>.
+    def px(y: str, x: str) -> str:
+        return f"bytes[(({y})*8 + ({x}))*3 + t%3 + 1]"
+
+    block = (
+        f"({px('2*(t//12)', '2*((t//3)%4)')} + {px('2*(t//12)', '2*((t//3)%4)+1')} + "
+        f"{px('2*(t//12)+1', '2*((t//3)%4)')} + {px('2*(t//12)+1', '2*((t//3)%4)+1')})"
+        "::DOUBLE / 4.0"
+    )
+    return (
+        _SQL_IMAGE_BYTES
+        + f"""
+SELECT media_id, 4 AS height, 4 AS width,
+       round(list_reduce(list_transform(range(0, 48),
+                 t -> (({block})::FLOAT)::DOUBLE), (a, x) -> a + x), 3) AS pixel_sum
+FROM b
+"""
+    )
+
+
+SQL_MEDIA_IMAGE_RESIZE = _sql_media_image_resize()
 
 
 # ---------------------------------------------------------------------------
@@ -2204,9 +2286,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
     "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
-    "media_image_features": (q_media_image_features, None),
+    "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),
     "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
-    "media_image_resize": (q_media_image_resize, None),
+    "media_image_resize": (q_media_image_resize, SQL_MEDIA_IMAGE_RESIZE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),

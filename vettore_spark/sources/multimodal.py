@@ -48,12 +48,19 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def fake_decode_image(payload: bytes, *, h: int = 8, w: int = 8) -> np.ndarray:
-    """Deterministic stand-in decoder: expands the sha256 of the payload into
-    an (h, w, 3) uint8 array. Lets partitioning/batching/feature plumbing be
-    tested without an imaging library."""
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    """Deterministic stand-in decoder: expands counter-suffixed sha256
+    digests of the payload directly into an (h, w, 3) uint8 array —
+    pixel bytes ARE digest bytes (no PRNG), so any engine with a sha256
+    can reproduce the pixels (the DuckDB oracles recompute them from hex).
+    Lets partitioning/batching/feature plumbing be tested without an
+    imaging library."""
+    need = h * w * 3
+    buf = bytearray()
+    k = 0
+    while len(buf) < need:
+        buf += hashlib.sha256((payload or b"") + b":" + str(k).encode()).digest()
+        k += 1
+    return np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w, 3)
 
 
 def image_features(
