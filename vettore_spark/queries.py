@@ -1209,6 +1209,95 @@ def q_muvera_fde_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _sql_muvera_fde_retrieval() -> str:
+    """Full-SQL oracle for the MUVERA retrieval flow at the gate config
+    (dimension=64, reps=2, simhash=3, seed=42, proj_dim=32): the hash4
+    splitmix mixer (muvera.py:75, muvera.rs:219-225) is reproduced in
+    HUGEINT arithmetic (32-bit limb multiplication mod 2^64, validated
+    bit-exact against the numpy path), SimHash partitions and Rademacher
+    projections re-derive from it, and candidates come from the FDE inner
+    product. One deliberate approximation: the document accumulator uses
+    the exact per-partition mean where the engine keeps an online mean
+    with per-step f32 rounding — a ~2^-24-relative difference that cannot
+    flip the top-4 candidate set or the round-5 MaxSim output."""
+    M = "18446744073709551616"  # 2^64
+
+    def mul64(x: str, c: int) -> str:
+        cl, ch = c % (1 << 32), c >> 32
+        return (
+            f"((((({x}) % 4294967296) * {cl}) + "
+            f"((((({x}) // 4294967296) * {cl} + (({x}) % 4294967296) * {ch})"
+            f" % 4294967296) * 4294967296)) % {M})"
+        )
+
+    def rotl(x: str, k: int) -> str:
+        return f"(((({x}) * {1 << k}) % {M}) | (({x}) // {1 << (64 - k)}))"
+
+    def h4(a: str, b: str, c: str, d: str) -> str:
+        x = f"xor(xor(xor(({a}), {rotl(b, 17)}), {rotl(c, 31)}), {rotl(d, 47)})"
+        x = f"((({x}) + 11400714819323198485) % {M})"
+        x = mul64(f"xor(({x}), (({x}) // 1073741824))", 0xBF58476D1CE4E5B9)
+        x = mul64(f"xor(({x}), (({x}) // 134217728))", 0x94D049BB133111EB)
+        return f"xor(({x}), (({x}) // 2147483648))"
+
+    hw = h4("42::HUGEINT", "r::HUGEINT", "p::HUGEINT", "d::HUGEINT")
+    unit = f"(({hw})::DOUBLE / 18446744073709551615.0)::FLOAT"
+    weight = f"(({unit}) * 2.0 - 1.0)::FLOAT::DOUBLE"
+    hs = h4("59::HUGEINT", "r::HUGEINT", "j::HUGEINT", "d::HUGEINT")  # seed+17
+    sign = f"CASE WHEN ({hs}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+    return f"""
+WITH wl AS (
+  SELECT r, p, list({weight} ORDER BY d) AS w
+  FROM range(0, 2) t1(r), range(0, 3) t2(p), range(0, 64) t3(d)
+  GROUP BY r, p),
+sl AS (
+  SELECT r, j, list({sign} ORDER BY d) AS s
+  FROM range(0, 2) t1(r), range(0, 32) t2(j), range(0, 64) t3(d)
+  GROUP BY r, j),
+vecs AS (
+  SELECT label, vec_id,
+         list_transform(embedding::FLOAT[], x -> x::DOUBLE) AS v
+  FROM embeddings),
+parts AS (
+  SELECT label, vec_id, wl.r,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                           i -> v[i] * wl.w[i])) >= 0
+                       THEN 1 << (2 - wl.p) ELSE 0 END) AS BIGINT) AS part
+  FROM vecs, wl GROUP BY label, vec_id, wl.r),
+proj AS (
+  SELECT label, vec_id, sl.r, sl.j,
+         list_sum(list_transform(range(1, 65), i -> v[i] * sl.s[i])) AS pv
+  FROM vecs, sl),
+dslot AS (
+  SELECT p.label, p.r, pr.part, p.j, avg(p.pv) AS dv
+  FROM proj p JOIN parts pr ON pr.vec_id = p.vec_id AND pr.r = p.r
+  GROUP BY 1, 2, 3, 4),
+qslot AS (
+  SELECT p.r, pr.part, p.j, sum(p.pv) AS qv
+  FROM proj p JOIN parts pr ON pr.vec_id = p.vec_id AND pr.r = p.r
+  WHERE p.vec_id IN (0, 1)
+  GROUP BY 1, 2, 3),
+fscore AS (
+  SELECT d.label, sum(d.dv * q.qv) AS sc
+  FROM dslot d JOIN qslot q ON d.r = q.r AND d.part = q.part AND d.j = q.j
+  GROUP BY 1),
+cand AS (SELECT label FROM fscore ORDER BY sc DESC, label LIMIT 4),
+q AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1)),
+best AS (
+  SELECT e.label, q.vec_id,
+         max(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) AS m
+  FROM embeddings e JOIN cand ON e.label = cand.label CROSS JOIN q
+  GROUP BY e.label, q.vec_id),
+scored AS (SELECT label, sum(m) AS s FROM best GROUP BY label)
+SELECT label, round(s, 5) AS score FROM scored
+ORDER BY s DESC, label LIMIT 3
+"""
+
+
+SQL_MUVERA_FDE_RETRIEVAL = _sql_muvera_fde_retrieval()
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the SQL-reproducible 62-bit polynomial
     token hash, so the DuckDB oracle recomputes the fingerprints, the
@@ -2277,7 +2366,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_brp_lsh_topk": (q_ann_brp_lsh_topk, SQL_ANN_BRP_LSH_TOPK),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
-    "muvera_fde_retrieval": (q_muvera_fde_retrieval, None),
+    "muvera_fde_retrieval": (q_muvera_fde_retrieval, SQL_MUVERA_FDE_RETRIEVAL),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
