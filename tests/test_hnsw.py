@@ -158,3 +158,67 @@ def test_distributed_hnsw_overlap(spark):
     assert [r["rank"] for r in got] == list(range(1, 11))
     for r in got:
         assert r["score"] == pytest.approx(-r["distance"])
+
+
+def test_graph_delete_entry_replacement():
+    """Reference delete semantics (hnsw.rs:263-289): deleted node becomes
+    unreachable, incoming edges are stripped, entry is replaced by the
+    highest-layer (then smallest-id) survivor, and search never returns it."""
+    rng = np.random.default_rng(23)
+    g = HnswGraph(metric="l2", params=HnswParams(ef_search=200))
+    vecs = {f"n{i:02d}": rng.standard_normal(8) for i in range(50)}
+    for k in sorted(vecs):
+        g.insert(k, vecs[k])
+    target = g.ext_ids[g.entry]  # delete the entry point itself
+    assert g.delete(target)
+    assert not g.delete(target)  # second delete is a no-op
+    assert g.entry is not None and g.ext_ids[g.entry] != target
+    # no surviving node links to the tombstone
+    dead = next(i for i, e in enumerate(g.ext_ids) if e == target)
+    for i, layers in enumerate(g.connections):
+        if i == dead:
+            continue
+        assert all(dead not in layer for layer in layers)
+    hits = [eid for eid, _ in g.search(vecs[target], 10)]
+    assert target not in hits and len(hits) == 10
+    # delete everything -> empty graph answers empty
+    for k in sorted(vecs):
+        g.delete(k)
+    assert g.entry is None and g.search(vecs[target], 3) == []
+
+
+def test_shard_delete_without_rebuild(spark):
+    """delete_from_graph_shards patches the shard table in place: the
+    deleted id vanishes from search results and every other shard blob is
+    byte-identical (no rebuild happened)."""
+    from vettore_spark.operators.hnsw import (
+        build_graph_shards,
+        delete_from_graph_shards,
+        search_graph_shards,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [(f"v{i:03d}", rng.standard_normal(8).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id string, vector array<double>")
+    shards = build_graph_shards(
+        df, metric="l2", params=HnswParams(ef_search=500), id_col="id",
+        vector_col="vector", num_partitions=4,
+    )
+    target, qv = rows[7][0], rows[7][1]
+    before = search_graph_shards(
+        shards, [("q", qv)], metric="l2", k=5, ef_search=500, id_col="id",
+    ).collect()
+    assert before[0]["id"] == target  # self-match tops the exact-beam search
+
+    patched = delete_from_graph_shards(shards, target)
+    after = search_graph_shards(
+        patched, [("q", qv)], metric="l2", k=5, ef_search=500, id_col="id",
+    ).collect()
+    ids_after = [r["id"] for r in after]
+    assert target not in ids_after and len(ids_after) == 5
+    # survivors keep their relative order from the pre-delete result
+    assert ids_after[:4] == [r["id"] for r in before[1:5]]
+    # all-but-one shard blobs pass through byte-identical
+    blobs_a = {bytes(r["shard"]) for r in shards.collect()}
+    blobs_b = {bytes(r["shard"]) for r in patched.collect()}
+    assert len(blobs_a & blobs_b) >= len(blobs_a) - 1

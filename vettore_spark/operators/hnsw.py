@@ -100,6 +100,7 @@ class HnswGraph:
         self.levels: list[int] = []
         self.connections: list[list[list[int]]] = []  # node -> layer -> ids
         self.entry: int | None = None
+        self.deleted: set[int] = set()  # tombstoned internal ids
 
     # -- distances ----------------------------------------------------------
 
@@ -210,6 +211,41 @@ class HnswGraph:
                         heapq.heappop(results)
         return [(-nd, node) for nd, node in results]
 
+    def delete(self, external_id) -> bool:
+        """Delete with entry replacement (hnsw.rs:263-289): tombstone the
+        node, strip every incoming edge (making it unreachable), and if it
+        was the entry point promote the highest-layer surviving node
+        (smallest external id on ties). Returns False when the id is not
+        present. O(edges) — the incremental maintenance path; no rebuild."""
+        dead = getattr(self, "deleted", None)
+        if dead is None:
+            dead = self.deleted = set()
+        nid = next(
+            (
+                i
+                for i, e in enumerate(self.ext_ids)
+                if e == external_id and i not in dead
+            ),
+            None,
+        )
+        if nid is None:
+            return False
+        dead.add(nid)
+        self.connections[nid] = [[] for _ in self.connections[nid]]
+        for other, layers in enumerate(self.connections):
+            if other in dead:
+                continue
+            for layer in range(len(layers)):
+                layers[layer] = [c for c in layers[layer] if c != nid]
+        if self.entry == nid:
+            alive = [i for i in range(len(self.vectors)) if i not in dead]
+            self.entry = (
+                min(alive, key=lambda i: (-self.levels[i], str(self.ext_ids[i])))
+                if alive
+                else None
+            )
+        return True
+
     # -- query --------------------------------------------------------------
 
     def search(self, query, limit: int) -> list[tuple[object, float]]:
@@ -292,54 +328,67 @@ def build_graph_shards(
     )
 
 
-def hnsw_search(
-    coll: DataFrame,
+def delete_from_graph_shards(shards: DataFrame, external_id) -> DataFrame:
+    """Incremental index maintenance: patch the ONE shard holding
+    `external_id` (tombstone + edge strip + entry replacement,
+    HnswGraph.delete / hnsw.rs:263-289) and pass every other shard through
+    untouched — no rebuild of any graph. Returns the patched shard table;
+    at scale this is one narrow map over O(shards) rows instead of an
+    O(n log n) per-shard reconstruction."""
+    import pickle
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for blob in pdf["shard"]:
+                g: HnswGraph = pickle.loads(bytes(blob))
+                out.append(pickle.dumps(g) if g.delete(external_id) else blob)
+            yield pd.DataFrame({"shard": out})
+
+    return shards.mapInPandas(run, "shard binary")
+
+
+def search_graph_shards(
+    shards: DataFrame,
     queries: list[tuple[object, list[float]]],
     *,
-    metric: str = "cosine",
+    metric: str,
     k: int = 10,
-    params: HnswParams | None = None,
+    ef_search: int | None = None,
     id_col: str = "id",
-    vector_col: str = "vector",
-    num_partitions: int | None = None,
+    id_type: T.DataType | None = None,
     score_mode: str = "raw",
 ) -> DataFrame:
-    """Partition-parallel HNSW batch search over the persisted graph-shard
-    table (built on first use by `build_graph_shards`): answer every query
-    against each shard, merge shards with a global per-query (rank, id)
-    top-k. `ef_search` is the only parameter consumed at search time; all
-    build-time parameters key the shared shard table."""
+    """Batch search over an existing graph-shard table (built by
+    `build_graph_shards`, possibly patched by `delete_from_graph_shards`):
+    answer every query against each shard, merge with a global per-query
+    (rank, id) top-k window. `ef_search` overrides the build-time beam."""
     import pickle
 
     from vettore_spark.functions import kernels as K
     from vettore_spark.operators.search import score_columns
 
-    p = params or HnswParams()
     m = K.canonical_metric(metric)
-    shards = build_graph_shards(
-        coll, metric=m, params=p, id_col=id_col, vector_col=vector_col,
-        num_partitions=num_partitions,
-    )
-
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.StringType()),
-            T.StructField(id_col, coll.schema[id_col].dataType),
+            T.StructField(id_col, id_type or T.StringType()),
             T.StructField("_raw", T.DoubleType()),
         ]
     )
     qlist = [(str(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in queries]
-    ef = p.ef_search
+    ef = ef_search
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for blob in pdf["shard"]:
-                g: HnswGraph = pickle.loads(blob)
-                g.params = HnswParams(
-                    m=g.params.m, m0=g.params.m0,
-                    ef_construction=g.params.ef_construction,
-                    ef_search=ef, max_level=g.params.max_level,
-                )
+                g: HnswGraph = pickle.loads(bytes(blob))
+                if ef is not None:
+                    g.params = HnswParams(
+                        m=g.params.m, m0=g.params.m0,
+                        ef_construction=g.params.ef_construction,
+                        ef_search=ef, max_level=g.params.max_level,
+                    )
                 out_q, out_i, out_r = [], [], []
                 for qid, qv in qlist:
                     for eid, raw in g.search(qv, k):
@@ -365,4 +414,36 @@ def hnsw_search(
         .filter(F.col("_rn") <= k)
         .withColumnRenamed("_rn", "rank")
         .drop("_rank")
+    )
+
+
+def hnsw_search(
+    coll: DataFrame,
+    queries: list[tuple[object, list[float]]],
+    *,
+    metric: str = "cosine",
+    k: int = 10,
+    params: HnswParams | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    num_partitions: int | None = None,
+    score_mode: str = "raw",
+) -> DataFrame:
+    """Partition-parallel HNSW batch search over the persisted graph-shard
+    table (built on first use by `build_graph_shards`): answer every query
+    against each shard, merge shards with a global per-query (rank, id)
+    top-k. `ef_search` is the only parameter consumed at search time; all
+    build-time parameters key the shared shard table."""
+    from vettore_spark.functions import kernels as K
+
+    p = params or HnswParams()
+    m = K.canonical_metric(metric)
+    shards = build_graph_shards(
+        coll, metric=m, params=p, id_col=id_col, vector_col=vector_col,
+        num_partitions=num_partitions,
+    )
+    return search_graph_shards(
+        shards, queries, metric=m, k=k, ef_search=p.ef_search,
+        id_col=id_col, id_type=coll.schema[id_col].dataType,
+        score_mode=score_mode,
     )
