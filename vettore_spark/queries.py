@@ -998,6 +998,142 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ two-stage ANN (coarse quantizer + residual PQ, ADC within
+    probed cells — operators/pq.py:226-388). For oracle checkability the
+    coarse centroids are per-label means and the PQ codebooks are per-cell
+    mean residual subvectors (both recomputable in SQL, the
+    SQL_PQ_ADC_TOPK/SQL_ANN_IVF_TOPK trick); the k-means trainers are
+    exercised with NumPy oracles + overlap@k in tests/test_pq.py. Books for
+    cells with no members are pushed to +1e18 so neither engine can assign
+    them. Rank order uses the ROUNDED distance + id tie-break."""
+    import numpy as np
+
+    from vettore_spark.operators import pq as PQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lm = _label_mean_vectors(emb).collect()
+    lm.sort(key=lambda r: r["label"])
+    coarse = np.array([r["mean"] for r in lm])  # n_cells x dims
+    n_cells, dims = coarse.shape
+    m_sub = 4
+    dsub = dims // m_sub
+
+    # per-(cell, dim) residual partial sums, aggregated distributively and
+    # collected as the (bounded) n_cells x dims mean-residual table
+    bc = spark.sparkContext.broadcast(coarse)
+
+    def resid_sums(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            c = bc.value
+            d2 = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            cells = np.argmin(d2, axis=1)
+            r = mat - c[cells]
+            cell_col, pos_col, s_col, n_col = [], [], [], []
+            for cell in np.unique(cells):
+                mask = cells == cell
+                cell_col.extend([int(cell)] * dims)
+                pos_col.extend(range(dims))
+                s_col.extend(r[mask].sum(axis=0).tolist())
+                n_col.extend([int(mask.sum())] * dims)
+            yield pd.DataFrame(
+                {"cell": cell_col, "pos": pos_col, "s": s_col, "n": n_col}
+            )
+
+    means = (
+        emb.select("embedding")
+        .mapInPandas(resid_sums, "cell int, pos int, s double, n long")
+        .groupBy("cell", "pos")
+        .agg((F.sum("s") / F.sum("n")).alias("rm"))
+        .collect()
+    )
+    mean_res = np.full((n_cells, dims), 1e18)
+    for row in means:
+        mean_res[row["cell"], row["pos"]] = row["rm"]
+    books = np.stack(
+        [mean_res[:, s * dsub : (s + 1) * dsub] for s in range(m_sub)]
+    )  # m x n_codes x dsub
+
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    index_df = PQ.ivfpq_encode(emb, coarse, books, id_col="vec_id")
+    out = PQ.ivfpq_topk(
+        index_df, queries_df, coarse, books, n_probe=3, k=5, id_col="vec_id"
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"distance": 5})
+
+
+SQL_ANN_IVFPQ_TOPK = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (SELECT label::INT AS cell, list(m ORDER BY i) AS cv FROM pos GROUP BY 1),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cell FROM cent c
+          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.cell
+          LIMIT 1) AS cell
+  FROM embeddings e),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.cv[i]) AS r
+  FROM assign a JOIN cent c USING (cell)),
+rb_pos AS (
+  SELECT cell, i, avg(r[i]) AS rm
+  FROM resid, range(1, 65) t(i) GROUP BY 1, 2),
+rb AS (
+  SELECT cell AS code, CAST((i - 1) // 16 AS INT) AS sub, list(rm ORDER BY i) AS bv
+  FROM rb_pos GROUP BY 1, CAST((i - 1) // 16 AS INT)),
+rsub AS (
+  SELECT vec_id, cell, s::INT AS sub,
+         list_transform(range(s*16 + 1, s*16 + 17), i -> r[i]) AS rv
+  FROM resid, range(0, 4) t(s)),
+codes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT r.vec_id, r.cell, r.sub, b.code,
+           row_number() OVER (PARTITION BY r.vec_id, r.sub
+               ORDER BY list_sum(list_transform(range(1, 17), i -> (r.rv[i] - b.bv[i])^2)), b.code) AS rn
+    FROM rsub r JOIN rb b USING (sub)) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 4),
+probes AS (
+  SELECT q.query_id, q.embedding, c.cell
+  FROM q CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+          ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.cell) <= 3),
+qsub AS (
+  SELECT p.query_id, p.cell, s::INT AS sub,
+         list_transform(range(s*16 + 1, s*16 + 17),
+                        i -> p.embedding[i]::DOUBLE - c.cv[i]) AS qv
+  FROM probes p JOIN cent c USING (cell), range(0, 4) t(s)),
+lut AS (
+  SELECT query_id, cell, sub, code,
+         list_sum(list_transform(range(1, 17), i -> (qv[i] - bv[i])^2)) AS d2
+  FROM qsub JOIN rb USING (sub)),
+adc AS (
+  SELECT l.query_id, x.vec_id, sqrt(sum(l.d2)) AS d
+  FROM codes x
+  JOIN lut l ON l.cell = x.cell AND l.sub = x.sub AND l.code = x.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, round(d, 5) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(d, 5), vec_id) AS rank
+FROM adc
+QUALIFY rank <= 5
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -1162,6 +1298,40 @@ SQL_HNSW_TOPK = f"""
 SELECT 'q0' AS query_id, vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance,
        row_number() OVER (ORDER BY d, vec_id) AS rank
 FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+def q_hnsw_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance under the exact oracle: build the
+    graph-shard table (shared with hnsw_topk via the keyed persist cache),
+    delete vec_id 0 via the shard-patch path (tombstone + edge strip +
+    entry replacement, NO rebuild — operators/hnsw.py
+    delete_from_graph_shards), then search at full beam. With ef covering
+    every shard row the patched graph must return exactly the flat scan
+    over the surviving rows — the oracle is the exact-scan SQL minus the
+    deleted id."""
+    from vettore_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    shards = H.build_graph_shards(
+        emb, metric="l2", params=H.HnswParams(ef_search=1_000_000),
+        id_col="vec_id", vector_col="embedding", num_partitions=8,
+    )
+    patched = H.delete_from_graph_shards(shards, 0)
+    out = H.search_graph_shards(
+        patched, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
+        ef_search=1_000_000, id_col="vec_id", id_type=T.LongType(),
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HNSW_DELETE_SEARCH = f"""
+SELECT 'q0' AS query_id, vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance,
+       row_number() OVER (ORDER BY d, vec_id) AS rank
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE vec_id <> 0)
 ORDER BY d, vec_id LIMIT 10
 """
 
@@ -2365,7 +2535,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_brp_lsh_topk": (q_ann_brp_lsh_topk, SQL_ANN_BRP_LSH_TOPK),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
+    "hnsw_delete_search": (q_hnsw_delete_search, SQL_HNSW_DELETE_SEARCH),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, SQL_MUVERA_FDE_RETRIEVAL),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
@@ -2378,8 +2550,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),
     "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
     "media_image_resize": (q_media_image_resize, SQL_MEDIA_IMAGE_RESIZE),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
@@ -2397,6 +2567,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     # --- green in CORRECTNESS_r01, rotated out of the window ---
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
     "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
     "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
