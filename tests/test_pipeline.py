@@ -1,0 +1,108 @@
+"""Corpus-preparation operator tests (chunking, decontamination, PII,
+repetition, keep-best) against hand-computed oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from vettore_spark.operators import pipeline as PL
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "a b"), (2, "x")],
+        ["doc_id", "text"],
+    )
+    rows = PL.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 10 tokens, starts 0,3,6,9 -> 4 chunks
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c0] == [0, 1, 2, 3]
+    assert c0[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c0[3]["chunk_text"] == "w9"
+    assert c0[3]["n_chunk_tokens"] == 1
+    # every token index appears in some chunk (no boundary loss)
+    covered = set()
+    for r in c0:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(10)}
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b"
+    assert len(by_doc[2]) == 1
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram span verbatim
+            (0, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            (1, "completely different words in this document here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = PL.decontaminate(corpus, bench, n=8, min_hits=1).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert rows[0]["n_contaminated"] == 1
+    assert rows[0]["n_shingles"] == 3  # 10 tokens -> 3 distinct 8-grams
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a.b@x.io and c@y.org ip 10.0.0.1 tel +1-555-0042 done")],
+        ["doc_id", "text"],
+    )
+    r = PL.redact_pii(df).collect()[0]
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (2, 1, 1)
+    assert (
+        r["redacted"]
+        == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> done"
+    )
+
+
+def test_repetition_stats_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l m n o p"),  # all distinct
+            (1, "spam spam spam spam spam spam"),  # one token repeated
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in PL.repetition_stats(df, n=3).collect()}
+    assert got[0]["dup_ngram_frac"] == 0.0
+    assert got[0]["keep"] is True
+    # doc 1: 4 identical 3-grams -> dup frac 3/4; top token frac 1.0
+    assert got[1]["dup_ngram_frac"] == pytest.approx(0.75)
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["keep"] is False
+
+
+def test_keep_best_per_cluster_picks_highest_quality(spark):
+    clusters = spark.createDataFrame(
+        [(1, 100, 2), (2, 100, 2), (3, 300, 1)],
+        ["doc_id", "component", "cluster_size"],
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.5)], ["doc_id", "quality"]
+    )
+    rows = sorted(
+        PL.keep_best_per_cluster(clusters, quality).collect(),
+        key=lambda r: r["component"],
+    )
+    assert [(r["component"], r["keep_doc_id"], r["quality"]) for r in rows] == [
+        (100, 2, 0.9),
+        (300, 3, 0.5),
+    ]
+
+
+def test_keep_best_tie_breaks_by_id(spark):
+    clusters = spark.createDataFrame(
+        [(5, 7, 2), (6, 7, 2)], ["doc_id", "component", "cluster_size"]
+    )
+    quality = spark.createDataFrame([(5, 0.5), (6, 0.5)], ["doc_id", "quality"])
+    rows = PL.keep_best_per_cluster(clusters, quality).collect()
+    assert len(rows) == 1 and rows[0]["keep_doc_id"] == 5

@@ -1308,6 +1308,164 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-preparation pipeline (operators/pipeline.py): chunking,
+# decontamination, PII redaction, repetition filter, keep-best dedup
+# ---------------------------------------------------------------------------
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24) — the
+    context-window splitter of a pretraining pipeline. Pure explode over a
+    per-doc chunk-index sequence; no shuffle."""
+    from vettore_spark.operators import pipeline as PL
+
+    return PL.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+c AS (SELECT doc_id, t, i FROM toks CROSS JOIN range(0, 64) r(i)
+      WHERE len(t) >= 1 AND i <= (len(t) - 1) // 24)
+SELECT doc_id, i AS chunk_id,
+       len(list_slice(t, i*24 + 1, i*24 + 32))::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(t, i*24 + 1, i*24 + 32), ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a distinct word 8-gram
+    with the eval set (source 'src0' stands in for the benchmark suite).
+    Broadcast hash join of the (small) benchmark shingle set."""
+    from vettore_spark.operators import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents")
+    return PL.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+        min_hits=1,
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(t) - 6),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+       FROM toks WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh WHERE source <> 'src0' GROUP BY 1),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_contaminated
+         FROM sh JOIN bench USING (s) WHERE source <> 'src0' GROUP BY 1)
+SELECT doc_id, n_shingles, n_contaminated,
+       round(n_contaminated::DOUBLE / n_shingles::DOUBLE, 5) AS contaminated_frac
+FROM hits JOIN sizes USING (doc_id)
+WHERE n_contaminated >= 1
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministically PII-enriched text (the synthetic
+    corpus contains none, so the gate plants an email, a phone, and an IPv4
+    per doc from doc_id — both engines derive the identical text)."""
+    from vettore_spark.operators import pipeline as PL
+
+    d = F.col("doc_id")
+    enriched = _t(spark, sf_dir, "documents").select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (d % 256).cast("string"),
+            F.lit("."), ((d * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return PL.redact_pii(enriched)
+
+
+def _sql_pii_redact() -> str:
+    from vettore_spark.operators.pipeline import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+    )
+
+    return rf"""
+WITH e AS (SELECT doc_id,
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' ||
+  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+  CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{PHONE_PATTERN}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(text, '{IPV4_PATTERN}'))::BIGINT AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+      '{IPV4_PATTERN}', '<IP>', 'g'),
+      '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+FROM e
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate 3-gram fraction, top-token
+    share) with keep thresholds — array expressions only, no shuffle."""
+    from vettore_spark.operators import pipeline as PL
+
+    return PL.repetition_stats(
+        _t(spark, sf_dir, "documents"), n=3,
+        max_dup_frac=0.05, max_top_token_frac=0.14,
+    )
+
+
+SQL_REPETITION_FILTER = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g AS (SELECT doc_id, t,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END AS gr
+      FROM toks),
+s AS (SELECT doc_id,
+        round(CASE WHEN len(gr) > 0
+                   THEN 1.0::DOUBLE - len(list_distinct(gr))::DOUBLE / len(gr)::DOUBLE
+                   ELSE 0.0::DOUBLE END, 5) AS dup_ngram_frac,
+        round(list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x))))::DOUBLE
+              / len(t)::DOUBLE, 5) AS top_token_frac
+      FROM g)
+SELECT doc_id, dup_ngram_frac, top_token_frac,
+       (dup_ngram_frac <= 0.05 AND top_token_frac <= 0.14) AS keep
+FROM s
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: MinHash-LSH near-dup clusters ->
+    keep the highest-quality member per cluster (id tie-break). The
+    canonicalization refinement over training_pipeline's keep-lowest-id."""
+    from vettore_spark.operators import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
+    clusters = D.neardup_clusters(pairs, id_out="doc_id")
+    return PL.keep_best_per_cluster(clusters, TX.quality_score(docs))
+
+
+# SQL_DEDUP_KEEP_BEST is assembled after SQL_QUALITY_SCORE (defined below).
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling keyed on md5(doc_id): downsample
     the dominant language, keep rare ones, default fraction for the rest.
@@ -1698,6 +1856,21 @@ SELECT doc_id,
               + least(stop / n * 5, 1.0) + ttr) / 3.0, 5) AS quality
 FROM parts
 """
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE"
+    + _sql_cc_block("documents", 0.8)
+    + f""",
+csize AS (SELECT component, count(*)::BIGINT AS cluster_size FROM assign GROUP BY 1),
+q AS (SELECT doc_id, quality FROM ({SQL_QUALITY_SCORE})),
+j AS (SELECT a.doc_id, a.component, c.cluster_size, q.quality,
+             row_number() OVER (PARTITION BY a.component
+                                ORDER BY q.quality DESC, a.doc_id) AS rn
+      FROM assign a JOIN csize c USING (component) JOIN q USING (doc_id))
+SELECT component, doc_id AS keep_doc_id, cluster_size, quality FROM j WHERE rn = 1
+"""
+)
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2631,8 +2804,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "funnel_topk": (q_funnel_topk, SQL_FUNNEL_TOPK),
     "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
-    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
@@ -2643,14 +2815,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hnsw_topk": (q_hnsw_topk, SQL_HNSW_TOPK),
     "hnsw_delete_search": (q_hnsw_delete_search, SQL_HNSW_DELETE_SEARCH),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, SQL_MUVERA_FDE_RETRIEVAL),
-    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
-    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "train_shards": (q_train_shards, SQL_TRAIN_SHARDS),
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
-    "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_image_features": (q_media_image_features, SQL_MEDIA_IMAGE_FEATURES),
     "media_audio_features": (q_media_audio_features, SQL_MEDIA_AUDIO_FEATURES),
@@ -2671,8 +2843,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
-    # --- green in CORRECTNESS_r01, rotated out of the window ---
+    # --- green in CORRECTNESS_r01 with untouched impls, rotated out ---
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
