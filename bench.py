@@ -35,6 +35,7 @@ HEADLINE = [
     "funnel_topk",
     "hybrid_topk",
     "hnsw_topk",
+    "sq_int8_topk",
     "ann_ivf_topk",
     "ann_brp_lsh_topk",
     "muvera_fde_retrieval",
@@ -44,12 +45,19 @@ HEADLINE = [
     "pq_adc_topk",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "dedup_keep_best",
     "simhash_pairs",
     "embedding_neardup",
     "neardup_clusters",
     "text_stats",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "bm25_topk",
+    "rrf_fusion",
+    "doc_chunks",
+    "decontaminate",
+    "pii_redact",
+    "repetition_filter",
     "stratified_sample",
     "train_shards",
     "training_pipeline",
