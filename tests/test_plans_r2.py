@@ -1,0 +1,85 @@
+"""Physical-plan assertions for the round-2 operators (BM25/RRF, corpus
+prep, SQ8): the scale shapes — no unnecessary shuffle, broadcast small
+sides, bounded top-k — must be visible in the executed plans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import pipeline as PL
+from vettore_spark.operators import retrieval as RT
+from vettore_spark.operators import sq as SQ
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(40)))
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_topk_is_take_ordered_no_explode(docs):
+    """BM25 over literal terms: TakeOrderedAndProject on top, no Generate
+    (explode) anywhere — per-doc tf comes from array filters."""
+    plan = _executed(RT.bm25_topk(docs, ["w1", "w2"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan
+
+
+def test_bm25_stats_join_is_broadcast(docs):
+    """The 1-row corpus-stats join must be a broadcast nested loop / hash
+    join, never a shuffle (SortMergeJoin)."""
+    plan = _executed(RT.bm25_scores(docs, ["w1", "w2"]))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_chunking_has_no_shuffle(docs):
+    """Chunk explode is narrow: no Exchange in the plan."""
+    plan = _executed(PL.chunk_documents(docs, chunk_tokens=8, stride=6))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode itself
+
+
+def test_repetition_stats_has_no_shuffle_no_explode(docs):
+    """Repetition signals are pure array expressions — map-only plan."""
+    plan = _executed(PL.repetition_stats(docs))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_decontaminate_benchmark_side_is_broadcast(docs, spark):
+    """The benchmark shingle set must broadcast; the corpus side must not
+    be shuffled for the join itself (one shuffle only for the per-doc
+    hit-count aggregate)."""
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    plan = _executed(PL.decontaminate(corpus, bench, n=3))
+    # the corpus-shingles × benchmark-set join is the scale-critical one
+    assert "BroadcastHashJoin" in plan
+    # the corpus shingle table is persisted and both consumers read the
+    # materialized column: the hit-side explode must be over the column
+    # reference (Generate explode(_sh...)), never an inlined re-computation
+    assert "Generate explode(_sh" in plan
+    assert "InMemoryRelation [doc_id" in plan
+
+
+def test_sq_candidates_take_ordered_and_rerank_broadcast(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)]
+    coll = spark.createDataFrame(rows, ["id", "vector"])
+    mins, maxs = SQ.sq_train(coll)
+    plan = _executed(
+        SQ.sq_topk(coll, rows[0][1], mins, maxs, k=5, candidates=30)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan  # candidate hydration semi-join
+    assert "SortMergeJoin" not in plan

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vettore_spark.operators.dedup import shingle_hash_array, tokens
+from vettore_spark.plans.cache import cached_persist
 
 # RE2-safe patterns (no lookaround/backrefs) so the Java regex engine and
 # any RE2-based oracle (DuckDB) agree on every match.
@@ -115,11 +116,16 @@ def decontaminate(
     decontamination criterion. Shingles are xxhash64 keys; the benchmark
     side (distinct keys of an eval set) is broadcast.
     """
-    c_sh = (
-        corpus.select(
-            F.col(id_col), shingle_hash_array(tokens(text_col), n).alias("_sh")
-        )
-        .filter(F.size("_sh") > 0)
+    # The shingle projection is consumed twice (sizes + exploded hits) and
+    # would otherwise also be re-inlined into pushed-down filters; persist
+    # it once per (source, n) like dedup._shingle_base does.
+    c_sh = cached_persist(
+        corpus,
+        ("decontaminate_shingles", id_col, text_col, n),
+        lambda s: s.select(
+            F.col(id_col),
+            shingle_hash_array(tokens(text_col), n).alias("_sh"),
+        ).filter(F.size("_sh") > 0),
     )
     sizes = c_sh.select(F.col(id_col), F.size("_sh").cast("long").alias("n_shingles"))
     c_flat = c_sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
