@@ -218,6 +218,55 @@ def repetition_stats(
     )
 
 
+def hard_negative_mining(
+    coll: DataFrame,
+    queries: DataFrame,
+    neardup_pairs: DataFrame,
+    *,
+    k: int = 5,
+    candidates: int = 20,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training hard negatives: per query, the nearest neighbors
+    that are NOT the query itself and NOT near-duplicates of it — close
+    enough to be hard, distinct enough to be true negatives.
+
+    Composition: exact GEMM top-`candidates` (ann.brute_force_topk) →
+    broadcast anti-join against the symmetric near-dup pair set →
+    re-rank to `k` per query. The near-dup set is the dedup family's output
+    (e.g. cosine_neardup_blocked / minhash pairs) — pair lists are tiny
+    relative to the corpus, so the anti-join broadcasts.
+
+    Returns (query_id, id, score, distance, neg_rank 1..k).
+    """
+    from vettore_spark.operators.ann import brute_force_topk
+
+    cand = brute_force_topk(
+        coll, queries, k=candidates, metric=metric,
+        id_col=id_col, vector_col=vector_col,
+    )
+    p = neardup_pairs.select(F.col("id_a").alias("_qa"), F.col("id_b").alias("_qb"))
+    sym = p.unionByName(
+        p.select(F.col("_qb").alias("_qa"), F.col("_qa").alias("_qb"))
+    )
+    filtered = (
+        cand.filter(F.col("query_id") != F.col(id_col))
+        .join(
+            F.broadcast(sym),
+            (F.col("query_id") == F.col("_qa")) & (F.col(id_col) == F.col("_qb")),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        filtered.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .drop("rank")
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     quality: DataFrame,

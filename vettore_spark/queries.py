@@ -1347,6 +1347,59 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-5
+    cosine neighbors that are neither the query nor a near-duplicate of it
+    (exact GEMM candidates → broadcast anti-join vs the near-dup pair set
+    → re-rank). Every stage reuses an independently-oracled block."""
+    from vettore_spark.operators import ann as ANN
+    from vettore_spark.operators import pipeline as PL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    pairs = ANN.cosine_neardup_blocked(
+        emb, threshold=0.45, id_col="vec_id", vector_col="embedding"
+    )
+    out = PL.hard_negative_mining(
+        emb, queries_df, pairs, k=5, candidates=20,
+        metric="cosine", id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e CROSS JOIN q),
+cand AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM scored QUALIFY rn <= 20),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a CROSS JOIN n b
+  WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45),
+sym AS (SELECT id_a AS qa, id_b AS qb FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+f AS (
+  SELECT c.query_id, c.vec_id, c.c, c.rn
+  FROM cand c LEFT JOIN sym s ON c.query_id = s.qa AND c.vec_id = s.qb
+  WHERE s.qa IS NULL AND c.query_id <> c.vec_id)
+SELECT query_id, vec_id, round(c, 5) AS score, round(1 - c, 5) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY rn) AS neg_rank
+FROM f QUALIFY neg_rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus-preparation pipeline (operators/pipeline.py): chunking,
 # decontamination, PII redaction, repetition filter, keep-best dedup
@@ -2882,7 +2935,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
     "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
-    # --- green in CORRECTNESS_r01 with untouched impls, rotated out ---
+    # --- past the 50-entry gate window. hard_negatives (new in r2, next
+    # in line for the r3 rotation) first, then r1-greens with untouched
+    # impls rotated out to make room for the r2 additions ---
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
