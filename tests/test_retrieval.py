@@ -78,3 +78,29 @@ def test_rrf_topk_truncates(spark):
     a = spark.createDataFrame([(i, i + 1) for i in range(5)], ["doc_id", "rank"])
     rows = RT.rrf_fuse([a], k=60, topk=2).collect()
     assert [r["doc_id"] for r in rows] == [0, 1]
+
+
+def test_charlm_trigram_scores_match_python(spark):
+    """Laplace-smoothed trigram LM vs a pure-Python oracle; repeated common
+    trigrams must outscore a one-off oddball document."""
+    import math
+
+    from vettore_spark.operators import text as TX
+
+    docs = [(0, "abcabcabc"), (1, "abcabc"), (2, "zzqqxx")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["trigram_logprob"])
+        for r in TX.charlm_trigram_scores(df).collect()
+    }
+    tris = {i: [t[j : j + 3] for j in range(len(t) - 2)] for i, t in docs}
+    from collections import Counter
+
+    model = Counter(x for v in tris.values() for x in v)
+    n3, v = sum(model.values()), len(model)
+    for i, ts in tris.items():
+        lp = sum(math.log((model[t] + 1.0) / (n3 + 1.0 * v)) for t in ts) / len(ts)
+        assert got[i][0] == len(ts)
+        assert got[i][1] == pytest.approx(round(lp, 5), abs=1e-5)
+    # the common-trigram docs score above the oddball
+    assert got[0][1] > got[2][1] and got[1][1] > got[2][1]

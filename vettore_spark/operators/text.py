@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vettore_spark.operators.dedup import tokens
+from vettore_spark.plans.cache import cached_persist
 
 # A BPE-ish pre-tokenization pattern: alphabetic runs, single digits,
 # or single non-alphanumeric glyphs (GPT-2-style digit splitting).
@@ -318,6 +319,72 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def charlm_trigram_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Character-trigram language-model quality score: train Laplace-smoothed
+    trigram frequencies on the corpus itself, then score each document by
+    its mean trigram log-probability — the lightweight perplexity-style
+    fluency signal (natural text scores high, gibberish/binary spill low).
+
+    P(tri) = (count(tri) + α) / (N₃ + α·V), score = mean log P over the
+    document's trigrams. Returns (id, n_trigrams, trigram_logprob).
+
+    Physical shape (100 TB): one explode + groupBy(trigram) builds the model
+    (bounded vocabulary — at most |charset|³ groups, map-side combined); the
+    model and its scalar stats are broadcast back, so scoring is a second
+    narrow pass + one per-doc aggregate. The lowercased text is staged with
+    a pin column so `substr` inside the transform lambda reads a column ref,
+    not a re-inlined `lower()` per element (the O(n²) CollapseProject trap).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("_lc"),
+        F.monotonically_increasing_id().alias("_pin"),
+    )
+    tris = F.when(
+        F.length("_lc") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_lc") - 2),
+            lambda i: F.col("_lc").substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(F.col(id_col), F.explode(tris).alias("tri"))
+    model = cached_persist(
+        df,
+        ("charlm_model", id_col, text_col),
+        lambda s: s.select(
+            F.col(id_col),
+            F.lower(F.col(text_col)).alias("_lc"),
+            F.monotonically_increasing_id().alias("_pin"),
+        )
+        .select(F.col(id_col), F.explode(tris).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").cast("long").alias("cnt")),
+    )
+    stats = model.agg(
+        F.sum("cnt").cast("long").alias("_n3"),
+        F.count("*").cast("long").alias("_v"),
+    )
+    lp = F.log(
+        (F.col("cnt").cast("double") + F.lit(alpha))
+        / (F.col("_n3").cast("double") + F.lit(alpha) * F.col("_v").cast("double"))
+    )
+    return (
+        exploded.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(F.avg(lp), 5).alias("trigram_logprob"),
+        )
     )
 
 

@@ -1347,6 +1347,27 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram LM fluency score (corpus-trained, Laplace-smoothed
+    mean log-probability per doc) — the perplexity-style quality signal."""
+    return TX.charlm_trigram_scores(_t(spark, sf_dir, "documents"), alpha=1.0)
+
+
+SQL_CHARLM_QUALITY = """
+WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+tris AS (SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                i -> substr(t, i, 3))) AS tri
+         FROM base WHERE length(t) >= 3),
+model AS (SELECT tri, count(*)::BIGINT AS cnt FROM tris GROUP BY 1),
+stats AS (SELECT sum(cnt)::BIGINT AS n3, count(*)::BIGINT AS v FROM model)
+SELECT t.doc_id, count(*)::BIGINT AS n_trigrams,
+       round(avg(ln((m.cnt::DOUBLE + 1.0::DOUBLE)
+                    / (s.n3::DOUBLE + 1.0::DOUBLE * s.v::DOUBLE))), 5) AS trigram_logprob
+FROM tris t JOIN model m USING (tri) CROSS JOIN stats s
+GROUP BY t.doc_id
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the top-5
     cosine neighbors that are neither the query nor a near-duplicate of it
@@ -2939,6 +2960,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in line for the r3 rotation) first, then r1-greens with untouched
     # impls rotated out to make room for the r2 additions ---
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "charlm_quality": (q_charlm_quality, SQL_CHARLM_QUALITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
