@@ -136,3 +136,50 @@ def test_brute_force_query_cap_guards_driver(spark, emb):
     )
     with pytest.raises(ValueError, match="max_broadcast_queries"):
         ANN.brute_force_topk(emb, queries, k=2, max_broadcast_queries=10)
+
+
+def test_ivf_delete_tombstones_without_retrain(spark):
+    """ivf_delete drops exactly the deleted id from the inverted file; a
+    subsequent search never returns it, other results are unchanged, and
+    the codebook (cell structure) is untouched."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from vettore_spark.operators import ann as ANN
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 6))
+    coll = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in vecs[j * 20 : (j + 1) * 20].mean(axis=0)]) for j in range(3)],
+        ["centroid_id", "centroid"],
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], ["query_id", "query_vector"]
+    )
+    assigned = ANN.ivf_assign(coll, centroids=cents, vector_col="embedding")
+    before = ANN.ivf_topk(
+        coll, queries, centroids=cents, n_probe=3, k=5,
+        id_col="vec_id", vector_col="embedding", assigned=assigned,
+    ).collect()
+    assert before[0]["vec_id"] == 0  # self-match first pre-delete
+
+    patched = ANN.ivf_delete(assigned, 0, id_col="vec_id")
+    assert patched.filter(F.col("vec_id") == 0).count() == 0
+    assert patched.count() == assigned.count() - 1
+    # cell assignments of surviving rows are byte-identical (no re-assign)
+    a = {r["vec_id"]: r["_cell"] for r in assigned.collect() if r["vec_id"] != 0}
+    b = {r["vec_id"]: r["_cell"] for r in patched.collect()}
+    assert a == b
+
+    after = ANN.ivf_topk(
+        coll, queries, centroids=cents, n_probe=3, k=5,
+        id_col="vec_id", vector_col="embedding", assigned=patched,
+    ).collect()
+    assert all(r["vec_id"] != 0 for r in after)
+    # the rest of the pre-delete ranking shifts up by exactly one
+    assert [r["vec_id"] for r in after][:4] == [r["vec_id"] for r in before][1:5]

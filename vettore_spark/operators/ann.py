@@ -459,37 +459,11 @@ def cosine_neardup_blocked(
 _IVF_CENT_CACHE: dict = {}
 
 
-def ivf_topk(
-    coll: DataFrame,
-    queries: DataFrame,
-    *,
-    centroids: DataFrame,
-    n_probe: int = 2,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vector_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vector",
-    centroid_id_col: str = "centroid_id",
-    centroid_vec_col: str = "centroid",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: assign every row to its nearest
-    centroid (cosine), probe the `n_probe` nearest centroids per query, and
-    run exact cosine only within probed cells.
-
-    The scale path for ANN: the centroid table is broadcast (small), the
-    collection is hash-partitioned by cell, and each query touches
-    n_probe/n_cells of the data. Recall vs exact is tunable via n_probe and
-    should be validated against brute_force_topk (the reference's pattern:
-    approximate modes report overlap@k vs exact — bench/search_modes_bench.exs:193-238).
-    """
-    from vettore_spark.functions import kernels as K
-
-    spark = coll.sparkSession
-    # The centroid matrix is the IVF codebook — tiny, but computing it runs a
-    # Spark job. Memoize the collected matrix per (app, plan) so repeated
-    # query batches over the same index skip the job entirely (the codebook
-    # is built once with the inverted file, reference residency model).
+def _ivf_centroids_cached(spark, centroids, centroid_id_col, centroid_vec_col):
+    """Collected (cids, cmat, broadcast) codebook, memoized per (app, plan).
+    The centroid matrix is tiny, but computing it runs a Spark job; repeated
+    query batches over the same index skip it (reference residency model:
+    the codebook is built once with the inverted file)."""
     try:
         cent_key = (spark.sparkContext.applicationId, centroids.semanticHash())
     except Exception:  # noqa: BLE001
@@ -508,7 +482,23 @@ def ivf_topk(
         )
         hit = (cids, cmat, spark.sparkContext.broadcast((cids, cmat)))
         _IVF_CENT_CACHE[cent_key] = hit
-    cids, cmat, bc = hit
+    return hit
+
+
+def _ivf_assign_cached(
+    coll, centroids, vector_col, centroid_id_col, centroid_vec_col
+):
+    """(assigned, cids, cmat): the persisted inverted file plus the resident
+    codebook. Cell assignment is the map-heavy step at scale: one vectorized
+    GEMM per Arrow batch against the broadcast centroid matrix, no join. The
+    assignment is the IVF *index build* — persisted and reused across query
+    batches over the same collection."""
+    from vettore_spark.plans.cache import cached_persist
+
+    spark = coll.sparkSession
+    cids, cmat, bc = _ivf_centroids_cached(
+        spark, centroids, centroid_id_col, centroid_vec_col
+    )
 
     @F.pandas_udf("long")
     def nearest_cell(vs: pd.Series) -> pd.Series:
@@ -516,6 +506,88 @@ def ivf_topk(
         m = _l2norm_rows(_matrix(vs))
         d = 1.0 - m @ mat.T
         return pd.Series(ids[np.argmin(d, axis=1)])
+
+    try:
+        cent_key = centroids.semanticHash()
+    except Exception:  # noqa: BLE001
+        cent_key = id(centroids)
+    assigned = cached_persist(
+        coll,
+        ("ivf_assign", cent_key, vector_col),
+        lambda s: s.withColumn("_cell", nearest_cell(F.col(vector_col))),
+    )
+    return assigned, cids, cmat
+
+
+def ivf_delete(
+    assigned: DataFrame, external_id, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Incremental IVF index delete: drop the row from the persisted cell
+    assignment WITHOUT re-training centroids or re-assigning any other row
+    — the inverted-file analog of HNSW's delete-with-entry-replacement
+    (hnsw.delete_from_graph_shards; reference semantics
+    native/vettore/src/hnsw.rs:263-289). The codebook goes stale by one
+    vector, which is the standard IVF maintenance contract (periodic
+    re-train, immediate tombstone). Pass the result to ivf_topk(assigned=...)."""
+    return assigned.filter(F.col(id_col) != F.lit(external_id))
+
+
+def ivf_assign(
+    coll: DataFrame,
+    *,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Build (and persist) the IVF inverted file: every collection row tagged
+    with its nearest-centroid `_cell`. Shared by ivf_topk (implicit build)
+    and the incremental-maintenance path (ivf_delete patches this table)."""
+    return _ivf_assign_cached(
+        coll, centroids, vector_col, centroid_id_col, centroid_vec_col
+    )[0]
+
+
+def ivf_topk(
+    coll: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every row to its nearest
+    centroid (cosine), probe the `n_probe` nearest centroids per query, and
+    run exact cosine only within probed cells.
+
+    The scale path for ANN: the centroid table is broadcast (small), the
+    collection is hash-partitioned by cell, and each query touches
+    n_probe/n_cells of the data. Recall vs exact is tunable via n_probe and
+    should be validated against brute_force_topk (the reference's pattern:
+    approximate modes report overlap@k vs exact — bench/search_modes_bench.exs:193-238).
+    """
+    from vettore_spark.functions import kernels as K
+
+    spark = coll.sparkSession
+    if assigned is None:
+        assigned, cids, cmat = _ivf_assign_cached(
+            coll, centroids, vector_col, centroid_id_col, centroid_vec_col
+        )
+    else:
+        # pre-built (possibly incrementally patched) inverted file: reuse it
+        # verbatim; only the driver-resident codebook is (re)fetched for
+        # probe selection.
+        cids, cmat, _ = _ivf_centroids_cached(
+            spark, centroids, centroid_id_col, centroid_vec_col
+        )
 
     # Probe selection stays JVM-side: query count is small relative to the
     # collection, so a literal-array cross of queries x codebook + windowed
@@ -529,23 +601,6 @@ def ivf_topk(
             )
             for cid, row in zip(cids, cmat)
         ]
-    )
-
-    # cell assignment is the map-heavy step at scale: one vectorized GEMM
-    # per Arrow batch against the broadcast centroid matrix, no join. The
-    # assignment is the IVF *index build* — persisted and reused across
-    # query batches over the same collection (reference residency model:
-    # the inverted file is built once, probed many times).
-    from vettore_spark.plans.cache import cached_persist
-
-    try:
-        cent_key = centroids.semanticHash()
-    except Exception:  # noqa: BLE001
-        cent_key = id(centroids)
-    assigned = cached_persist(
-        coll,
-        ("ivf_assign", cent_key, vector_col),
-        lambda s: s.withColumn("_cell", nearest_cell(F.col(vector_col))),
     )
     scored = F.transform(
         cent_lit,

@@ -898,7 +898,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5})
 
 
-SQL_ANN_IVF_TOPK = """
+def _sql_ivf(deleted: int | None = None) -> str:
+    """IVF oracle; with `deleted`, that row is dropped from the inverted
+    file while the centroid codebook stays trained on the FULL corpus —
+    exactly ivf_delete's tombstone-without-retrain contract."""
+    tomb = f"WHERE e.vec_id <> {deleted}" if deleted is not None else ""
+    return f"""
 WITH pos AS (
   SELECT label, i, avg(embedding[i]::DOUBLE) AS m
   FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
@@ -908,7 +913,7 @@ assign AS (
          (SELECT c.cid FROM cent c
           ORDER BY 1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv), c.cid
           LIMIT 1) AS cell
-  FROM embeddings e),
+  FROM embeddings e {tomb}),
 q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
 probes AS (
   SELECT q.query_id, q.embedding AS qv, c.cid AS cell
@@ -924,6 +929,35 @@ SELECT query_id, vec_id, round(sim, 5) AS score, round(1 - sim, 5) AS distance,
 FROM joined
 QUALIFY rank <= 5
 """
+
+
+SQL_ANN_IVF_TOPK = _sql_ivf()
+SQL_IVF_DELETE_SEARCH = _sql_ivf(0)
+
+
+def q_ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: build the inverted file, tombstone
+    vector 0 via ivf_delete (no centroid re-train, no re-assignment), then
+    search the same 8 queries. Query 0 searches for its own deleted vector
+    — the reference's delete-then-search invariant (hnsw.rs:753-784), here
+    on the IVF index."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _label_mean_vectors(emb).select(
+        F.col("label").alias("centroid_id"), F.col("mean").alias("centroid")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    assigned = ANN.ivf_assign(emb, centroids=centroids, vector_col="embedding")
+    patched = ANN.ivf_delete(assigned, 0, id_col="vec_id")
+    out = ANN.ivf_topk(
+        emb, queries_df, centroids=centroids, n_probe=3, k=5,
+        id_col="vec_id", vector_col="embedding", assigned=patched,
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
 
 
 # ---------------------------------------------------------------------------
@@ -2961,6 +2995,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # impls rotated out to make room for the r2 additions ---
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "charlm_quality": (q_charlm_quality, SQL_CHARLM_QUALITY),
+    "ivf_delete_search": (q_ivf_delete_search, SQL_IVF_DELETE_SEARCH),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
