@@ -46,6 +46,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_keep_best",
+    "hard_negatives",
+    "charlm_quality",
+    "ivf_delete_search",
     "simhash_pairs",
     "embedding_neardup",
     "neardup_clusters",

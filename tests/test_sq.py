@@ -71,3 +71,45 @@ def test_sq_constant_dim_is_ignored(spark):
     assert SQ.sq_params(mins, maxs)[1] == 0.0
     out = SQ.sq_topk(df, [3.0, 5.0], mins, maxs, k=3, candidates=5).collect()
     assert [r["id"] for r in out] == [3, 2, 4]
+
+
+def test_collection_sq_search_and_invalidation(spark):
+    """Facade: sq_search matches flat search top-1; the resident params are
+    invalidated on put/delete so new vectors are reachable and deleted ones
+    are gone (the round-1 PQ staleness bug class)."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {"id": f"v{i}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(40)
+    ]
+    c = Collection.create(spark, "sqt", 6, metric="l2").put_many(rows)
+    got = c.sq_search(rows[3]["vector"], limit=3, candidates=20).collect()
+    assert got[0]["id"] == "v3"
+    assert c.__dict__.get("_sq_params") is not None
+
+    # insert a new exact-match vector -> must be reachable (cache dropped)
+    target = [float(x) for x in rng.normal(size=6)]
+    c.put({"id": "new", "vector": target})
+    assert c.__dict__.get("_sq_params") is None
+    got2 = c.sq_search(target, limit=2, candidates=20).collect()
+    assert got2[0]["id"] == "new"
+
+    # delete it -> never returned again
+    c.delete("new")
+    got3 = c.sq_search(target, limit=5, candidates=20).collect()
+    assert all(r["id"] != "new" for r in got3)
+
+
+def test_collection_sq_search_rejects_non_l2(spark):
+    import pytest as _pt
+
+    from vettore_spark.collection import Collection
+
+    c = Collection.create(spark, "sqm", 4, metric="manhattan")
+    c.put({"id": "a", "vector": [0.1, 0.2, 0.3, 0.4]})
+    with _pt.raises(ValueError, match="sq_search supports"):
+        c.sq_search([0.1, 0.2, 0.3, 0.4])

@@ -254,6 +254,7 @@ class Collection:
         in the insert/delete path (hnsw.rs:263-289); the Spark analog is
         rebuild-on-next-search from the canonical rows."""
         self.__dict__.pop("_pq_indexes", None)
+        self.__dict__.pop("_sq_params", None)
 
     def all(self) -> DataFrame:
         return self.df
@@ -365,6 +366,34 @@ class Collection:
         return S.flat_topk(
             pruned, q, metric=self.config.metric, k=limit,
             score_mode=self.config.score,
+        )
+
+    def sq_search(self, query: list[float], *, limit: int = 10,
+                  candidates: int = 100) -> DataFrame:
+        """Two-stage SQ8 scalar-quantization search (extension beyond the
+        reference's binary quantization, between sign-bit and PQ on the
+        compression spectrum): per-dim min/max trained once per collection
+        state (invalidated on put/delete like the PQ index), scaled-integer
+        L2 candidates over uint8 codes, exact rerank with the collection
+        metric. Supported for l2/cosine collections (the candidate stage is
+        an L2 proxy — exact for l2, rank-preserving on unit-norm cosine)."""
+        from vettore_spark.operators import sq as SQ
+
+        if self.config.metric not in ("l2", "euclidean", "cosine"):
+            raise ValueError(
+                f"sq_search supports l2/cosine collections, not "
+                f"{self.config.metric!r} (the candidate stage is an L2 proxy)"
+            )
+        q = self._prepare_query(query)
+        params = self.__dict__.get("_sq_params")
+        if params is None:
+            params = SQ.sq_train(self._df, vector_col="vector")
+            self.__dict__["_sq_params"] = params
+        mins, maxs = params
+        return SQ.sq_topk(
+            self._df, q, mins, maxs, k=limit, candidates=candidates,
+            id_col="id", vector_col="vector",
+            metric=self.config.metric, score_mode=self.config.score,
         )
 
     def hybrid_search(self, query: list[float], *, generators: list[str] | None = None,

@@ -103,12 +103,17 @@ def sq_topk(
     candidates: int = 100,
     id_col: str = "id",
     vector_col: str = "vector",
+    metric: str = "l2",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
 ) -> DataFrame:
     """Two-stage SQ8 search: scaled-integer L2 over codes → top `candidates`
-    by (d2, id) → exact L2 rerank of hydrated vectors → top k.
+    by (d2, id) → exact rerank of hydrated vectors with `metric` → top k.
 
     d2 = Σ_i ((code_i − qcode_i)·scale_i)², accumulated left-to-right in dim
-    order (F.aggregate fold) — the de-quantized L2 approximation."""
+    order (F.aggregate fold) — the de-quantized L2 approximation. The L2
+    candidate proxy is exact-order for l2 collections and rank-preserving
+    for unit-norm cosine collections (monotone d² = 2 − 2·cos)."""
     scales = sq_params(mins, maxs)
     qc = sq_encode_query(query, mins, maxs)
     codes = sq_encode(F.col(vector_col), mins, maxs)
@@ -131,8 +136,10 @@ def sq_topk(
         coll,
         cand,
         query,
-        metric="l2",
+        metric=metric,
         k=k,
         id_col=id_col,
         vector_col=vector_col,
+        score_mode=score_mode,
+        pre_normalized=pre_normalized,
     )
