@@ -1,0 +1,73 @@
+"""Streaming parity for the corpus-prep map operators: the same pipeline
+functions (redact_pii, repetition_stats, quality filters) compose onto a
+readStream source unchanged — map-only expressions are streamable by
+construction — and the streamed output equals the batch output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import pipeline as PL
+from vettore_spark.operators import text as TX
+
+ROWS = [
+    (0, "mail a.b@x.io now ip 10.0.0.1 spam spam spam spam spam spam"),
+    (1, "a b c d e f g h i j k tel +1-555-0042"),
+    (2, "clean words only in this one truly"),
+    (3, "c@d.org c@d.org 192.168.1.1 192.168.1.1"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _stream(spark, tmp_path, name):
+    src = tmp_path / name
+    spark.createDataFrame(ROWS[:2], SCHEMA).write.parquet(str(src / "b1"))
+    spark.createDataFrame(ROWS[2:], SCHEMA).write.parquet(str(src / "b2"))
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+
+
+def _run(stream_df, spark, qname):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {qname}").collect()
+
+
+def test_streaming_pii_redact_matches_batch(spark, tmp_path):
+    batch_df = spark.createDataFrame(ROWS, SCHEMA)
+    want = {r["doc_id"]: r.asDict() for r in PL.redact_pii(batch_df).collect()}
+    got_rows = _run(PL.redact_pii(_stream(spark, tmp_path, "pii")), spark, "pii_out")
+    got = {r["doc_id"]: r.asDict() for r in got_rows}
+    assert got == want
+    assert got[0]["n_emails"] == 1 and got[3]["n_ips"] == 2
+
+
+def test_streaming_repetition_stats_matches_batch(spark, tmp_path):
+    batch_df = spark.createDataFrame(ROWS, SCHEMA)
+    want = {r["doc_id"]: r.asDict() for r in PL.repetition_stats(batch_df).collect()}
+    got_rows = _run(
+        PL.repetition_stats(_stream(spark, tmp_path, "rep")), spark, "rep_out"
+    )
+    got = {r["doc_id"]: r.asDict() for r in got_rows}
+    assert got == want
+    assert got[0]["keep"] is False  # the spam doc
+
+
+def test_streaming_quality_filter_chain(spark, tmp_path):
+    """A quality-gate chain (token stats + keep predicate) composes onto the
+    stream: only docs passing the filter reach the sink."""
+    stream = _stream(spark, tmp_path, "qf")
+    gated = PL.repetition_stats(stream).filter(F.col("keep"))
+    got = {r["doc_id"] for r in _run(gated, spark, "qf_out")}
+    batch = PL.repetition_stats(spark.createDataFrame(ROWS, SCHEMA))
+    want = {r["doc_id"] for r in batch.filter(F.col("keep")).collect()}
+    assert got == want and 0 not in got

@@ -44,6 +44,15 @@ PHONE_PATTERN = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 IPV4_PATTERN = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
 
+def _pin(df: DataFrame) -> Column:
+    """Non-deterministic pin column that blocks CollapseProject/pushdown
+    from re-inlining an expensive array projection into its consumers.
+    Streaming plans reject non-deterministic expressions, so streams get a
+    literal instead — per-micro-batch recompute is bounded by the batch
+    size, and plan validity wins."""
+    return F.lit(0) if df.isStreaming else F.monotonically_increasing_id()
+
+
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams WITHOUT de-duplication (dedup.shingle_array distincts);
     repetition analysis needs the raw multiset. Same arrays_zip shape —
@@ -81,7 +90,7 @@ def chunk_documents(
     base = df.select(
         F.col(id_col),
         toks.alias("_t"),
-        F.monotonically_increasing_id().alias("_pin"),
+        _pin(df).alias("_pin"),
     ).filter(F.size("_t") >= 1)
     n_chunks = (F.floor((F.size("_t") - 1) / stride) + 1).cast("long")
     exploded = base.select(
@@ -193,7 +202,7 @@ def repetition_stats(
     base = df.select(
         F.col(id_col),
         tokens(text_col).alias("_t"),
-        F.monotonically_increasing_id().alias("_pin"),
+        _pin(df).alias("_pin"),
     )
     grams = _word_ngrams(F.col("_t"), n)
     total = F.size(grams).cast("double")

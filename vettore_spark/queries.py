@@ -1381,6 +1381,69 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics with EXACT percentiles (linear
+    interpolation — Spark `percentile`, not the approx sketch, so the
+    DuckDB quantile_cont oracle matches bit-for-bit after rounding). The
+    rollup every corpus intake runs: doc counts, token-length mean/p50/p90."""
+    s = _t(spark, sf_dir, "documents").select(
+        "lang", F.size(D.tokens("text")).cast("long").alias("_n")
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("_n"), 5).alias("avg_tokens"),
+        F.round(F.percentile("_n", F.lit(0.5)), 5).alias("p50_tokens"),
+        F.round(F.percentile("_n", F.lit(0.9)), 5).alias("p90_tokens"),
+    )
+
+
+SQL_CORPUS_STATS = r"""
+WITH s AS (SELECT lang, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+           FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(n), 5) AS avg_tokens,
+       round(quantile_cont(n, 0.5), 5) AS p50_tokens,
+       round(quantile_cont(n, 0.9), 5) AS p90_tokens
+FROM s GROUP BY lang
+"""
+
+
+def q_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cluster-quality analytics: per label, the mean and max
+    cosine distance of members to their label centroid — the drift /
+    cohesion monitor for embedding spaces (tight labels → low dispersion).
+    Centroids via the map-side-combined posexplode aggregate; the 10-row
+    centroid table broadcasts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _label_mean_vectors(emb)
+    j = emb.join(F.broadcast(cents), "label")
+    d = 1.0 - K.cosine(F.col("embedding").cast("array<double>"), F.col("mean"))
+    return (
+        j.select("label", d.alias("_d"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.avg("_d"), 5).alias("avg_dist"),
+            F.round(F.max("_d"), 5).alias("max_dist"),
+        )
+    )
+
+
+SQL_LABEL_DISPERSION = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM pos GROUP BY 1),
+d AS (SELECT e.label,
+             1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS dist
+      FROM embeddings e JOIN cent c USING (label))
+SELECT label, count(*)::BIGINT AS n_members,
+       round(avg(dist), 5) AS avg_dist,
+       round(max(dist), 5) AS max_dist
+FROM d GROUP BY label
+"""
+
+
 def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram LM fluency score (corpus-trained, Laplace-smoothed
     mean log-probability per doc) — the perplexity-style quality signal."""
@@ -2996,6 +3059,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "charlm_quality": (q_charlm_quality, SQL_CHARLM_QUALITY),
     "ivf_delete_search": (q_ivf_delete_search, SQL_IVF_DELETE_SEARCH),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
     "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
