@@ -1381,6 +1381,77 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup verification report: embedding-cosine candidate
+    pairs (block-grid GEMM, ≥ 0.45) annotated with the exact word-3-gram
+    Jaccard of the paired documents (doc_id ≡ vec_id) and a lexical_match
+    verdict — embedding recall, lexical precision: the two-signal dedup a
+    production corpus runs before dropping anything. The candidate pair
+    list is tiny relative to the corpus, so both hydration joins broadcast
+    it."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cand = ANN.cosine_neardup_blocked(
+        emb, threshold=0.45, id_col="vec_id", vector_col="embedding"
+    )
+    sh = docs.select(
+        F.col("doc_id"),
+        D.shingle_hash_array(D.tokens("text"), 3).alias("_sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    j = a.join(F.broadcast(cand), "id_a").join(
+        F.broadcast(b.join(F.broadcast(cand.select("id_b").distinct()), "id_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
+    jac = F.round(inter / union, 5)
+    return j.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("sim", 5).alias("sim"),
+        jac.alias("jac"),
+        (jac >= 0.3).alias("lexical_match"),
+    )
+
+
+SQL_SEMANTIC_DEDUP_PAIRS = r"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings),
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) AS sim
+  FROM n a CROSS JOIN n b
+  WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS i
+  FROM cpairs c JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY 1, 2)
+SELECT c.id_a AS doc_a, c.id_b AS doc_b, round(c.sim, 5) AS sim,
+       round(coalesce(i.i, 0)::DOUBLE
+             / ((sa.n + sb.n)::DOUBLE - coalesce(i.i, 0)::DOUBLE), 5) AS jac,
+       round(coalesce(i.i, 0)::DOUBLE
+             / ((sa.n + sb.n)::DOUBLE - coalesce(i.i, 0)::DOUBLE), 5) >= 0.3
+           AS lexical_match
+FROM cpairs c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics with EXACT percentiles (linear
     interpolation — Spark `percentile`, not the approx sketch, so the
@@ -3060,6 +3131,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "charlm_quality": (q_charlm_quality, SQL_CHARLM_QUALITY),
     "ivf_delete_search": (q_ivf_delete_search, SQL_IVF_DELETE_SEARCH),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "semantic_dedup_pairs": (q_semantic_dedup_pairs, SQL_SEMANTIC_DEDUP_PAIRS),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
