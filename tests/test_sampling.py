@@ -141,3 +141,36 @@ def test_write_shards_order_deterministic(docs, tmp_path):
         assert o1[s] == o2[s], f"shard {s} order differs"
         # order is the digest permutation, not id order
         assert o1[s] != sorted(o1[s])
+
+
+def test_leakage_safe_split_keeps_families_together(spark):
+    """Every near-dup pair lands in one split; singletons keep the plain
+    per-id draw (so the split is growth-stable and backward compatible
+    with train_test_split for unpaired docs)."""
+    from vettore_spark.operators.sampling import (
+        leakage_safe_split,
+        sample_predicate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], ["doc_a", "doc_b"]
+    )
+    out = leakage_safe_split(docs, pairs, test_fraction=0.3, salt="s").collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    assert len(split) == 50
+    # families share a split
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    assert split[20] == split[21]
+    # unpaired docs match the per-id draw exactly
+    plain = docs.filter(
+        sample_predicate(F.col("doc_id"), 0.3, salt="s")
+    ).collect()
+    test_ids = {r["doc_id"] for r in plain}
+    for i in set(range(50)) - {0, 1, 2, 10, 11, 20, 21}:
+        assert (split[i] == "test") == (i in test_ids)
+    # both splits non-empty at this fraction
+    assert {"train", "test"} == set(split.values())

@@ -90,6 +90,45 @@ def train_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Train/test split that can never leak near-duplicates across the
+    boundary: the split draw is keyed on the near-dup CLUSTER representative
+    (connected-components min id over `pairs`), so every member of a
+    duplicate family lands in the same split; docs in no pair draw on their
+    own id (singleton clusters). Same md5-draw determinism as
+    train_test_split — growth-stable and engine-reproducible.
+
+    This is the split every contrastive / eval-honest pipeline needs: a
+    plain per-doc split puts one copy of a near-dup pair in train and its
+    twin in test, silently inflating eval scores.
+
+    Plan: one CC run over the sparse pair graph (O(log n) keyed shuffles,
+    see connected_components), a left join of the assignment (bounded by
+    docs-in-pairs, usually ≪ corpus — AQE broadcasts when small), then the
+    digest predicate. Returns df + `split` column.
+    """
+    from vettore_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs, src=src, dst=dst, id_out=id_col)
+    j = df.join(cc, id_col, "left")
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    return j.withColumn(
+        "split",
+        F.when(
+            sample_predicate(group, test_fraction, salt=salt), F.lit("test")
+        ).otherwise(F.lit("train")),
+    ).drop("component")
+
+
 def shard_column(key: Column | str, num_shards: int, *, salt: str = "") -> Column:
     """Deterministic shard in [0, num_shards): the 32-bit digest prefix
     mod num_shards. Reproducible in SQL by folding the 8 hex chars."""

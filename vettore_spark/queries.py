@@ -1381,6 +1381,41 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: the md5 split draw keys on the
+    connected-component representative, so duplicate families never
+    straddle the boundary (the eval-leakage guard a contrastive pipeline
+    requires)."""
+    from vettore_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n=3, num_perm=64, bands=16, threshold=0.8)
+    out = SMP.leakage_safe_split(
+        docs.select("doc_id", "lang"), pairs, id_col="doc_id",
+        test_fraction=0.1, salt="split",
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+def _sql_leakage_safe_split() -> str:
+    from vettore_spark.operators.sampling import _threshold_hex
+
+    return (
+        "WITH RECURSIVE"
+        + _sql_cc_block("documents", 0.8)
+        + f"""
+SELECT d.doc_id, d.lang,
+       CASE WHEN substr(md5('split' || CAST(coalesce(a.component, d.doc_id) AS VARCHAR)), 1, 8)
+                 < '{_threshold_hex(0.1)}'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN assign a USING (doc_id)
+"""
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
+
+
 def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal near-dup verification report: embedding-cosine candidate
     pairs (block-grid GEMM, ≥ 0.45) annotated with the exact word-3-gram
@@ -3132,6 +3167,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ivf_delete_search": (q_ivf_delete_search, SQL_IVF_DELETE_SEARCH),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "semantic_dedup_pairs": (q_semantic_dedup_pairs, SQL_SEMANTIC_DEDUP_PAIRS),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
