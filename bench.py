@@ -143,7 +143,8 @@ def main() -> None:
     overlap: dict[str, float] = {}
     try:
         exact = {r["vec_id"] for r in qs["flat_topk_l2"](spark, sf_dir).collect()}
-        for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk"):
+        for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk",
+                     "sq_int8_topk"):
             got = {r["vec_id"] for r in qs[mode](spark, sf_dir).collect()}
             overlap[mode] = round(len(exact & got) / max(len(exact), 1), 3)
         # compressed/partitioned ANN modes answer multiple queries; their

@@ -106,3 +106,46 @@ def test_keep_best_tie_breaks_by_id(spark):
     quality = spark.createDataFrame([(5, 0.5), (6, 0.5)], ["doc_id", "quality"])
     rows = PL.keep_best_per_cluster(clusters, quality).collect()
     assert len(rows) == 1 and rows[0]["keep_doc_id"] == 5
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=40
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunking_covers_every_token_in_order(spark, token_list, chunk, stride):
+    """Property: overlapping chunks cover every token; stitching chunk
+    strides back together reproduces the document."""
+    stride = min(stride, chunk)  # stride > chunk would skip tokens
+    text = " ".join(token_list)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        PL.chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stitched: list = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        start = r["chunk_id"] * stride
+        stitched[start : start + len(toks)] = toks
+    assert stitched == token_list
+
+
+@given(st.text(alphabet="ab@. 0-9+xyz", max_size=60))
+@settings(max_examples=20, deadline=None)
+def test_pii_redaction_is_idempotent(spark, text):
+    """Property: redacting already-redacted text changes nothing (the
+    replacement tokens contain no redactable patterns)."""
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    once = PL.redact_pii(df).collect()[0]["redacted"]
+    twice = PL.redact_pii(
+        spark.createDataFrame([(0, once)], ["doc_id", "text"])
+    ).collect()[0]["redacted"]
+    assert twice == once

@@ -169,3 +169,4 @@ def test_muvera_query_additivity_doc_mean(nv, reps, proj, seed):
     # duplicating every vector leaves the document mean unchanged
     d_dup = MU.encode_document(np.concatenate([vs, vs]), cfg)
     assert np.allclose(d_all, d_dup, atol=1e-4)
+

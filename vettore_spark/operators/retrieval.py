@@ -61,12 +61,22 @@ def bm25_scores(
     The per-term products are summed in query_terms order in BOTH engines,
     so double addition order is fixed.
     """
+    from vettore_spark.plans.cache import cached_persist
+
     terms = [t.lower() for t in query_terms]
     toks = tokens(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("_dl"),
-        *[_term_tf(toks, t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    # (id, dl, tf...) is consumed twice (corpus stats + scoring) and reused
+    # across repeated queries with the same term set — persist the narrow
+    # projection so the tokenizing scan runs once (resident term-stats
+    # table, the BM25 analog of the reference's derived-index residency).
+    base = cached_persist(
+        df,
+        ("bm25_base", id_col, text_col, tuple(terms)),
+        lambda s: s.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("_dl"),
+            *[_term_tf(toks, t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+        ),
     )
     stats = base.agg(
         F.count("*").cast("long").alias("_n"),
