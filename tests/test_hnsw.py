@@ -222,3 +222,79 @@ def test_shard_delete_without_rebuild(spark):
     blobs_a = {bytes(r["shard"]) for r in shards.collect()}
     blobs_b = {bytes(r["shard"]) for r in patched.collect()}
     assert len(blobs_a & blobs_b) >= len(blobs_a) - 1
+
+
+def test_insert_into_graph_shards_patches_one_shard(spark):
+    """Incremental insert: the new id becomes searchable without any shard
+    rebuild; exactly one shard blob changes; other shards byte-identical."""
+    import numpy as np
+
+    from vettore_spark.operators.hnsw import (
+        HnswParams,
+        build_graph_shards,
+        insert_into_graph_shards,
+        search_graph_shards,
+    )
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(40, 6))
+    coll = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs) if i != 7],
+        ["vec_id", "embedding"],
+    )
+    shards = build_graph_shards(
+        coll, metric="l2", params=HnswParams(ef_search=10_000),
+        id_col="vec_id", vector_col="embedding", num_partitions=4,
+    )
+    before = {r["shard_id"]: bytes(r["shard"]) for r in shards.collect()}
+
+    patched = insert_into_graph_shards(shards, 7, [float(x) for x in vecs[7]])
+    after = {r["shard_id"]: bytes(r["shard"]) for r in patched.collect()}
+    assert set(before) == set(after)
+    changed = [sid for sid in before if before[sid] != after[sid]]
+    assert len(changed) == 1
+
+    hits = search_graph_shards(
+        patched, [("q", [float(x) for x in vecs[7]])], metric="l2", k=3,
+        ef_search=10_000, id_col="vec_id", id_type=T.LongType(),
+    ).collect()
+    assert hits[0]["vec_id"] == 7  # the inserted vector is its own top hit
+
+
+def test_collection_hnsw_incremental_put_delete(spark):
+    """Facade: hnsw_search builds a resident shard table; put patches one
+    shard (no rebuild — the table object changes but is derived from the
+    prior one), delete tombstones, and results track the collection."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(31)
+    rows = [
+        {"id": f"v{i}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(30)
+    ]
+    c = Collection.create(spark, "hn", 6, metric="l2").put_many(rows)
+    got = c.hnsw_search(rows[4]["vector"], limit=3, ef_search=10_000).collect()
+    assert got[0]["id"] == "v4"
+    assert c.__dict__.get("_hnsw_shards")
+
+    # incremental insert: resident table survives (patched, not dropped)
+    nv = [float(x) for x in rng.normal(size=6)]
+    c.put({"id": "fresh", "vector": nv})
+    assert c.__dict__.get("_hnsw_shards"), "resident table must be patched, not dropped"
+    got2 = c.hnsw_search(nv, limit=2, ef_search=10_000).collect()
+    assert got2[0]["id"] == "fresh"
+
+    # incremental delete: patched table stops returning the id
+    c.delete("fresh")
+    assert c.__dict__.get("_hnsw_shards")
+    got3 = c.hnsw_search(nv, limit=5, ef_search=10_000).collect()
+    assert all(r["id"] != "fresh" for r in got3)
+
+    # bulk put_many invalidates for rebuild
+    c.put_many([{"id": "bulk1", "vector": nv}])
+    assert not c.__dict__.get("_hnsw_shards")
+    got4 = c.hnsw_search(nv, limit=2, ef_search=10_000).collect()
+    assert got4[0]["id"] == "bulk1"

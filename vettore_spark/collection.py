@@ -230,8 +230,32 @@ class Collection:
 
     def put(self, row: dict) -> "Collection":
         """Single validated insert (collection.ex:167-172) — same pipeline
-        as put_many with a one-row batch."""
-        return self.put_many([row])
+        as put_many with a one-row batch. If an HNSW shard table is
+        resident, it is maintained INCREMENTALLY (one-shard graph insert,
+        hnsw.rs:152-245) instead of being dropped for rebuild — the
+        reference's insert-time index maintenance."""
+        resident = self.__dict__.pop("_hnsw_shards", None)
+        self.put_many([row])
+        if resident and row.get("vector") is not None:
+            from vettore_spark.operators import hnsw as H
+
+            rid = row.get("id") or row.get("value")
+            vec = self._stored_vector(row["vector"])
+            self.__dict__["_hnsw_shards"] = {
+                k: H.insert_into_graph_shards(sh, rid, vec).localCheckpoint(
+                    eager=False
+                )
+                for k, sh in resident.items()
+            }
+        return self
+
+    def _stored_vector(self, vector: list[float]) -> list[float]:
+        """The f64 view of the vector put_many stores: validated, collection-
+        normalized, then f32-rounded (the stored column is array<float>)."""
+        import numpy as np
+
+        q = self._prepare_query(vector)
+        return np.asarray(q, dtype=np.float32).astype(np.float64).tolist()
 
     # -- point ops (S3-S6) --------------------------------------------------
 
@@ -241,9 +265,20 @@ class Collection:
         return rows[0] if rows else None
 
     def delete(self, id_: str) -> "Collection":
+        """Row delete; a resident HNSW shard table is patched in place
+        (tombstone + edge strip + entry replacement, hnsw.rs:263-289)
+        rather than dropped for rebuild."""
         self._check_open()
+        resident = self.__dict__.pop("_hnsw_shards", None)
         self._df = self._df.filter(F.col("id") != id_)
         self._invalidate_derived()
+        if resident:
+            from vettore_spark.operators import hnsw as H
+
+            self.__dict__["_hnsw_shards"] = {
+                k: H.delete_from_graph_shards(sh, id_).localCheckpoint(eager=False)
+                for k, sh in resident.items()
+            }
         return self
 
     def _invalidate_derived(self) -> None:
@@ -255,6 +290,7 @@ class Collection:
         rebuild-on-next-search from the canonical rows."""
         self.__dict__.pop("_pq_indexes", None)
         self.__dict__.pop("_sq_params", None)
+        self.__dict__.pop("_hnsw_shards", None)
 
     def all(self) -> DataFrame:
         return self.df
@@ -367,6 +403,39 @@ class Collection:
             pruned, q, metric=self.config.metric, k=limit,
             score_mode=self.config.score,
         )
+
+    def hnsw_search(self, query: list[float], *, limit: int = 10,
+                    ef_search: int | None = None,
+                    num_partitions: int = 8) -> DataFrame:
+        """Partition-parallel HNSW search over a RESIDENT graph-shard table
+        (Q6/Q7): built once per (params) from the canonical rows, then
+        maintained incrementally — `put` inserts into one shard's graph,
+        `delete` patches the owning shard (entry replacement) — matching
+        the reference's insert/delete-time index maintenance
+        (hnsw.rs:152-245, :263-289). Bulk put_many still invalidates for a
+        rebuild (bulk graph construction beats n incremental inserts).
+        Returns (id, score, distance) like `search`."""
+        from vettore_spark.operators import hnsw as H
+
+        self._check_open()
+        q = self._prepare_query(query)
+        p = H.HnswParams() if ef_search is None else H.HnswParams(ef_search=ef_search)
+        key = (self.config.metric, p.m, p.m0, p.ef_construction,
+               p.max_level, num_partitions)
+        cache = self.__dict__.setdefault("_hnsw_shards", {})
+        shards = cache.get(key)
+        if shards is None:
+            shards = H.build_graph_shards(
+                self._df.select("id", "vector"), metric=self.config.metric,
+                params=p, id_col="id", vector_col="vector",
+                num_partitions=num_partitions,
+            )
+            cache[key] = shards
+        out = H.search_graph_shards(
+            shards, [("q", q)], metric=self.config.metric, k=limit,
+            ef_search=p.ef_search, id_col="id", id_type=T.StringType(),
+        )
+        return out.select("id", "score", "distance")
 
     def sq_search(self, query: list[float], *, limit: int = 10,
                   candidates: int = 100) -> DataFrame:

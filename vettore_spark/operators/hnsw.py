@@ -303,6 +303,8 @@ def build_graph_shards(
             part = part.repartition(num_partitions, F.col(id_col))
 
         def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
             rows_id: list = []
             rows_vec: list = []
             for pdf in it:
@@ -316,9 +318,12 @@ def build_graph_shards(
             g = HnswGraph(metric=m, params=p)
             for i in order:
                 g.insert(rows_id[i], rows_vec[i])
-            yield pd.DataFrame({"shard": [pickle.dumps(g)]})
+            # shard_id = physical partition id: the stable routing key for
+            # incremental maintenance (insert_into_graph_shards)
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame({"shard_id": [pid], "shard": [pickle.dumps(g)]})
 
-        return part.mapInPandas(run, "shard binary")
+        return part.mapInPandas(run, "shard_id long, shard binary")
 
     return cached_persist(
         src,
@@ -343,9 +348,46 @@ def delete_from_graph_shards(shards: DataFrame, external_id) -> DataFrame:
             for blob in pdf["shard"]:
                 g: HnswGraph = pickle.loads(bytes(blob))
                 out.append(pickle.dumps(g) if g.delete(external_id) else blob)
-            yield pd.DataFrame({"shard": out})
+            yield pd.DataFrame({"shard_id": pdf["shard_id"], "shard": out})
 
-    return shards.mapInPandas(run, "shard binary")
+    return shards.mapInPandas(run, "shard_id long, shard binary")
+
+
+def insert_into_graph_shards(
+    shards: DataFrame, external_id, vector
+) -> DataFrame:
+    """Incremental index maintenance for put: insert the new vector into
+    exactly ONE shard's graph (HnswGraph.insert — the reference's
+    insert-time graph maintenance, hnsw.rs:152-245) and pass every other
+    shard through untouched. The target shard is chosen deterministically
+    by FNV-1a(external_id) over the existing shard ids, so repeated
+    maintenance streams spread inserts uniformly without a global view.
+
+    Search correctness does not depend on the routing (search scans every
+    shard and merges by (rank, id)); routing only balances growth. Caller
+    contract: `external_id` must not already exist in the index (Collection
+    rejects duplicate ids at put time)."""
+    import pickle
+
+    sids = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
+    if not sids:
+        raise ValueError("cannot insert into an empty shard table")
+    target = sids[fnv1a64(str(external_id).encode()) % len(sids)]
+    vec = np.asarray(vector, dtype=np.float64)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["shard"]):
+                if int(sid) == target:
+                    g: HnswGraph = pickle.loads(bytes(blob))
+                    g.insert(external_id, vec)
+                    out.append(pickle.dumps(g))
+                else:
+                    out.append(blob)
+            yield pd.DataFrame({"shard_id": pdf["shard_id"], "shard": out})
+
+    return shards.mapInPandas(run, "shard_id long, shard binary")
 
 
 def search_graph_shards(

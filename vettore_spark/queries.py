@@ -1914,6 +1914,33 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_hnsw_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index INSERT under the exact oracle: build the
+    graph-shard table WITHOUT vec 0, insert it via the one-shard patch path
+    (insert_into_graph_shards — the reference's insert-time graph
+    maintenance, hnsw.rs:152-245; no rebuild), then search at full beam.
+    The patched graph must return exactly the flat scan over the FULL
+    corpus — the newly inserted vector is query 0's self-match at rank 1."""
+    from vettore_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    shards = H.build_graph_shards(
+        emb.filter(F.col("vec_id") != 0), metric="l2",
+        params=H.HnswParams(ef_search=1_000_000),
+        id_col="vec_id", vector_col="embedding", num_partitions=8,
+    )
+    patched = H.insert_into_graph_shards(shards, 0, _qvec(spark, sf_dir, 0))
+    out = H.search_graph_shards(
+        patched, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
+        ef_search=1_000_000, id_col="vec_id", id_type=T.LongType(),
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HNSW_INSERT_SEARCH = SQL_HNSW_TOPK  # full corpus: delete-free exact scan
+
+
 # ---------------------------------------------------------------------------
 # MUVERA FDE retrieval (E1), SimHash, MMR — deterministic but not
 # SQL-expressible: rows-only entries (plus pytest coverage)
@@ -3168,6 +3195,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "semantic_dedup_pairs": (q_semantic_dedup_pairs, SQL_SEMANTIC_DEDUP_PAIRS),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+    "hnsw_insert_search": (q_hnsw_insert_search, SQL_HNSW_INSERT_SEARCH),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
