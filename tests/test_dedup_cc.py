@@ -127,3 +127,25 @@ def test_cc_idempotent_on_own_output(spark):
     assert {
         (r["id"], r["component"]) for r in again.collect()
     } == {(r["id"], r["component"]) for r in first.collect()}
+
+
+def test_fuzzy_value_pairs_finds_near_values(spark):
+    """Edit-distance dictionary matching: 1-2 edit pairs found regardless of
+    where the edit falls (complete length-band blocking), exact matches
+    excluded, counts carried."""
+    from vettore_spark.operators.dedup import fuzzy_value_pairs
+
+    df = spark.createDataFrame(
+        [(1, "red rod"), (2, "red rod"), (3, "new rod"), (4, "red ring"),
+         (5, "anvil"), (6, "xanvil")],
+        ["id", "name"],
+    )
+    rows = fuzzy_value_pairs(df, value_col="name", max_distance=2).collect()
+    got = {(r["val_a"], r["val_b"]): (r["dist"], r["n_a"], r["n_b"]) for r in rows}
+    # first-char edit found (would be lost under first-char blocking)
+    assert got[("new rod", "red rod")] == (2, 1, 2)
+    assert got[("anvil", "xanvil")] == (1, 1, 1)
+    # exact duplicates are NOT pairs (that's exact dedup's job)
+    assert all(a != b for a, b in got)
+    # distance > max excluded
+    assert ("anvil", "red rod") not in got

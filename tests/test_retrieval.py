@@ -104,3 +104,34 @@ def test_charlm_trigram_scores_match_python(spark):
         assert got[i][1] == pytest.approx(round(lp, 5), abs=1e-5)
     # the common-trigram docs score above the oddball
     assert got[0][1] > got[2][1] and got[1][1] > got[2][1]
+
+
+def test_bm25_batch_matches_single_query_path(spark):
+    """The inverted-index batch path and the literal-terms single path
+    produce identical (rounded) scores and rankings for the same query."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    single = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in RT.bm25_topk(docs, TERMS, k=6, k1=K1, b=B).collect()
+    }
+    queries = spark.createDataFrame([(7, TERMS)], ["query_id", "terms"])
+    batch = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in RT.bm25_batch_topk(docs, queries, k=6, k1=K1, b=B).collect()
+    }
+    assert batch == single
+
+
+def test_bm25_batch_isolates_queries(spark):
+    """Each query scores against its own terms only; a doc matching no term
+    of a query is absent from that query's ranking."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(0, ["spam_nonexistent_term"]), (1, ["window"])], ["query_id", "terms"]
+    )
+    rows = RT.bm25_batch_topk(docs, queries, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert 0 not in by_q  # no doc matches the nonsense term
+    assert by_q[1] == {i for i, t in DOCS if "window" in t.split()}

@@ -185,6 +185,55 @@ def ngram_jaccard_pairs(
     return jac
 
 
+def fuzzy_value_pairs(
+    df: DataFrame,
+    *,
+    value_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Fuzzy (edit-distance) matching over a column's DISTINCT value
+    dictionary: pairs of distinct values within `max_distance` Levenshtein
+    edits (excluding exact matches — those are exact_dedup's job), each
+    carrying its row count. The data-cleaning primitive for near-identical
+    categorical values (typos, spacing variants).
+
+    Scale shape: the dictionary (distinct values + counts) is one
+    map-side-combined groupBy and is orders of magnitude smaller than the
+    table; candidate generation uses COMPLETE length-band blocking as an
+    equi-join — one side keys on its own length, the other explodes the
+    ±max_distance length window — which loses no recall (edit distance d
+    implies a length difference ≤ d). The expensive `levenshtein` runs
+    only on in-band candidates; each unordered pair meets exactly once
+    (val_a < val_b).
+    """
+    vals = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    a = vals.select(
+        F.col("_v").alias("val_a"),
+        F.col("_n").alias("n_a"),
+        F.length("_v").alias("_blk"),
+    )
+    b = vals.select(
+        F.col("_v").alias("val_b"),
+        F.col("_n").alias("n_b"),
+        F.explode(
+            F.sequence(
+                F.length("_v") - max_distance, F.length("_v") + max_distance
+            )
+        ).alias("_blk"),
+    )
+    lev = F.levenshtein("val_a", "val_b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .withColumn("dist", lev.cast("long"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_distance))
+        .select("val_a", "val_b", "dist", "n_a", "n_b")
+    )
+
+
 def minhash_signature(hashed_shingles: Column, *, num_perm: int = 64) -> Column:
     """MinHash signature over pre-hashed (long) shingles: per permutation p,
     min over shingles of xxhash64(h, p). Pure JVM expression — no Python, no

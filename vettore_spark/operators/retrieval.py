@@ -143,6 +143,95 @@ def bm25_topk(
     return out.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25: many queries at once via the inverted-index join — the
+    scale shape the single-query literal-terms path (bm25_scores) trades
+    away. Queries arrive as (query_id, terms array<string>).
+
+    Physical plan: explode corpus tokens → tf per (doc, term) (one shuffle,
+    map-side combined) → df per term → join the exploded query-term table
+    on term (query side broadcast — query batches are driver-bounded) →
+    per-(query, doc) score sum → windowed top-k with WindowGroupLimit
+    pushdown. Corpus-side work is shared across ALL queries: the tf/df
+    tables are built once per corpus, not per query.
+
+    Returns (query_id, id, bm25, n_matched_terms, rank ≤ k) with the same
+    scoring formula and rounded-rank determinism as bm25_topk.
+    """
+    from pyspark.sql import Window
+
+    from vettore_spark.plans.cache import cached_persist
+
+    toks = tokens(text_col)
+    tf = cached_persist(
+        df,
+        ("bm25_tf", id_col, text_col),
+        lambda s: s.select(
+            F.col(id_col), F.explode(F.transform(toks, F.lower)).alias("_term")
+        )
+        .groupBy(id_col, "_term")
+        .agg(F.count("*").cast("long").alias("_tf")),
+    )
+    dl = cached_persist(
+        df,
+        ("bm25_dl", id_col, text_col),
+        lambda s: s.select(
+            F.col(id_col), F.size(toks).cast("long").alias("_dl")
+        ),
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").cast("long").alias("_df"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_sdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.transform(F.col(query_terms_col), F.lower)
+        ).alias("_term"),
+    ).distinct()
+    j = (
+        tf.join(F.broadcast(qterms), "_term")
+        .join(dfreq, "_term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("_n").cast("double")
+    avgdl = F.col("_sdl").cast("double") / n_d
+    dfi = F.col("_df").cast("double")
+    tf_d = F.col("_tf").cast("double")
+    idf = F.log(F.lit(1.0) + (n_d - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / (tf_d + norm)
+    scored = (
+        j.groupBy(query_id_col, id_col)
+        .agg(
+            F.round(F.sum(contrib), 5).alias("bm25"),
+            F.count("*").cast("long").alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

@@ -1302,6 +1302,64 @@ FROM topk
 SQL_BM25_TOPK = _sql_bm25(_BM25_TERMS, 10, _BM25_K1, _BM25_B)
 
 
+_BM25_BATCH = [
+    (0, ["spark", "join", "window"]),
+    (1, ["table", "scan"]),
+    (2, ["merge", "sort", "batch", "stream"]),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 via the inverted-index join — corpus tf/df tables built
+    once and shared across the whole query batch (the many-queries scale
+    shape; the literal-terms single-query path is bm25_topk)."""
+    from vettore_spark.operators import retrieval as RT
+
+    queries_df = spark.createDataFrame(_BM25_BATCH, ["query_id", "terms"])
+    return RT.bm25_batch_topk(
+        _t(spark, sf_dir, "documents"), queries_df, k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+def _sql_bm25_batch() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_BATCH for t in terms
+    )
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+WITH toks AS (SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> lower(x)) AS t
+              FROM documents),
+tf AS (SELECT doc_id, u.term AS term, count(*)::BIGINT AS tf
+       FROM toks, unnest(t) u(term) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+q(query_id, term) AS (VALUES {vals}),
+j AS (SELECT q.query_id, tf.doc_id,
+             ln(1.0::DOUBLE + ((s.n::DOUBLE - d.df::DOUBLE) + 0.5::DOUBLE)
+                              / (d.df::DOUBLE + 0.5::DOUBLE))
+             * tf.tf::DOUBLE * {k1 + 1.0!r}::DOUBLE
+             / (tf.tf::DOUBLE + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE
+                + ({b!r}::DOUBLE * dl.dl::DOUBLE) / (s.sdl::DOUBLE / s.n::DOUBLE))) AS c
+      FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN stats s),
+agg AS (SELECT query_id::BIGINT AS query_id, doc_id, round(sum(c), 5) AS bm25,
+               count(*)::BIGINT AS n_matched_terms
+        FROM j GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, n_matched_terms,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY bm25 DESC, doc_id) AS rank
+FROM agg
+QUALIFY rank <= 10
+"""
+
+
+SQL_BM25_BATCH = _sql_bm25_batch()
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: RRF of the BM25 lexical top-50 and the dense cosine
     top-50 (query = embedding of vec 0; doc_id ≡ vec_id in the testdata).
@@ -1484,6 +1542,25 @@ FROM cpairs c
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+"""
+
+
+def q_fuzzy_value_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance matching over part-name dictionary values (1–2 edits,
+    complete length-band blocking) — typo/variant detection over a
+    categorical column."""
+    return D.fuzzy_value_pairs(
+        _t(spark, sf_dir, "part"), value_col="p_name", max_distance=2
+    )
+
+
+SQL_FUZZY_VALUE_PAIRS = """
+WITH v AS (SELECT p_name AS val, count(*)::BIGINT AS n FROM part GROUP BY 1)
+SELECT a.val AS val_a, b.val AS val_b,
+       levenshtein(a.val, b.val)::BIGINT AS dist, a.n AS n_a, b.n AS n_b
+FROM v a JOIN v b ON a.val < b.val
+WHERE abs(length(a.val) - length(b.val)) <= 2
+  AND levenshtein(a.val, b.val) BETWEEN 1 AND 2
 """
 
 
@@ -3196,6 +3273,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "semantic_dedup_pairs": (q_semantic_dedup_pairs, SQL_SEMANTIC_DEDUP_PAIRS),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "hnsw_insert_search": (q_hnsw_insert_search, SQL_HNSW_INSERT_SEARCH),
+    "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
+    "fuzzy_value_pairs": (q_fuzzy_value_pairs, SQL_FUZZY_VALUE_PAIRS),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
