@@ -56,7 +56,15 @@ HEADLINE = [
     "doc_fingerprint",
     "tfidf_top_terms",
     "bm25_topk",
+    "bm25_batch",
     "rrf_fusion",
+    "charlm_quality",
+    "corpus_stats",
+    "label_dispersion",
+    "semantic_dedup_pairs",
+    "fuzzy_value_pairs",
+    "leakage_safe_split",
+    "hnsw_insert_search",
     "doc_chunks",
     "decontaminate",
     "pii_redact",

@@ -83,3 +83,27 @@ def test_sq_candidates_take_ordered_and_rerank_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Broadcast" in plan  # candidate hydration semi-join
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_batch_window_group_limit(docs, spark):
+    """Batched BM25 per-query top-k must compile to WindowGroupLimit
+    (partial per-partition top-k before the exchange), and the query-terms
+    join must broadcast."""
+    queries = spark.createDataFrame(
+        [(0, ["w1", "w2"]), (1, ["w3"])], ["query_id", "terms"]
+    )
+    plan = _executed(RT.bm25_batch_topk(docs, queries, k=3))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_value_pairs_no_cartesian(docs, spark):
+    """Length-band blocking must be an equi-join on the exploded band key —
+    never a cartesian/broadcast-nested-loop over the dictionary."""
+    from vettore_spark.operators.dedup import fuzzy_value_pairs
+
+    df = docs.selectExpr("doc_id", "substring(text, 1, 12) as name")
+    plan = _executed(fuzzy_value_pairs(df, value_col="name", max_distance=2))
+    assert "CartesianProduct" not in plan
+    # the join key is the exploded length band
+    assert "Generate explode" in plan

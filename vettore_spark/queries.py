@@ -320,6 +320,38 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_filtered_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + two-stage composition (§2.2 superset × Q4): the label
+    filter prunes BEFORE the packed-Hamming candidate stage AND the exact
+    rerank — Catalyst pushes it into both scans, so at 100 TB a selective
+    predicate shrinks every stage, not just the final one."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("label") < 3)
+        .withColumn("binary_vector", K.compress_sign_bits("embedding", DIMS))
+    )
+    out = S.quantized_search(
+        emb, _qvec(spark, sf_dir), dims=DIMS, metric="l2", k=10, candidates=100,
+        id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_FILTERED_QUANTIZED_TOPK = f"""
+WITH cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           len(list_filter(list_zip(embedding::DOUBLE[], {_QV}),
+               z -> (z[1] >= 0) != (z[2] >= 0))) AS ham
+    FROM embeddings WHERE label < 3)
+  ORDER BY ham, vec_id LIMIT 100)
+SELECT e.vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE label < 3 AND vec_id IN (SELECT vec_id FROM cand)) e
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
 def q_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = S.funnel_search(
@@ -3275,6 +3307,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hnsw_insert_search": (q_hnsw_insert_search, SQL_HNSW_INSERT_SEARCH),
     "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
     "fuzzy_value_pairs": (q_fuzzy_value_pairs, SQL_FUZZY_VALUE_PAIRS),
+    "filtered_quantized_topk": (q_filtered_quantized_topk, SQL_FILTERED_QUANTIZED_TOPK),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
