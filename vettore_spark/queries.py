@@ -1596,6 +1596,73 @@ WHERE abs(length(a.val) - length(b.val)) <= 2
 """
 
 
+def q_uniform_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    per query doc, the k docs with the smallest md5(salt‖query‖candidate)
+    draw, excluding self — reproducible across engines and stable under
+    reruns (unlike rand()-based sampling). Complements hard_negatives
+    (similarity-ranked) with the uniform-random tier every triplet-loss
+    recipe mixes in."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    q = docs.filter(F.col("doc_id") < 4).select(F.col("doc_id").alias("query_id"))
+    cand = docs.select(F.col("doc_id").alias("cand_id"))
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("neg"),
+                F.col("query_id").cast("string"),
+                F.lit("|"),
+                F.col("cand_id").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    j = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("_d", draw)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cand_id").asc())
+    return (
+        j.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= 8)
+        .select("query_id", "cand_id", "neg_rank")
+    )
+
+
+SQL_UNIFORM_NEGATIVES = """
+WITH q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 4),
+j AS (SELECT q.query_id, d.doc_id AS cand_id,
+             substr(md5('neg' || CAST(q.query_id AS VARCHAR) || '|' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8) AS dr
+      FROM q CROSS JOIN documents d WHERE q.query_id <> d.doc_id)
+SELECT query_id, cand_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dr, cand_id) AS neg_rank
+FROM j QUALIFY neg_rank <= 8
+"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: corpus split into quality deciles via ntile
+    over the (rounded quality, doc_id) order — the quality-tiered shard
+    layout curriculum-training data loaders consume. One sort-based window;
+    deterministic because the ordering is a total order."""
+    qual = TX.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    out = qual.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return out.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.min("quality"), 5).alias("min_quality"),
+        F.round(F.max("quality"), 5).alias("max_quality"),
+    )
+
+
+# SQL_QUALITY_DECILES is assembled after SQL_QUALITY_SCORE (defined below).
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics with EXACT percentiles (linear
     interpolation — Spark `percentile`, not the approx sketch, so the
@@ -2307,6 +2374,18 @@ SELECT doc_id,
        round(((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
               + least(stop / n * 5, 1.0) + ttr) / 3.0, 5) AS quality
 FROM parts
+"""
+
+
+SQL_QUALITY_DECILES = f"""
+WITH q AS (SELECT doc_id, quality FROM ({SQL_QUALITY_SCORE})),
+t AS (SELECT doc_id, quality,
+             ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+      FROM q)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       round(min(quality), 5) AS min_quality,
+       round(max(quality), 5) AS max_quality
+FROM t GROUP BY 1
 """
 
 
@@ -3308,6 +3387,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
     "fuzzy_value_pairs": (q_fuzzy_value_pairs, SQL_FUZZY_VALUE_PAIRS),
     "filtered_quantized_topk": (q_filtered_quantized_topk, SQL_FILTERED_QUANTIZED_TOPK),
+    "uniform_negatives": (q_uniform_negatives, SQL_UNIFORM_NEGATIVES),
+    "quality_deciles": (q_quality_deciles, SQL_QUALITY_DECILES),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
