@@ -1,0 +1,123 @@
+"""Scaling harness: run the heavy round-2 operators at 1x/4x/16x the sf0.1
+corpus (replicated with shifted ids — replication also creates realistic
+duplicate families for the dedup/split ops) and print time ratios.
+
+Cold per (op, scale): the derived-index persist registry is cleared so
+index build cost is included. Linear cost would show ~16x at 16x data;
+fixed driver/JVM costs dominate small scales, so sublinear ratios are
+expected — what matters is the ABSENCE of super-linear blowup.
+
+Usage: cd /root/repo && python tools/scalebench.py [op ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OFFSET = 10_000_000
+
+
+def replicated(df, k: int, id_col: str):
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * OFFSET)) for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("vettore-spark-scalebench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vettore_spark.operators import dedup as D
+    from vettore_spark.operators import pipeline as PL
+    from vettore_spark.operators import retrieval as RT
+    from vettore_spark.operators import sampling as SMP
+    from vettore_spark.operators import text as TX
+    from vettore_spark.plans import cache as PC
+
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    part0 = spark.read.parquet(f"{SF_DIR}/part.parquet")
+
+    def op_ngram(docs):
+        return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=100)
+
+    def op_bm25_batch(docs):
+        q = docs.sparkSession.createDataFrame(
+            [(0, ["spark", "join", "window"]), (1, ["table", "scan"]),
+             (2, ["merge", "sort", "batch", "stream"])],
+            ["query_id", "terms"],
+        )
+        return RT.bm25_batch_topk(docs, q, k=10)
+
+    def op_charlm(docs):
+        return TX.charlm_trigram_scores(docs)
+
+    def op_decontaminate(docs):
+        bench = docs0.filter(F.col("source") == "src0")  # fixed eval set
+        return PL.decontaminate(
+            docs.filter(F.col("source") != "src0"), bench, n=8
+        )
+
+    def op_leakage_split(docs):
+        pairs = D.minhash_lsh_pairs(
+            docs, n=3, num_perm=64, bands=16, threshold=0.8
+        )
+        return SMP.leakage_safe_split(docs.select("doc_id"), pairs)
+
+    def op_fuzzy(_docs):
+        return D.fuzzy_value_pairs(
+            replicated(part0, CURRENT_K, "p_partkey"), value_col="p_name"
+        )
+
+    OPS = {
+        "ngram_jaccard": op_ngram,
+        "bm25_batch": op_bm25_batch,
+        "charlm": op_charlm,
+        "decontaminate": op_decontaminate,
+        "leakage_split": op_leakage_split,
+        "fuzzy_values": op_fuzzy,
+    }
+
+    global CURRENT_K
+    results: dict[str, dict[int, float]] = {}
+    for name, fn in OPS.items():
+        if only and name not in only:
+            continue
+        results[name] = {}
+        for k in (1, 4, 16):
+            CURRENT_K = k
+            PC.clear()  # cold: include index/persist build
+            docs = replicated(docs0, k, "doc_id")
+            t0 = time.time()
+            n = fn(docs).count()
+            dt = time.time() - t0
+            results[name][k] = dt
+            print(f"{name:16s} {k:2d}x  {dt:7.2f}s  rows={n}", flush=True)
+        r = results[name]
+        print(f"{name:16s} ratio16x = {r[16] / r[1]:.1f}x", flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
