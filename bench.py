@@ -58,7 +58,6 @@ HEADLINE = [
     "bm25_topk",
     "bm25_batch",
     "rrf_fusion",
-    "charlm_quality",
     "corpus_stats",
     "label_dispersion",
     "semantic_dedup_pairs",

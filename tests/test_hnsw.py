@@ -298,3 +298,25 @@ def test_collection_hnsw_incremental_put_delete(spark):
     assert not c.__dict__.get("_hnsw_shards")
     got4 = c.hnsw_search(nv, limit=2, ef_search=10_000).collect()
     assert got4[0]["id"] == "bulk1"
+
+
+def test_collection_hnsw_multivector_put_keeps_residency(spark):
+    """A put with only multi-`vectors` must still patch (not drop) the
+    resident shard table, inserting the stored primary (mean) vector."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(41)
+    rows = [
+        {"id": f"v{i}", "vector": [float(x) for x in rng.normal(size=4)]}
+        for i in range(20)
+    ]
+    c = Collection.create(spark, "hnm", 4, metric="l2").put_many(rows)
+    c.hnsw_search(rows[0]["vector"], limit=2, ef_search=10_000).collect()
+    assert c.__dict__.get("_hnsw_shards")
+    mv = [[1.0, 2.0, 3.0, 4.0], [3.0, 4.0, 5.0, 6.0]]  # mean (2,3,4,5)
+    c.put({"id": "multi", "vectors": mv})
+    assert c.__dict__.get("_hnsw_shards"), "multi-vector put must patch, not drop"
+    got = c.hnsw_search([2.0, 3.0, 4.0, 5.0], limit=1, ef_search=10_000).collect()
+    assert got[0]["id"] == "multi"

@@ -135,3 +135,30 @@ def test_bm25_batch_isolates_queries(spark):
         by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
     assert 0 not in by_q  # no doc matches the nonsense term
     assert by_q[1] == {i for i, t in DOCS if "window" in t.split()}
+
+
+def test_bm25_batch_duplicate_terms_match_single_path(spark):
+    """A term repeated in the query contributes per occurrence in BOTH
+    paths (the batch path must not dedup query terms)."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    dup_terms = ["spark", "spark", "join"]
+    single = {
+        r["doc_id"]: (r["bm25"], r["n_matched_terms"])
+        for r in RT.bm25_topk(docs, dup_terms, k=6, k1=K1, b=B).collect()
+    }
+    queries = spark.createDataFrame([(1, dup_terms)], ["query_id", "terms"])
+    batch = {
+        r["doc_id"]: (r["bm25"], r["n_matched_terms"])
+        for r in RT.bm25_batch_topk(docs, queries, k=6, k1=K1, b=B).collect()
+    }
+    assert batch == single
+
+
+def test_rrf_and_bm25_input_validation(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="non-empty"):
+        RT.bm25_scores(docs, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        RT.rrf_fuse([])
+    a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+    assert RT.rrf_fuse([a], topk=0).count() == 0  # 0 means zero, not "all"

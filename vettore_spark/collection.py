@@ -236,25 +236,35 @@ class Collection:
         reference's insert-time index maintenance."""
         resident = self.__dict__.pop("_hnsw_shards", None)
         self.put_many([row])
-        if resident and row.get("vector") is not None:
+        if resident:
             from vettore_spark.operators import hnsw as H
 
             rid = row.get("id") or row.get("value")
-            vec = self._stored_vector(row["vector"])
+            vec = self._stored_vector(row)
             self.__dict__["_hnsw_shards"] = {
-                k: H.insert_into_graph_shards(sh, rid, vec).localCheckpoint(
-                    eager=False
+                k: (
+                    H.insert_into_graph_shards(
+                        sh, rid, vec, shard_ids=sids
+                    ).localCheckpoint(eager=False),
+                    sids,
                 )
-                for k, sh in resident.items()
+                for k, (sh, sids) in resident.items()
             }
         return self
 
-    def _stored_vector(self, vector: list[float]) -> list[float]:
-        """The f64 view of the vector put_many stores: validated, collection-
-        normalized, then f32-rounded (the stored column is array<float>)."""
+    def _stored_vector(self, row: dict) -> list[float]:
+        """The f64 view of the primary vector put_many stores for `row`:
+        the given vector — or the mean of its multi-vectors when absent
+        (collection.ex:1008-1017) — validated, collection-normalized, then
+        f32-rounded (the stored column is array<float>)."""
         import numpy as np
 
-        q = self._prepare_query(vector)
+        v = row.get("vector")
+        if v is None:
+            v = np.mean(
+                np.asarray(row["vectors"], dtype=np.float64), axis=0
+            ).tolist()
+        q = self._prepare_query(v)
         return np.asarray(q, dtype=np.float32).astype(np.float64).tolist()
 
     # -- point ops (S3-S6) --------------------------------------------------
@@ -276,8 +286,11 @@ class Collection:
             from vettore_spark.operators import hnsw as H
 
             self.__dict__["_hnsw_shards"] = {
-                k: H.delete_from_graph_shards(sh, id_).localCheckpoint(eager=False)
-                for k, sh in resident.items()
+                k: (
+                    H.delete_from_graph_shards(sh, id_).localCheckpoint(eager=False),
+                    sids,
+                )
+                for k, (sh, sids) in resident.items()
             }
         return self
 
@@ -423,14 +436,19 @@ class Collection:
         key = (self.config.metric, p.m, p.m0, p.ef_construction,
                p.max_level, num_partitions)
         cache = self.__dict__.setdefault("_hnsw_shards", {})
-        shards = cache.get(key)
-        if shards is None:
+        hit = cache.get(key)
+        if hit is None:
             shards = H.build_graph_shards(
                 self._df.select("id", "vector"), metric=self.config.metric,
                 params=p, id_col="id", vector_col="vector",
                 num_partitions=num_partitions,
             )
-            cache[key] = shards
+            # shard-id list collected ONCE at build: put-time routing then
+            # needs no Spark job (insert_into_graph_shards shard_ids=)
+            sids = [r["shard_id"] for r in shards.select("shard_id").collect()]
+            hit = (shards, sids)
+            cache[key] = hit
+        shards, _ = hit
         out = H.search_graph_shards(
             shards, [("q", q)], metric=self.config.metric, k=limit,
             ef_search=p.ef_search, id_col="id", id_type=T.StringType(),

@@ -354,7 +354,7 @@ def delete_from_graph_shards(shards: DataFrame, external_id) -> DataFrame:
 
 
 def insert_into_graph_shards(
-    shards: DataFrame, external_id, vector
+    shards: DataFrame, external_id, vector, *, shard_ids: list[int] | None = None
 ) -> DataFrame:
     """Incremental index maintenance for put: insert the new vector into
     exactly ONE shard's graph (HnswGraph.insert — the reference's
@@ -366,10 +366,19 @@ def insert_into_graph_shards(
     Search correctness does not depend on the routing (search scans every
     shard and merges by (rank, id)); routing only balances growth. Caller
     contract: `external_id` must not already exist in the index (Collection
-    rejects duplicate ids at put time)."""
+    rejects duplicate ids at put time).
+
+    Pass `shard_ids` (the known shard-id list, e.g. collected once at
+    build time) to avoid the routing collect — without it every insert
+    launches a Spark job, which on a lazily-checkpointed patch chain
+    forces materialization before the put returns."""
     import pickle
 
-    sids = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
+    sids = (
+        sorted(shard_ids)
+        if shard_ids is not None
+        else sorted(r["shard_id"] for r in shards.select("shard_id").collect())
+    )
     if not sids:
         raise ValueError("cannot insert into an empty shard table")
     target = sids[fnv1a64(str(external_id).encode()) % len(sids)]

@@ -63,6 +63,8 @@ def bm25_scores(
     """
     from vettore_spark.plans.cache import cached_persist
 
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     toks = tokens(text_col)
     # (id, dl, tf...) is consumed twice (corpus stats + scoring) and reused
@@ -195,12 +197,14 @@ def bm25_batch_topk(
         F.count("*").cast("long").alias("_n"),
         F.sum("_dl").cast("long").alias("_sdl"),
     )
+    # NOT distinct: a term repeated in the query contributes once per
+    # occurrence, matching bm25_scores' per-term summation exactly
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(
             F.transform(F.col(query_terms_col), F.lower)
         ).alias("_term"),
-    ).distinct()
+    )
     j = (
         tf.join(F.broadcast(qterms), "_term")
         .join(dfreq, "_term")
@@ -246,6 +250,8 @@ def rrf_fuse(
     groupBy(id) — one shuffle bounded by Σ N rows. Ties broken by id.
     Returns (id, rrf, n_lists) ordered by (rrf desc, id), rrf rounded 6 dp.
     """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     parts = [
         r.select(
             F.col(id_col),
@@ -266,4 +272,4 @@ def rrf_fuse(
         )
         .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
     )
-    return fused.limit(topk) if topk else fused
+    return fused.limit(topk) if topk is not None else fused

@@ -1521,10 +1521,13 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ANN.cosine_neardup_blocked(
         emb, threshold=0.45, id_col="vec_id", vector_col="embedding"
     )
+    # docs with <3 tokens have no shingles: dropped here so the pair join
+    # (inner) mirrors the oracle's inner join on `sizes` — a candidate pair
+    # touching a shingle-less doc is omitted by BOTH engines, never NULL
     sh = docs.select(
         F.col("doc_id"),
         D.shingle_hash_array(D.tokens("text"), 3).alias("_sh"),
-    )
+    ).filter(F.size("_sh") > 0)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
     j = a.join(F.broadcast(cand), "id_a").join(
@@ -1819,7 +1822,10 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_CHUNKS = r"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-c AS (SELECT doc_id, t, i FROM toks CROSS JOIN range(0, 64) r(i)
+-- the range bound must exceed max_chunks = (max_tokens-1)//24 + 1; 4096
+-- covers docs up to ~98k tokens (testdata max is ~110) — the WHERE clause
+-- is the real cap, the range is just the generator
+c AS (SELECT doc_id, t, i FROM toks CROSS JOIN range(0, 4096) r(i)
       WHERE len(t) >= 1 AND i <= (len(t) - 1) // 24)
 SELECT doc_id, i AS chunk_id,
        len(list_slice(t, i*24 + 1, i*24 + 32))::BIGINT AS n_chunk_tokens,
