@@ -173,3 +173,50 @@ def test_windowed_counts_drop_late_events_past_watermark(spark, tmp_path):
     # the 09:00 window was finalized from batch 1 only — the late event 4
     # (value 100.0) must not appear in it
     assert rows.get("2024-01-01 09:00:00") == (2, 3.0)
+
+
+def test_streaming_simhash_candidates_across_batches(spark, tmp_path):
+    """A near-dup whose twin arrived in an earlier micro-batch is caught
+    (bucket state persists); the emitted pair agrees with the batch
+    simhash_pairs verdict on the union of both batches."""
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)  # 40 tokens: one change flips few simhash bits
+    near = " ".join(w if i != 20 else "CHANGED" for i, w in enumerate(words))
+    other = "completely different words describing some other topic entirely here"
+    b1 = [(1, base), (3, other)]
+    b2 = [(2, near)]
+    schema = "doc_id long, text string"
+    src = tmp_path / "sh"
+    spark.createDataFrame(b1, schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).write.parquet(str(src / "b2"))
+
+    from vettore_spark.streaming.stateful import streaming_simhash_candidates
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_simhash_candidates(stream, max_hamming=8)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("shc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select distinct doc_a, doc_b, hamming from shc").collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    # batch twin on the union
+    from vettore_spark.operators.dedup import simhash_pairs
+
+    allb = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(allb, max_hamming=8).collect()
+    }
+    assert (1, 2) in got  # cross-batch near-dup found
+    assert got == want
+    hs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert hs[(1, 2)] <= 8

@@ -161,3 +161,115 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_simhash_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-dup candidate pairs across micro-batches: the
+    streaming twin of dedup.simhash_pairs. Each document is posted to its
+    64/block_bits SimHash block buckets; per-bucket state holds the member
+    (id, simhash) list, and every arrival is verified by full 64-bit
+    Hamming distance against the bucket's prior members — so a near-dup is
+    caught even when its twin arrived in an EARLIER micro-batch.
+
+    Emits (doc_a, doc_b, hamming, block) with doc_a < doc_b as pairs are
+    discovered. A pair sharing several blocks is emitted once per sharing
+    block (same as the batch op before its distinct) — aggregate
+    downstream (e.g. per-batch `dropDuplicates(["doc_a","doc_b"])`).
+
+    State per bucket is capped at `max_bucket` members (the batch op's
+    hot-bucket guard): beyond it, new members are verified against the
+    resident list but not added — bounded state at any stream length.
+    """
+    from pyspark.sql import types as T
+
+    from vettore_spark.operators.dedup import simhash64, tokens
+
+    id_type = docs.schema[id_col].dataType
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+
+    sig = simhash64(tokens(text_col))
+    parts = []
+    for b in range(n_blocks):
+        parts.append(
+            docs.select(
+                F.col(id_col),
+                sig.alias("_sig"),
+                F.lit(b).alias("_blk"),
+                F.shiftrightunsigned(sig, b * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("_bval"),
+            )
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_a", id_type),
+            T.StructField("doc_b", id_type),
+            T.StructField("hamming", T.LongType()),
+            T.StructField("block", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(id_type)),
+            T.StructField("sigs", T.ArrayType(T.LongType())),
+        ]
+    )
+    U64 = (1 << 64) - 1
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        blk = int(key[0])
+        ids, sigs = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                sorted(zip(pdf[id_col].tolist(), pdf["_sig"].tolist()))
+            )
+        out_a, out_b, out_h = [], [], []
+        for rid, rsig in rows:
+            for mid, msig in zip(ids, sigs):
+                if mid == rid:
+                    continue
+                h = bin((int(rsig) ^ int(msig)) & U64).count("1")
+                if h <= max_hamming:
+                    a, bb = (rid, mid) if rid < mid else (mid, rid)
+                    out_a.append(a)
+                    out_b.append(bb)
+                    out_h.append(h)
+            if len(ids) < max_bucket:
+                ids.append(rid)
+                sigs.append(int(rsig))
+        state.update((ids, sigs))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": out_a,
+                    "doc_b": out_b,
+                    "hamming": out_h,
+                    "block": [blk] * len(out_a),
+                }
+            )
+
+    return keyed.groupBy("_blk", "_bval").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
