@@ -930,11 +930,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5})
 
 
-def _sql_ivf(deleted: int | None = None) -> str:
+def _sql_ivf(deleted: int | None = None, where: str | None = None) -> str:
     """IVF oracle; with `deleted`, that row is dropped from the inverted
     file while the centroid codebook stays trained on the FULL corpus —
-    exactly ivf_delete's tombstone-without-retrain contract."""
-    tomb = f"WHERE e.vec_id <> {deleted}" if deleted is not None else ""
+    exactly ivf_delete's tombstone-without-retrain contract. With `where`,
+    an arbitrary predicate filters the inverted file the same way
+    (filtered-ANN mode)."""
+    cond = f"e.vec_id <> {deleted}" if deleted is not None else where
+    tomb = f"WHERE {cond}" if cond else ""
     return f"""
 WITH pos AS (
   SELECT label, i, avg(embedding[i]::DOUBLE) AS m
@@ -965,6 +968,35 @@ QUALIFY rank <= 5
 
 SQL_ANN_IVF_TOPK = _sql_ivf()
 SQL_IVF_DELETE_SEARCH = _sql_ivf(0)
+
+
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (§2.2 × IVF): a metadata predicate (label is odd)
+    applied to the PERSISTED inverted file before within-cell scoring —
+    the filtered-search mode every production vector store exposes. The
+    filter composes on the assignment table, so the probe structure and
+    codebook are shared with the unfiltered query (index built once); at
+    100 TB the predicate prunes rows inside probed cells only."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _label_mean_vectors(emb).select(
+        F.col("label").alias("centroid_id"), F.col("mean").alias("centroid")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    assigned = ANN.ivf_assign(emb, centroids=centroids, vector_col="embedding")
+    filtered = assigned.filter(F.col("label") % 2 == 1)
+    out = ANN.ivf_topk(
+        emb, queries_df, centroids=centroids, n_probe=3, k=5,
+        id_col="vec_id", vector_col="embedding", assigned=filtered,
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_IVF_FILTERED_TOPK = _sql_ivf(where="e.label % 2 = 1")
 
 
 def q_ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3395,6 +3427,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "filtered_quantized_topk": (q_filtered_quantized_topk, SQL_FILTERED_QUANTIZED_TOPK),
     "uniform_negatives": (q_uniform_negatives, SQL_UNIFORM_NEGATIVES),
     "quality_deciles": (q_quality_deciles, SQL_QUALITY_DECILES),
+    "ivf_filtered_topk": (q_ivf_filtered_topk, SQL_IVF_FILTERED_TOPK),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
