@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 HEADLINE = [
@@ -186,6 +187,37 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # ingest throughput, mirroring the reference's write-boundary bench
+    # (bench/ets_owner_bench.exs: batched put_many is the recommended path):
+    # validated batch insert of the embeddings table through the Collection
+    # pipeline (id/value fallback, finiteness checks, normalize, sign-bit
+    # packing, duplicate rejection), rows/sec end-to-end.
+    ingest = {}
+    try:
+        from vettore_spark.collection import Collection
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("vec_id").cast("string").alias("value"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+            F.lit(None).cast("array<array<double>>").alias("vectors"),
+            F.lit(None).cast("array<bigint>").alias("binary_vector"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        n_rows = emb.count()
+        t0 = time.time()
+        c = Collection.create(spark, "bench_ingest", 64, metric="cosine")
+        c.put_many(emb)
+        c.count()  # force the unioned table to materialize
+        dt = time.time() - t0
+        ingest = {
+            "put_many_rows": n_rows,
+            "put_many_sec": round(dt, 3),
+            "put_many_rows_per_sec": round(n_rows / dt, 1),
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"bench ingest failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -194,6 +226,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "overlap_at_10_vs_exact": overlap,
+                "ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

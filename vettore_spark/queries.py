@@ -2874,6 +2874,72 @@ def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def q_event_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup: keep the FIRST event per (user, type, 5-minute
+    bucket) — the batch twin of dropDuplicatesWithinWatermark's bounded-
+    horizon dedup. One window over the composite key; ties on ts break by
+    event_id."""
+    ev = _events_ts(spark, sf_dir)
+    bucket = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(300_000_000)
+    ).cast("long")
+    w = Window.partitionBy("user_id", "event_type", "_bkt").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("_bkt", bucket)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.col("_bkt").alias("bucket"),
+        )
+    )
+
+
+SQL_EVENT_WINDOW_DEDUP = """
+WITH b AS (SELECT event_id, user_id, event_type, ts,
+                  epoch_us(ts) // 300000000 AS bucket
+           FROM events)
+SELECT event_id, user_id, event_type, bucket
+FROM b
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type, bucket
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: members whose cosine distance to their
+    label centroid exceeds the corpus-wide exact p95 — the anomaly tail of
+    label_dispersion's cohesion rollup (mislabeled / drifting vectors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _label_mean_vectors(emb)
+    d = 1.0 - K.cosine(F.col("embedding").cast("array<double>"), F.col("mean"))
+    dist = emb.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", d.alias("_d")
+    )
+    thr = dist.agg(F.percentile("_d", F.lit(0.95)).alias("_p95"))
+    return (
+        dist.crossJoin(F.broadcast(thr))
+        .filter(F.col("_d") > F.col("_p95"))
+        .select("vec_id", "label", F.round("_d", 5).alias("dist"))
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM pos GROUP BY 1),
+d AS (SELECT e.vec_id, e.label,
+             1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS dist
+      FROM embeddings e JOIN cent c USING (label)),
+thr AS (SELECT quantile_cont(dist, 0.95) AS p95 FROM d)
+SELECT vec_id, label, round(dist, 5) AS dist
+FROM d CROSS JOIN thr WHERE dist > p95
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase event picks up the most recent
     prior-or-same-ts click by the same user (union-tag + window — one shuffle,
@@ -3428,6 +3494,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "uniform_negatives": (q_uniform_negatives, SQL_UNIFORM_NEGATIVES),
     "quality_deciles": (q_quality_deciles, SQL_QUALITY_DECILES),
     "ivf_filtered_topk": (q_ivf_filtered_topk, SQL_IVF_FILTERED_TOPK),
+    "event_window_dedup": (q_event_window_dedup, SQL_EVENT_WINDOW_DEDUP),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
