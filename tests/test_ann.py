@@ -183,3 +183,32 @@ def test_ivf_delete_tombstones_without_retrain(spark):
     assert all(r["vec_id"] != 0 for r in after)
     # the rest of the pre-delete ranking shifts up by exactly one
     assert [r["vec_id"] for r in after][:4] == [r["vec_id"] for r in before][1:5]
+
+
+def test_collection_ivf_search_with_delete_patch(spark):
+    """Facade: ivf_search trains + assigns once (resident), delete patches
+    the inverted file without retraining, put invalidates for rebuild."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(17)
+    rows = [
+        {"id": f"v{i}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(60)
+    ]
+    c = Collection.create(spark, "ivff", 6, metric="cosine").put_many(rows)
+    got = c.ivf_search(rows[5]["vector"], limit=3, n_cells=3, n_probe=3).collect()
+    assert got[0]["id"] == "v5"  # n_probe covers all cells -> exact self-match
+    assert c.__dict__.get("_ivf_state")
+
+    c.delete("v5")
+    assert c.__dict__.get("_ivf_state"), "delete must patch, not drop"
+    got2 = c.ivf_search(rows[5]["vector"], limit=3, n_cells=3, n_probe=3).collect()
+    assert all(r["id"] != "v5" for r in got2)
+
+    nv = [float(x) for x in rng.normal(size=6)]
+    c.put({"id": "fresh", "vector": nv})
+    assert not c.__dict__.get("_ivf_state")  # rebuild on next search
+    got3 = c.ivf_search(nv, limit=2, n_cells=3, n_probe=3).collect()
+    assert got3[0]["id"] == "fresh"

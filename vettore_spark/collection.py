@@ -280,6 +280,7 @@ class Collection:
         rather than dropped for rebuild."""
         self._check_open()
         resident = self.__dict__.pop("_hnsw_shards", None)
+        ivf_resident = self.__dict__.pop("_ivf_state", None)
         self._df = self._df.filter(F.col("id") != id_)
         self._invalidate_derived()
         if resident:
@@ -291,6 +292,13 @@ class Collection:
                     sids,
                 )
                 for k, (sh, sids) in resident.items()
+            }
+        if ivf_resident:
+            from vettore_spark.operators import ann as ANN
+
+            self.__dict__["_ivf_state"] = {
+                k: (cents, ANN.ivf_delete(assigned, id_, id_col="id"))
+                for k, (cents, assigned) in ivf_resident.items()
             }
         return self
 
@@ -304,6 +312,7 @@ class Collection:
         self.__dict__.pop("_pq_indexes", None)
         self.__dict__.pop("_sq_params", None)
         self.__dict__.pop("_hnsw_shards", None)
+        self.__dict__.pop("_ivf_state", None)
 
     def all(self) -> DataFrame:
         return self.df
@@ -454,6 +463,40 @@ class Collection:
             ef_search=p.ef_search, id_col="id", id_type=T.StringType(),
         )
         return out.select("id", "score", "distance")
+
+    def ivf_search(self, query: list[float], *, limit: int = 10,
+                   n_cells: int = 8, n_probe: int = 2) -> DataFrame:
+        """IVF approximate search over a RESIDENT inverted file: centroids
+        trained once (distributed MLlib KMeans, fixed seed), the cell
+        assignment persisted and maintained on delete via the tombstone
+        patch (ivf_delete — codebook untouched, the reference's
+        index-maintenance contract). put/put_many invalidate for rebuild
+        (a new vector may warrant a new codebook). Returns (id, score,
+        distance, rank) for the probed cells."""
+        from vettore_spark.operators import ann as ANN
+        from vettore_spark.operators.mllib_lsh import kmeans_centroids
+
+        self._check_open()
+        q = self._prepare_query(query)
+        key = (n_cells,)
+        cache = self.__dict__.setdefault("_ivf_state", {})
+        hit = cache.get(key)
+        if hit is None:
+            cents = kmeans_centroids(self._df, k=n_cells, vector_col="vector")
+            assigned = ANN.ivf_assign(
+                self._df, centroids=cents, id_col="id", vector_col="vector"
+            )
+            hit = (cents, assigned)
+            cache[key] = hit
+        cents, assigned = hit
+        queries_df = self.spark.createDataFrame(
+            [("q0", q)], ["query_id", "query_vector"]
+        )
+        out = ANN.ivf_topk(
+            self._df, queries_df, centroids=cents, n_probe=n_probe, k=limit,
+            id_col="id", vector_col="vector", assigned=assigned,
+        )
+        return out.select("id", "score", "distance", "rank")
 
     def sq_search(self, query: list[float], *, limit: int = 10,
                   candidates: int = 100) -> DataFrame:
