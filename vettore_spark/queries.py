@@ -2128,6 +2128,43 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
+def q_hnsw_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched HNSW: one shard-table pass answers FOUR queries (the query
+    list rides into each shard task; per-shard top-k per query, merged by
+    (query, rank, id)) — amortizing the graph scan across a query batch,
+    the batch-serving shape. Full beam ⇒ exact oracle per query."""
+    from vettore_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    shards = H.build_graph_shards(
+        emb, metric="l2", params=H.HnswParams(ef_search=1_000_000),
+        id_col="vec_id", vector_col="embedding", num_partitions=8,
+    )
+    queries = [
+        (int(i), _qvec(spark, sf_dir, i)) for i in range(4)
+    ]
+    out = H.search_graph_shards(
+        shards, queries, metric="l2", k=5,
+        ef_search=1_000_000, id_col="vec_id", id_type=T.LongType(),
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long")).withColumn(
+        "query_id", F.col("query_id").cast("long")
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HNSW_MULTI_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 4),
+d AS (SELECT q.query_id, e.vec_id,
+             list_distance(e.embedding::DOUBLE[], q.qv) AS d
+      FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, round(-d, 5) + 0.0 AS score, round(d, 5) AS distance,
+       row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+FROM d QUALIFY rank <= 5
+"""
+
+
 def q_hnsw_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index INSERT under the exact oracle: build the
     graph-shard table WITHOUT vec 0, insert it via the one-shard patch path
@@ -3496,6 +3533,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ivf_filtered_topk": (q_ivf_filtered_topk, SQL_IVF_FILTERED_TOPK),
     "event_window_dedup": (q_event_window_dedup, SQL_EVENT_WINDOW_DEDUP),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    "hnsw_multi_topk": (q_hnsw_multi_topk, SQL_HNSW_MULTI_TOPK),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
