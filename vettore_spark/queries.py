@@ -2977,6 +2977,82 @@ FROM d CROSS JOIN thr WHERE dist > p95
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events `props` JSON is parsed
+    in-plan (get_json_object — no UDF) and drives both a predicate and an
+    aggregate. The schema-on-read path every event pipeline needs; at
+    100 TB the JSON parse is per-row codegen work and the predicate still
+    prunes before the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .filter(F.col("_k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.round(F.avg("value"), 5).alias("avg_value"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       round(avg(value), 5) AS avg_value
+FROM events
+WHERE json_extract(props, '$.k')::BIGINT >= 50
+GROUP BY event_type
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: document chunks are concatenated in
+    (doc_id, chunk_id) order and split into ~512-token training sequences
+    (contiguous packing — a chunk belongs to the sequence where its first
+    token lands, so a sequence may overshoot by < chunk_tokens; the
+    concat-and-split recipe data loaders use). One running-sum window over
+    a total order; per-sequence rollup after."""
+    from vettore_spark.operators import pipeline as PL
+
+    chunks = PL.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+    w = (
+        Window.orderBy(F.col("doc_id").asc(), F.col("chunk_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chunk_tokens").over(w)
+    seq = F.floor((cum - F.col("n_chunk_tokens")) / F.lit(512)).cast("long")
+    return (
+        chunks.withColumn("seq_id", seq)
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+c AS (SELECT doc_id, t, i FROM toks CROSS JOIN range(0, 4096) r(i)
+      WHERE len(t) >= 1 AND i <= (len(t) - 1) // 24),
+ch AS (SELECT doc_id, i AS chunk_id,
+              len(list_slice(t, i*24 + 1, i*24 + 32))::BIGINT AS n
+       FROM c),
+s AS (SELECT doc_id, chunk_id, n,
+             sum(n) OVER (ORDER BY doc_id, chunk_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ch)
+SELECT ((cum - n) // 512)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_chunks,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase event picks up the most recent
     prior-or-same-ts click by the same user (union-tag + window — one shuffle,
@@ -3534,6 +3610,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_window_dedup": (q_event_window_dedup, SQL_EVENT_WINDOW_DEDUP),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "hnsw_multi_topk": (q_hnsw_multi_topk, SQL_HNSW_MULTI_TOPK),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
