@@ -149,3 +149,36 @@ def test_pii_redaction_is_idempotent(spark, text):
         spark.createDataFrame([(0, once)], ["doc_id", "text"])
     ).collect()[0]["redacted"]
     assert twice == once
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """Packing property: sequence token counts partition the chunk tokens
+    exactly, seq_ids are contiguous from 0, and every sequence except the
+    last starts before the 512-token boundary it overshoots."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40))) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = PL.chunk_documents(df, chunk_tokens=16, stride=12)
+    total = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = F.floor(
+        (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / F.lit(64)
+    ).cast("long")
+    packed = (
+        chunks.withColumn("seq_id", seq)
+        .groupBy("seq_id")
+        .agg(F.sum("n_chunk_tokens").alias("n_tokens"))
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert sum(r["n_tokens"] for r in packed) == total
+    assert [r["seq_id"] for r in packed] == list(range(len(packed)))
+    # non-last sequences span at least 64 - (chunk_len - 1) tokens: a
+    # boundary-straddling chunk belongs to the sequence where it STARTS,
+    # so the overshoot is borrowed from the next sequence's budget
+    for r in packed[:-1]:
+        assert r["n_tokens"] >= 64 - 15
