@@ -1,0 +1,102 @@
+"""Data-selection operators: DSIR importance weights, target-mixture
+rebalance, exact-substring dedup candidates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import selection as SEL
+from vettore_spark.operators.dedup import substring_gram_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    target_words = "alpha beta gamma delta epsilon zeta"
+    other_words = "uno dos tres cuatro cinco seis"
+    rows = []
+    for i in range(40):
+        w = target_words if i % 2 == 0 else other_words
+        rows.append((i, f"{w} {w} {w}", "en" if i % 2 == 0 else "es",
+                     f"src{i % 4}"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_dsir_separates_target_from_raw(docs):
+    out = SEL.dsir_logratio_weights(
+        docs, F.col("lang") == "en", n_buckets=256
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 40
+    target_mean = sum(by_id[i]["dsir_weight"] for i in range(0, 40, 2)) / 20
+    other_mean = sum(by_id[i]["dsir_weight"] for i in range(1, 40, 2)) / 20
+    # target docs are built from target-only vocabulary: their log-ratio
+    # must exceed the non-target docs' by construction
+    assert target_mean > other_mean
+    assert all(r["n_tokens"] == 18 for r in out)
+
+
+def test_dsir_weight_is_tokens_times_per_token(docs):
+    out = SEL.dsir_logratio_weights(docs, F.col("lang") == "en").collect()
+    for r in out:
+        assert r["dsir_weight"] == pytest.approx(
+            r["dsir_per_token"] * r["n_tokens"], abs=2e-4 * r["n_tokens"]
+        )
+
+
+def test_mixture_keep_fractions_binding_domain(docs):
+    shares = {"src0": 0.4, "src1": 0.2, "src2": 0.2, "src3": 0.2}
+    fr = {r["domain"]: r for r in
+          SEL.mixture_keep_fractions(docs, shares, domain_col="source").collect()}
+    # 10 docs per domain; src0 demands 0.4 share -> binding (fraction 1.0),
+    # others downsample to 0.2/0.4 * 10 / 10 = 0.5
+    assert fr["src0"]["keep_fraction"] == pytest.approx(1.0)
+    for d in ("src1", "src2", "src3"):
+        assert fr[d]["keep_fraction"] == pytest.approx(0.5)
+
+
+def test_mixture_sample_deterministic_and_bounded(docs):
+    shares = {"src0": 0.4, "src1": 0.2, "src2": 0.2, "src3": 0.2}
+    kept1 = SEL.mixture_sample(docs, shares, domain_col="source").collect()
+    kept2 = SEL.mixture_sample(docs, shares, domain_col="source").collect()
+    assert sorted(r["doc_id"] for r in kept1) == sorted(r["doc_id"] for r in kept2)
+    per = {}
+    for r in kept1:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per["src0"] == 10  # binding domain keeps everything
+    for d in ("src1", "src2", "src3"):
+        assert per.get(d, 0) <= 10
+
+
+def test_mixture_zero_share_domain_dropped(docs):
+    shares = {"src0": 0.5, "src1": 0.5}
+    kept = SEL.mixture_sample(docs, shares, domain_col="source").collect()
+    assert {r["source"] for r in kept} <= {"src0", "src1"}
+
+
+def test_substring_pairs_catch_shared_run(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again padded"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different beginning " + shared),
+        (3, "no overlap with anything here at all, unique words only zzz " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the shared run sits at DIFFERENT offsets in docs 1 and 2 — exactly
+    # the case a fixed-stride gram sample misses; content-defined sampling
+    # selects the same grams from the run in both docs
+    out = substring_gram_pairs(df, k=40).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_substring_pairs_df_cap(spark):
+    boiler = "this exact same boilerplate header repeats everywhere " * 2
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    capped = substring_gram_pairs(df, k=40, max_gram_df=5).collect()
+    assert capped == []  # posting list of 10 > cap 5 -> dropped
+    uncapped = substring_gram_pairs(df, k=40, max_gram_df=50).collect()
+    assert len(uncapped) == 45  # all C(10,2) pairs

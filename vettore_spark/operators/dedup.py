@@ -674,3 +674,60 @@ def embedding_neardup_pairs(
             "sim",
         )
     )
+
+
+def substring_gram_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    keep_below_hex: str = "2",
+    max_gram_df: int = 50,
+) -> DataFrame:
+    """Exact-substring duplication candidates (the suffix-array dedup of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as a distributed inverted index): two documents
+    that share a long k-character run land in the same posting list via
+    CONTENT-DEFINED gram sampling and become a candidate pair. Returns
+    (doc_a, doc_b, n_shared_grams) with doc_a < doc_b.
+
+    A full suffix array is a single-machine structure; the Spark shape is
+    winnowing-style sampling: hash EVERY k-gram position, but keep only
+    grams whose md5 starts below `keep_below_hex` (first hex digit <
+    '2' = keep rate 1/8). Selection depends on gram CONTENT, never on the
+    absolute offset, so a run shared by two documents selects the same
+    grams in both regardless of where the run starts — a fixed-stride
+    sample would miss runs whose offsets differ mod stride. A shared run
+    of length L >= k contains L-k+1 sampled positions; the probability it
+    selects no gram is (1 - rate)^(L-k+1), i.e. vanishing for real
+    duplicated passages (<3% at L = k+26, rate 1/8).
+
+    One explode + one groupBy (map-side partial) + in-bucket pair emission
+    — the same posting-list plan as ngram_jaccard_pairs. `max_gram_df`
+    drops boilerplate grams (headers, license text) whose posting lists
+    would otherwise emit O(df^2) pairs — mandatory at corpus scale.
+    """
+    positions = F.sequence(
+        F.lit(1), F.length(F.col(text_col)) - (k - 1), F.lit(1)
+    )
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(
+                positions, lambda p: F.md5(F.col(text_col).substr(p, F.lit(k)))
+            ),
+            lambda g: F.substring(g, 1, 1) < keep_below_hex,
+        )
+    )
+    postings = (
+        df.filter(F.length(F.col(text_col)) >= k)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_gram_df))
+    )
+    return (
+        _bucket_pairs(postings)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )

@@ -1,0 +1,189 @@
+"""Data-selection operators for training-corpus curation.
+
+Two published selection primitives, both expressed as pure DataFrame plans
+(no UDFs, no driver collects) so they hold at corpus scale:
+
+- DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): score every raw document by
+  the log-likelihood ratio of its hashed unigram features under a target
+  distribution vs the raw distribution. The feature distributions are two
+  tiny (n_buckets-row) aggregates broadcast back over the corpus — the only
+  shuffles are the explode-side groupBys, both with map-side partial
+  aggregation.
+
+- Target-mixture rebalancing (the "domain weights" step of corpus assembly,
+  cf. The Pile / Dolma mixture tables): given target shares per domain,
+  compute the largest total size achievable without upsampling, derive each
+  domain's keep-fraction, and apply the deterministic md5-draw sample so the
+  kept subset is engine-reproducible (same predicate as operators.sampling).
+
+Both are cross-engine verifiable: the polynomial token hash and the md5
+draw have exact DuckDB twins (see queries.SQL_DSIR_WEIGHTS /
+SQL_DOMAIN_MIXTURE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vettore_spark.operators.dedup import tokens
+from vettore_spark.operators.sampling import _bucket_hex
+
+
+def _bucketed_tokens(
+    df: DataFrame, *, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """One row per (doc, token instance) with the token's feature bucket:
+    poly-31 hash of the lowercased token mod n_buckets. Empty tokens (from
+    splitting all-whitespace text) are dropped, mirroring the oracle's
+    `tok <> ''` filter."""
+    tok = F.explode(tokens(text_col)).alias("tok")
+    exploded = df.select(F.col(id_col), tok).filter(F.col("tok") != "")
+    hv = F.aggregate(
+        F.split(F.lower(F.col("tok")), ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.ascii(c)) % 2147483647,
+    )
+    return exploded.select(
+        F.col(id_col), (hv % n_buckets).cast("int").alias("bucket")
+    )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weight: sum over token instances of
+    ln p_target(bucket) - ln p_raw(bucket), Laplace-smoothed with `alpha`.
+
+    Physical plan: explode tokens once and cache nothing — the bucketed
+    stream feeds (a) the raw per-bucket counts, (b) the target per-bucket
+    counts (filtered), (c) the per-(doc,bucket) term frequencies. (a) and
+    (b) aggregate to n_buckets rows, join into a single log-ratio table
+    that Spark auto-broadcasts; (c) joins against it and sums tf * lr per
+    document. All groupBys are partial-agg friendly; nothing touches the
+    driver. Documents whose every token is novel still appear (inner join
+    on bucket always hits: every observed bucket has raw count > 0).
+
+    Higher weight = more target-like. `target_pred` marks the target
+    subset (e.g. lang = 'en', or a quality threshold) — the weight model
+    is trained on corpus membership, not labels, exactly the DSIR recipe
+    with hashed unigram features standing in for hashed n-grams.
+    """
+    flagged = df.withColumn("_is_target", target_pred)
+    b = _bucketed_tokens(
+        flagged, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    ).join(
+        flagged.select(id_col, "_is_target"), on=id_col
+    )
+
+    raw = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("nt"),
+    )
+    totals = raw.agg(
+        F.sum("nq").alias("sq"), F.sum("nt").alias("st")
+    )
+    B = float(n_buckets)
+    lr_tbl = raw.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("nt") + alpha) / (F.col("st") + alpha * B))
+            - F.log((F.col("nq") + alpha) / (F.col("sq") + alpha * B))
+        ).alias("lr"),
+    )
+
+    tf = b.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    weights = (
+        tf.join(F.broadcast(lr_tbl), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr")).alias("_w"),
+        )
+    )
+    return weights.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("_w"), 5).alias("dsir_weight"),
+        F.round(F.col("_w") / F.col("n_tokens"), 5).alias("dsir_per_token"),
+    )
+
+
+def mixture_keep_fractions(
+    df: DataFrame,
+    shares: dict[str, float],
+    *,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain keep fractions hitting `shares` exactly without
+    upsampling: scale = min_d(count_d / share_d); keep_d = scale * share_d
+    / count_d. The binding domain keeps everything (fraction 1.0); every
+    other domain is downsampled to match the target mixture. Domains
+    absent from `shares` get share 0 (dropped). Returns (domain, n_docs,
+    keep_fraction) — an aggregate of ~|domains| rows, broadcast back by
+    the caller."""
+    share_expr = F.create_map(
+        *[F.lit(x) for kv in shares.items() for x in kv]
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("share", F.coalesce(share_expr[F.col("domain")], F.lit(0.0)))
+    )
+    scale = counts.filter(F.col("share") > 0).agg(
+        F.min(F.col("n_docs") / F.col("share")).alias("scale")
+    )
+    return counts.crossJoin(F.broadcast(scale)).select(
+        "domain",
+        "n_docs",
+        F.when(F.col("share") <= 0, F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.col("scale") * F.col("share") / F.col("n_docs"),
+            )
+        )
+        .alias("keep_fraction"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    shares: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Rows of `df` kept by the target-mixture rebalance: each row draws
+    its uniform md5 hex in [0, 16^8) keyed on (salt, id) and survives iff
+    draw < keep_fraction * 16^8 for its domain. The fraction-to-threshold
+    conversion happens IN-PLAN (conv base-10→16 on the computed fraction),
+    so the whole operator is one broadcast join + filter — no driver
+    round-trip between the count aggregate and the sample predicate, and
+    the DuckDB twin reproduces it with to_hex. fraction 1.0 (the binding
+    domain) is special-cased: its 9-digit threshold would compare
+    lexicographically below '2'..'f' draws."""
+    fr = mixture_keep_fractions(df, shares, domain_col=domain_col)
+    thresh_v = F.round(F.col("keep_fraction") * F.lit(float(16**8))).cast("long")
+    thresh_hex = F.lpad(F.lower(F.conv(thresh_v.cast("string"), 10, 16)), 8, "0")
+    fr = fr.select(
+        "domain", "n_docs", "keep_fraction", thresh_hex.alias("_thresh")
+    )
+    draw = _bucket_hex(F.col(id_col), salt)
+    return (
+        df.join(
+            F.broadcast(fr), on=df[domain_col] == fr["domain"], how="inner"
+        )
+        .filter(
+            (F.col("keep_fraction") >= 1.0) | (draw < F.col("_thresh"))
+        )
+        .drop("domain", "n_docs", "keep_fraction", "_thresh")
+    )

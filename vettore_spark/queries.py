@@ -3529,6 +3529,146 @@ SQL_MEDIA_IMAGE_RESIZE = _sql_media_image_resize()
 
 
 # ---------------------------------------------------------------------------
+# data selection (DSIR importance weights, target-mixture rebalance) and
+# exact-substring dedup — round-2 tail additions
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023) over hashed
+    unigram features, target = English documents: every doc scored by the
+    log-likelihood ratio of its 1024-bucket hashed-unigram profile under
+    the target vs raw corpus distributions. Two n_buckets-row broadcast
+    aggregates + one explode-side groupBy — no UDFs, no driver state; the
+    poly-31 hash is reproduced bit-for-bit by the DuckDB oracle."""
+    from vettore_spark.operators import selection as SEL
+
+    docs = _t(spark, sf_dir, "documents")
+    return SEL.dsir_logratio_weights(
+        docs, F.col("lang") == "en", n_buckets=1024, alpha=1.0
+    )
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH b AS (
+  SELECT doc_id,
+         (list_reduce(list_transform(string_split(lower(tok), ''), x -> ascii(x)::BIGINT),
+                      (a, c) -> (a * 31 + c) % 2147483647) % 1024)::INT AS bucket
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+flag AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+raw AS (
+  SELECT bucket, count(*) AS nq,
+         sum(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS nt
+  FROM b JOIN flag f USING (doc_id) GROUP BY bucket),
+tot AS (SELECT sum(nq)::DOUBLE AS sq, sum(nt)::DOUBLE AS st FROM raw),
+lr AS (
+  SELECT bucket,
+         ln((nt + 1.0) / (st + 1024.0)) - ln((nq + 1.0) / (sq + 1024.0)) AS lr
+  FROM raw, tot),
+tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * lr), 5) AS dsir_weight,
+       round(sum(tf * lr) / sum(tf), 5) AS dsir_per_token
+FROM tf JOIN lr USING (bucket)
+GROUP BY doc_id
+"""
+
+
+_MIX_SHARES: dict[str, float] = {
+    "src0": 0.2,
+    "src1": 0.2,
+    **{f"src{i}": 0.6 / 18 for i in range(2, 20)},
+}
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalance summary: per-domain corpus count, the
+    keep-fraction that hits the target shares without upsampling (binding
+    domain keeps 1.0), and the count actually kept by the deterministic
+    md5-draw sample. The fraction→hex-threshold conversion happens in-plan
+    (conv base-10→16), so counts are reproducible cross-engine."""
+    from vettore_spark.operators import selection as SEL
+
+    docs = _t(spark, sf_dir, "documents")
+    fr = SEL.mixture_keep_fractions(docs, _MIX_SHARES, domain_col="source")
+    kept = SEL.mixture_sample(
+        docs, _MIX_SHARES, id_col="doc_id", domain_col="source", salt="mix"
+    )
+    n_kept = kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return fr.join(n_kept, on="domain", how="left").select(
+        "domain",
+        "n_docs",
+        F.round("keep_fraction", 5).alias("keep_fraction"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def _sql_domain_mixture() -> str:
+    cases = " ".join(
+        f"WHEN domain = '{d}' THEN {s!r}::DOUBLE" for d, s in _MIX_SHARES.items()
+    )
+    return f"""
+WITH c AS (SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1),
+sh AS (SELECT domain, n_docs, CASE {cases} ELSE 0.0::DOUBLE END AS share FROM c),
+sc AS (SELECT min(n_docs / share) AS scale FROM sh WHERE share > 0),
+fr AS (SELECT domain, n_docs,
+              least(1.0, scale * share / n_docs) AS keep_fraction,
+              lpad(lower(to_hex(CAST(round(least(1.0, scale * share / n_docs)
+                  * 4294967296.0) AS BIGINT))), 8, '0') AS th
+       FROM sh, sc)
+SELECT d.source AS domain, CAST(min(fr.n_docs) AS BIGINT) AS n_docs,
+       round(min(keep_fraction), 5) AS keep_fraction,
+       CAST(sum(CASE WHEN keep_fraction >= 1.0
+                     OR substr(md5('mix' || d.doc_id::VARCHAR), 1, 8) < th
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN fr ON d.source = fr.domain
+GROUP BY 1
+"""
+
+
+SQL_DOMAIN_MIXTURE = _sql_domain_mixture()
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication candidates (Lee et al. 2021 suffix-array
+    dedup): docs sharing 40-char runs, found via winnowing-style
+    content-defined gram sampling (keep rate 1/8 on the gram md5) so shared
+    runs match regardless of their offsets in each document. Inverted-index
+    plan — explode + groupBy posting list + in-bucket pair emission;
+    max_gram_df caps boilerplate posting lists (the O(df^2) guard)."""
+    return D.substring_gram_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=40,
+        keep_below_hex="2",
+        max_gram_df=50,
+    )
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH g AS (
+  SELECT doc_id, md5(substr(text, p, 40)) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 39, 1)) AS t(p)
+  WHERE length(text) >= 40),
+gd AS (SELECT DISTINCT doc_id, gram FROM g WHERE substr(gram, 1, 1) < '2'),
+sized AS (
+  SELECT gram, list_sort(list(doc_id)) AS ids
+  FROM gd GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND 50)
+SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM (
+  SELECT ids[i] AS doc_a, ids[j] AS doc_b
+  FROM sized, unnest(generate_series(1, len(ids))) AS ti(i),
+              unnest(generate_series(1, len(ids))) AS tj(j)
+  WHERE i < j) p
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3594,6 +3734,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- past the 50-entry gate window. hard_negatives (new in r2, next
     # in line for the r3 rotation) first, then r1-greens with untouched
     # impls rotated out to make room for the r2 additions ---
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "charlm_quality": (q_charlm_quality, SQL_CHARLM_QUALITY),
     "ivf_delete_search": (q_ivf_delete_search, SQL_IVF_DELETE_SEARCH),
