@@ -100,3 +100,32 @@ def test_substring_pairs_df_cap(spark):
     assert capped == []  # posting list of 10 > cap 5 -> dropped
     uncapped = substring_gram_pairs(df, k=40, max_gram_df=50).collect()
     assert len(uncapped) == 45  # all C(10,2) pairs
+
+
+def test_semdedup_keeps_cluster_representative(spark):
+    # cluster A: three near-identical vectors + one orthogonal; cluster B
+    # lives in a different subspace entirely
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.01, 0.0, 0.0], "a"),
+        (3, [0.998, 0.02, 0.0, 0.0], "a"),
+        (4, [0.0, 1.0, 0.0, 0.0], "a"),
+        (5, [0.0, 0.0, 1.0, 0.0], "b"),
+        (6, [0.0, 0.0, 0.0, 1.0], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    from pyspark.sql import functions as F
+    from vettore_spark.functions import kernels as K
+
+    cents = emb.groupBy("label").agg(
+        K.mean_vector(F.collect_list("embedding"), 4).alias("mean")
+    )
+    out = {r["vec_id"]: r for r in
+           SEL.semdedup_prune(emb, cents, threshold=0.9).collect()}
+    assert len(out) == 6
+    kept_a_near = [i for i in (1, 2, 3) if out[i]["kept"]]
+    assert len(kept_a_near) == 1  # 1,2,3 are mutual near-dups: one survives
+    assert out[4]["kept"]  # orthogonal member survives
+    assert out[5]["kept"] and out[6]["kept"]  # cross-cluster never compared

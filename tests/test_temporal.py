@@ -109,3 +109,30 @@ def test_range_join_banded(spark):
         & (F.abs(F.unix_micros("l.ts") - F.unix_micros("r.ts")) <= 300_000_000),
     ).select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
     assert got == {(r["a"], r["b"]) for r in naive.collect()}
+
+
+def test_trailing_user_features_window_and_gap(spark):
+    from pyspark.sql import functions as F
+    from vettore_spark.operators.temporal import trailing_user_features
+
+    rows = [
+        (1, 10, 0, 1.0),
+        (2, 10, 1800, 2.0),
+        (3, 10, 3600, 4.0),    # 1h after event 1: still inside its range
+        (4, 10, 7201, 8.0),    # everything else expired
+        (5, 20, 100, 1.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, value double"
+    ).select("event_id", "user_id",
+             F.timestamp_seconds(F.col("t")).alias("ts"), "value")
+    out = {r["event_id"]: r for r in
+           trailing_user_features(ev, window_s=3600).collect()}
+    assert out[1]["n_1h"] == 1 and out[1]["sum_1h"] == 1.0
+    assert out[2]["n_1h"] == 2 and out[2]["sum_1h"] == 3.0
+    assert out[3]["n_1h"] == 3 and out[3]["sum_1h"] == 7.0  # range inclusive
+    assert out[4]["n_1h"] == 1 and out[4]["sum_1h"] == 8.0
+    assert out[5]["n_1h"] == 1
+    assert out[1]["gap_us"] == -1          # first event per user
+    assert out[2]["gap_us"] == 1800_000_000
+    assert out[5]["gap_us"] == -1

@@ -24,7 +24,7 @@ SQL_DOMAIN_MIXTURE).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vettore_spark.operators.dedup import tokens
@@ -186,4 +186,79 @@ def mixture_sample(
             (F.col("keep_fraction") >= 1.0) | (draw < F.col("_thresh"))
         )
         .drop("domain", "n_docs", "keep_fraction", "_thresh")
+    )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cluster_col: str = "label",
+    centroid_col: str = "mean",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): within each
+    cluster, rank members by similarity to the cluster centroid and prune
+    any member whose cosine similarity to a better-ranked member exceeds
+    `threshold` — keeping one representative per semantic near-dup group
+    while never comparing vectors across clusters.
+
+    `centroids` is (cluster_col, centroid_col) — label means here, KMeans
+    cells at corpus scale; it broadcasts. The within-cluster pairwise pass
+    is a self-join co-partitioned on the cluster key: O(m^2) per cluster,
+    the SemDeDup cost model, bounded by capping cluster size at the
+    clustering step (the paper uses ~11k/cluster at 5B scale). Ranking is
+    by the ROUNDED centroid similarity (5 dp) with id tie-break, so the
+    kept/pruned partition is reproducible across engines and runs.
+
+    Returns every input row: (id, cluster, cos_centroid, kept)."""
+    from vettore_spark.functions import kernels as K
+
+    scored = emb.join(F.broadcast(centroids), cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(vector_col).alias("_v"),
+        F.round(
+            K.cosine(F.col(vector_col).cast("array<double>"), F.col(centroid_col)), 5
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc("cos_centroid"), F.col(id_col)
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    a = ranked.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col("_rk").alias("_rka"),
+        F.col("_v").alias("_va"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("_idb"),
+        F.col(cluster_col).alias("_cl"),
+        F.col("_rk").alias("_rkb"),
+        F.col("_v").alias("_vb"),
+    )
+    pruned = (
+        a.join(b, on="_cl")
+        .filter(F.col("_rka") < F.col("_rkb"))
+        .filter(
+            K.cosine(
+                F.col("_va").cast("array<double>"),
+                F.col("_vb").cast("array<double>"),
+            )
+            >= threshold
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        scored.join(pruned, on=id_col, how="left")
+        .select(
+            id_col,
+            cluster_col,
+            "cos_centroid",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+        )
     )

@@ -183,3 +183,45 @@ def session_stats(
         ).alias("duration_s"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def trailing_user_features(
+    events: DataFrame,
+    *,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Per-event trailing-window features — the point-in-time feature
+    generation of a training pipeline (each example sees only its past,
+    so no label leakage): count and value-sum over the trailing
+    `window_s` seconds per user, plus the gap to the previous event.
+
+    One shuffle on user_id serves all three windows. The RANGE frame is
+    ordered by epoch microseconds (peers at the same timestamp are all
+    included — identical semantics in Spark and DuckDB); the lag frame
+    breaks timestamp ties by event id, so the gap is deterministic under
+    any partitioning. At 100 TB this is the standard windowed-feature
+    shape: partition by entity, order by time, bounded frame — Spark
+    keeps only the frame's rows in memory per key."""
+    ts_us = F.unix_micros(F.col(ts_col))
+    span = int(window_s) * 1_000_000
+    w_range = (
+        Window.partitionBy(user_col).orderBy(ts_us).rangeBetween(-span, 0)
+    )
+    w_row = Window.partitionBy(user_col).orderBy(ts_us, F.col(id_col))
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        ts_us.cast("long").alias("ts_us"),
+        F.count(F.lit(1)).over(w_range).cast("long").alias("n_1h"),
+        F.round(F.sum(value_col).over(w_range), 4).alias("sum_1h"),
+        # -1 (not NULL) for a user's first event: a nullable integer column
+        # surfaces as float64 through pandas/Arrow and breaks exact
+        # cross-engine comparison; -1 keeps the column int64 end-to-end
+        F.coalesce(ts_us - F.lag(ts_us).over(w_row), F.lit(-1))
+        .cast("long")
+        .alias("gap_us"),
+    )

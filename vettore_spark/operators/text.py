@@ -402,3 +402,35 @@ def fingerprint(
         )
     )
     return df.select(F.col(id_col), F.md5(normalized).alias("fp"))
+
+
+def bpe_pair_counts(
+    df: DataFrame, *, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Most frequent adjacent pre-token pairs — one iteration of the BPE
+    training loop (the merge-candidate table): pre-tokenize with the
+    BPE-ish pattern, form adjacent pairs inside each document, count
+    globally, keep the top `top_n` by (count desc, pair asc).
+
+    Adjacent pairs come from arrays_zip of two shifted slices — NOT from
+    indexing the token array inside a transform lambda, which would
+    re-evaluate the regex extraction per element after CollapseProject
+    inlining (the shingle_array O(n^2) trap). One explode + one groupBy
+    with map-side partial aggregation; the final top-N sorts the small
+    aggregated pair table."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    cnt = F.size(toks) - 1
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, cnt).alias("a"), F.slice(toks, 2, cnt).alias("b")
+    )
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(zipped, lambda x: F.concat_ws(" ", x["a"], x["b"])),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )

@@ -3668,6 +3668,85 @@ GROUP BY 1, 2
 """
 
 
+def q_user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature generation: per event, the trailing-1h count
+    and value-sum for its user plus the gap to the previous event — the
+    no-label-leakage windowed-feature shape (one shuffle on user_id serves
+    all three windows)."""
+    from vettore_spark.operators import temporal as TP
+
+    return TP.trailing_user_features(_events_ts(spark, sf_dir), window_s=3600)
+
+
+SQL_USER_EVENT_FEATURES = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value
+           FROM events)
+SELECT event_id, user_id, CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(count(*) OVER w_range AS BIGINT) AS n_1h,
+       round(sum(value) OVER w_range, 4) AS sum_1h,
+       CAST(COALESCE(ts_us - lag(ts_us) OVER w_row, -1) AS BIGINT) AS gap_us
+FROM e
+WINDOW w_range AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+       w_row AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE training: the top-20 adjacent pre-token pairs
+    by global count (count desc, pair asc) — the merge-candidate table a
+    corpus-trained tokenizer starts from."""
+    return TX.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=20)
+
+
+SQL_BPE_PAIR_STATS = r"""
+WITH t AS (SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS tk
+           FROM documents),
+p AS (SELECT tk[i] || ' ' || tk[i+1] AS pair
+      FROM t, unnest(generate_series(1, len(tk) - 1)) u(i)
+      WHERE len(tk) >= 2)
+SELECT pair, count(*)::BIGINT AS n
+FROM p GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023) with label clusters:
+    within each cluster, members ranked by (rounded) centroid similarity;
+    a member is pruned when its cosine to a better-ranked member is >=
+    0.3. Output marks every vector kept/pruned — at sf0.01 this prunes
+    ~21% of the corpus. Pairwise pass is cluster-local (self-join on the
+    cluster key); centroids broadcast."""
+    from vettore_spark.operators import selection as SEL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SEL.semdedup_prune(
+        emb, _label_mean_vectors(emb), threshold=0.3
+    )
+
+
+SQL_SEMDEDUP_PRUNE = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (SELECT label, list(m ORDER BY i) AS cv FROM pos GROUP BY 1),
+sc AS (SELECT e.vec_id, e.label, e.embedding,
+              round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 5) AS cos_centroid
+       FROM embeddings e JOIN cent c USING (label)),
+rk AS (SELECT vec_id, label, embedding, cos_centroid,
+              row_number() OVER (PARTITION BY label ORDER BY cos_centroid DESC, vec_id) AS rk
+       FROM sc),
+pr AS (SELECT DISTINCT b.vec_id
+       FROM rk a JOIN rk b ON a.label = b.label AND a.rk < b.rk
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3)
+SELECT s.vec_id, s.label, s.cos_centroid,
+       s.vec_id NOT IN (SELECT vec_id FROM pr) AS kept
+FROM sc s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3735,6 +3814,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # in line for the r3 rotation) first, then r1-greens with untouched
     # impls rotated out to make room for the r2 additions ---
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "user_event_features": (q_user_event_features, SQL_USER_EVENT_FEATURES),
+    "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
