@@ -107,3 +107,87 @@ def test_fuzzy_value_pairs_no_cartesian(docs, spark):
     assert "CartesianProduct" not in plan
     # the join key is the exploded length band
     assert "Generate explode" in plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """The per-bucket log-ratio model must broadcast back over the corpus —
+    an exchange-based join here would shuffle the full token stream twice."""
+    from vettore_spark.operators import selection as SEL
+    from vettore_spark.plans import checks as PC
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} common", "en" if i % 2 == 0 else "de")
+         for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    out = SEL.dsir_logratio_weights(df, F.col("lang") == "en", n_buckets=64)
+    assert PC.broadcast_join_count(out) >= 1
+    assert not PC.has_cartesian(out)
+
+
+def test_mixture_sample_is_broadcast_filter(spark):
+    """The per-domain fraction table joins by broadcast; the md5 draw is a
+    per-row filter — no shuffle of the corpus itself."""
+    from vettore_spark.operators import selection as SEL
+    from vettore_spark.plans import checks as PC
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    out = SEL.mixture_sample(df, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    assert PC.broadcast_join_count(out) >= 1
+    plan = PC.executed_plan(out)
+    # corpus side reaches the join without an Exchange above its scan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_centroids_broadcast_and_cluster_local(spark):
+    """Centroid join broadcasts; the pairwise pass joins on the cluster key
+    (hash/broadcast join, never a cartesian product)."""
+    from vettore_spark.functions import kernels as K
+    from vettore_spark.operators import selection as SEL
+    from vettore_spark.plans import checks as PC
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0], f"c{i % 4}") for i in range(40)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    cents = emb.groupBy("label").agg(
+        K.mean_vector(F.collect_list("embedding"), 3).alias("mean")
+    )
+    out = SEL.semdedup_prune(emb, cents, threshold=0.9)
+    assert PC.broadcast_join_count(out) >= 1
+    assert not PC.has_cartesian(out)
+
+
+def test_substring_pairs_single_aggregate_no_join(spark):
+    """The posting-list plan: explode → one groupBy → pair emission. No
+    self-join of the document table, no cartesian product."""
+    from vettore_spark.operators.dedup import substring_gram_pairs
+    from vettore_spark.plans import checks as PC
+
+    df = spark.createDataFrame(
+        [(i, "some shared prefix text that goes on for quite a while " * 2)
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = substring_gram_pairs(df, k=40)
+    plan = PC.executed_plan(out)
+    assert not PC.has_cartesian(out)
+    assert "SortMergeJoin" not in plan  # no doc-table self-join
+
+
+def test_trailing_features_single_shuffle(spark):
+    """All three windows share one partitioning on user_id: exactly one
+    Exchange in the plan."""
+    from vettore_spark.operators.temporal import trailing_user_features
+    from vettore_spark.plans import checks as PC
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, i * 100, float(i)) for i in range(50)],
+        "event_id long, user_id long, t long, value double",
+    ).select("event_id", "user_id",
+             F.timestamp_seconds(F.col("t")).alias("ts"), "value")
+    out = trailing_user_features(ev)
+    assert PC.shuffle_count(out) == 1
