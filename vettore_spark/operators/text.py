@@ -344,11 +344,6 @@ def charlm_trigram_scores(
     a pin column so `substr` inside the transform lambda reads a column ref,
     not a re-inlined `lower()` per element (the O(n²) CollapseProject trap).
     """
-    base = df.select(
-        F.col(id_col),
-        F.lower(F.col(text_col)).alias("_lc"),
-        F.monotonically_increasing_id().alias("_pin"),
-    )
     tris = F.when(
         F.length("_lc") >= 3,
         F.transform(
@@ -356,18 +351,20 @@ def charlm_trigram_scores(
             lambda i: F.col("_lc").substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = base.select(F.col(id_col), F.explode(tris).alias("tri"))
-    model = cached_persist(
+    # ONE persisted explode serves both the model build and the scoring
+    # pass — the substr/explode over every character position is the
+    # expensive half of this operator, and without sharing it runs twice
+    exploded = cached_persist(
         df,
-        ("charlm_model", id_col, text_col),
+        ("charlm_tris", id_col, text_col),
         lambda s: s.select(
             F.col(id_col),
             F.lower(F.col(text_col)).alias("_lc"),
             F.monotonically_increasing_id().alias("_pin"),
-        )
-        .select(F.col(id_col), F.explode(tris).alias("tri"))
-        .groupBy("tri")
-        .agg(F.count("*").cast("long").alias("cnt")),
+        ).select(F.col(id_col), F.explode(tris).alias("tri")),
+    )
+    model = exploded.groupBy("tri").agg(
+        F.count("*").cast("long").alias("cnt")
     )
     stats = model.agg(
         F.sum("cnt").cast("long").alias("_n3"),
