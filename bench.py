@@ -82,6 +82,12 @@ HEADLINE = [
     "events_anomaly",
     "user_sessions",
     "hashed_embedding",
+    "dsir_weights",
+    "domain_mixture",
+    "substring_dedup",
+    "semdedup_prune",
+    "user_event_features",
+    "bpe_pair_stats",
     "multi_query_quantized",
     "tpch_q1_pricing",
     "tpch_q6_revenue",

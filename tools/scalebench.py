@@ -89,6 +89,14 @@ def main() -> int:
             replicated(part0, CURRENT_K, "p_partkey"), value_col="p_name"
         )
 
+    def op_substring(docs):
+        return D.substring_gram_pairs(docs, k=40, max_gram_df=50)
+
+    def op_dsir(docs):
+        from vettore_spark.operators import selection as SEL
+
+        return SEL.dsir_logratio_weights(docs, F.col("lang") == "en")
+
     OPS = {
         "ngram_jaccard": op_ngram,
         "bm25_batch": op_bm25_batch,
@@ -96,6 +104,8 @@ def main() -> int:
         "decontaminate": op_decontaminate,
         "leakage_split": op_leakage_split,
         "fuzzy_values": op_fuzzy,
+        "substring_grams": op_substring,
+        "dsir_weights": op_dsir,
     }
 
     global CURRENT_K
