@@ -1,0 +1,75 @@
+"""Pluggable text-encoder inference stage: Arrow-batch plumbing,
+deterministic fake, env-gated real path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vettore_spark.encodings import encoders as EN
+
+
+def test_fake_encoder_deterministic_and_normalized():
+    s = pd.Series(["hello world", "hello world", "other text", ""])
+    m = EN.fake_encode_texts(s, dim=16)
+    assert m.shape == (4, 16)
+    assert np.array_equal(m[0], m[1])          # same text, same embedding
+    assert not np.array_equal(m[0], m[2])
+    for row in m:
+        assert abs(float(np.sqrt((row * row).sum())) - 1.0) < 1e-9
+
+
+def test_encode_texts_batches_whole_series(spark):
+    """The encoder must be called per Arrow batch, never per row — models
+    amortize over batches."""
+    def spy(texts: pd.Series) -> np.ndarray:
+        # stamp the batch size into element 0 of every row — the spy runs
+        # in executor workers, so a driver-side counter would never see it
+        m = EN.fake_encode_texts(texts, dim=8)
+        m[:, 0] = float(len(texts))
+        return m
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    out = EN.encode_texts(df, encode_fn=spy, dim=8).collect()
+    assert len(out) == 64
+    assert all(len(r["embedding"]) == 8 for r in out)
+    batch_sizes = [r["embedding"][0] for r in out]
+    assert sum(1 for _ in batch_sizes) == 64
+    assert max(batch_sizes) > 1  # batched, not row-at-a-time
+
+
+def test_encode_texts_feeds_search_operators(spark):
+    """The embedding column is directly consumable by the search stack."""
+    from vettore_spark.operators import ann as ANN
+
+    df = spark.createDataFrame(
+        [(i, f"text body {i % 4}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = EN.encode_texts(df, dim=16)
+    q = emb.limit(2).select(
+        emb.doc_id.alias("query_id"), emb.embedding.alias("query_vector")
+    )
+    hits = ANN.brute_force_topk(
+        emb, q, k=3, metric="cosine", id_col="doc_id", vector_col="embedding"
+    ).collect()
+    assert len(hits) == 6
+    # identical texts (i % 4 collisions) embed identically -> top hit score 1
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        assert max(x["score"] for x in rs) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_real_encoder_is_env_gated(monkeypatch):
+    monkeypatch.delenv("SPARK_VETTORE_EMBED_MODEL", raising=False)
+    with pytest.raises(NotImplementedError):
+        EN.load_real_encoder()
+    with pytest.raises(NotImplementedError):
+        # model named but sentence-transformers absent in this container
+        EN.load_real_encoder("all-MiniLM-L6-v2")

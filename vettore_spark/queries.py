@@ -3747,6 +3747,41 @@ FROM sc s
 """
 
 
+def q_text_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference stage over Arrow batches (mapInPandas): texts ->
+    L2-normalized embeddings via the pluggable encoder (deterministic
+    sha256-byte fake here, sentence-transformers via load_real_encoder
+    where available — the reference's env-gated fastembed integration,
+    test/ex_fastembed_integration_test.exs:9-60). Exploded to (doc_id, i,
+    w) so the DuckDB oracle verifies every float."""
+    from vettore_spark.encodings import encoders as EN
+
+    out = EN.encode_texts(_t(spark, sf_dir, "documents"), dim=16)
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("i", "w")
+    ).select(
+        F.col("doc_id"),
+        (F.col("i") + 1).cast("long").alias("i"),
+        F.round("w", 5).alias("w"),
+    )
+
+
+SQL_TEXT_EMBED = """
+WITH hx AS (SELECT doc_id, sha256(text || ':0') AS h FROM documents),
+b AS (SELECT doc_id,
+             list_transform(range(1, 17),
+                i -> ((strpos('0123456789abcdef', h[2*i-1]) - 1) * 16
+                    + (strpos('0123456789abcdef', h[2*i]) - 1))::DOUBLE) AS bytes
+      FROM hx),
+v AS (SELECT doc_id, list_transform(bytes, x -> (x - 127.5) / 127.5) AS e FROM b),
+n AS (SELECT doc_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (a, x2) -> a + x2)) AS nm
+      FROM v)
+SELECT doc_id, CAST(i AS BIGINT) AS i, round(e[i] / nm, 5) AS w
+FROM n, unnest(generate_series(1, 16)) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3817,6 +3852,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "user_event_features": (q_user_event_features, SQL_USER_EVENT_FEATURES),
     "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
+    "text_embed": (q_text_embed, SQL_TEXT_EMBED),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
