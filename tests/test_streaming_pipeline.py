@@ -71,3 +71,26 @@ def test_streaming_quality_filter_chain(spark, tmp_path):
     batch = PL.repetition_stats(spark.createDataFrame(ROWS, SCHEMA))
     want = {r["doc_id"] for r in batch.filter(F.col("keep")).collect()}
     assert got == want and 0 not in got
+
+
+def test_streaming_text_embed_matches_batch(spark, tmp_path):
+    """Model inference composes onto a stream unchanged: encode_texts is
+    mapInPandas (map-only), so the streamed embeddings equal the batch
+    embeddings row for row. parallelism=0 keeps the stream's partitioning —
+    the repartition spread is a batch-only optimization (an exchange is
+    fine on streams, but the unsplittable-file rationale doesn't apply)."""
+    from vettore_spark.encodings import encoders as EN
+
+    batch_df = spark.createDataFrame(ROWS, SCHEMA)
+    want = {
+        r["doc_id"]: r["embedding"]
+        for r in EN.encode_texts(batch_df, dim=8, parallelism=0).collect()
+    }
+    got_rows = _run(
+        EN.encode_texts(_stream(spark, tmp_path, "emb"), dim=8, parallelism=0),
+        spark,
+        "emb_out",
+    )
+    got = {r["doc_id"]: r["embedding"] for r in got_rows}
+    assert got == want
+    assert all(len(v) == 8 for v in got.values())
