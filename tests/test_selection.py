@@ -129,3 +129,25 @@ def test_semdedup_keeps_cluster_representative(spark):
     assert len(kept_a_near) == 1  # 1,2,3 are mutual near-dups: one survives
     assert out[4]["kept"]  # orthogonal member survives
     assert out[5]["kept"] and out[6]["kept"]  # cross-cluster never compared
+
+
+def test_mixture_unmatched_shares_empty_sample(docs):
+    # shares name domains that don't exist -> empty sample, no NULL poison
+    kept = SEL.mixture_sample(docs, {"nosuch": 1.0}, domain_col="source")
+    assert kept.count() == 0
+    fr = SEL.mixture_keep_fractions(docs, {"nosuch": 1.0}, domain_col="source")
+    assert all(r["keep_fraction"] == 0.0 for r in fr.collect())
+
+
+def test_substring_all_docs_short_is_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "also short")], "doc_id long, text string"
+    )
+    assert substring_gram_pairs(df, k=40).count() == 0
+
+
+def test_dsir_no_target_docs_still_scores(docs):
+    out = SEL.dsir_logratio_weights(docs, F.lit(False)).collect()
+    assert len(out) == 40
+    # with an empty target, every weight is ln(uniform/p_raw) — finite
+    assert all(abs(r["dsir_weight"]) < 1e6 for r in out)

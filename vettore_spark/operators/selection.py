@@ -137,8 +137,13 @@ def mixture_keep_fractions(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("share", F.coalesce(share_expr[F.col("domain")], F.lit(0.0)))
     )
+    # coalesce(0): shares matching NO observed domain would otherwise make
+    # the min aggregate NULL and poison every keep_fraction — 0 cleanly
+    # yields keep_fraction 0 everywhere (empty sample), no action needed
     scale = counts.filter(F.col("share") > 0).agg(
-        F.min(F.col("n_docs") / F.col("share")).alias("scale")
+        F.coalesce(F.min(F.col("n_docs") / F.col("share")), F.lit(0.0)).alias(
+            "scale"
+        )
     )
     return counts.crossJoin(F.broadcast(scale)).select(
         "domain",
