@@ -22,6 +22,11 @@ PICK = {
     "bm25_topk": "BM25: one corpus scan, 1-row stats broadcast, no doc-term explode",
     "ngram_jaccard_pairs": "inverted-index dedup: persisted shingle base, one bucket shuffle, capped pair explosion",
     "ann_ivf_topk": "IVF: persisted cell assignment, broadcast probes, windowed per-query top-k",
+    "dsir_weights": "DSIR: explode-side partial-agg groupBys, n_buckets-row log-ratio model broadcast back",
+    "domain_mixture": "mixture rebalance: tiny per-domain aggregate broadcast, md5-draw filter in-plan",
+    "substring_dedup": "content-defined gram postings: one explode, one groupBy, in-bucket pair emission",
+    "user_event_features": "trailing features: single exchange on user_id serves RANGE + lag windows",
+    "text_embed": "encoder stage: ArrowEvalPython(mapInPandas) over a spread narrow projection",
 }
 
 HEADER = """# PLANS — formatted physical plans of representative queries (sf0.01)
