@@ -218,3 +218,23 @@ def test_collection_pq_search_rejects_unsupported_metric(spark):
     c.put_many([{"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]}])
     with pytest.raises(ValueError, match="l2/cosine"):
         c.pq_search([1.0, 0.0, 0.0, 0.0])
+
+
+def test_many_sequential_ingest_batches_stay_responsive(spark):
+    """20 sequential put_many batches: the union lineage is cut every few
+    batches (localCheckpoint), so late batches don't pay re-analysis over
+    a 20-deep union tree, and the rows all survive the cuts."""
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "lineage", 4, metric="cosine")
+    for b in range(20):
+        c.put_many(
+            [{"id": f"r{b}-{i}", "vector": [1.0, float(b), float(i), 0.5]}
+             for i in range(5)]
+        )
+    assert c.count() == 100
+    # the resulting plan must not be a 20-deep union chain
+    plan = c.all()._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") < 10
+    got = c.get("r19-4")
+    assert got is not None

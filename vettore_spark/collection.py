@@ -225,6 +225,18 @@ class Collection:
             F.col("metadata"),
         )
         self._df = self._df.unionByName(out)
+        # cut union lineage every few batches: without this, K ingest
+        # batches build a K-deep union tree and every later action (the
+        # duplicate-id semi-join above, every search) pays Catalyst
+        # re-analysis over the whole tree — the slow creep of a long-lived
+        # collection. localCheckpoint materializes the current rows into
+        # executor storage (the reference's resident-store model,
+        # store/ets.ex:27-47) and restarts the lineage from there.
+        depth = self.__dict__.get("_union_depth", 0) + 1
+        if depth >= 8:
+            self._df = self._df.localCheckpoint(eager=False)
+            depth = 0
+        self.__dict__["_union_depth"] = depth
         self._invalidate_derived()
         return self
 
