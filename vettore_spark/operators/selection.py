@@ -37,9 +37,14 @@ def _bucketed_tokens(
     """One row per (doc, token instance) with the token's feature bucket:
     poly-31 hash of the lowercased token mod n_buckets. Empty tokens (from
     splitting all-whitespace text) are dropped, mirroring the oracle's
-    `tok <> ''` filter."""
+    `tok <> ''` filter. The raw text is spread across cores first — an
+    unsplittable one-row-group parquet input would otherwise evaluate the
+    whole explode+hash on one core (plans/spread.py)."""
+    from vettore_spark.plans.spread import spread_narrow
+
+    src = spread_narrow(df, [id_col, text_col])
     tok = F.explode(tokens(text_col)).alias("tok")
-    exploded = df.select(F.col(id_col), tok).filter(F.col("tok") != "")
+    exploded = src.select(F.col(id_col), tok).filter(F.col("tok") != "")
     hv = F.aggregate(
         F.split(F.lower(F.col("tok")), ""),
         F.lit(0).cast("long"),

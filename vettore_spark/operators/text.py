@@ -354,14 +354,18 @@ def charlm_trigram_scores(
     # ONE persisted explode serves both the model build and the scoring
     # pass — the substr/explode over every character position is the
     # expensive half of this operator, and without sharing it runs twice
+    from vettore_spark.plans.spread import spread_narrow
+
     exploded = cached_persist(
         df,
         ("charlm_tris", id_col, text_col),
-        lambda s: s.select(
+        lambda s: spread_narrow(s, [id_col, text_col])
+        .select(
             F.col(id_col),
             F.lower(F.col(text_col)).alias("_lc"),
             F.monotonically_increasing_id().alias("_pin"),
-        ).select(F.col(id_col), F.explode(tris).alias("tri")),
+        )
+        .select(F.col(id_col), F.explode(tris).alias("tri")),
     )
     model = exploded.groupBy("tri").agg(
         F.count("*").cast("long").alias("cnt")
@@ -414,7 +418,12 @@ def bpe_pair_counts(
     re-evaluate the regex extraction per element after CollapseProject
     inlining (the shingle_array O(n^2) trap). One explode + one groupBy
     with map-side partial aggregation; the final top-N sorts the small
-    aggregated pair table."""
+    aggregated pair table. The raw text is spread across cores first
+    (plans/spread.py) — the regex extraction would otherwise run inside an
+    unsplittable one-partition scan task."""
+    from vettore_spark.plans.spread import spread_narrow
+
+    df = spread_narrow(df, [text_col])
     toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
     cnt = F.size(toks) - 1
     zipped = F.arrays_zip(
