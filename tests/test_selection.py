@@ -151,3 +151,15 @@ def test_dsir_no_target_docs_still_scores(docs):
     assert len(out) == 40
     # with an empty target, every weight is ln(uniform/p_raw) — finite
     assert all(abs(r["dsir_weight"]) < 1e6 for r in out)
+
+
+def test_curation_pipeline_composition(spark):
+    """DSIR filter -> mixture rebalance composition: survivors respect both
+    the importance threshold and the per-domain mixture cap."""
+    from vettore_spark import queries as Q
+
+    out = Q.q_curation_pipeline(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "curation pipeline produced no domains"
+    assert all(r["n_kept"] >= 1 for r in rows)
+    assert set(out.columns) == {"domain", "n_kept", "sum_doc_id"}

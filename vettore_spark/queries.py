@@ -3782,6 +3782,76 @@ FROM n, unnest(generate_series(1, 16)) t(i)
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data-curation composition: DSIR importance filter
+    (per-token log-ratio above a fixed threshold) → target-mixture domain
+    rebalance over the survivors → per-domain summary. Every stage is an
+    independently-oracled scale-safe block (broadcast model, broadcast
+    fraction table, md5-draw filter); the oracle recomputes the whole
+    chain in one SQL."""
+    from vettore_spark.operators import selection as SEL
+    from vettore_spark.plans.cache import cached_persist
+
+    docs = _t(spark, sf_dir, "documents")
+    # the DSIR-filtered survivor set feeds THREE consumers (domain counts,
+    # the scale aggregate, the final sampled join) — persist it once or the
+    # whole weight model re-derives per consumer
+    kept0 = cached_persist(
+        docs,
+        ("curation_kept0", -0.045),
+        lambda s: s.join(
+            SEL.dsir_logratio_weights(s, F.col("lang") == "en", n_buckets=1024)
+            .filter(F.col("dsir_per_token") > -0.045)
+            .select("doc_id"),
+            "doc_id",
+        ),
+    )
+    kept = SEL.mixture_sample(
+        kept0, _MIX_SHARES, id_col="doc_id", domain_col="source", salt="cur"
+    )
+    return kept.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    cases = " ".join(
+        f"WHEN domain = '{d}' THEN {s!r}::DOUBLE" for d, s in _MIX_SHARES.items()
+    )
+    return r"""
+WITH b AS (
+  SELECT doc_id,
+         (list_reduce(list_transform(string_split(lower(tok), ''), x -> ascii(x)::BIGINT),
+                      (a, c) -> (a * 31 + c) % 2147483647) % 1024)::INT AS bucket
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+flag AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+raw AS (SELECT bucket, count(*) AS nq, sum(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS nt
+        FROM b JOIN flag f USING (doc_id) GROUP BY bucket),
+tot AS (SELECT sum(nq)::DOUBLE AS sq, sum(nt)::DOUBLE AS st FROM raw),
+lr AS (SELECT bucket, ln((nt + 1.0) / (st + 1024.0)) - ln((nq + 1.0) / (sq + 1024.0)) AS lr FROM raw, tot),
+tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+w AS (SELECT doc_id, round(sum(tf * lr) / sum(tf), 5) AS wpt FROM tf JOIN lr USING (bucket) GROUP BY doc_id),
+kept0 AS (SELECT d.* FROM documents d JOIN w USING (doc_id) WHERE w.wpt > -0.045),
+c AS (SELECT source AS domain, count(*) AS n_docs FROM kept0 GROUP BY 1),
+sh AS (SELECT domain, n_docs, CASE {cases} ELSE 0.0::DOUBLE END AS share FROM c),
+sc AS (SELECT coalesce(min(n_docs / share), 0.0) AS scale FROM sh WHERE share > 0),
+fr AS (SELECT domain, least(1.0, scale * share / n_docs) AS kf,
+              lpad(lower(to_hex(CAST(round(least(1.0, scale * share / n_docs)
+                  * 4294967296.0) AS BIGINT))), 8, '0') AS th
+       FROM sh, sc)
+SELECT k.source AS domain, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.doc_id) AS BIGINT) AS sum_doc_id
+FROM kept0 k JOIN fr ON k.source = fr.domain
+WHERE fr.kf >= 1.0 OR substr(md5('cur' || k.doc_id::VARCHAR), 1, 8) < fr.th
+GROUP BY 1
+""".replace("{cases}", cases)
+
+
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3853,6 +3923,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
     "text_embed": (q_text_embed, SQL_TEXT_EMBED),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
