@@ -38,7 +38,10 @@ _PERSIST_CACHE: OrderedDict = OrderedDict()
 # evicting another family's. Entries are small relative to executor storage
 # (derived tables, not raw corpus); StorageLevel spills under pressure, so a
 # larger registry trades disk for rebuild compute — the right trade at scale.
-_PERSIST_CACHE_MAX = 32
+# 64: the round-2 additions (charlm trigrams, curation survivor set, gram
+# postings) pushed the full headline workload past 32 distinct entries,
+# and LRU eviction mid-bench silently re-derives an evicted family.
+_PERSIST_CACHE_MAX = 64
 
 
 def cached_persist(
