@@ -308,3 +308,32 @@ def test_closed_collection(spark):
     c.close()  # idempotent
     with pytest.raises(RuntimeError, match="closed"):
         c.search([1.0, 0.0])
+
+
+def test_search_where_predicate_restricts_candidates(spark):
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "whr", 4, metric="cosine")
+    c.put_many(
+        [
+            {
+                "id": f"v{i}",
+                "vector": [1.0, float(i % 3), float(i), 0.25],
+                "metadata": {"group": "a" if i % 2 == 0 else "b"},
+            }
+            for i in range(10)
+        ]
+    )
+    q = [1.0, 0.0, 0.0, 0.25]
+    # Column predicate over the metadata map
+    hits = c.search(q, limit=10, where=F.col("metadata")["group"] == "a").collect()
+    assert hits and all(int(r["id"][1:]) % 2 == 0 for r in hits)
+    # SQL-string predicate form
+    hits_b = c.search(q, limit=10, where="metadata['group'] = 'b'").collect()
+    assert hits_b and all(int(r["id"][1:]) % 2 == 1 for r in hits_b)
+    # two-stage searches apply the same restriction to BOTH stages
+    qh = c.quantized_search(q, limit=5, candidates=8,
+                            where="metadata['group'] = 'a'").collect()
+    assert qh and all(int(r["id"][1:]) % 2 == 0 for r in qh)
+    # no predicate -> unrestricted
+    assert len(c.search(q, limit=10).collect()) == 10

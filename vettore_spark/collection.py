@@ -372,12 +372,26 @@ class Collection:
         lo, hi = float(a.min()), float(a.max())
         return ((a - lo) / (hi - lo)).tolist() if hi != lo else [0.0] * len(q)
 
-    def search(self, query: list[float], *, limit: int = 10) -> DataFrame:
+    def _where(self, where) -> DataFrame:
+        """Candidate restriction for the search facades: None -> all rows;
+        a Column or SQL-string predicate -> filtered view (applied to the
+        canonical rows, below every scoring kernel and candidate stage)."""
+        if where is None:
+            return self.df
+        return self.df.filter(where)
+
+    def search(self, query: list[float], *, limit: int = 10,
+               where=None) -> DataFrame:
+        """Exact top-k; `where` (Column or SQL string) restricts the
+        candidate rows BEFORE scoring — the reference's filter superset
+        (§2.2) at the facade: the predicate sits below the kernel in the
+        plan, so column pruning and pushdown apply and non-matching rows
+        are never scored."""
         from vettore_spark.operators import search as S
 
         q = self._prepare_query(query)
         return S.flat_topk(
-            self.df,
+            self._where(where),
             q,
             metric=self.config.metric,
             k=limit,
@@ -385,22 +399,24 @@ class Collection:
             extra_cols=["value"],
         )
 
-    def quantized_search(self, query: list[float], *, limit: int = 10, candidates: int | None = None) -> DataFrame:
+    def quantized_search(self, query: list[float], *, limit: int = 10,
+                         candidates: int | None = None, where=None) -> DataFrame:
         from vettore_spark.operators import search as S
 
         q = self._prepare_query(query)
         return S.quantized_search(
-            self.df, q, dims=self.config.dimensions, metric=self.config.metric,
+            self._where(where), q, dims=self.config.dimensions, metric=self.config.metric,
             k=limit, candidates=candidates, score_mode=self.config.score,
         )
 
     def funnel_search(self, query: list[float], *, stages: list[int] | None = None,
-                      limit: int = 10, candidates: int | None = None) -> DataFrame:
+                      limit: int = 10, candidates: int | None = None,
+                      where=None) -> DataFrame:
         from vettore_spark.operators import search as S
 
         q = self._prepare_query(query)
         return S.funnel_search(
-            self.df, q, dims=self.config.dimensions, stages=stages,
+            self._where(where), q, dims=self.config.dimensions, stages=stages,
             metric=self.config.metric, k=limit, candidates=candidates,
             score_mode=self.config.score,
         )
@@ -541,12 +557,13 @@ class Collection:
     def hybrid_search(self, query: list[float], *, generators: list[str] | None = None,
                       limit: int = 10, candidates: int | None = None,
                       rerank: str = "exact",
-                      rerank_query_vectors: list[list[float]] | None = None) -> DataFrame:
+                      rerank_query_vectors: list[list[float]] | None = None,
+                      where=None) -> DataFrame:
         from vettore_spark.operators import search as S
 
         q = self._prepare_query(query)
         return S.hybrid_search(
-            self.df, q, dims=self.config.dimensions, generators=generators,
+            self._where(where), q, dims=self.config.dimensions, generators=generators,
             metric=self.config.metric, k=limit, candidates=candidates,
             rerank=rerank, rerank_query_vectors=rerank_query_vectors,
             score_mode=self.config.score,
