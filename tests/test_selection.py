@@ -163,3 +163,36 @@ def test_curation_pipeline_composition(spark):
     assert rows, "curation pipeline produced no domains"
     assert all(r["n_kept"] >= 1 for r in rows)
     assert set(out.columns) == {"domain", "n_kept", "sum_doc_id"}
+
+
+def test_token_budget_prefix_closed(spark):
+    rows = [(i, 100, round(1.0 - i * 0.1, 5)) for i in range(10)]
+    w = spark.createDataFrame(rows, "doc_id long, n_tokens long, wpt double")
+    out = SEL.select_token_budget(
+        w, 350, weight_col="wpt", tokens_col="n_tokens"
+    ).collect()
+    sel = sorted(r["doc_id"] for r in out if r["selected"])
+    # 100 tokens each, budget 350 -> exactly the 3 highest-weight docs fit
+    assert sel == [0, 1, 2]
+    # prefix-closed: nothing after the first overflow is selected
+    order = sorted(out, key=lambda r: (-r["wpt"], r["doc_id"]))
+    flags = [r["selected"] for r in order]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_token_budget_tie_break_by_id(spark):
+    rows = [(i, 100, 0.5) for i in range(5)]  # all same weight
+    w = spark.createDataFrame(rows, "doc_id long, n_tokens long, wpt double")
+    out = SEL.select_token_budget(
+        w, 250, weight_col="wpt", tokens_col="n_tokens"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out if r["selected"]) == [0, 1]
+
+
+def test_token_budget_zero_and_huge(spark):
+    rows = [(i, 10, float(i)) for i in range(4)]
+    w = spark.createDataFrame(rows, "doc_id long, n_tokens long, wpt double")
+    none = SEL.select_token_budget(w, 0, weight_col="wpt", tokens_col="n_tokens")
+    assert not any(r["selected"] for r in none.collect())
+    every = SEL.select_token_budget(w, 10**9, weight_col="wpt", tokens_col="n_tokens")
+    assert all(r["selected"] for r in every.collect())

@@ -272,3 +272,56 @@ def semdedup_prune(
             F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def select_token_budget(
+    weights: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_per_token",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget-constrained selection: walk documents in (weight desc,
+    id asc) order and keep each while the running token total stays within
+    `budget` — "assemble the best B tokens" (the selection step after DSIR
+    scoring). With positive token counts the prefix sum is monotone, so
+    selected == (prefix_sum <= budget): prefix-closed and deterministic.
+
+    Scale shape — NO global per-document window (a single-partition sort of
+    the corpus). Two-level cumulative sum instead:
+    1. per-WEIGHT-GROUP token totals (one groupBy; the weight column is
+       rounded upstream, so groups are few) with a cumulative sum over that
+       small aggregate — the only ordered window runs on ~|distinct
+       weights| rows;
+    2. the group prefix ("tokens before my group") broadcasts back; inside
+       each group a window PARTITIONED BY the weight value orders by id —
+       bounded by group size, never by corpus size.
+    selected = group_prefix + within_group_prefix <= budget.
+
+    Returns every input row + `selected` boolean."""
+    grp = weights.groupBy(weight_col).agg(
+        F.sum(tokens_col).cast("long").alias("_gt")
+    )
+    w_grp = (
+        Window.orderBy(F.desc(weight_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp_cum = grp.select(
+        weight_col,
+        (F.sum("_gt").over(w_grp) - F.col("_gt")).alias("_prev_cum"),
+    )
+    w_in = (
+        Window.partitionBy(weight_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weights.join(F.broadcast(grp_cum), on=weight_col)
+        .withColumn("_wg_cum", F.sum(tokens_col).over(w_in))
+        .withColumn(
+            "selected",
+            (F.col("_prev_cum") + F.col("_wg_cum")) <= F.lit(int(budget)),
+        )
+        .drop("_prev_cum", "_wg_cum")
+    )

@@ -3852,6 +3852,44 @@ GROUP BY 1
 SQL_CURATION_PIPELINE = _sql_curation_pipeline()
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection: DSIR-score every doc, walk in
+    (weight desc, id) order, keep while the running token total fits a
+    10k-token budget. Two-level cumulative sum — the only ordered window
+    runs over the tiny distinct-weight aggregate, never the corpus."""
+    from vettore_spark.operators import selection as SEL
+
+    docs = _t(spark, sf_dir, "documents")
+    w = SEL.dsir_logratio_weights(docs, F.col("lang") == "en", n_buckets=1024)
+    return SEL.select_token_budget(
+        w.select("doc_id", "n_tokens", "dsir_per_token"), 10_000,
+    ).select("doc_id", "n_tokens", "dsir_per_token", "selected")
+
+
+SQL_TOKEN_BUDGET_SELECT = r"""
+WITH b AS (
+  SELECT doc_id,
+         (list_reduce(list_transform(string_split(lower(tok), ''), x -> ascii(x)::BIGINT),
+                      (a, c) -> (a * 31 + c) % 2147483647) % 1024)::INT AS bucket
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+flag AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+raw AS (SELECT bucket, count(*) AS nq, sum(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS nt
+        FROM b JOIN flag f USING (doc_id) GROUP BY bucket),
+tot AS (SELECT sum(nq)::DOUBLE AS sq, sum(nt)::DOUBLE AS st FROM raw),
+lr AS (SELECT bucket, ln((nt + 1.0) / (st + 1024.0)) - ln((nq + 1.0) / (sq + 1024.0)) AS lr FROM raw, tot),
+tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+w AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             round(sum(tf * lr) / sum(tf), 5) AS dsir_per_token
+      FROM tf JOIN lr USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, dsir_per_token,
+       sum(n_tokens) OVER (ORDER BY dsir_per_token DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= 10000 AS selected
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3924,6 +3962,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP_PRUNE),
     "text_embed": (q_text_embed, SQL_TEXT_EMBED),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
