@@ -196,3 +196,17 @@ def test_token_budget_zero_and_huge(spark):
     assert not any(r["selected"] for r in none.collect())
     every = SEL.select_token_budget(w, 10**9, weight_col="wpt", tokens_col="n_tokens")
     assert all(r["selected"] for r in every.collect())
+
+
+def test_calibrated_quality_zscores_within_domain(spark):
+    from vettore_spark import queries as Q
+
+    out = Q.q_calibrated_quality(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["z_quality"])
+    for src, zs in by_src.items():
+        if len(zs) > 2:
+            m = sum(zs) / len(zs)
+            assert abs(m) < 0.05, f"{src} z-scores not centered: {m}"

@@ -3890,6 +3890,42 @@ FROM w
 """
 
 
+def q_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain calibrated quality: the composite quality score z-scored
+    WITHIN each source domain (a raw global threshold systematically
+    drops whole domains whose style differs; calibration compares each doc
+    to its domain's distribution). One tiny per-domain moment aggregate,
+    broadcast back — no window over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TX.quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    stats = q.groupBy("source").agg(
+        F.avg("quality").alias("_m"),
+        F.stddev_samp("quality").alias("_s"),
+    )
+    z = (F.col("quality") - F.col("_m")) / F.col("_s")
+    return q.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(z, 4).alias("z_quality"),
+        (z > -1.0).alias("keep"),
+    )
+
+
+SQL_CALIBRATED_QUALITY = (
+    "WITH qs AS (" + SQL_QUALITY_SCORE + """)
+, j AS (SELECT qs.doc_id, d.source, qs.quality
+        FROM qs JOIN documents d USING (doc_id)),
+st AS (SELECT source, avg(quality) AS m, stddev_samp(quality) AS s
+       FROM j GROUP BY source)
+SELECT j.doc_id, j.source, j.quality,
+       round((j.quality - st.m) / st.s, 4) AS z_quality,
+       (j.quality - st.m) / st.s > -1.0 AS keep
+FROM j JOIN st USING (source)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3963,6 +3999,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_embed": (q_text_embed, SQL_TEXT_EMBED),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
+    "calibrated_quality": (q_calibrated_quality, SQL_CALIBRATED_QUALITY),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
