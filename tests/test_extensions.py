@@ -345,3 +345,43 @@ def test_pq_index_tiny_collection(spark):
     empty = Collection.create(spark, "pqempty", 8, metric="l2")
     idx2 = PqIndex(m=2, n_codes=16, iters=2).build(empty.df)
     assert idx2.candidates(empty.df, [0.0] * 8, 2).count() == 0
+
+
+def test_image_ahash_pairs_detect_identical_payloads(spark):
+    """aHash is a content fingerprint: identical payloads share a hash
+    (hamming 0); the nibble-blocked pair join finds them."""
+    from pyspark.sql import functions as F
+    from vettore_spark.sources import multimodal as MM
+
+    rows = [(1, b"same payload bytes"), (2, b"same payload bytes"),
+            (3, b"completely different content here"),
+            (4, b"yet another unrelated payload")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = MM.image_ahash(df)
+    hm = {r["media_id"]: r["ahash"] for r in h.collect()}
+    assert hm[1] == hm[2]
+    assert 0 <= hm[1] < (1 << 16)
+    pairs = MM.ahash_pairs(h, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 2)}
+    for r in pairs:
+        assert r["hamming"] == 0
+
+
+def test_ahash_pigeonhole_blocking_matches_allpairs(spark):
+    """At hamming <= 3 the 4-nibble pigeonhole is exact: blocked pairs ==
+    brute-force all-pairs."""
+    from itertools import combinations
+    from vettore_spark.sources import multimodal as MM
+
+    rows = [(i, f"payload number {i}".encode()) for i in range(30)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = MM.image_ahash(df)
+    hm = {r["media_id"]: r["ahash"] for r in h.collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(hm), 2)
+        if bin(hm[a] ^ hm[b]).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"])
+           for r in MM.ahash_pairs(h, max_hamming=3).collect()}
+    assert got == want

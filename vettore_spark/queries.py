@@ -3926,6 +3926,54 @@ FROM j JOIN st USING (source)
 )
 
 
+def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup: 16-bit average-hash fingerprints
+    (block-mean 4x4 resize → grayscale → bit per block vs image mean) and
+    near-dup pairs at Hamming <= 1 via nibble pigeonhole blocking —
+    blocking is EXACT at this radius (<=1 flip touches <=1 of 4 nibbles),
+    so the all-pairs oracle returns the identical set."""
+    from vettore_spark.sources import multimodal as MM
+
+    h = MM.image_ahash(_media(spark, sf_dir))
+    return MM.ahash_pairs(h, max_hamming=1)
+
+
+def _sql_media_ahash_pairs() -> str:
+    def px(y: str, x: str, c: int) -> str:
+        return f"bytes[(({y})*8 + ({x}))*3 + {c} + 1]"
+
+    def blk(t: str, c: int) -> str:
+        y = f"2*(({t})//4)"
+        x = f"2*(({t})%4)"
+        return (
+            "((" + px(y, x, c) + " + " + px(y, x + "+1", c) + " + "
+            + px(y + "+1", x, c) + " + " + px(y + "+1", x + "+1", c)
+            + ")::DOUBLE / 4.0)::FLOAT::DOUBLE"
+        )
+
+    grays = ", ".join(
+        f"({blk(str(t), 0)} + {blk(str(t), 1)} + {blk(str(t), 2)}) / 3.0"
+        for t in range(16)
+    )
+    return (
+        _SQL_IMAGE_BYTES
+        + f""",
+gr AS (SELECT media_id, [{grays}] AS g FROM b),
+hs AS (SELECT media_id, g, list_reduce(g, (a, x) -> a + x) / 16.0 AS m FROM gr),
+ah AS (SELECT media_id, list_reduce(list_transform(range(1, 17),
+         i -> CASE WHEN g[i] > m THEN (1 << (i - 1))::BIGINT ELSE 0::BIGINT END),
+         (a, x) -> a + x) AS ahash FROM hs)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM ah a JOIN ah b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+"""
+    )
+
+
+SQL_MEDIA_AHASH_PAIRS = _sql_media_ahash_pairs()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4000,6 +4048,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "calibrated_quality": (q_calibrated_quality, SQL_CALIBRATED_QUALITY),
+    "media_ahash_pairs": (q_media_ahash_pairs, SQL_MEDIA_AHASH_PAIRS),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),

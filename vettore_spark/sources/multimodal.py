@@ -269,3 +269,102 @@ def frame_sample(
     return df.select(id_col, F.explode(frames).alias("f")).select(
         id_col, F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame").alias("frame")
     )
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint: block-mean resize to
+    4x4, grayscale per block, one bit per block = (gray > image mean) — a
+    16-bit signature that survives re-encoding and small edits, the
+    standard cheap perceptual-dedup fingerprint. All arithmetic after the
+    decode is plain column expressions (exact f64 left folds), so the
+    DuckDB oracle recomputes the hash bit-for-bit from the sha256 pixels.
+
+    Returns (id, ahash long)."""
+    rz = image_resize(
+        df, decode_fn=decode_fn, id_col=id_col, payload_col=payload_col,
+        out_h=4, out_w=4, parallelism=parallelism,
+    )
+    px = F.col("pixels")
+    gray = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: (
+            F.element_at(px, i * 3 + 1).cast("double")
+            + F.element_at(px, i * 3 + 2).cast("double")
+            + F.element_at(px, i * 3 + 3).cast("double")
+        )
+        / 3.0,
+    )
+    g = rz.select(F.col(id_col), gray.alias("_gray"))
+    mean = (
+        F.aggregate(F.col("_gray"), F.lit(0.0), lambda a, x: a + x) / 16.0
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(16)])
+    bits = F.aggregate(
+        F.zip_with(
+            F.col("_gray"),
+            weights,
+            lambda x, w: F.when(x > mean, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return g.select(F.col(id_col), bits.alias("ahash"))
+
+
+def ahash_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance,
+    via nibble pigeonhole blocking: a 16-bit hash splits into 4 nibbles;
+    hamming <= 3 flips at most 3 of them, so at least one nibble matches
+    exactly — candidates come from a (position, nibble) bucket join, then
+    the FULL Hamming distance verifies (the simhash_pairs technique; the
+    pigeonhole makes blocking EXACT for max_hamming <= 3, so an all-pairs
+    oracle returns the identical set). `max_bucket` caps degenerate
+    buckets (e.g. a constant corpus) before pair emission.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    from vettore_spark.operators.dedup import _bucket_pairs
+
+    h = F.col(hash_col)
+    nibs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(h, 4 * k).bitwiseAND(F.lit(15)).alias("nib"),
+            )
+            for k in range(4)
+        ]
+    )
+    buckets = (
+        hashes.select(F.col(id_col).alias("_id"), F.explode(nibs).alias("_b"))
+        .groupBy("_b.k", "_b.nib")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
+    )
+    cand = _bucket_pairs(buckets).distinct()
+    ha = hashes.select(F.col(id_col).alias("doc_a"), h.alias("_ha"))
+    hb = hashes.select(F.col(id_col).alias("doc_b"), h.alias("_hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "hamming"
+        )
+    )
