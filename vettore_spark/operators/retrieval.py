@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vettore_spark.operators.dedup import tokens
+from vettore_spark.plans.spread import spread_narrow
 
 
 def _term_tf(toks: Column, term: str) -> Column:
@@ -74,11 +75,12 @@ def bm25_scores(
     base = cached_persist(
         df,
         ("bm25_base", id_col, text_col, tuple(terms)),
-        lambda s: s.select(
+        lambda s: spread_narrow(s, [id_col, text_col]).select(
             F.col(id_col),
             F.size(toks).cast("long").alias("_dl"),
             *[_term_tf(toks, t).alias(f"_tf{i}") for i, t in enumerate(terms)],
-        ),
+            F.monotonically_increasing_id().alias("_pin"),
+        ).drop("_pin"),
     )
     stats = base.agg(
         F.count("*").cast("long").alias("_n"),
@@ -179,7 +181,8 @@ def bm25_batch_topk(
     tf = cached_persist(
         df,
         ("bm25_tf", id_col, text_col),
-        lambda s: s.select(
+        lambda s: spread_narrow(s, [id_col, text_col])
+        .select(
             F.col(id_col), F.explode(F.transform(toks, F.lower)).alias("_term")
         )
         .groupBy(id_col, "_term")
