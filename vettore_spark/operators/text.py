@@ -299,10 +299,13 @@ def tfidf_top_terms(
     # persist the (doc, term, tf) table: both the score branch and the
     # document-frequency branch consume it, and without the persist each
     # branch re-runs the tokenize+explode over the whole corpus
+    from vettore_spark.plans.spread import spread_narrow
+
     tf = cached_persist(
         df.select(id_col, text_col),
         ("tfidf_tf", id_col, text_col),
-        lambda s: s.select(
+        lambda s: spread_narrow(s, [id_col, text_col])
+        .select(
             F.col(id_col),
             F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
         )
