@@ -220,3 +220,60 @@ def test_streaming_simhash_candidates_across_batches(spark, tmp_path):
     assert got == want
     hs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
     assert hs[(1, 2)] <= 8
+
+
+def test_streaming_zscore_anomaly_matches_expanding_batch(spark, tmp_path):
+    """Streamed Welford z-scores equal the batch expanding-window z-scores
+    when micro-batches arrive time-ordered; the spike after enough history
+    is flagged, the identical spike INSIDE the warmup window is not."""
+    import math
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "a", i * 10, 5.0 + (i % 3) * 0.5))  # mild variation
+    rows.append((30, "a", 300, 50.0))  # spike after 30 obs
+    rows.append((31, "b", 5, 99.0))    # key b has no history -> never flagged
+    schema = "event_id long, event_type string, t long, value double"
+    src = tmp_path / "anom"
+    half = len(rows) // 2
+    # one part file per batch: multiple part files would become separate
+    # micro-batches in arbitrary order, breaking the time-ordered premise
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    from pyspark.sql import functions as F
+    from vettore_spark.streaming.stateful import streaming_zscore_anomaly
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .select("event_id", "event_type", F.col("t").alias("ts"), "value")
+    )
+    q = (
+        streaming_zscore_anomaly(stream, ts_col="ts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zanom")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r for r in spark.sql("select * from zanom").collect()}
+    assert len(got) == len(rows)
+    assert got[30]["is_anomaly"]  # the spike
+    assert not got[31]["is_anomaly"]  # no history for key b
+    assert sum(1 for r in got.values() if r["is_anomaly"]) == 1
+
+    # batch expanding-window twin (python oracle)
+    hist = []
+    for i in range(31):
+        v = 5.0 + (i % 3) * 0.5 if i < 30 else 50.0
+        if len(hist) >= 10:
+            m = sum(hist) / len(hist)
+            var = sum((x - m) ** 2 for x in hist) / (len(hist) - 1)
+            z = (v - m) / math.sqrt(var) if var > 0 else 0.0
+        else:
+            z = 0.0
+        assert abs(got[i]["z"] - z) < 1e-6, (i, got[i]["z"], z)
+        hist.append(v)

@@ -273,3 +273,75 @@ def streaming_simhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_zscore_anomaly(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 2.5,
+    min_history: int = 10,
+) -> DataFrame:
+    """Streaming anomaly detection: each event is z-scored against its
+    key's FULL history so far (Welford running mean/M2 in state — O(1)
+    per key), flagged when |z| > threshold after at least `min_history`
+    prior events. The score uses state BEFORE the event updates it, so an
+    outlier cannot mask itself (the same trailing-exclusive semantics as
+    the batch events_anomaly operator). Rows inside one micro-batch are
+    processed in (ts, id) order, making the stream's output equal to the
+    batch expanding-window twin whenever batches arrive time-ordered
+    (pinned by tests/test_stateful.py).
+
+    Emits every event with (z, is_anomaly); z is -inf-free: events with
+    insufficient history or zero variance emit z = 0.0, is_anomaly false.
+    """
+    out_schema = (
+        f"{key_col} string, {id_col} long, {value_col} double, "
+        "z double, is_anomaly boolean"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col], kind="mergesort")
+        ids, vals, zs, flags = [], [], [], []
+        for _, r in rows.iterrows():
+            v = float(r[value_col])
+            if n >= min_history and m2 > 0.0:
+                std = (m2 / (n - 1)) ** 0.5
+                z = (v - mean) / std if std > 0 else 0.0
+            else:
+                z = 0.0
+            ids.append(int(r[id_col]))
+            vals.append(v)
+            zs.append(z)
+            flags.append(abs(z) > threshold)
+            # Welford update AFTER scoring
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ids),
+                id_col: ids,
+                value_col: vals,
+                "z": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
