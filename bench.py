@@ -88,6 +88,11 @@ HEADLINE = [
     "semdedup_prune",
     "user_event_features",
     "bpe_pair_stats",
+    "text_embed",
+    "curation_pipeline",
+    "token_budget_select",
+    "calibrated_quality",
+    "media_ahash_pairs",
     "multi_query_quantized",
     "tpch_q1_pricing",
     "tpch_q6_revenue",

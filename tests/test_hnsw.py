@@ -320,3 +320,42 @@ def test_collection_hnsw_multivector_put_keeps_residency(spark):
     assert c.__dict__.get("_hnsw_shards"), "multi-vector put must patch, not drop"
     got = c.hnsw_search([2.0, 3.0, 4.0, 5.0], limit=1, ef_search=10_000).collect()
     assert got[0]["id"] == "multi"
+
+
+def test_snapshot_persists_hnsw_index(spark, tmp_path):
+    """include_indexes=True writes the resident HNSW shard table with the
+    data; load_snapshot restores it so the first search after a restart
+    does NOT rebuild the graph."""
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "snapidx", 4, metric="cosine")
+    c.put_many(
+        [{"id": f"v{i}", "vector": [1.0, float(i % 3), float(i), 0.5]}
+         for i in range(30)]
+    )
+    q = [1.0, 1.0, 5.0, 0.5]
+    want = [(r["id"], r["score"]) for r in
+            c.hnsw_search(q, limit=5, num_partitions=2).collect()]
+    assert "_hnsw_shards" in c.__dict__ and c.__dict__["_hnsw_shards"]
+
+    path = str(tmp_path / "snap")
+    c.snapshot(path, include_indexes=True)
+    c2 = Collection.load_snapshot(spark, path)
+    # the index came back resident: the cache is pre-populated with the
+    # same (metric, params, partitions) key before any search runs
+    assert c2.__dict__.get("_hnsw_shards"), "index not restored"
+    assert set(c2.__dict__["_hnsw_shards"]) == set(c.__dict__["_hnsw_shards"])
+    got = [(r["id"], r["score"]) for r in
+           c2.hnsw_search(q, limit=5, num_partitions=2).collect()]
+    assert got == want
+
+
+def test_snapshot_include_indexes_requires_parquet(spark, tmp_path):
+    import pytest as _pytest
+
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "snapidx2", 4, metric="cosine")
+    c.put_many([{"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]}])
+    with _pytest.raises(ValueError):
+        c.snapshot(str(tmp_path / "s2"), format="json", include_indexes=True)

@@ -586,10 +586,17 @@ class Collection:
 
     _SNAPSHOT_FORMATS = ("parquet", "json", "csv")
 
-    def snapshot(self, path: str, *, format: str = "parquet") -> None:
+    def snapshot(self, path: str, *, format: str = "parquet",
+                 include_indexes: bool = False) -> None:
         """Persist: data dir (atomic commit) + config JSON sidecar
-        (store/ets.ex:27-47). The derived index is NOT persisted — it is
-        rebuilt from canonical rows on load (collection.ex:426-433).
+        (store/ets.ex:27-47). By default the derived index is NOT
+        persisted — it is rebuilt from canonical rows on load
+        (collection.ex:426-433). With `include_indexes=True` (parquet
+        only) any RESIDENT HNSW shard tables are written alongside the
+        data and restored by load_snapshot without a rebuild — at corpus
+        scale a graph rebuild dwarfs the load itself, so a restart should
+        not pay it. Index and data are written from the same snapshot
+        call, so they are mutually consistent by construction.
 
         The reference has exactly one snapshot codec (:ets.tab2file);
         Spark's writer family comes free, so `format` may be parquet
@@ -617,6 +624,21 @@ class Collection:
             flat.write.mode("overwrite").option("header", "true").csv(data)
         cfg = asdict(self.config)
         cfg["_snapshot_format"] = format
+        if include_indexes:
+            if format != "parquet":
+                raise ValueError("include_indexes requires the parquet format")
+            manifest = []
+            resident = self.__dict__.get("_hnsw_shards") or {}
+            for i, (key, (shards, sids)) in enumerate(
+                sorted(resident.items(), key=lambda kv: str(kv[0]))
+            ):
+                sub = os.path.join(path, "index_hnsw", f"k{i}")
+                shards.write.mode("overwrite").parquet(sub)
+                manifest.append(
+                    {"dir": f"k{i}", "key": list(key), "shard_ids": sids}
+                )
+            if manifest:
+                cfg["_hnsw_indexes"] = manifest
         # integrity sidecar, mirroring the reference's ETS extended_info
         # (object_count + md5sum, store/ets.ex:29-47): row count plus an
         # order-insensitive id checksum (XOR of xxhash64(id) survives any
@@ -646,6 +668,7 @@ class Collection:
         fmt = raw.pop("_snapshot_format", "parquet")
         want_count = raw.pop("_object_count", None)
         want_ck = raw.pop("_id_checksum", None)
+        idx_manifest = raw.pop("_hnsw_indexes", [])
         raw.update(overrides)
         cfg = CollectionConfig(**raw)
         data = os.path.join(path, "data")
@@ -691,4 +714,14 @@ class Collection:
         n_bad = df.filter(~K.is_valid_vector("vector", cfg.dimensions)).limit(1).count()
         if n_bad:
             raise ValueError("snapshot contains invalid vectors")
-        return cls(spark, cfg, df.select(*EMBEDDING_SCHEMA.fieldNames()))
+        out = cls(spark, cfg, df.select(*EMBEDDING_SCHEMA.fieldNames()))
+        # restore persisted HNSW shard tables (snapshot include_indexes=True)
+        # — searches start warm, no graph rebuild on restart
+        if idx_manifest:
+            cache = out.__dict__.setdefault("_hnsw_shards", {})
+            for ent in idx_manifest:
+                shards = spark.read.parquet(
+                    os.path.join(path, "index_hnsw", ent["dir"])
+                )
+                cache[tuple(ent["key"])] = (shards, list(ent["shard_ids"]))
+        return out
