@@ -212,3 +212,26 @@ def test_collection_ivf_search_with_delete_patch(spark):
     assert not c.__dict__.get("_ivf_state")  # rebuild on next search
     got3 = c.ivf_search(nv, limit=2, n_cells=3, n_probe=3).collect()
     assert got3[0]["id"] == "fresh"
+
+
+def test_snapshot_persists_ivf_index(spark, tmp_path):
+    """include_indexes=True also persists the resident IVF state (trained
+    centroids + cell assignment); after load the codebook is identical —
+    no retrain on restart."""
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "snapivf", 4, metric="l2")
+    c.put_many(
+        [{"id": f"v{i}", "vector": [float(i % 5), float(i % 3), 1.0, 0.0]}
+         for i in range(40)]
+    )
+    q = [1.0, 1.0, 1.0, 0.0]
+    want = [(r["id"], r["score"]) for r in
+            c.ivf_search(q, limit=5, n_cells=4).collect()]
+    path = str(tmp_path / "snapivf")
+    c.snapshot(path, include_indexes=True)
+    c2 = Collection.load_snapshot(spark, path)
+    assert c2.__dict__.get("_ivf_state"), "IVF state not restored"
+    got = [(r["id"], r["score"]) for r in
+           c2.ivf_search(q, limit=5, n_cells=4).collect()]
+    assert got == want

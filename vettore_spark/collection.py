@@ -639,6 +639,21 @@ class Collection:
                 )
             if manifest:
                 cfg["_hnsw_indexes"] = manifest
+            ivf_manifest = []
+            for i, (key, (cents, assigned)) in enumerate(
+                sorted((self.__dict__.get("_ivf_state") or {}).items(),
+                       key=lambda kv: str(kv[0]))
+            ):
+                sub = os.path.join(path, "index_ivf", f"k{i}")
+                cents.write.mode("overwrite").parquet(
+                    os.path.join(sub, "centroids")
+                )
+                assigned.write.mode("overwrite").parquet(
+                    os.path.join(sub, "assigned")
+                )
+                ivf_manifest.append({"dir": f"k{i}", "key": list(key)})
+            if ivf_manifest:
+                cfg["_ivf_indexes"] = ivf_manifest
         # integrity sidecar, mirroring the reference's ETS extended_info
         # (object_count + md5sum, store/ets.ex:29-47): row count plus an
         # order-insensitive id checksum (XOR of xxhash64(id) survives any
@@ -669,6 +684,7 @@ class Collection:
         want_count = raw.pop("_object_count", None)
         want_ck = raw.pop("_id_checksum", None)
         idx_manifest = raw.pop("_hnsw_indexes", [])
+        ivf_manifest = raw.pop("_ivf_indexes", [])
         raw.update(overrides)
         cfg = CollectionConfig(**raw)
         data = os.path.join(path, "data")
@@ -724,4 +740,12 @@ class Collection:
                     os.path.join(path, "index_hnsw", ent["dir"])
                 )
                 cache[tuple(ent["key"])] = (shards, list(ent["shard_ids"]))
+        if ivf_manifest:
+            cache = out.__dict__.setdefault("_ivf_state", {})
+            for ent in ivf_manifest:
+                sub = os.path.join(path, "index_ivf", ent["dir"])
+                cache[tuple(ent["key"])] = (
+                    spark.read.parquet(os.path.join(sub, "centroids")),
+                    spark.read.parquet(os.path.join(sub, "assigned")),
+                )
         return out
