@@ -170,3 +170,70 @@ def test_muvera_query_additivity_doc_mean(nv, reps, proj, seed):
     d_dup = MU.encode_document(np.concatenate([vs, vs]), cfg)
     assert np.allclose(d_all, d_dup, atol=1e-4)
 
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    budget=st.integers(min_value=0, max_value=2000),
+    n=st.integers(min_value=1, max_value=25),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_token_budget_selection_properties(spark, budget, n, seed):
+    """Budgeted selection: (a) total selected tokens <= budget, (b) the
+    selected set is a prefix of the (weight desc, id) order, (c) growing
+    the budget never drops a previously selected doc."""
+    import random
+
+    from vettore_spark.operators import selection as SEL
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(1, 200), round(rng.uniform(-1, 1), 5))
+        for i in range(n)
+    ]
+    w = spark.createDataFrame(rows, "doc_id long, n_tokens long, wpt double")
+
+    def sel(b):
+        out = SEL.select_token_budget(
+            w, b, weight_col="wpt", tokens_col="n_tokens"
+        ).collect()
+        return out
+
+    out = sel(budget)
+    chosen = {r["doc_id"] for r in out if r["selected"]}
+    total = sum(r["n_tokens"] for r in out if r["selected"])
+    assert total <= budget
+    order = sorted(out, key=lambda r: (-r["wpt"], r["doc_id"]))
+    flags = [r["selected"] for r in order]
+    assert flags == sorted(flags, reverse=True)  # prefix-closed
+    bigger = {r["doc_id"] for r in sel(budget + 500) if r["selected"]}
+    assert chosen <= bigger  # monotone in budget
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=4, max_value=30),
+    seed=st.integers(min_value=0, max_value=10_000),
+    s0=st.floats(min_value=0.05, max_value=0.9),
+)
+def test_mixture_fractions_hit_shares(spark, n, seed, s0):
+    """Rebalance correctness: expected kept sizes (fraction * count) are
+    proportional to the target shares, and the binding domain keeps 1.0."""
+    import random
+
+    from vettore_spark.operators import selection as SEL
+
+    rng = random.Random(seed)
+    rows = [(i, f"d{rng.randint(0, 2)}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    present = sorted({r[1] for r in rows})
+    rest = (1.0 - s0) / max(len(present) - 1, 1)
+    shares = {d: (s0 if j == 0 else rest) for j, d in enumerate(present)}
+    fr = {r["domain"]: r for r in
+          SEL.mixture_keep_fractions(df, shares, domain_col="source").collect()}
+    assert any(abs(r["keep_fraction"] - 1.0) < 1e-9 for r in fr.values())
+    expected = {d: fr[d]["keep_fraction"] * fr[d]["n_docs"] for d in fr}
+    ratios = {d: expected[d] / shares[d] for d in fr}
+    vals = list(ratios.values())
+    for v in vals:
+        assert abs(v - vals[0]) < 1e-6  # proportional to shares
