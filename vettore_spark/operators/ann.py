@@ -183,7 +183,17 @@ def hamming_brute_topk(
     Returns (query_id, id, hamming, rank) with rank 1..k per query.
     """
     spark = coll.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(65536 + 1)
+        .collect()
+    )
+    if len(qrows) > 65536:
+        raise ValueError(
+            "query batch exceeds 65536; a driver collect at this size is the "
+            "scale failure mode — split the batch or use the packed-Hamming "
+            "expression path (operators/search.py)"
+        )
     qids = [r[query_id_col] for r in qrows]
     qsigns = np.array(
         [np.asarray(r[query_vec_col], dtype=np.float64) >= 0.0 for r in qrows],
@@ -249,9 +259,20 @@ def cosine_neardup_gemm(
     """All-pairs cosine >= threshold via broadcast matrix + per-partition
     GEMM. Exact (no approximation). Requires the full normalized matrix to
     fit in a broadcast — the single-node-equivalent regime; beyond that,
-    block with LSH/cluster ids (dedup.embedding_neardup_pairs block_col)."""
+    use cosine_neardup_blocked (block-grid, no collect) or
+    dedup.embedding_neardup_pairs with an LSH/cluster block_col. The
+    collect is capped: exceeding max_broadcast_rows fails fast instead of
+    OOMing the driver at corpus scale."""
     spark = coll.sparkSession
-    rows = coll.select(id_col, vector_col).collect()
+    max_broadcast_rows = 262144
+    rows = (
+        coll.select(id_col, vector_col).limit(max_broadcast_rows + 1).collect()
+    )
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"collection exceeds max_broadcast_rows={max_broadcast_rows} for "
+            "the broadcast GEMM; use cosine_neardup_blocked (no collect)"
+        )
     ids = np.array([r[id_col] for r in rows])
     mat = _l2norm_rows(
         np.array([np.asarray(r[vector_col], dtype=np.float64) for r in rows])
