@@ -210,3 +210,44 @@ def test_calibrated_quality_zscores_within_domain(spark):
         if len(zs) > 2:
             m = sum(zs) / len(zs)
             assert abs(m) < 0.05, f"{src} z-scores not centered: {m}"
+
+
+def test_mixture_binding_domain_ulp_below_one_keeps_everything(spark):
+    """keep_fraction for the binding domain can land one ulp BELOW 1.0
+    (21/0.07*0.07/21 = 0.9999999999999998); the keep-all guard must fire
+    on the integer threshold, not the fraction — otherwise the 9-digit hex
+    threshold is lpad-truncated to '10000000' and ~15/16 of the binding
+    domain silently disappears."""
+    assert (21 / 0.07) * 0.07 / 21 < 1.0  # the ulp trap is real
+    rows = [(i, "d0") for i in range(21)] + [(100 + i, "d1") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = SEL.mixture_sample(df, {"d0": 0.07, "d1": 0.93}).collect()
+    kept_d0 = [r["doc_id"] for r in kept if r["source"] == "d0"]
+    assert len(kept_d0) == 21  # binding domain keeps every row
+
+
+def test_mixture_sample_preserves_caller_domain_column(spark):
+    """domain_col named 'domain' must survive the join (drop-by-name would
+    remove the caller's column along with the broadcast side's)."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(20)], "doc_id long, domain string"
+    )
+    kept = SEL.mixture_sample(df, {"d0": 0.5, "d1": 0.5}, domain_col="domain")
+    assert "domain" in kept.columns
+    assert kept.count() > 0
+
+
+def test_semdedup_orphan_clusters_pass_through(spark):
+    """Vectors whose cluster has no centroid row must still appear in the
+    output (kept=true, NULL centroid similarity), not silently vanish."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "a"), (3, [1.0, 1.0], "zz")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    cents = spark.createDataFrame(
+        [("a", [0.5, 0.5])], "label string, mean array<double>"
+    )
+    out = {r["vec_id"]: r for r in
+           SEL.semdedup_prune(emb, cents, threshold=0.99).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["kept"] and out[3]["cos_centroid"] is None

@@ -234,8 +234,20 @@ class Collection:
         # store/ets.ex:27-47) and restarts the lineage from there.
         depth = self.__dict__.get("_union_depth", 0) + 1
         if depth >= 8:
-            self._df = self._df.localCheckpoint(eager=False)
-            depth = 0
+            sc = self.spark.sparkContext
+            if sc.getCheckpointDir() is not None:
+                # reliable checkpoint: canonical rows survive executor loss
+                self._df = self._df.checkpoint(eager=False)
+                depth = 0
+            elif sc.master.startswith("local"):
+                # single-JVM: executor loss == driver loss, local blocks
+                # are as durable as the process — safe to cut here
+                self._df = self._df.localCheckpoint(eager=False)
+                depth = 0
+            # else: cluster without a checkpoint dir — localCheckpoint
+            # would turn one lost executor into permanent data loss for
+            # the CANONICAL rows (unlike derived indexes, they are not
+            # rebuildable), so keep the union tree and accept plan growth
         self.__dict__["_union_depth"] = depth
         self._invalidate_derived()
         return self

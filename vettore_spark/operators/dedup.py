@@ -719,25 +719,19 @@ def substring_gram_pairs(
             lambda g: F.substring(g, 1, 1) < keep_below_hex,
         )
     )
-    # spread the RAW text before the gram projection: a single-row-group
-    # parquet file is one partition, and without the repartition (plus the
-    # non-deterministic pin keeping the projection ABOVE the exchange —
-    # the _shingle_base trick) every md5 in the corpus evaluates on one
-    # core. At real scale the input is already wide and this is a no-op.
-    spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    src = df.filter(F.length(F.col(text_col)) >= k).select(
-        F.col(id_col), F.col(text_col)
+    # spread the RAW text before the gram explode: a single-row-group
+    # parquet file is one partition, and without the repartition every md5
+    # in the corpus evaluates on one core (plans/spread.py). No pin is
+    # needed here: the explode is a Generate, which pruning cannot push
+    # below the exchange. At real scale the input is already wide and the
+    # spread is a no-op.
+    from vettore_spark.plans.spread import spread_narrow
+
+    src = spread_narrow(
+        df.filter(F.length(F.col(text_col)) >= k), [id_col, text_col]
     )
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
     postings = (
-        src.select(
-            F.col(id_col).alias("_id"),
-            F.explode(grams).alias("g"),
-            F.monotonically_increasing_id().alias("_pin"),
-        )
-        .drop("_pin")
+        src.select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
         .groupBy("g")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
         .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_gram_df))

@@ -67,30 +67,44 @@ def dsir_logratio_weights(
     """Per-document DSIR importance weight: sum over token instances of
     ln p_target(bucket) - ln p_raw(bucket), Laplace-smoothed with `alpha`.
 
-    Physical plan: explode tokens once and cache nothing — the bucketed
-    stream feeds (a) the raw per-bucket counts, (b) the target per-bucket
-    counts (filtered), (c) the per-(doc,bucket) term frequencies. (a) and
-    (b) aggregate to n_buckets rows, join into a single log-ratio table
-    that Spark auto-broadcasts; (c) joins against it and sums tf * lr per
-    document. All groupBys are partial-agg friendly; nothing touches the
-    driver. Documents whose every token is novel still appear (inner join
-    on bucket always hits: every observed bucket has raw count > 0).
+    Physical plan: explode tokens ONCE into the persisted (doc, bucket,
+    tf) frequency table (its run-length compression — the raw
+    token-instance stream is never materialized); bucket counts, their
+    totals, and the per-doc weight sum all derive from that table. The
+    n_buckets-row log-ratio model broadcasts back. All groupBys are
+    partial-agg friendly; nothing touches the driver. Documents whose
+    every token is novel still appear (inner join on bucket always hits:
+    every observed bucket has raw count > 0).
 
     Higher weight = more target-like. `target_pred` marks the target
     subset (e.g. lang = 'en', or a quality threshold) — the weight model
     is trained on corpus membership, not labels, exactly the DSIR recipe
     with hashed unigram features standing in for hashed n-grams.
     """
-    flagged = df.withColumn("_is_target", target_pred)
-    b = _bucketed_tokens(
-        flagged, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    ).join(
-        flagged.select(id_col, "_is_target"), on=id_col
-    )
+    from vettore_spark.plans.cache import cached_persist
 
-    raw = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("nq"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("nt"),
+    # ONE tokenize+explode, persisted as the (doc, bucket, tf) frequency
+    # table — target-independent, so it is shared across target choices
+    # and across the three consumers below (bucket counts, totals, the
+    # per-doc sum). The raw token-instance stream is never materialized:
+    # tf is its run-length compression (<= docs x n_buckets rows).
+    tf = cached_persist(
+        df,
+        ("dsir_tf", id_col, text_col, n_buckets),
+        lambda s: _bucketed_tokens(
+            s, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf")),
+    )
+    flag = df.select(id_col, target_pred.alias("_is_target"))
+    raw = (
+        tf.join(flag, on=id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum("tf").alias("nq"),
+            F.sum(F.when(F.col("_is_target"), F.col("tf")).otherwise(0)).alias("nt"),
+        )
     )
     totals = raw.agg(
         F.sum("nq").alias("sq"), F.sum("nt").alias("st")
@@ -103,8 +117,6 @@ def dsir_logratio_weights(
             - F.log((F.col("nq") + alpha) / (F.col("sq") + alpha * B))
         ).alias("lr"),
     )
-
-    tf = b.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
     weights = (
         tf.join(F.broadcast(lr_tbl), on="bucket")
         .groupBy(id_col)
@@ -171,6 +183,7 @@ def mixture_sample(
     id_col: str = "doc_id",
     domain_col: str = "source",
     salt: str = "mix",
+    fractions: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of `df` kept by the target-mixture rebalance: each row draws
     its uniform md5 hex in [0, 16^8) keyed on (salt, id) and survives iff
@@ -178,24 +191,39 @@ def mixture_sample(
     conversion happens IN-PLAN (conv base-10→16 on the computed fraction),
     so the whole operator is one broadcast join + filter — no driver
     round-trip between the count aggregate and the sample predicate, and
-    the DuckDB twin reproduces it with to_hex. fraction 1.0 (the binding
-    domain) is special-cased: its 9-digit threshold would compare
-    lexicographically below '2'..'f' draws."""
-    fr = mixture_keep_fractions(df, shares, domain_col=domain_col)
+    the DuckDB twin reproduces it with to_hex. The keep-all case is
+    guarded on the integer threshold (see inline comment); pass a
+    precomputed `fractions` table (from mixture_keep_fractions) to avoid
+    re-running the count aggregate when the caller already has it."""
+    fr = (
+        fractions
+        if fractions is not None
+        else mixture_keep_fractions(df, shares, domain_col=domain_col)
+    )
     thresh_v = F.round(F.col("keep_fraction") * F.lit(float(16**8))).cast("long")
     thresh_hex = F.lpad(F.lower(F.conv(thresh_v.cast("string"), 10, 16)), 8, "0")
-    fr = fr.select(
-        "domain", "n_docs", "keep_fraction", thresh_hex.alias("_thresh")
+    # keep-all guard compares the INTEGER threshold, not the fraction: a
+    # keep_fraction one ulp below 1.0 still rounds to 16^8, whose 9-digit
+    # hex would be lpad-TRUNCATED to '10000000' and silently keep only
+    # 1/16 of the binding domain (the _threshold_hex 'g'-sentinel trap,
+    # re-made in-plan)
+    fr_cols = fr.select(
+        F.col("domain").alias("_mix_domain"),
+        F.col("keep_fraction").alias("_mix_kf"),
+        thresh_v.alias("_mix_tv"),
+        thresh_hex.alias("_mix_th"),
     )
     draw = _bucket_hex(F.col(id_col), salt)
     return (
         df.join(
-            F.broadcast(fr), on=df[domain_col] == fr["domain"], how="inner"
+            F.broadcast(fr_cols),
+            on=df[domain_col] == fr_cols["_mix_domain"],
+            how="inner",
         )
         .filter(
-            (F.col("keep_fraction") >= 1.0) | (draw < F.col("_thresh"))
+            (F.col("_mix_tv") >= F.lit(16**8)) | (draw < F.col("_mix_th"))
         )
-        .drop("domain", "n_docs", "keep_fraction", "_thresh")
+        .drop("_mix_domain", "_mix_kf", "_mix_tv", "_mix_th")
     )
 
 
@@ -263,15 +291,25 @@ def semdedup_prune(
         .distinct()
         .withColumn("_pruned", F.lit(True))
     )
-    return (
-        scored.join(pruned, on=id_col, how="left")
-        .select(
-            id_col,
-            cluster_col,
-            "cos_centroid",
-            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
-        )
+    out = scored.join(pruned, on=id_col, how="left").select(
+        id_col,
+        cluster_col,
+        "cos_centroid",
+        F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
     )
+    # honor the "returns every input row" contract: rows whose cluster has
+    # no centroid (sampled/partial clustering) pass through kept=true with
+    # a NULL centroid similarity instead of silently vanishing from the
+    # corpus via the inner centroid join
+    orphans = emb.join(
+        F.broadcast(centroids.select(cluster_col)), on=cluster_col, how="left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.lit(None).cast("double").alias("cos_centroid"),
+        F.lit(True).alias("kept"),
+    )
+    return out.unionByName(orphans)
 
 
 def select_token_budget(

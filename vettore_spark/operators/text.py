@@ -359,19 +359,28 @@ def charlm_trigram_scores(
     # expensive half of this operator, and without sharing it runs twice
     from vettore_spark.plans.spread import spread_narrow
 
-    exploded = cached_persist(
-        df,
-        ("charlm_tris", id_col, text_col),
-        lambda s: spread_narrow(s, [id_col, text_col])
-        .select(
-            F.col(id_col),
-            F.lower(F.col(text_col)).alias("_lc"),
-            F.monotonically_increasing_id().alias("_pin"),
+    def _explode_tris(s: DataFrame) -> DataFrame:
+        return (
+            spread_narrow(s, [id_col, text_col])
+            .select(
+                F.col(id_col),
+                F.lower(F.col(text_col)).alias("_lc"),
+                F.monotonically_increasing_id().alias("_pin"),
+            )
+            .select(F.col(id_col), F.explode(tris).alias("tri"))
         )
-        .select(F.col(id_col), F.explode(tris).alias("tri")),
-    )
-    model = exploded.groupBy("tri").agg(
-        F.count("*").cast("long").alias("cnt")
+
+    # persist the MODEL (bounded by |charset|^3 rows), never the exploded
+    # per-character stream: at corpus scale the explode is one row per
+    # character — pinning that into executor storage to save one narrow
+    # recompute is the wrong trade
+    exploded = _explode_tris(df)
+    model = cached_persist(
+        df,
+        ("charlm_model", id_col, text_col),
+        lambda s: _explode_tris(s)
+        .groupBy("tri")
+        .agg(F.count("*").cast("long").alias("cnt")),
     )
     stats = model.agg(
         F.sum("cnt").cast("long").alias("_n3"),

@@ -3593,8 +3593,11 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     fr = SEL.mixture_keep_fractions(docs, _MIX_SHARES, domain_col="source")
+    # fractions= reuses the aggregate above — without it the per-domain
+    # count scan would run twice (once here, once inside mixture_sample)
     kept = SEL.mixture_sample(
-        docs, _MIX_SHARES, id_col="doc_id", domain_col="source", salt="mix"
+        docs, _MIX_SHARES, id_col="doc_id", domain_col="source", salt="mix",
+        fractions=fr,
     )
     n_kept = kept.groupBy(F.col("source").alias("domain")).agg(
         F.count(F.lit(1)).alias("n_kept")
@@ -3617,12 +3620,14 @@ sh AS (SELECT domain, n_docs, CASE {cases} ELSE 0.0::DOUBLE END AS share FROM c)
 sc AS (SELECT min(n_docs / share) AS scale FROM sh WHERE share > 0),
 fr AS (SELECT domain, n_docs,
               least(1.0, scale * share / n_docs) AS keep_fraction,
+              CAST(round(least(1.0, scale * share / n_docs)
+                  * 4294967296.0) AS BIGINT) AS tv,
               lpad(lower(to_hex(CAST(round(least(1.0, scale * share / n_docs)
                   * 4294967296.0) AS BIGINT))), 8, '0') AS th
        FROM sh, sc)
 SELECT d.source AS domain, CAST(min(fr.n_docs) AS BIGINT) AS n_docs,
        round(min(keep_fraction), 5) AS keep_fraction,
-       CAST(sum(CASE WHEN keep_fraction >= 1.0
+       CAST(sum(CASE WHEN tv >= 4294967296
                      OR substr(md5('mix' || d.doc_id::VARCHAR), 1, 8) < th
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents d JOIN fr ON d.source = fr.domain
@@ -3838,13 +3843,15 @@ c AS (SELECT source AS domain, count(*) AS n_docs FROM kept0 GROUP BY 1),
 sh AS (SELECT domain, n_docs, CASE {cases} ELSE 0.0::DOUBLE END AS share FROM c),
 sc AS (SELECT coalesce(min(n_docs / share), 0.0) AS scale FROM sh WHERE share > 0),
 fr AS (SELECT domain, least(1.0, scale * share / n_docs) AS kf,
+              CAST(round(least(1.0, scale * share / n_docs)
+                  * 4294967296.0) AS BIGINT) AS tv,
               lpad(lower(to_hex(CAST(round(least(1.0, scale * share / n_docs)
                   * 4294967296.0) AS BIGINT))), 8, '0') AS th
        FROM sh, sc)
 SELECT k.source AS domain, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(k.doc_id) AS BIGINT) AS sum_doc_id
 FROM kept0 k JOIN fr ON k.source = fr.domain
-WHERE fr.kf >= 1.0 OR substr(md5('cur' || k.doc_id::VARCHAR), 1, 8) < fr.th
+WHERE fr.tv >= 4294967296 OR substr(md5('cur' || k.doc_id::VARCHAR), 1, 8) < fr.th
 GROUP BY 1
 """.replace("{cases}", cases)
 

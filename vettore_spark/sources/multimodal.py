@@ -117,13 +117,20 @@ def fake_decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _spread(df: DataFrame, cols: list[str], parallelism: int | None) -> DataFrame:
-    """Repartition a narrow (id, payload) projection to at least the
-    cluster's default parallelism so the CPU-heavy Python decode stage uses
-    every core; pass parallelism=0 to keep the input partitioning."""
+    """Repartition a narrow (id, payload) projection so the CPU-heavy
+    Python decode stage uses every core. parallelism=None delegates to the
+    shared plans/spread.spread_narrow (shuffle-partition target — ONE
+    spreading policy across the text and media operators); an explicit
+    value overrides the target; 0 keeps the input partitioning (required
+    for streaming inputs, where .rdd cannot be inspected)."""
+    if parallelism == 0:
+        return df.select(*cols)
     if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        from vettore_spark.plans.spread import spread_narrow
+
+        return spread_narrow(df, cols)
     src = df.select(*cols)
-    if parallelism and src.rdd.getNumPartitions() < parallelism:
+    if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
     return src
 
@@ -324,30 +331,57 @@ def ahash_pairs(
     max_hamming: int = 3,
     id_col: str = "media_id",
     hash_col: str = "ahash",
-    max_bucket: int = 512,
+    max_bucket: int = 4096,
 ) -> DataFrame:
-    """Near-duplicate media pairs by perceptual-hash Hamming distance,
-    via nibble pigeonhole blocking: a 16-bit hash splits into 4 nibbles;
-    hamming <= 3 flips at most 3 of them, so at least one nibble matches
-    exactly — candidates come from a (position, nibble) bucket join, then
-    the FULL Hamming distance verifies (the simhash_pairs technique; the
-    pigeonhole makes blocking EXACT for max_hamming <= 3, so an all-pairs
-    oracle returns the identical set). `max_bucket` caps degenerate
-    buckets (e.g. a constant corpus) before pair emission.
+    """Near-duplicate media pairs by perceptual-hash Hamming distance with
+    pigeonhole blocking over the 16-bit aHash:
+
+    - max_hamming <= 1: block on nibble PAIRS — 6 blocks of 8 bits each
+      (keyspace 6*256). One flipped bit touches one nibble, leaving >= 3
+      intact nibbles and therefore >= 3 intact pairs: EXACT.
+    - max_hamming <= 3: block on single nibbles — 4 blocks of 4 bits
+      (keyspace 4*16). Three flips leave >= 1 intact nibble: EXACT, but
+      the tiny keyspace saturates quickly (avg bucket size N/16).
+
+    Candidates from the bucket join are verified with the FULL Hamming
+    distance (the simhash_pairs technique), so an all-pairs oracle returns
+    the identical set while blocking keeps the join keyed. SIZE LIMITS: a
+    16-bit signature is a small/medium-corpus fingerprint — beyond ~10^4
+    items random collisions dominate and the bucket keyspace saturates;
+    at corpus scale use a longer perceptual hash (e.g. 64-bit pHash) with
+    this same pair machinery and proportionally more blocks. `max_bucket`
+    caps degenerate buckets (e.g. a constant corpus) before pair emission
+    — dropped buckets make the result approximate and are the reason the
+    cap is sized above the saturation point of the intended corpus size.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     from vettore_spark.operators.dedup import _bucket_pairs
 
     h = F.col(hash_col)
-    nibs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.shiftright(h, 4 * k).bitwiseAND(F.lit(15)).alias("nib"),
-            )
-            for k in range(4)
-        ]
-    )
+    if max_hamming <= 1:
+        pairs_idx = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        nibs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    (
+                        F.shiftright(h, 4 * a).bitwiseAND(F.lit(15)) * 16
+                        + F.shiftright(h, 4 * b).bitwiseAND(F.lit(15))
+                    ).alias("nib"),
+                )
+                for k, (a, b) in enumerate(pairs_idx)
+            ]
+        )
+    else:
+        nibs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.shiftright(h, 4 * k).bitwiseAND(F.lit(15)).alias("nib"),
+                )
+                for k in range(4)
+            ]
+        )
     buckets = (
         hashes.select(F.col(id_col).alias("_id"), F.explode(nibs).alias("_b"))
         .groupBy("_b.k", "_b.nib")
