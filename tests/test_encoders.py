@@ -73,3 +73,38 @@ def test_real_encoder_is_env_gated(monkeypatch):
     with pytest.raises(NotImplementedError):
         # model named but sentence-transformers absent in this container
         EN.load_real_encoder("all-MiniLM-L6-v2")
+
+
+def test_rerank_with_model_pluggable_and_bounded(spark):
+    """The reranker sees only the candidate set and honors a pluggable
+    scorer; ranks order by (score desc, id)."""
+    qdf = spark.createDataFrame(
+        [(0, "alpha query"), (1, "beta query")], "query_id long, query_text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(6)], "doc_id long, text string"
+    )
+    cand = qdf.crossJoin(docs)
+
+    def scorer(q: pd.Series, d: pd.Series) -> np.ndarray:
+        # higher doc id -> higher score, query-independent
+        return np.array([float(int(x.split()[-1])) / 10 for x in d])
+
+    out = EN.rerank_with_model(cand, score_fn=scorer, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for qid, rows in by_q.items():
+        assert sorted(rows) == [(1, 5), (2, 4), (3, 3)]
+
+
+def test_rerank_default_scorer_deterministic(spark):
+    qdf = spark.createDataFrame([(0, "q")], "query_id long, query_text string")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    cand = qdf.crossJoin(docs)
+    a = EN.rerank_with_model(cand, k=4).collect()
+    b = EN.rerank_with_model(cand, k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0.0 <= r["model_score"] < 1.0 for r in a)

@@ -27,6 +27,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vettore_spark.sources.multimodal import _spread
@@ -121,3 +122,74 @@ def encode_texts(
             )
 
     return src.mapInPandas(run, out_schema)
+
+
+def fake_pair_scores(q: pd.Series, d: pd.Series) -> np.ndarray:
+    """Deterministic stand-in cross-encoder: score(q, d) = the first 8 hex
+    digits of sha256(q || 0x1f || d) as a uniform draw in [0, 1). Any SQL
+    engine with sha256 recomputes it exactly (queries.SQL_RERANK_MODEL)."""
+    out = np.empty(len(q), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(q, d)):
+        h = hashlib.sha256(
+            (a or "").encode() + b"\x1f" + (b or "").encode()
+        ).hexdigest()
+        out[i] = int(h[:8], 16) / float(16**8)
+    return out
+
+
+def rerank_with_model(
+    candidates: DataFrame,
+    *,
+    score_fn: Callable[[pd.Series, pd.Series], np.ndarray] | None = None,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Cross-encoder reranking stage: score every (query, candidate) pair
+    with a pluggable pair-scorer over Arrow batches, keep the top `k` per
+    query by (rounded score desc, id asc). The model-in-the-loop second
+    stage of retrieve-then-rerank — candidates come from any first stage
+    (BM25, dense ANN, hybrid); this stage only ever sees the bounded
+    candidate set, so the expensive model runs on queries x candidates
+    pairs, never the corpus. Swap a real cross-encoder in via `score_fn`
+    (pd.Series, pd.Series) -> np.ndarray; the default is the deterministic
+    sha256 fake, fully SQL-oracled."""
+    from pyspark.sql import Window
+
+    fn = score_fn or fake_pair_scores
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, candidates.schema[query_id_col].dataType),
+            T.StructField(id_col, candidates.schema[id_col].dataType),
+            T.StructField("model_score", T.DoubleType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "model_score": fn(pdf[query_text_col], pdf[text_col]),
+                }
+            )
+
+    scored = candidates.select(
+        query_id_col, query_text_col, id_col, text_col
+    ).mapInPandas(run, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("model_score", 6)), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("model_score", 6).alias("model_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -3981,6 +3981,45 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
 SQL_MEDIA_AHASH_PAIRS = _sql_media_ahash_pairs()
 
 
+def q_rerank_model_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder reranking stage (retrieve-then-rerank second hop):
+    every (query, candidate) pair scored by the pluggable pair-scorer over
+    Arrow batches — deterministic sha256 fake here, a real cross-encoder
+    via score_fn in production — top-5 per query by (score desc, id).
+    The model only ever sees the bounded candidate set."""
+    from vettore_spark.encodings import encoders as EN
+
+    qdf = spark.createDataFrame(
+        [(0, "spark join window"), (1, "table scan merge"),
+         (2, "stream batch sort")],
+        "query_id long, query_text string",
+    )
+    cand = qdf.crossJoin(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    return EN.rerank_with_model(cand, k=5)
+
+
+SQL_RERANK_MODEL = """
+WITH q AS (SELECT * FROM (VALUES (0, 'spark join window'), (1, 'table scan merge'),
+                                 (2, 'stream batch sort')) AS t(query_id, query_text)),
+cand AS (SELECT q.query_id, q.query_text, d.doc_id, d.text
+         FROM q, documents d WHERE d.doc_id < 40),
+sc AS (SELECT query_id, doc_id,
+              round(list_reduce(list_transform(range(1, 9),
+                  i -> (strpos('0123456789abcdef', sha256(query_text || chr(31) || text)[i]) - 1)::BIGINT),
+                  (a, x) -> a * 16 + x) / 4294967296.0, 6) AS model_score
+       FROM cand),
+rk AS (SELECT query_id, doc_id, model_score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY model_score DESC, doc_id) AS rank
+       FROM sc)
+SELECT query_id, doc_id, model_score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4056,6 +4095,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "calibrated_quality": (q_calibrated_quality, SQL_CALIBRATED_QUALITY),
     "media_ahash_pairs": (q_media_ahash_pairs, SQL_MEDIA_AHASH_PAIRS),
+    "rerank_model_topk": (q_rerank_model_topk, SQL_RERANK_MODEL),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
