@@ -4020,6 +4020,55 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full retrieve-then-rerank pipeline: batched BM25 candidates (top-20
+    per query via the inverted-index join) re-scored by the cross-encoder
+    stage (sha256 fake; real model via score_fn), top-5 per query. The
+    expensive model sees 20 candidates per query — never the corpus — the
+    production RAG shape end to end, with one composed oracle."""
+    from vettore_spark.encodings import encoders as EN
+    from vettore_spark.operators import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_BATCH, ["query_id", "terms"]
+    ).withColumn("query_text", F.array_join("terms", " "))
+    cand = (
+        RT.bm25_batch_topk(docs, queries_df, k=20, k1=_BM25_K1, b=_BM25_B)
+        .select("query_id", "doc_id")
+        .join(F.broadcast(queries_df.select("query_id", "query_text")), "query_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    return EN.rerank_with_model(cand, k=5)
+
+
+def _sql_retrieval_pipeline() -> str:
+    bb = _sql_bm25_batch().replace("QUALIFY rank <= 10", "QUALIFY rank <= 20")
+    qt = ", ".join(
+        f"({qid}, '{' '.join(terms)}')" for qid, terms in _BM25_BATCH
+    )
+    return f"""
+WITH bb AS ({bb}),
+qt(query_id, query_text) AS (VALUES {qt}),
+sc AS (SELECT bb.query_id, bb.doc_id,
+              round(list_reduce(list_transform(range(1, 9),
+                  i -> (strpos('0123456789abcdef',
+                        sha256(qt.query_text || chr(31) || d.text)[i]) - 1)::BIGINT),
+                  (a, x) -> a * 16 + x) / 4294967296.0, 6) AS model_score
+       FROM bb JOIN qt ON bb.query_id = qt.query_id
+               JOIN documents d ON bb.doc_id = d.doc_id),
+rk AS (SELECT query_id, doc_id, model_score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY model_score DESC, doc_id) AS rank
+       FROM sc)
+SELECT query_id, doc_id, model_score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
+SQL_RETRIEVAL_PIPELINE = _sql_retrieval_pipeline()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4096,6 +4145,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "calibrated_quality": (q_calibrated_quality, SQL_CALIBRATED_QUALITY),
     "media_ahash_pairs": (q_media_ahash_pairs, SQL_MEDIA_AHASH_PAIRS),
     "rerank_model_topk": (q_rerank_model_topk, SQL_RERANK_MODEL),
+    "retrieval_pipeline": (q_retrieval_pipeline, SQL_RETRIEVAL_PIPELINE),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
