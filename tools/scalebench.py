@@ -59,7 +59,12 @@ def main() -> int:
     part0 = spark.read.parquet(f"{SF_DIR}/part.parquet")
 
     def op_ngram(docs):
-        return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=100)
+        # the posting-list cap is a CORPUS-RELATIVE knob: replicating the
+        # corpus k-fold multiplies every df by k, so a fixed cap silently
+        # empties the result at higher scales (rows=0) — scale it with k
+        return D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=100 * CURRENT_K
+        )
 
     def op_bm25_batch(docs):
         q = docs.sparkSession.createDataFrame(
