@@ -108,3 +108,22 @@ def test_rerank_default_scorer_deterministic(spark):
     b = EN.rerank_with_model(cand, k=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0.0 <= r["model_score"] < 1.0 for r in a)
+
+
+def test_encode_and_put_text_to_searchable_collection(spark):
+    """One call from raw text to a searchable collection: identical texts
+    embed identically, so searching with a known text's embedding returns
+    that doc at score ~1."""
+    from vettore_spark import Collection
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i % 7}") for i in range(21)],
+        "doc_id long, text string",
+    )
+    c = Collection.create(spark, "text_coll", 16, metric="cosine")
+    c.encode_and_put(docs)
+    assert c.count() == 21
+    q = EN.fake_encode_texts(pd.Series(["document body number 3"]), dim=16)[0]
+    hits = c.search(list(map(float, q)), limit=3).collect()
+    assert hits[0]["value"] == "document body number 3"
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)

@@ -252,6 +252,39 @@ class Collection:
         self._invalidate_derived()
         return self
 
+    def encode_and_put(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        encode_fn=None,
+    ) -> "Collection":
+        """Ingest raw text: run the pluggable encoder stage
+        (encodings.encoders.encode_texts — Arrow-batched, deterministic
+        sha256 fake by default, real model via `encode_fn`) at the
+        collection's dimensionality and put the embeddings through the
+        full validated ingest pipeline (normalization, sign-bit packing,
+        duplicate rejection). One call from corpus to searchable
+        collection — the text is stored as each row's `value`."""
+        from vettore_spark.encodings.encoders import encode_texts
+
+        emb = encode_texts(
+            docs, encode_fn=encode_fn, id_col=id_col, text_col=text_col,
+            dim=self.config.dimensions,
+        )
+        staged = emb.join(
+            docs.select(F.col(id_col), F.col(text_col)), on=id_col
+        ).select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("value"),
+            F.col("embedding").alias("vector"),
+            F.lit(None).cast("array<array<double>>").alias("vectors"),
+            F.lit(None).cast("array<long>").alias("binary_vector"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        return self.put_many(staged)
+
     def put(self, row: dict) -> "Collection":
         """Single validated insert (collection.ex:167-172) — same pipeline
         as put_many with a one-row batch. If an HNSW shard table is
