@@ -182,3 +182,32 @@ def test_sequence_packing_conserves_tokens(spark):
     # so the overshoot is borrowed from the next sequence's budget
     for r in packed[:-1]:
         assert r["n_tokens"] >= 64 - 15
+
+
+def test_mlm_masking_deterministic_and_consistent(spark):
+    from vettore_spark.operators.text import mlm_mask_tokens
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten " * 5),
+         (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r for r in mlm_mask_tokens(df, mask_rate=0.3).collect()}
+    b = {r["doc_id"]: r for r in mlm_mask_tokens(df, mask_rate=0.3).collect()}
+    for i in a:
+        assert a[i]["input_text"] == b[i]["input_text"]  # deterministic
+        toks_in = a[i]["input_text"].split(" ")
+        n_masked = sum(1 for t in toks_in if t == "<mask>")
+        assert n_masked == a[i]["n_masked"]
+        if n_masked:
+            assert len(a[i]["target_text"].split(" ")) == n_masked
+        # reconstruction: substituting targets back yields the original
+        tgt = a[i]["target_text"].split(" ") if n_masked else []
+        it = iter(tgt)
+        rebuilt = " ".join(next(it) if t == "<mask>" else t for t in toks_in)
+        orig = {1: ("one two three four five six seven eight nine ten " * 5).strip(),
+                2: "alpha beta gamma delta"}[i]
+        assert rebuilt == orig
+    # rate sanity on the long doc: within a loose band of 30%
+    frac = a[1]["n_masked"] / 50
+    assert 0.1 < frac < 0.5

@@ -452,3 +452,58 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def mlm_mask_tokens(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+    mask_token: str = "<mask>",
+    salt: str = "mlm",
+) -> DataFrame:
+    """Deterministic MLM-objective preparation (BERT-style): each token is
+    masked iff its md5 draw keyed on (salt, doc id, position) falls under
+    `mask_rate` — so the corruption is reproducible across engines, runs,
+    and retries (no RNG state to carry; the draw IS the key). Returns
+    (id, input_text with masked positions replaced, target_text of the
+    masked tokens in order, n_masked) — the masked-token prediction pair
+    a pretraining pipeline materializes.
+
+    Pure column expressions over the token array (zip positions with
+    tokens, per-element md5 predicate) — one narrow pass, no shuffle, no
+    UDF; the spread guard applies only through callers that explode."""
+    t = tokens(text_col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), n)
+    # threshold hex for mask_rate, same construction as sampling.py
+    from vettore_spark.operators.sampling import _threshold_hex
+
+    th = F.lit(_threshold_hex(mask_rate))
+    draw = lambda i: F.substring(  # noqa: E731
+        F.md5(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    zipped = F.arrays_zip(idx.alias("i"), t.alias("tok"))
+    masked = F.transform(
+        zipped,
+        lambda z: F.when(draw(z["i"]) < th, F.lit(mask_token)).otherwise(z["tok"]),
+    )
+    targets = F.transform(
+        F.filter(zipped, lambda z: draw(z["i"]) < th), lambda z: z["tok"]
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(masked, " ").alias("input_text"),
+        F.array_join(targets, " ").alias("target_text"),
+        F.size(targets).cast("long").alias("n_masked"),
+    )

@@ -4069,6 +4069,32 @@ FROM rk WHERE rank <= 5
 SQL_RETRIEVAL_PIPELINE = _sql_retrieval_pipeline()
 
 
+def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM-objective preparation: ~15% of tokens masked by a
+    position-keyed md5 draw (reproducible across engines/retries — the
+    draw IS the RNG), emitting the (input_text, target_text) prediction
+    pair per document. One narrow pass, no shuffle, no UDF."""
+    return TX.mlm_mask_tokens(_t(spark, sf_dir, "documents"), mask_rate=0.15)
+
+
+def _sql_mlm_masking() -> str:
+    th = format(int(round(0.15 * 16**8)), "08x")
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+z AS (SELECT doc_id, i, tk[i] AS tok,
+             substr(md5('mlm:' || doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8) < '{th}' AS m
+      FROM t, unnest(generate_series(1, len(tk))) u(i))
+SELECT doc_id,
+       string_agg(CASE WHEN m THEN '<mask>' ELSE tok END, ' ' ORDER BY i) AS input_text,
+       coalesce(string_agg(CASE WHEN m THEN tok END, ' ' ORDER BY i), '') AS target_text,
+       CAST(count(CASE WHEN m THEN 1 END) AS BIGINT) AS n_masked
+FROM z GROUP BY doc_id
+"""
+
+
+SQL_MLM_MASKING = _sql_mlm_masking()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4146,6 +4172,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "media_ahash_pairs": (q_media_ahash_pairs, SQL_MEDIA_AHASH_PAIRS),
     "rerank_model_topk": (q_rerank_model_topk, SQL_RERANK_MODEL),
     "retrieval_pipeline": (q_retrieval_pipeline, SQL_RETRIEVAL_PIPELINE),
+    "mlm_masking": (q_mlm_masking, SQL_MLM_MASKING),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
