@@ -337,3 +337,29 @@ def test_search_where_predicate_restricts_candidates(spark):
     assert qh and all(int(r["id"][1:]) % 2 == 0 for r in qh)
     # no predicate -> unrestricted
     assert len(c.search(q, limit=10).collect()) == 10
+
+
+def test_snapshot_integrity_detects_tampered_data(spark, tmp_path):
+    """The config sidecar carries row count + an order-insensitive id
+    checksum; a truncated/hand-edited data dir must fail at LOAD, not at
+    query time."""
+    import glob
+    import os
+
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "integ", 4, metric="cosine")
+    c.put_many(
+        [{"id": f"r{i}", "vector": [1.0, 0.0, float(i), 0.5]} for i in range(40)]
+    )
+    path = str(tmp_path / "snap_integ")
+    c.snapshot(path)
+    # tamper: delete one data part file (simulates partial copy/truncation)
+    parts = sorted(glob.glob(os.path.join(path, "data", "part-*")))
+    assert parts, "no part files written"
+    # remove the largest part (a random small one may hold zero rows)
+    os.remove(max(parts, key=os.path.getsize))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integrity"):
+        Collection.load_snapshot(spark, path)
