@@ -93,6 +93,8 @@ HEADLINE = [
     "token_budget_select",
     "calibrated_quality",
     "media_ahash_pairs",
+    "retrieval_pipeline",
+    "mlm_masking",
     "multi_query_quantized",
     "tpch_q1_pricing",
     "tpch_q6_revenue",
