@@ -4095,6 +4095,42 @@ FROM z GROUP BY doc_id
 SQL_MLM_MASKING = _sql_mlm_masking()
 
 
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (CCMatrix-style): cross-LANGUAGE embedding near-dup
+    pairs — candidate translation pairs are exactly the high-cosine pairs
+    whose documents carry different language tags. Reuses the block-grid
+    exact GEMM (no driver collect); at corpus scale the first stage swaps
+    to the LSH/IVF-blocked variant like every other near-dup mine."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = ANN.cosine_neardup_blocked(
+        emb, threshold=0.4, id_col="vec_id", vector_col="embedding"
+    )
+    la = langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "lang_a", "lang_b", F.round("sim", 5).alias("sim"))
+    )
+
+
+SQL_BITEXT_MINING = """
+WITH n AS (
+  SELECT e.vec_id, d.lang,
+         list_transform(e.embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.lang AS lang_a, b.lang AS lang_b,
+       round(list_dot_product(a.v, b.v), 5) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE a.lang <> b.lang AND list_dot_product(a.v, b.v) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4173,6 +4209,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rerank_model_topk": (q_rerank_model_topk, SQL_RERANK_MODEL),
     "retrieval_pipeline": (q_retrieval_pipeline, SQL_RETRIEVAL_PIPELINE),
     "mlm_masking": (q_mlm_masking, SQL_MLM_MASKING),
+    "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
