@@ -27,6 +27,8 @@ PICK = {
     "substring_dedup": "content-defined gram postings: one explode, one groupBy, in-bucket pair emission",
     "user_event_features": "trailing features: single exchange on user_id serves RANGE + lag windows",
     "text_embed": "encoder stage: ArrowEvalPython(mapInPandas) over a spread narrow projection",
+    "token_budget_select": "budgeted selection: ordered window only over the distinct-weight aggregate, broadcast back",
+    "retrieval_pipeline": "retrieve-then-rerank: inverted-index BM25 -> bounded candidate set -> Arrow pair scorer -> group-limit top-k",
 }
 
 HEADER = """# PLANS — formatted physical plans of representative queries (sf0.01)
