@@ -211,3 +211,18 @@ def test_mlm_masking_deterministic_and_consistent(spark):
     # rate sanity on the long doc: within a loose band of 30%
     frac = a[1]["n_masked"] / 50
     assert 0.1 < frac < 0.5
+
+
+def test_mlm_masking_rate_extremes(spark):
+    from vettore_spark.operators.text import mlm_mask_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    none = mlm_mask_tokens(df, mask_rate=0.0).collect()[0]
+    assert none["n_masked"] == 0 and none["input_text"] == "a b c d e f g h"
+    assert none["target_text"] == ""
+    everything = mlm_mask_tokens(df, mask_rate=1.0).collect()[0]
+    assert everything["n_masked"] == 8
+    assert everything["input_text"] == " ".join(["<mask>"] * 8)
+    assert everything["target_text"] == "a b c d e f g h"
