@@ -228,6 +228,18 @@ def main() -> None:
             "put_many_sec": round(dt, 3),
             "put_many_rows_per_sec": round(n_rows / dt, 1),
         }
+        # read path (the reference's ETS read-throughput bench family):
+        # batched point lookups — one broadcast semi-join job for the whole
+        # id set, the Spark shape for bulk gets (a per-id get() loop would
+        # measure job-submission overhead, not the store)
+        ids = spark.createDataFrame(
+            [(str(i),) for i in range(0, n_rows, 2)], ["id"]
+        )
+        t0 = time.time()
+        n_hits = c.df.join(F.broadcast(ids), "id", "left_semi").count()
+        dt = time.time() - t0
+        ingest["point_lookup_rows"] = n_hits
+        ingest["point_lookup_rows_per_sec"] = round(n_hits / dt, 1)
     except Exception as e:  # noqa: BLE001
         print(f"bench ingest failed: {e}", file=sys.stderr)
 
