@@ -363,3 +363,13 @@ def test_snapshot_integrity_detects_tampered_data(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="integrity"):
         Collection.load_snapshot(spark, path)
+
+
+def test_get_many_batched_lookup(spark):
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "gm", 4, metric="cosine")
+    c.put_many([{"id": f"k{i}", "vector": [1.0, 0.0, float(i), 0.5]}
+                for i in range(20)])
+    got = c.get_many(["k3", "k7", "nope"]).collect()
+    assert sorted(r["id"] for r in got) == ["k3", "k7"]

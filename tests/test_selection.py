@@ -251,3 +251,19 @@ def test_semdedup_orphan_clusters_pass_through(spark):
            SEL.semdedup_prune(emb, cents, threshold=0.99).collect()}
     assert set(out) == {1, 2, 3}
     assert out[3]["kept"] and out[3]["cos_centroid"] is None
+
+
+def test_temperature_fractions_upweight_rare_domains(spark):
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {r["domain"]: r for r in
+          SEL.temperature_fractions(df, domain_col="lang", temperature=2.0).collect()}
+    # T=2: share ratio sqrt(80):sqrt(20) = 2:1 instead of raw 4:1 —
+    # the small domain keeps everything, the big one is downsampled
+    assert fr["small"]["keep_fraction"] == pytest.approx(1.0)
+    assert fr["big"]["keep_fraction"] == pytest.approx(0.5, abs=1e-9)
+    # T=1 reproduces the natural distribution: nobody is downsampled
+    fr1 = {r["domain"]: r for r in
+           SEL.temperature_fractions(df, domain_col="lang", temperature=1.0).collect()}
+    for d in fr1:
+        assert fr1[d]["keep_fraction"] == pytest.approx(1.0)

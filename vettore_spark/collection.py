@@ -252,6 +252,16 @@ class Collection:
         self._invalidate_derived()
         return self
 
+    def get_many(self, ids: list[str]) -> DataFrame:
+        """Batched point lookup: ONE broadcast semi-join job for the whole
+        id set — the Spark shape for bulk gets (a per-id get() loop would
+        pay a job submission per row; the reference's parallel ETS read
+        bench is the same contrast, ets_read_bench.exs). Returns the
+        matching rows; missing ids are simply absent."""
+        self._check_open()
+        ids_df = self.spark.createDataFrame([(str(i),) for i in ids], ["id"])
+        return self._df.join(F.broadcast(ids_df), "id", "left_semi")
+
     def encode_and_put(
         self,
         docs: DataFrame,

@@ -363,3 +363,38 @@ def select_token_budget(
         )
         .drop("_prev_cum", "_wg_cum")
     )
+
+
+def temperature_fractions(
+    df: DataFrame,
+    *,
+    domain_col: str = "lang",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture shares (the mT5/multilingual sampling
+    rule): target share_d ∝ count_d^(1/T). T=1 keeps the natural
+    distribution; T→∞ flattens toward uniform — rare domains (languages)
+    are upweighted relative to their raw frequency. Shares are computed
+    IN-PLAN from the observed counts, then converted to per-domain keep
+    fractions exactly like mixture_keep_fractions (largest total without
+    upsampling; binding domain keeps 1.0). Returns (domain, n_docs,
+    share, keep_fraction)."""
+    inv_t = 1.0 / float(temperature)
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), inv_t)).alias("z")
+    )
+    sh = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.pow(F.col("n_docs").cast("double"), inv_t) / F.col("z")
+    )
+    scale = sh.agg(F.min(F.col("n_docs") / F.col("share")).alias("scale"))
+    return sh.crossJoin(F.broadcast(scale)).select(
+        "domain",
+        "n_docs",
+        F.round("share", 5).alias("share"),
+        F.least(
+            F.lit(1.0), F.col("scale") * F.col("share") / F.col("n_docs")
+        ).alias("keep_fraction"),
+    )

@@ -4131,6 +4131,36 @@ WHERE a.lang <> b.lang AND list_dot_product(a.v, b.v) >= 0.4
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (the mT5 sampling rule,
+    T=2): target shares ∝ count^(1/2), flattening the natural language
+    distribution toward uniform so low-resource languages are upweighted.
+    Shares and keep fractions are computed in-plan from observed counts —
+    two tiny aggregates, broadcast back."""
+    from vettore_spark.operators import selection as SEL
+
+    out = SEL.temperature_fractions(
+        _t(spark, sf_dir, "documents"), domain_col="lang", temperature=2.0
+    )
+    return out.select(
+        "domain",
+        "n_docs",
+        "share",
+        F.round("keep_fraction", 5).alias("keep_fraction"),
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH c AS (SELECT lang AS domain, count(*) AS n_docs FROM documents GROUP BY 1),
+zt AS (SELECT sum(pow(n_docs::DOUBLE, 0.5)) AS z FROM c),
+sh AS (SELECT domain, n_docs, pow(n_docs::DOUBLE, 0.5) / z AS share FROM c, zt),
+sc AS (SELECT min(n_docs / share) AS scale FROM sh)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, round(share, 5) AS share,
+       round(least(1.0, scale * share / n_docs), 5) AS keep_fraction
+FROM sh, sc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4210,6 +4240,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "retrieval_pipeline": (q_retrieval_pipeline, SQL_RETRIEVAL_PIPELINE),
     "mlm_masking": (q_mlm_masking, SQL_MLM_MASKING),
     "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
