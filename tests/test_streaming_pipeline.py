@@ -94,3 +94,19 @@ def test_streaming_text_embed_matches_batch(spark, tmp_path):
     got = {r["doc_id"]: r["embedding"] for r in got_rows}
     assert got == want
     assert all(len(v) == 8 for v in got.values())
+
+
+def test_streaming_mlm_masking_matches_batch(spark, tmp_path):
+    """MLM masking is a pure per-row expression — it composes onto
+    readStream unchanged and the masked pairs match batch output."""
+    from vettore_spark.operators.text import mlm_mask_tokens
+
+    batch_df = spark.createDataFrame(ROWS, SCHEMA)
+    want = {r["doc_id"]: r.asDict()
+            for r in mlm_mask_tokens(batch_df, mask_rate=0.3).collect()}
+    got_rows = _run(
+        mlm_mask_tokens(_stream(spark, tmp_path, "mlm"), mask_rate=0.3),
+        spark, "mlm_out",
+    )
+    got = {r["doc_id"]: r.asDict() for r in got_rows}
+    assert got == want
