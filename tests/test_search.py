@@ -373,3 +373,28 @@ def test_get_many_batched_lookup(spark):
                 for i in range(20)])
     got = c.get_many(["k3", "k7", "nope"]).collect()
     assert sorted(r["id"] for r in got) == ["k3", "k7"]
+
+
+def test_search_many_batched(spark):
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "sm", 4, metric="cosine")
+    c.put_many([{"id": f"v{i}", "vector": [1.0, float(i % 3), float(i), 0.5]}
+                for i in range(12)])
+    out = c.search_many(
+        {"a": [1.0, 0.0, 0.0, 0.5], "b": [1.0, 2.0, 11.0, 0.5]}, limit=3
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"a", "b"}
+    assert all(len(v) == 3 for v in by_q.values())
+    # each query's rank-1 hit equals the single-query facade's top hit
+    for qid, vec in (("a", [1.0, 0.0, 0.0, 0.5]), ("b", [1.0, 2.0, 11.0, 0.5])):
+        single = c.search(vec, limit=1).collect()[0]["id"]
+        best = min(by_q[qid], key=lambda r: r["rank"])["id"]
+        assert best == single
+    # where-predicate applies to the batch too
+    filtered = c.search_many([[1.0, 0.0, 0.0, 0.5]], limit=12,
+                             where="id != 'v0'").collect()
+    assert all(r["id"] != "v0" for r in filtered)

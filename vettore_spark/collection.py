@@ -454,6 +454,38 @@ class Collection:
             extra_cols=["value"],
         )
 
+    def search_many(
+        self,
+        queries: dict[str, list[float]] | list[list[float]],
+        *,
+        limit: int = 10,
+        where=None,
+    ) -> DataFrame:
+        """Batched exact search: every query scored in ONE pass over the
+        collection (broadcast query matrix + per-query group-limit top-k —
+        operators.search.multi_query_topk), instead of one Spark job per
+        query. Accepts {query_id: vector} or a list (ids q0, q1, ...).
+        Returns (query_id, id, score, distance, rank). The batch extension
+        beyond the reference's one-query-at-a-time surface — the shape that
+        matters when serving thousands of queries against 100 TB."""
+        from vettore_spark.operators import search as S
+
+        self._check_open()
+        if isinstance(queries, dict):
+            items = [(k, self._prepare_query(v)) for k, v in queries.items()]
+        else:
+            items = [
+                (f"q{i}", self._prepare_query(v)) for i, v in enumerate(queries)
+            ]
+        qdf = self.spark.createDataFrame(items, ["query_id", "query_vector"])
+        return S.multi_query_topk(
+            qdf,
+            self._where(where),
+            metric=self.config.metric,
+            k=limit,
+            score_mode=self.config.score,
+        )
+
     def quantized_search(self, query: list[float], *, limit: int = 10,
                          candidates: int | None = None, where=None) -> DataFrame:
         from vettore_spark.operators import search as S
