@@ -226,3 +226,20 @@ def test_mlm_masking_rate_extremes(spark):
     assert everything["n_masked"] == 8
     assert everything["input_text"] == " ".join(["<mask>"] * 8)
     assert everything["target_text"] == "a b c d e f g h"
+
+
+def test_distinct_ngram_diversity_detects_repetition(spark):
+    from vettore_spark.operators.text import distinct_ngram_diversity
+
+    rows = [(i, "rep", "same same same same same same") for i in range(5)]
+    rows += [(100 + i, "div", f"unique{i}a unique{i}b unique{i}c unique{i}d")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r["lang"], r["n"]): r for r in
+           distinct_ngram_diversity(df, group_col="lang").collect()}
+    # repetitive corpus: 30 unigram instances, 1 unique
+    assert out[("rep", 1)]["total"] == 30 and out[("rep", 1)]["uniq"] == 1
+    # diverse corpus: all unigrams unique
+    assert out[("div", 1)]["distinct_ratio"] == 1.0
+    assert out[("rep", 3)]["uniq"] == 1
+    assert out[("div", 2)]["distinct_ratio"] == 1.0

@@ -507,3 +507,70 @@ def mlm_mask_tokens(
         F.array_join(targets, " ").alias("target_text"),
         F.size(targets).cast("long").alias("n_masked"),
     )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Corpus diversity via distinct-n (the text-generation diversity
+    metric): per group and n-gram order, the ratio of unique n-grams to
+    total n-gram instances — low distinct-n means a repetitive (or
+    templated/duplicated) corpus slice. Contiguous n-grams come from
+    zipped shifted slices (NOT from indexing inside a transform lambda —
+    the CollapseProject O(n²) trap); the exact distinct count is one
+    shuffle on (group, n, gram) with map-side partial aggregation.
+
+    Returns (group, n, total, uniq, distinct_ratio)."""
+    from functools import reduce
+
+    from vettore_spark.plans.spread import spread_narrow
+
+    src = spread_narrow(df, [group_col, text_col])
+    t = tokens(text_col)
+
+    def _joiner(order: int):
+        # a 1-arg lambda factory: a default-arg capture (lambda x, n=n)
+        # would make pyspark's HOF wrapper pass the ELEMENT INDEX into n
+        return lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(order)])
+
+    parts = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            g = t
+        else:
+            cnt = F.size(t) - (n - 1)
+            zipped = F.arrays_zip(
+                *[F.slice(t, i + 1, cnt).alias(f"t{i}") for i in range(n)]
+            )
+            g = F.when(
+                F.size(t) >= n,
+                F.transform(zipped, _joiner(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        parts.append(
+            src.select(
+                F.col(group_col).alias("grp"),
+                F.explode(g).alias("g"),
+                F.lit(n).alias("n"),
+            )
+        )
+    allg = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allg.groupBy("grp", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.countDistinct("g").cast("long").alias("uniq"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("int").alias("n"),
+            "total",
+            "uniq",
+            F.round(
+                F.col("uniq").cast("double") / F.col("total").cast("double"), 5
+            ).alias("distinct_ratio"),
+        )
+    )

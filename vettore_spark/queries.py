@@ -4161,6 +4161,30 @@ FROM sh, sc
 """
 
 
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity per language (the text-generation
+    diversity metric): unique/total ratio for 1/2/3-grams — low distinct-n
+    flags repetitive or duplicated corpus slices before training."""
+    return TX.distinct_ngram_diversity(
+        _t(spark, sf_dir, "documents"), group_col="lang", max_n=3
+    )
+
+
+SQL_CORPUS_DIVERSITY = r"""
+WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+uni AS (SELECT lang, u.tok AS g, 1 AS n FROM toks, unnest(t) u(tok)),
+bi AS (SELECT lang, t[i] || ' ' || t[i+1] AS g, 2 AS n
+       FROM toks, unnest(generate_series(1, len(t) - 1)) u(i) WHERE len(t) >= 2),
+tri AS (SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g, 3 AS n
+        FROM toks, unnest(generate_series(1, len(t) - 2)) u(i) WHERE len(t) >= 3),
+allg AS (SELECT * FROM uni UNION ALL SELECT * FROM bi UNION ALL SELECT * FROM tri)
+SELECT lang, n::INT AS n, CAST(count(*) AS BIGINT) AS total,
+       CAST(count(DISTINCT g) AS BIGINT) AS uniq,
+       round(count(DISTINCT g)::DOUBLE / count(*), 5) AS distinct_ratio
+FROM allg GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4241,6 +4265,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mlm_masking": (q_mlm_masking, SQL_MLM_MASKING),
     "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "corpus_diversity": (q_corpus_diversity, SQL_CORPUS_DIVERSITY),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
