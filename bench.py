@@ -232,11 +232,8 @@ def main() -> None:
         # batched point lookups — one broadcast semi-join job for the whole
         # id set, the Spark shape for bulk gets (a per-id get() loop would
         # measure job-submission overhead, not the store)
-        ids = spark.createDataFrame(
-            [(str(i),) for i in range(0, n_rows, 2)], ["id"]
-        )
         t0 = time.time()
-        n_hits = c.df.join(F.broadcast(ids), "id", "left_semi").count()
+        n_hits = c.get_many([str(i) for i in range(0, n_rows, 2)]).count()
         dt = time.time() - t0
         ingest["point_lookup_rows"] = n_hits
         ingest["point_lookup_rows_per_sec"] = round(n_hits / dt, 1)

@@ -127,3 +127,13 @@ def test_encode_and_put_text_to_searchable_collection(spark):
     hits = c.search(list(map(float, q)), limit=3).collect()
     assert hits[0]["value"] == "document body number 3"
     assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_get_many_and_search_many_empty_inputs(spark):
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "empt", 4, metric="cosine")
+    c.put_many([{"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]}])
+    assert c.get_many([]).count() == 0
+    assert c.search_many([], limit=3).count() == 0
+    assert c.search_many({}, limit=3).count() == 0

@@ -243,3 +243,15 @@ def test_distinct_ngram_diversity_detects_repetition(spark):
     assert out[("div", 1)]["distinct_ratio"] == 1.0
     assert out[("rep", 3)]["uniq"] == 1
     assert out[("div", 2)]["distinct_ratio"] == 1.0
+
+
+def test_mlm_masking_null_text_dropped(spark):
+    from vettore_spark.operators.text import mlm_mask_tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    out = mlm_mask_tokens(df, mask_rate=0.5).collect()
+    # the NULL-text doc is absent (matching the SQL twin), never a
+    # nonsense n_masked=-1 row
+    assert [r["doc_id"] for r in out] == [1]

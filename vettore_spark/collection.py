@@ -259,7 +259,11 @@ class Collection:
         bench is the same contrast, ets_read_bench.exs). Returns the
         matching rows; missing ids are simply absent."""
         self._check_open()
-        ids_df = self.spark.createDataFrame([(str(i),) for i in ids], ["id"])
+        # explicit schema: createDataFrame cannot infer types from an
+        # empty id list, and get_many([]) must return zero rows, not raise
+        ids_df = self.spark.createDataFrame(
+            [(str(i),) for i in ids], "id string"
+        )
         return self._df.join(F.broadcast(ids_df), "id", "left_semi")
 
     def encode_and_put(
@@ -279,13 +283,13 @@ class Collection:
         collection — the text is stored as each row's `value`."""
         from vettore_spark.encodings.encoders import encode_texts
 
+        # the text rides through the encoder batches (passthrough) — a
+        # corpus self-join to re-attach it would shuffle both sides
         emb = encode_texts(
             docs, encode_fn=encode_fn, id_col=id_col, text_col=text_col,
-            dim=self.config.dimensions,
+            dim=self.config.dimensions, passthrough_cols=[text_col],
         )
-        staged = emb.join(
-            docs.select(F.col(id_col), F.col(text_col)), on=id_col
-        ).select(
+        staged = emb.select(
             F.col(id_col).cast("string").alias("id"),
             F.col(text_col).alias("value"),
             F.col("embedding").alias("vector"),
@@ -477,7 +481,9 @@ class Collection:
             items = [
                 (f"q{i}", self._prepare_query(v)) for i, v in enumerate(queries)
             ]
-        qdf = self.spark.createDataFrame(items, ["query_id", "query_vector"])
+        qdf = self.spark.createDataFrame(
+            items, "query_id string, query_vector array<double>"
+        )
         return S.multi_query_topk(
             qdf,
             self._where(where),

@@ -91,6 +91,7 @@ def encode_texts(
     text_col: str = "text",
     dim: int = 16,
     parallelism: int | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Model-inference stage: (id, text) -> (id, embedding array<double>).
 
@@ -106,20 +107,27 @@ def encode_texts(
         fn = lambda s: fake_encode_texts(s, dim=dim)  # noqa: E731
     else:
         fn = encode_fn
-    src = _spread(df, [id_col, text_col], parallelism)
+    # passthrough_cols ride the Arrow batches through to the output — the
+    # caller (e.g. encode_and_put, which needs the text as `value`) would
+    # otherwise pay a corpus self-join just to re-attach columns that were
+    # present in the encoder's input
+    extra = [c for c in (passthrough_cols or []) if c != id_col]
+    in_cols = [id_col, text_col] + [c for c in extra if c != text_col]
+    src = _spread(df, in_cols, parallelism)
     out_schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType),
-            T.StructField("embedding", T.ArrayType(T.DoubleType())),
-        ]
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [T.StructField(c, df.schema[c].dataType) for c in extra]
+        + [T.StructField("embedding", T.ArrayType(T.DoubleType()))]
     )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mat = fn(pdf[text_col])
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "embedding": list(map(list, mat))}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["embedding"] = list(map(list, mat))
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(run, out_schema)
 

@@ -379,6 +379,8 @@ def temperature_fractions(
     fractions exactly like mixture_keep_fractions (largest total without
     upsampling; binding domain keeps 1.0). Returns (domain, n_docs,
     share, keep_fraction)."""
+    if not float(temperature) > 0.0:
+        raise ValueError("temperature must be > 0")
     inv_t = 1.0 / float(temperature)
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -474,33 +474,29 @@ def mlm_mask_tokens(
     Pure column expressions over the token array (zip positions with
     tokens, per-element md5 predicate) — one narrow pass, no shuffle, no
     UDF; the spread guard applies only through callers that explode."""
+    from vettore_spark.operators.sampling import sample_predicate
+
     t = tokens(text_col)
     n = F.size(t)
     idx = F.sequence(F.lit(1), n)
-    # threshold hex for mask_rate, same construction as sampling.py
-    from vettore_spark.operators.sampling import _threshold_hex
-
-    th = F.lit(_threshold_hex(mask_rate))
-    draw = lambda i: F.substring(  # noqa: E731
-        F.md5(
-            F.concat(
-                F.lit(salt + ":"),
-                F.col(id_col).cast("string"),
-                F.lit(":"),
-                i.cast("string"),
-            )
-        ),
-        1,
-        8,
+    # the per-position draw IS operators.sampling's md5 predicate — one
+    # deterministic-sampling contract across every sampled operator
+    masked_pred = lambda i: sample_predicate(  # noqa: E731
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), i.cast("string")),
+        mask_rate,
+        salt=salt + ":",
     )
     zipped = F.arrays_zip(idx.alias("i"), t.alias("tok"))
     masked = F.transform(
         zipped,
-        lambda z: F.when(draw(z["i"]) < th, F.lit(mask_token)).otherwise(z["tok"]),
+        lambda z: F.when(masked_pred(z["i"]), F.lit(mask_token)).otherwise(z["tok"]),
     )
     targets = F.transform(
-        F.filter(zipped, lambda z: draw(z["i"]) < th), lambda z: z["tok"]
+        F.filter(zipped, lambda z: masked_pred(z["i"])), lambda z: z["tok"]
     )
+    # NULL text: the SQL twin's unnest emits no row for it — drop here too
+    # (size(NULL)=-1 would otherwise emit a nonsense n_masked=-1 row)
+    df = df.filter(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col),
         F.array_join(masked, " ").alias("input_text"),
@@ -525,8 +521,6 @@ def distinct_ngram_diversity(
     shuffle on (group, n, gram) with map-side partial aggregation.
 
     Returns (group, n, total, uniq, distinct_ratio)."""
-    from functools import reduce
-
     from vettore_spark.plans.spread import spread_narrow
 
     src = spread_narrow(df, [group_col, text_col])
@@ -537,7 +531,13 @@ def distinct_ngram_diversity(
         # would make pyspark's HOF wrapper pass the ELEMENT INDEX into n
         return lambda x: F.concat_ws(" ", *[x[f"t{i}"] for i in range(order)])
 
-    parts = []
+    def _tagger(order: int):
+        return lambda x: F.struct(F.lit(order).alias("n"), x.alias("g"))
+
+    # ONE corpus scan and ONE tokenization: every n-gram order's grams are
+    # tagged (n, gram) per row, flattened, and exploded together — a
+    # per-order union would re-read and re-split the text max_n times
+    streams = []
     for n in range(1, max_n + 1):
         if n == 1:
             g = t
@@ -550,14 +550,11 @@ def distinct_ngram_diversity(
                 F.size(t) >= n,
                 F.transform(zipped, _joiner(n)),
             ).otherwise(F.array().cast("array<string>"))
-        parts.append(
-            src.select(
-                F.col(group_col).alias("grp"),
-                F.explode(g).alias("g"),
-                F.lit(n).alias("n"),
-            )
-        )
-    allg = reduce(lambda a, b: a.unionByName(b), parts)
+        streams.append(F.transform(g, _tagger(n)))
+    allg = src.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.flatten(F.array(*streams))).alias("e"),
+    ).select("grp", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
     return (
         allg.groupBy("grp", "n")
         .agg(
