@@ -4185,6 +4185,43 @@ FROM allg GROUP BY 1, 2
 """
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup effectiveness report: the cluster-size histogram after
+    near-dup clustering plus the removal rate each size class implies
+    (drop all but one per cluster) — the summary a corpus owner reads
+    before committing a dedup pass. Composed from the independently-
+    oracled clustering block; the histogram aggregate is tiny."""
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=64, bands=16, threshold=0.8
+    )
+    clusters = D.neardup_clusters(pairs, id_out="doc_id")
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "cluster_size",
+            "n_docs",
+            (F.col("n_docs") / F.col("cluster_size")).cast("long").alias("n_clusters"),
+            (F.col("n_docs") - F.col("n_docs") / F.col("cluster_size"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )
+
+
+SQL_DEDUP_REPORT = (
+    "WITH RECURSIVE"
+    + _sql_cc_block("documents", 0.8)
+    + """
+, sz AS (SELECT component, count(*) AS cluster_size FROM assign GROUP BY component)
+SELECT cluster_size, CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+FROM sz GROUP BY cluster_size
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4266,6 +4303,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "corpus_diversity": (q_corpus_diversity, SQL_CORPUS_DIVERSITY),
+    "dedup_report": (q_dedup_report, SQL_DEDUP_REPORT),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
