@@ -102,6 +102,16 @@ def main() -> int:
 
         return SEL.dsir_logratio_weights(docs, F.col("lang") == "en")
 
+    def op_mlm(docs):
+        from vettore_spark.operators.text import mlm_mask_tokens
+
+        return mlm_mask_tokens(docs, mask_rate=0.15)
+
+    def op_diversity(docs):
+        from vettore_spark.operators.text import distinct_ngram_diversity
+
+        return distinct_ngram_diversity(docs, group_col="lang")
+
     OPS = {
         "ngram_jaccard": op_ngram,
         "bm25_batch": op_bm25_batch,
@@ -111,6 +121,8 @@ def main() -> int:
         "fuzzy_values": op_fuzzy,
         "substring_grams": op_substring,
         "dsir_weights": op_dsir,
+        "mlm_masking": op_mlm,
+        "ngram_diversity": op_diversity,
     }
 
     global CURRENT_K
