@@ -202,57 +202,119 @@ def main() -> None:
 
     # ingest throughput, mirroring the reference's write-boundary bench
     # (bench/ets_owner_bench.exs: batched put_many is the recommended path):
-    # validated batch insert of the embeddings table through the Collection
-    # pipeline (id/value fallback, finiteness checks, normalize, sign-bit
-    # packing, duplicate rejection), rows/sec end-to-end.
+    # validated batch insert through the Collection pipeline (id/value
+    # fallback, finiteness checks, normalize, sign-bit packing, duplicate
+    # rejection), rows/sec end-to-end. The embeddings table is replicated
+    # 64x with distinct ids (~128k rows at sf0.1) so the fixed per-batch
+    # job overhead (validation aggregate, lineage cut) amortizes and the
+    # number reflects steady-state throughput, not job submission. A raw
+    # parquet write of the same rows is the yardstick: the gap between the
+    # two IS the price of validated ingest.
     ingest = {}
     try:
+        import shutil
+
         from vettore_spark.collection import Collection
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            F.col("vec_id").cast("string").alias("id"),
-            F.col("vec_id").cast("string").alias("value"),
-            F.col("embedding").cast("array<double>").alias("vector"),
-            F.lit(None).cast("array<array<double>>").alias("vectors"),
-            F.lit(None).cast("array<bigint>").alias("binary_vector"),
-            F.lit(None).cast("map<string,string>").alias("metadata"),
+        reps = 64
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .crossJoin(spark.range(reps).withColumnRenamed("id", "_rep"))
+            .select(
+                F.concat_ws("_", F.col("vec_id").cast("string"), F.col("_rep"))
+                .alias("id"),
+                F.concat_ws("_", F.col("vec_id").cast("string"), F.col("_rep"))
+                .alias("value"),
+                F.col("embedding").cast("array<double>").alias("vector"),
+                F.lit(None).cast("array<array<double>>").alias("vectors"),
+                F.lit(None).cast("array<bigint>").alias("binary_vector"),
+                F.lit(None).cast("map<string,string>").alias("metadata"),
+            )
         )
         n_rows = emb.count()
+        tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
+        t0 = time.time()
+        emb.write.mode("overwrite").parquet(os.path.join(tmp, "raw"))
+        raw_dt = time.time() - t0
         t0 = time.time()
         c = Collection.create(spark, "bench_ingest", 64, metric="cosine")
         c.put_many(emb)
         c.count()  # force the unioned table to materialize
         dt = time.time() - t0
         ingest = {
-            "put_many_rows": n_rows,
+            "rows": n_rows,
             "put_many_sec": round(dt, 3),
-            "put_many_rows_per_sec": round(n_rows / dt, 1),
+            "put_many_rps": round(n_rows / dt, 1),
+            "raw_write_rps": round(n_rows / raw_dt, 1),
         }
         # read path (the reference's ETS read-throughput bench family):
         # batched point lookups — one broadcast semi-join job for the whole
         # id set, the Spark shape for bulk gets (a per-id get() loop would
         # measure job-submission overhead, not the store)
+        ids = [f"{i}_{r}" for i in range(0, 2000, 2) for r in range(reps)]
         t0 = time.time()
-        n_hits = c.get_many([str(i) for i in range(0, n_rows, 2)]).count()
+        n_hits = c.get_many(ids).count()
         dt = time.time() - t0
-        ingest["point_lookup_rows"] = n_hits
-        ingest["point_lookup_rows_per_sec"] = round(n_hits / dt, 1)
+        ingest["lookup_rows"] = n_hits
+        ingest["lookup_rps"] = round(n_hits / dt, 1)
+        shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
         print(f"bench ingest failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "overlap_at_10_vs_exact": overlap,
-                "ingest": ingest,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Two output lines. The driver records only the LAST ~2000 bytes of
+    # stdout and parses the last JSON line found there (round 2's single
+    # full-detail line outgrew that window -> "parsed": null). Line 1 is
+    # the full per-query detail (also written to bench_full.json for the
+    # repo record); the FINAL line is a compact summary — total, overlap,
+    # ingest, and only the 20 slowest queries — sized to survive the
+    # capture window.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_full",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "overlap_at_10_vs_exact": overlap,
+        "ingest": ingest,
+        "sf": sf_val,
+    }
+    print(json.dumps(full))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1)
+    except Exception:  # noqa: BLE001 — read-only checkout; stdout already has it
+        pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "overlap_at_10_vs_exact": overlap,
+        "ingest": ingest,
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # keep the final line inside the capture window
+        compact["queries"] = dict(list(slowest.items())[:10])
+        line = json.dumps(compact)
+    # diagnostic for run-to-run variance: if the derived-index registry is
+    # at capacity, LRU eviction mid-bench silently re-derives a family
+    from vettore_spark.plans import cache as PC
+
+    print(
+        f"persist-cache occupancy: {len(PC._PERSIST_CACHE)}/{PC._PERSIST_CACHE_MAX}",
+        file=sys.stderr,
+    )
+    print(line)
     spark.stop()
 
 

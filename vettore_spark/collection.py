@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from dataclasses import dataclass, field, asdict
 from typing import Any, Iterable
 
@@ -727,8 +728,13 @@ class Collection:
             ):
                 sub = os.path.join(path, "index_hnsw", f"k{i}")
                 shards.write.mode("overwrite").parquet(sub)
+                # per-index integrity: the data-dir sidecar does not cover
+                # index dirs, so a tampered/hand-replaced index would load
+                # silently and serve wrong results — record row count at
+                # write time and verify before installing on load
                 manifest.append(
-                    {"dir": f"k{i}", "key": list(key), "shard_ids": sids}
+                    {"dir": f"k{i}", "key": list(key), "shard_ids": sids,
+                     "rows": shards.count()}
                 )
             if manifest:
                 cfg["_hnsw_indexes"] = manifest
@@ -744,7 +750,11 @@ class Collection:
                 assigned.write.mode("overwrite").parquet(
                     os.path.join(sub, "assigned")
                 )
-                ivf_manifest.append({"dir": f"k{i}", "key": list(key)})
+                ivf_manifest.append(
+                    {"dir": f"k{i}", "key": list(key),
+                     "centroid_rows": cents.count(),
+                     "assigned_rows": assigned.count()}
+                )
             if ivf_manifest:
                 cfg["_ivf_indexes"] = ivf_manifest
         # integrity sidecar, mirroring the reference's ETS extended_info
@@ -826,19 +836,44 @@ class Collection:
         out = cls(spark, cfg, df.select(*EMBEDDING_SCHEMA.fieldNames()))
         # restore persisted HNSW shard tables (snapshot include_indexes=True)
         # — searches start warm, no graph rebuild on restart
+        # verify each index dir against the row counts recorded at snapshot
+        # time (the data-dir checksum above does not cover index dirs): a
+        # mismatched index is NOT installed — the entry is skipped with a
+        # warning and the index rebuilds lazily from the verified canonical
+        # rows at first search, trading a rebuild for silent wrong results
         if idx_manifest:
             cache = out.__dict__.setdefault("_hnsw_shards", {})
             for ent in idx_manifest:
                 shards = spark.read.parquet(
                     os.path.join(path, "index_hnsw", ent["dir"])
                 )
+                want = ent.get("rows")
+                if want is not None and shards.count() != want:
+                    warnings.warn(
+                        f"snapshot HNSW index {ent['dir']} failed integrity "
+                        f"check (expected {want} rows); skipping — the index "
+                        "will rebuild from canonical rows",
+                        stacklevel=2,
+                    )
+                    continue
                 cache[tuple(ent["key"])] = (shards, list(ent["shard_ids"]))
         if ivf_manifest:
             cache = out.__dict__.setdefault("_ivf_state", {})
             for ent in ivf_manifest:
                 sub = os.path.join(path, "index_ivf", ent["dir"])
-                cache[tuple(ent["key"])] = (
-                    spark.read.parquet(os.path.join(sub, "centroids")),
-                    spark.read.parquet(os.path.join(sub, "assigned")),
-                )
+                cents = spark.read.parquet(os.path.join(sub, "centroids"))
+                assigned = spark.read.parquet(os.path.join(sub, "assigned"))
+                want_c = ent.get("centroid_rows")
+                want_a = ent.get("assigned_rows")
+                if (want_c is not None and cents.count() != want_c) or (
+                    want_a is not None and assigned.count() != want_a
+                ):
+                    warnings.warn(
+                        f"snapshot IVF index {ent['dir']} failed integrity "
+                        "check; skipping — the index will rebuild from "
+                        "canonical rows",
+                        stacklevel=2,
+                    )
+                    continue
+                cache[tuple(ent["key"])] = (cents, assigned)
         return out

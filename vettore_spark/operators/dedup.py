@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vettore_spark.plans.cache import cached_persist as _cached_persist
+from vettore_spark.plans.checkpoint import durable_cut
 
 
 def tokens(text: Column | str) -> Column:
@@ -348,14 +349,17 @@ def minhash_lsh_pairs(
         .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size)),
     )
     cand = _bucket_pairs(buckets).distinct()
-    # exact verification of candidates only; the candidate pair list is
-    # small -> broadcast it so hydrating both sides streams the (persisted)
-    # shingle sets without a shuffle
+    # exact verification of candidates only. No forced broadcast: on a
+    # duplicate-heavy corpus (boilerplate-rich web data) the candidate pair
+    # list is NOT guaranteed driver-small even with max_bucket_size-capped
+    # buckets — AQE picks a broadcast join at runtime when the list is
+    # actually small, and falls back to a shuffle join when it isn't
+    # (same policy as dedup_keep_canonical below).
     sh_sets = base.select(F.col(id_col), F.col("_sh"))
     va = sh_sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
     vb = sh_sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     verified = (
-        F.broadcast(cand).join(va, "doc_a")
+        cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")).cast("double"))
         .withColumn(
@@ -532,16 +536,19 @@ def connected_components(
     O(log n) rounds, each round two shuffles keyed on node id (a groupBy for
     the neighborhood minimum + a join to re-point edges). No driver-side
     state: the driver loop only compares a (count, hash-sum) convergence
-    signature per round, and localCheckpoint truncates lineage so the plan
-    does not grow with iterations. At 100 TB the edge set after exact-hash
-    pre-dedup is sparse (bounded by LSH bucket caps), so every round is a
-    narrow shuffle on integral ids that AQE can rebalance.
+    signature per round, and a durability-ladder lineage cut (reliable
+    checkpoint when a checkpoint dir is set, localCheckpoint on local
+    masters — plans/checkpoint.py) keeps the plan from growing with
+    iterations without making a mid-loop executor loss fatal on a real
+    cluster. At 100 TB the edge set after exact-hash pre-dedup is sparse
+    (bounded by LSH bucket caps), so every round is a narrow shuffle on
+    integral ids that AQE can rebalance.
     """
-    # checkpoint the raw pair list once: the node set and every loop round
+    # cut the raw pair list once: the node set and every loop round
     # derive from it, and without the cut each downstream action would
     # re-run the (expensive) upstream pair-generation plan
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=False
+    raw = durable_cut(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")), eager=False
     )
     # node set BEFORE dropping self-loops: a node whose only pair is (x, x)
     # is still a (singleton) component and must appear in the output
@@ -579,8 +586,8 @@ def connected_components(
             .union(mins_s.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        e = durable_cut(e, eager=True)
         row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

@@ -337,8 +337,11 @@ def select_token_budget(
        bounded by group size, never by corpus size.
     selected = group_prefix + within_group_prefix <= budget.
 
-    Returns every input row + `selected` boolean."""
-    grp = weights.groupBy(weight_col).agg(
+    Returns every input row + `selected` boolean. Rows with a NULL weight
+    cannot be ranked, so they come back selected=false (the left join with
+    the group aggregate never matches a NULL key; coalesce flags them
+    instead of dropping them, honoring the every-input-row contract)."""
+    grp = weights.filter(F.col(weight_col).isNotNull()).groupBy(weight_col).agg(
         F.sum(tokens_col).cast("long").alias("_gt")
     )
     w_grp = (
@@ -355,11 +358,14 @@ def select_token_budget(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        weights.join(F.broadcast(grp_cum), on=weight_col)
+        weights.join(F.broadcast(grp_cum), on=weight_col, how="left")
         .withColumn("_wg_cum", F.sum(tokens_col).over(w_in))
         .withColumn(
             "selected",
-            (F.col("_prev_cum") + F.col("_wg_cum")) <= F.lit(int(budget)),
+            F.coalesce(
+                (F.col("_prev_cum") + F.col("_wg_cum")) <= F.lit(int(budget)),
+                F.lit(False),
+            ),
         )
         .drop("_prev_cum", "_wg_cum")
     )

@@ -354,9 +354,9 @@ def charlm_trigram_scores(
             lambda i: F.col("_lc").substr(i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # ONE persisted explode serves both the model build and the scoring
-    # pass — the substr/explode over every character position is the
-    # expensive half of this operator, and without sharing it runs twice
+    # shared explode helper, but only the AGGREGATED model is persisted
+    # (below): the scoring pass re-runs the trigram explode, which is
+    # cheaper than keeping the full per-position explode resident
     from vettore_spark.plans.spread import spread_narrow
 
     def _explode_tris(s: DataFrame) -> DataFrame:

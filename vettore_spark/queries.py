@@ -12,6 +12,7 @@ cannot flip the order-insensitive value hash.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4361,7 +4362,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # invocations. Building + analyzing a 64-dim HOF expression tree costs
 # ~0.5 s of driver time — at repeated-query workloads (bench, serving) the
 # plan is the prepared statement and only execution should be paid per call.
-_DF_CACHE: dict = {}
+# Bounded LRU: a long-lived session sweeping many (appId, sf_dir) pairs must
+# not grow the memo without bound — 4x the registry covers several active
+# directories while evicting plans for sessions/dirs no longer in use
+# (evicted entries are just analyzed plans, cheap to rebuild on re-touch).
+_DF_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_DF_CACHE_MAX = 4 * 112
 
 
 def _prepared(name: str, fn: Callable) -> Callable:
@@ -4371,6 +4377,10 @@ def _prepared(name: str, fn: Callable) -> Callable:
         if df is None:
             df = fn(spark, sf_dir)
             _DF_CACHE[key] = df
+            while len(_DF_CACHE) > _DF_CACHE_MAX:
+                _DF_CACHE.popitem(last=False)
+        else:
+            _DF_CACHE.move_to_end(key)
         return df
 
     wrapped.__name__ = fn.__name__

@@ -357,6 +357,15 @@ def ahash_pairs(
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     from vettore_spark.operators.dedup import _bucket_pairs
 
+    if max_hamming > 3:
+        # 4 flips can touch all 4 nibbles, so a true pair may land in no
+        # shared bucket: single-nibble blocking is only exact up to 3 —
+        # refuse rather than silently return an incomplete pair set
+        raise ValueError(
+            "ahash_pairs is exact only for max_hamming <= 3 (single-nibble "
+            "pigeonhole over a 16-bit hash); use a longer perceptual hash "
+            "with more blocks for larger radii"
+        )
     h = F.col(hash_col)
     if max_hamming <= 1:
         pairs_idx = [(a, b) for a in range(4) for b in range(a + 1, 4)]
