@@ -112,7 +112,18 @@ def main() -> int:
 
         return distinct_ngram_diversity(docs, group_col="lang")
 
+    def op_minhash(docs):
+        return D.minhash_lsh_pairs(
+            docs, n=3, num_perm=64, bands=16, threshold=0.5,
+            max_bucket_size=1000 * CURRENT_K,
+        )
+
+    def op_simhash(docs):
+        return D.simhash_pairs(docs, max_hamming=3)
+
     OPS = {
+        "minhash_lsh": op_minhash,
+        "simhash": op_simhash,
         "ngram_jaccard": op_ngram,
         "bm25_batch": op_bm25_batch,
         "charlm": op_charlm,
