@@ -85,6 +85,12 @@ class Collection:
         self.config = config
         self._df = df if df is not None else spark.createDataFrame([], EMBEDDING_SCHEMA)
         self._closed = False
+        # driver-side emptiness hint: lets put_many skip the duplicate-id
+        # join against a known-empty store without running an isEmpty job.
+        # Conservative (True = "may have rows") whenever constructed over an
+        # external DataFrame; the join against an actually-empty side is
+        # still correct, just one superfluous scan.
+        self._maybe_nonempty = df is not None
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -172,15 +178,27 @@ class Collection:
         )
 
         # ONE validation pass over the batch (at scale each .count() above a
-        # big batch is a full scan — id, multi-vector, vector, and
-        # intra-batch-duplicate checks all reduce in a single aggregate)
-        checks = staged.agg(
+        # big batch is a full scan — id, multi-vector, vector,
+        # intra-batch-duplicate, AND vs-existing-duplicate checks all reduce
+        # in a single aggregate job; the old shape paid three jobs per batch:
+        # validation agg + isEmpty probe + clash semi-join)
+        to_check = staged
+        if self._maybe_nonempty:
+            to_check = staged.join(
+                self._df.select("id").withColumn("_clash", F.lit(1)),
+                on="id",
+                how="left",
+            )
+        else:
+            to_check = staged.withColumn("_clash", F.lit(None).cast("int"))
+        checks = to_check.agg(
             F.sum(
                 F.when(F.col("id").isNull() | (F.col("id") == ""), 1).otherwise(0)
             ).alias("bad_id"),
             F.sum(F.when(~vectors_ok, 1).otherwise(0)).alias("bad_multi"),
             F.sum(F.when(~K.is_valid_vector("vector", dims), 1).otherwise(0)).alias("bad_vec"),
             (F.count("*") - F.countDistinct("id")).alias("dups"),
+            F.sum("_clash").alias("clash"),
         ).first()
         if checks["bad_id"]:
             raise ValueError("embedding id/value must be a non-empty string")
@@ -190,6 +208,8 @@ class Collection:
             raise ValueError(f"invalid vector (must have {dims} finite elements within +/-f32max)")
         if checks["dups"]:
             raise ValueError("duplicate id within batch")
+        if checks["clash"]:
+            raise ValueError("duplicate id: already exists in collection")
 
         # insert-time normalization of both vector and multi-vectors
         norm = cfg.normalize
@@ -211,12 +231,8 @@ class Collection:
         staged = staged.withColumn("binary_vector", K.compress_sign_bits("vector", dims))
 
         # duplicate ids vs existing rows (store-level insert_new,
-        # store/ets.ex:264-271)
-        if not self._df.isEmpty():
-            clash = staged.join(self._df.select("id"), on="id", how="left_semi").limit(1).count()
-            if clash:
-                raise ValueError("duplicate id: already exists in collection")
-
+        # store/ets.ex:264-271) were rejected inside the single validation
+        # aggregate above (`clash`).
         out = staged.select(
             F.col("id"),
             F.col("value"),
@@ -250,6 +266,7 @@ class Collection:
             # the CANONICAL rows (unlike derived indexes, they are not
             # rebuildable), so keep the union tree and accept plan growth
         self.__dict__["_union_depth"] = depth
+        self._maybe_nonempty = True
         self._invalidate_derived()
         return self
 
