@@ -102,6 +102,11 @@ HEADLINE = [
     "supplier_nation_revenue",
     "lineitem_rollup",
     "shipmode_priority",
+    "paragraph_dedup",
+    "cross_corpus_dedup",
+    "text_normalize",
+    "tpch_q3_topk",
+    "tpch_q19_bands",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Unit-level (paragraph) dedup, incremental cross-corpus dedup, and text
+normalization — round-3 operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import dedup as D
+from vettore_spark.operators import text as TX
+
+
+def test_paragraph_dedup_delimiter_mode(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared passage here\n\ngamma"),
+            (2, "shared passage here\n\ndelta"),
+            (3, "unique only"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(
+            docs, delimiter=r"\n\n", joiner="\n\n"
+        ).collect()
+    }
+    # doc 1 keeps everything (first occurrence of the shared passage)
+    assert out[1]["text"] == "alpha beta\n\nshared passage here\n\ngamma"
+    assert out[1]["n_dropped"] == 0 and out[1]["n_units"] == 3
+    # doc 2 loses the passage doc 1 already claimed
+    assert out[2]["text"] == "delta"
+    assert out[2]["n_dropped"] == 1 and out[2]["n_units"] == 2
+    assert out[3]["text"] == "unique only"
+
+
+def test_paragraph_dedup_window_mode(spark):
+    # 2-token windows; doc 20 repeats doc 10's first window
+    docs = spark.createDataFrame(
+        [(10, "a b c d"), (20, "a b x y"), (30, "")],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r for r in D.paragraph_dedup(docs, window=2).collect()
+    }
+    assert out[10]["text"] == "a b c d" and out[10]["n_units"] == 2
+    assert out[20]["text"] == "x y" and out[20]["n_dropped"] == 1
+    # empty text still comes back as one (empty) unit, never dropped rows
+    assert out[30]["n_units"] == 1
+
+
+def test_paragraph_dedup_fully_duplicate_doc_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s")], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(docs, window=2).collect()}
+    assert out[1]["text"] == "p q r s"
+    assert out[2]["text"] == "" and out[2]["n_dropped"] == 2
+
+
+def test_dedup_against_drops_only_corpus_matches(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "brand new")],
+        "doc_id: long, text: string",
+    )
+    got = sorted(r["doc_id"] for r in D.dedup_against(new, corpus).collect())
+    # 10 dropped (in corpus); 11 and 12 both kept (intra-batch dups stay)
+    assert got == [11, 12]
+
+
+def test_normalize_text_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello\tWorld  twice "),
+            (2, "already clean"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in TX.normalize_text(docs).collect()}
+    assert out[1]["text"] == "hello world twice"
+    assert out[1]["changed"] is True
+    assert out[1]["n_chars_before"] == len("Hello\tWorld  twice ")
+    assert out[1]["n_chars_after"] == len("hello world twice")
+    assert out[2]["text"] == "already clean" and out[2]["changed"] is False
+
+
+def test_normalize_text_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "A  b")], "doc_id: long, text: string")
+    plan = (
+        TX.normalize_text(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure per-row projection, no shuffle

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vettore_spark.plans.cache import cached_persist as _cached_persist
@@ -74,6 +74,93 @@ def exact_dedup(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     return df.join(
         keep.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = None,
+    window: int = 20,
+    joiner: str = " ",
+) -> DataFrame:
+    """Paragraph-level exact deduplication (the unit-level variant of
+    corpus dedup in Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": repeated passages are removed even when the
+    containing documents differ). Every document is split into units; only
+    the globally FIRST occurrence of each distinct unit survives (ordered
+    by (id, position) — deterministic); documents are reassembled from
+    their surviving units.
+
+    Units are natural paragraphs when `delimiter` (a regex) is given
+    (e.g. ``r"\\n\\n+"``); otherwise fixed non-overlapping windows of
+    `window` whitespace tokens — the deterministic fallback for
+    single-line corpora.
+
+    Returns (id, text, n_units, n_dropped); `text` may be empty when every
+    unit of a document was seen earlier in id order.
+
+    Scale shape: one explode (~corpus/window unit rows), one shuffle on the
+    unit digest for the first-occurrence window (groups are duplicate
+    families — bounded), one shuffle back on id for reassembly. No driver
+    state, no all-pairs work; at 100 TB this is the cheap exact layer run
+    BEFORE near-dup ops shrink their input."""
+    if delimiter is not None:
+        chunks = F.split(F.col(text_col), delimiter)
+    else:
+        if window <= 0:
+            raise ValueError("window must be positive")
+        toks = F.split(F.col(text_col), " ")
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
+        )
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+        )
+    units = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("_cid", "_chunk")
+    )
+    w = Window.partitionBy(F.md5("_chunk")).orderBy(id_col, "_cid")
+    marked = units.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct(F.col("_cid"), F.col("_chunk"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    joiner,
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["_chunk"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias(text_col),
+            F.count("*").alias("n_units"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of `new` whose content digest
+    already appears in `corpus` (the "dedupe this crawl against everything
+    already ingested" step). One anti-join on md5 — the reference-corpus
+    digest set is a derived table a real pipeline keeps materialized, so
+    each new batch pays one keyed shuffle of the BATCH only (AQE
+    broadcasts the smaller side). Intra-batch duplicates are kept — run
+    `exact_dedup` after if both levels are wanted."""
+    seen = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    return new.join(seen, on=F.md5(new[text_col]) == seen["_h"], how="left_anti")
 
 
 def shingle_hash_array(toks: Column, n: int = 3) -> Column:

@@ -571,3 +571,36 @@ def distinct_ngram_diversity(
             ).alias("distinct_ratio"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the cleanup pass run before hashing,
+    shingling, or tokenizing so that trivially-different bytes do not defeat
+    exact/near dedup: control characters become spaces, whitespace runs
+    collapse to one space, edges are trimmed, and (optionally) the text is
+    lowercased.
+
+    Pure per-row column expressions (regexp_replace chains — map-only, no
+    shuffle, stays in whole-stage codegen; the regexes use only constructs
+    with identical semantics in Java regex and RE2 so the DuckDB oracle is
+    bit-exact). Returns (id, text, n_chars_before, n_chars_after, changed).
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    t = F.regexp_replace(t, r"[\x00-\x1f\x7f]", " ")
+    t = F.regexp_replace(t, r"[ ]{2,}", " ")
+    t = F.trim(t)
+    return df.select(
+        F.col(id_col),
+        t.alias(text_col),
+        F.length(text_col).cast("long").alias("n_chars_before"),
+        F.length(t).cast("long").alias("n_chars_after"),
+        (t != F.col(text_col)).alias("changed"),
+    )

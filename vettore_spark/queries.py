@@ -4224,6 +4224,176 @@ FROM sz GROUP BY cluster_size
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: paragraph-level dedup, incremental cross-corpus dedup,
+# text normalization, and two more TPC-H shapes (Q3 top-k join-agg, Q19
+# disjunctive band filter)
+# ---------------------------------------------------------------------------
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-level exact dedup (Lee et al. 2021): 20-token windows, keep the
+    globally-first occurrence of each distinct window, reassemble docs."""
+    return D.paragraph_dedup(_t(spark, sf_dir, "documents"), window=20)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+units AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS cid,
+         array_to_string(t[(CAST(u.i AS INTEGER) * 20 + 1):(CAST(u.i AS INTEGER) * 20 + 20)], ' ') AS chunk
+  FROM toks,
+       UNNEST(range(0, GREATEST(1, CAST(ceil(len(t) / 20.0) AS BIGINT)))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, cid, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cid) AS rn
+  FROM units
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cid), '') AS text,
+       count(*) AS n_units,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (source != src0) against the
+    already-ingested corpus (source == src0): one digest anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.dedup_against(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_CROSS_CORPUS_DEDUP = """
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.source <> 'src0'
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.source = 'src0' AND md5(c.text) = md5(d.text)
+  )
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.normalize_text(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                             ' {2,}', ' ', 'g')) AS _n
+  FROM documents
+)
+SELECT doc_id, _n AS text,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(_n) AS BIGINT) AS n_chars_after,
+       _n <> text AS changed
+FROM norm
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the reduced schema: o_orderpriority for
+    the missing o_shippriority): fact-fact join + broadcast dim filter +
+    grouped agg + global top-10 — orderBy+limit compiles to
+    TakeOrderedAndProject over the aggregate, never a full sort."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted bands over the reduced part schema):
+    disjunction of (brand, size-band, quantity-band) conjuncts across a
+    broadcast dim join — Catalyst extracts the common join key so the
+    lineitem side streams map-only through one broadcast hash join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4354,6 +4524,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # --- round-3 additions (tail: enter the gate window at the r4
+    # rotation; selfcheck-verified until then) ---
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "cross_corpus_dedup": (q_cross_corpus_dedup, SQL_CROSS_CORPUS_DEDUP),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q19_bands": (q_tpch_q19, SQL_TPCH_Q19),
 }
 
 
