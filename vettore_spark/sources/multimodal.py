@@ -356,6 +356,15 @@ def ahash_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     from vettore_spark.operators.dedup import _bucket_pairs
+    from vettore_spark.plans.cache import cached_persist
+
+    # the (id, hash) table feeds THREE consumers (bucket build + both
+    # hydration sides of the verify join); without a persisted cut the
+    # upstream fingerprint computation (decode mapInPandas + block-mean
+    # fold) runs three times
+    hashes = cached_persist(
+        hashes, ("ahash_pairs_input", id_col, hash_col), lambda s: s
+    )
 
     if max_hamming > 3:
         # 4 flips can touch all 4 nibbles, so a true pair may land in no
