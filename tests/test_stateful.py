@@ -277,3 +277,55 @@ def test_streaming_zscore_anomaly_matches_expanding_batch(spark, tmp_path):
             z = 0.0
         assert abs(got[i]["z"] - z) < 1e-6, (i, got[i]["z"], z)
         hist.append(v)
+
+
+def test_streaming_unit_dedup_matches_batch_and_suppresses_across_batches(
+    spark, tmp_path
+):
+    """Parity with the batch paragraph_dedup keep rule in a single batch,
+    and first-ever-wins suppression across micro-batches."""
+    from vettore_spark.operators.dedup import paragraph_dedup
+    from vettore_spark.streaming.stateful import streaming_unit_dedup
+
+    src = tmp_path / "units"
+    schema = "doc_id: long, text: string"
+    # batch 1: doc 20 repeats doc 10's first 2-token window
+    b1 = [(10, "a b c d"), (20, "a b x y")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: re-sends "x y" (suppressed) and adds a new window
+    b2 = [(30, "x y q r")]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+    q = (
+        streaming_unit_dedup(stream, window=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unitdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {
+        (r["doc_id"], r["unit"])
+        for r in spark.sql("select * from unitdedup").collect()
+    }
+    assert kept == {
+        (10, "a b"), (10, "c d"), (20, "x y"), (30, "q r"),
+    }
+    # single-batch parity: reassembling batch-1's kept units per doc equals
+    # the batch operator's output on the same rows
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(
+            spark.createDataFrame(b1, schema), window=2
+        ).collect()
+    }
+    stream_b1 = {}
+    for doc_id, unit in sorted(
+        (d, u) for (d, u) in kept if d in (10, 20)
+    ):
+        stream_b1[doc_id] = (stream_b1.get(doc_id, "") + " " + unit).strip()
+    assert stream_b1 == batch

@@ -76,6 +76,32 @@ def exact_dedup(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def unit_chunks(
+    text_col: str,
+    *,
+    delimiter: str | None = None,
+    window: int = 20,
+) -> Column:
+    """Array of dedup units for a text column: natural paragraphs when
+    `delimiter` (a regex) is given, else fixed non-overlapping windows of
+    `window` whitespace tokens. Built with transform(sequence, slice) so
+    the token split evaluates once per row, not once per unit (the
+    CollapseProject lambda-capture trap). Shared by the batch
+    `paragraph_dedup` and the streaming `streaming_unit_dedup`."""
+    if delimiter is not None:
+        return F.split(F.col(text_col), delimiter)
+    if window <= 0:
+        raise ValueError("window must be positive")
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     *,
@@ -106,21 +132,10 @@ def paragraph_dedup(
     families — bounded), one shuffle back on id for reassembly. No driver
     state, no all-pairs work; at 100 TB this is the cheap exact layer run
     BEFORE near-dup ops shrink their input."""
-    if delimiter is not None:
-        chunks = F.split(F.col(text_col), delimiter)
-    else:
-        if window <= 0:
-            raise ValueError("window must be positive")
-        toks = F.split(F.col(text_col), " ")
-        n_chunks = F.greatest(
-            F.lit(1), F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
-        )
-        chunks = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
-        )
     units = df.select(
-        F.col(id_col), F.posexplode(chunks).alias("_cid", "_chunk")
+        F.col(id_col),
+        F.posexplode(unit_chunks(text_col, delimiter=delimiter, window=window))
+        .alias("_cid", "_chunk"),
     )
     w = Window.partitionBy(F.md5("_chunk")).orderBy(id_col, "_cid")
     marked = units.withColumn("_rn", F.row_number().over(w))

@@ -163,6 +163,83 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_unit_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str | None = None,
+    window: int = 20,
+) -> DataFrame:
+    """Streaming paragraph/unit-level dedup — the continuous analog of the
+    batch `operators.dedup.paragraph_dedup` (Lee et al. 2021 unit dedup):
+    documents are split into units (natural paragraphs via `delimiter`, or
+    `window`-token windows) and only the FIRST-ever occurrence of each
+    distinct unit survives, across all micro-batches. Within a batch, ties
+    resolve to the lexicographically-lowest (id, position) — the batch
+    operator's keep rule — so a single-batch run reproduces batch output
+    exactly (parity pinned in tests).
+
+    Emits surviving units as (id, unit_idx, unit); reassemble documents in
+    the sink with a per-batch groupBy(id) ordered concat (a stream cannot
+    re-group globally — a doc whose units were all seen before simply emits
+    nothing). State per distinct unit digest is one marker row, bounded by
+    distinct-unit count, not stream length; the md5 key-space shuffles
+    uniformly across executors."""
+    from pyspark.sql import types as T
+
+    from vettore_spark.operators.dedup import unit_chunks
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("unit_idx", T.IntegerType()),
+            T.StructField("unit", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values([id_col, "unit_idx"]).iloc[0]
+            if best is None or (cand[id_col], cand["unit_idx"]) < (
+                best[id_col],
+                best["unit_idx"],
+            ):
+                best = cand
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    id_col: [best[id_col]],
+                    "unit_idx": [int(best["unit_idx"])],
+                    "unit": [best["unit"]],
+                }
+            )
+
+    units = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            unit_chunks(text_col, delimiter=delimiter, window=window)
+        ).alias("unit_idx", "unit"),
+    ).withColumn("_digest", F.md5("unit"))
+    return units.groupBy("_digest").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_simhash_candidates(
     docs: DataFrame,
     *,
