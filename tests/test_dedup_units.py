@@ -95,3 +95,19 @@ def test_normalize_text_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan  # pure per-row projection, no shuffle
+
+
+def test_paragraph_dedup_doc_scope_keeps_cross_doc_repeats(spark):
+    """scope='doc' removes only WITHIN-document repeats; the same unit in
+    a different document survives."""
+    docs = spark.createDataFrame(
+        [(1, "p q p q"), (2, "p q z z")], "doc_id: long, text: string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(docs, window=2, scope="doc").collect()
+    }
+    # doc 1: second "p q" window dropped within the doc
+    assert out[1]["text"] == "p q" and out[1]["n_dropped"] == 1
+    # doc 2 keeps its own "p q" (cross-doc repeat allowed) and "z z"
+    assert out[2]["text"] == "p q z z" and out[2]["n_dropped"] == 0

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vettore_spark.plans.cache import cached_persist as _cached_persist
@@ -110,14 +110,17 @@ def paragraph_dedup(
     delimiter: str | None = None,
     window: int = 20,
     joiner: str = " ",
+    scope: str = "global",
 ) -> DataFrame:
     """Paragraph-level exact deduplication (the unit-level variant of
     corpus dedup in Lee et al. 2021, "Deduplicating Training Data Makes
     Language Models Better": repeated passages are removed even when the
     containing documents differ). Every document is split into units; only
-    the globally FIRST occurrence of each distinct unit survives (ordered
-    by (id, position) — deterministic); documents are reassembled from
-    their surviving units.
+    the FIRST occurrence of each distinct unit survives (ordered by
+    (id, position) — deterministic); documents are reassembled from their
+    surviving units. `scope="global"` dedups across the corpus;
+    `scope="doc"` removes only repeats WITHIN each document (the
+    Gopher-style repeated-passage cleanup) and never looks across docs.
 
     Units are natural paragraphs when `delimiter` (a regex) is given
     (e.g. ``r"\\n\\n+"``); otherwise fixed non-overlapping windows of
@@ -127,37 +130,61 @@ def paragraph_dedup(
     Returns (id, text, n_units, n_dropped); `text` may be empty when every
     unit of a document was seen earlier in id order.
 
-    Scale shape: one explode (~corpus/window unit rows), one shuffle on the
-    unit digest for the first-occurrence window (groups are duplicate
-    families — bounded), one shuffle back on id for reassembly. No driver
-    state, no all-pairs work; at 100 TB this is the cheap exact layer run
-    BEFORE near-dup ops shrink their input."""
+    Scale shape: one explode (~corpus/window unit rows), then AGGREGATES
+    only — the first-occurrence keeper per digest is `min(struct(id, pos,
+    unit))`, which partial-aggregates map-side, so a boilerplate unit
+    duplicated 10^6 times shrinks to one row per input partition BEFORE
+    the shuffle (a row_number window over the digest partition would
+    instead sort the whole hot group in one task — the skew shape AQE
+    cannot split). Reassembly is one groupBy(id) over keepers joined to
+    the per-doc unit totals. No driver state, no all-pairs work; at 100 TB
+    this is the cheap exact layer run BEFORE near-dup ops shrink their
+    input."""
+    if scope not in ("global", "doc"):
+        raise ValueError("scope must be 'global' or 'doc'")
     units = df.select(
         F.col(id_col),
         F.posexplode(unit_chunks(text_col, delimiter=delimiter, window=window))
         .alias("_cid", "_chunk"),
     )
-    w = Window.partitionBy(F.md5("_chunk")).orderBy(id_col, "_cid")
-    marked = units.withColumn("_rn", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("_rn") == 1, F.struct(F.col("_cid"), F.col("_chunk"))
-    )
-    return (
-        marked.groupBy(id_col)
+    group = [F.md5("_chunk").alias("_h")]
+    if scope == "doc":
+        group = [F.col(id_col).alias("_kid"), F.md5("_chunk").alias("_h")]
+    keepers = (
+        units.groupBy(*group)
         .agg(
-            F.coalesce(
-                F.concat_ws(
-                    joiner,
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda x: x["_chunk"],
-                    ),
-                ),
-                F.lit(""),
-            ).alias(text_col),
-            F.count("*").alias("n_units"),
-            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("_id"),
+                    F.col("_cid"),
+                    F.col("_chunk"),
+                )
+            ).alias("_k")
         )
+        .select(
+            F.col("_k._id").alias(id_col),
+            F.col("_k._cid").alias("_cid"),
+            F.col("_k._chunk").alias("_chunk"),
+        )
+    )
+    kept = keepers.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_cid", "_chunk"))),
+                lambda x: x["_chunk"],
+            ),
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = units.groupBy(id_col).agg(F.count("*").alias("n_units"))
+    return totals.join(kept, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        F.col("n_units"),
+        (F.col("n_units") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
     )
 
 
