@@ -111,3 +111,37 @@ def test_paragraph_dedup_doc_scope_keeps_cross_doc_repeats(spark):
     assert out[1]["text"] == "p q" and out[1]["n_dropped"] == 1
     # doc 2 keeps its own "p q" (cross-doc repeat allowed) and "z z"
     assert out[2]["text"] == "p q z z" and out[2]["n_dropped"] == 0
+
+
+def test_blocklist_filter_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "clean words only"), (2, "one BAD token here"), (3, "bad bad bad")],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.blocklist_filter(docs, ["bad"], max_fraction=0.3).collect()
+    }
+    assert out[1]["passed"] and out[1]["n_blocked"] == 0
+    # case-insensitive match; 1/4 tokens > 0.3 fails? 0.25 <= 0.3 passes
+    assert out[2]["n_blocked"] == 1 and out[2]["passed"]
+    assert out[3]["n_blocked"] == 3 and not out[3]["passed"]
+
+
+def test_blocklist_filter_rejects_empty_list(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError):
+        TX.blocklist_filter(docs, [])
+
+
+def test_blocklist_filter_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    plan = (
+        TX.blocklist_filter(docs, ["a"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

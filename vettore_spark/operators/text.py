@@ -604,3 +604,40 @@ def normalize_text(
         F.length(t).cast("long").alias("n_chars_after"),
         (t != F.col(text_col)).alias("changed"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fraction: float = 0.0,
+) -> DataFrame:
+    """C4-style blocklist filtering: count tokens whose lowercase form is in
+    `blocklist`; a document passes iff the blocked-token fraction is <=
+    `max_fraction` (0.0 = any hit fails, the C4 badwords rule). Returns
+    every input row + (n_tokens, n_blocked, blocked_fraction, passed) so
+    callers can audit removals instead of silently losing rows.
+
+    The blocklist is compiled into a LITERAL isin predicate — pure
+    whole-stage-codegen column expressions, no join, no shuffle, no UDF.
+    That is the right shape for the typical few-hundred-term badwords list;
+    for a blocklist too large to inline (10^5+), tokenize+explode and
+    broadcast-anti-join instead (the decontaminate operator's shape)."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    terms = sorted({t.lower() for t in blocklist})
+    t = tokens(text_col)
+    n = F.size(t).cast("long")
+    blocked = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(*terms))
+    ).cast("long")
+    frac = F.round(blocked.cast("double") / n.cast("double"), 5)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        blocked.alias("n_blocked"),
+        frac.alias("blocked_fraction"),
+        (frac <= float(max_fraction)).alias("passed"),
+    )

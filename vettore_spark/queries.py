@@ -4301,6 +4301,31 @@ FROM norm
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badwords filter over the synthetic vocab: docs with any
+    'slow' or 'merge' token fail at max_fraction=0.01."""
+    return TX.blocklist_filter(
+        _t(spark, sf_dir, "documents"), ["slow", "merge"], max_fraction=0.01
+    )
+
+
+SQL_BLOCKLIST_FILTER = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> lower(x) IN ('merge', 'slow'))) AS BIGINT) AS n_blocked
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_blocked,
+       round(n_blocked * 1.0 / n_tokens, 5) AS blocked_fraction,
+       round(n_blocked * 1.0 / n_tokens, 5) <= 0.01 AS passed
+FROM cnt
+"""
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (adapted to the reduced schema: o_orderpriority for
     the missing o_shippriority): fact-fact join + broadcast dim filter +
@@ -4531,6 +4556,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q19_bands": (q_tpch_q19, SQL_TPCH_Q19),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
 }
 
 
