@@ -121,7 +121,11 @@ def main() -> int:
     def op_simhash(docs):
         return D.simhash_pairs(docs, max_hamming=3)
 
+    def op_paragraph(docs):
+        return D.paragraph_dedup(docs, window=20)
+
     OPS = {
+        "paragraph_dedup": op_paragraph,
         "minhash_lsh": op_minhash,
         "simhash": op_simhash,
         "ngram_jaccard": op_ngram,
