@@ -237,3 +237,57 @@ def test_mixture_fractions_hit_shares(spark, n, seed, s0):
     vals = list(ratios.values())
     for v in vals:
         assert abs(v - vals[0]) < 1e-6  # proportional to shares
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    window=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_paragraph_dedup_invariants_random(spark, n, window, seed):
+    """Unit-level dedup invariants over random small-vocab corpora (small
+    vocab forces heavy unit collisions): (a) kept units across the corpus
+    are exactly the DISTINCT units of the input, (b) sum(n_dropped) =
+    total units - distinct units, (c) every doc's kept text is a
+    subsequence of its original unit sequence, (d) doc-scope never drops
+    more than global scope."""
+    import random
+
+    from vettore_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def units_of(text):
+        toks = text.split(" ")
+        k = max(1, -(-len(toks) // window))
+        return [" ".join(toks[i * window:(i + 1) * window]) for i in range(k)]
+
+    out = paragraph_dedup(docs, window=window).collect()
+    all_units = [u for _, t in rows for u in units_of(t)]
+    kept_units = [
+        u for r in out if r["text"] != "" for u in units_of(r["text"])
+    ]
+    assert sorted(set(all_units)) == sorted(kept_units)  # (a) + no dup kept
+    assert sum(r["n_dropped"] for r in out) == len(all_units) - len(
+        set(all_units)
+    )  # (b)
+    orig = dict(rows)
+    for r in out:  # (c) subsequence per doc
+        if r["text"] == "":
+            continue
+        seq = units_of(orig[r["doc_id"]])
+        it = iter(seq)
+        assert all(u in it for u in units_of(r["text"]))
+    doc_scope = {
+        r["doc_id"]: r["n_dropped"]
+        for r in paragraph_dedup(docs, window=window, scope="doc").collect()
+    }
+    for r in out:  # (d)
+        assert doc_scope[r["doc_id"]] <= r["n_dropped"]
