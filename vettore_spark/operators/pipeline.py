@@ -290,8 +290,18 @@ def keep_best_per_cluster(
 
     One window over the cluster key — a single shuffle; near-dup families
     are small so no skew handling is needed. This is the quality-aware
-    refinement of training_pipeline's keep-lowest-id canonicalization."""
+    refinement of training_pipeline's keep-lowest-id canonicalization.
+
+    `clusters` may be `neardup_clusters` output (which carries
+    cluster_size) or bare `connected_components` output — in the latter
+    case cluster_size is derived here as a count over the same window
+    partition (members present after the quality join)."""
     j = clusters.join(quality.select(F.col(id_col), F.col(quality_col)), id_col)
+    if "cluster_size" not in clusters.columns:
+        j = j.withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy(cluster_col)).cast("long"),
+        )
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
