@@ -4301,6 +4301,47 @@ FROM norm
 """
 
 
+def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale APPROXIMATE embedding near-dup path: pairs are only
+    formed inside a sign-bit LSH block (first 4 dims' signs — deterministic,
+    so the oracle reproduces the exact same blocking), then exact-cosine
+    verified. The quadratic term is bounded per block; recall vs the exact
+    all-pairs set is whatever the sign prefix gives (2/14 exact pairs at
+    sf0.01 — a 0.45-cosine "near-dup" disagrees on many signs; real
+    corpora dedup at 0.9+, where sign agreement and recall are far
+    higher, and more bands/rotations recover the rest exactly as in
+    MinHash banding). Complements `embedding_neardup` (exact block-grid
+    GEMM) as the 100 TB path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    blk = None
+    for i in range(4):
+        bit = F.when(F.element_at("embedding", i + 1) > 0, 1 << i).otherwise(0)
+        blk = bit if blk is None else blk + bit
+    src = emb.withColumn("_b", blk)
+    out = D.embedding_neardup_pairs(
+        src, id_col="vec_id", vector_col="embedding", block_col="_b",
+        threshold=0.45,
+    )
+    return _round(out, {"sim": 5})
+
+
+SQL_EMBEDDING_NEARDUP_BLOCKED = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS b
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v), 5) AS sim
+FROM n a JOIN n b ON a.b = b.b
+WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45
+"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style badwords filter over the synthetic vocab: docs with any
     'slow' or 'merge' token fail at max_fraction=0.01."""
@@ -4557,6 +4598,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q19_bands": (q_tpch_q19, SQL_TPCH_Q19),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "embedding_neardup_blocked": (
+        q_embedding_neardup_blocked,
+        SQL_EMBEDDING_NEARDUP_BLOCKED,
+    ),
 }
 
 
