@@ -1,0 +1,110 @@
+"""Recall-vs-cost curves for the approximate search family, mirroring the
+reference bench's overlap@k preflight (bench/search_modes_bench.exs): for a
+sample of query vectors, exact brute-force top-10 is ground truth and every
+approximate mode is swept over its accuracy knob.
+
+Prints one markdown table per mode: param, mean overlap@10, seconds.
+Usage: cd /root/repo && python tools/recallbench.py [n_queries]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = 10
+
+
+def main() -> int:
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("vettore-spark-recallbench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import types as T
+
+    from vettore_spark.operators import ann as ANN
+    from vettore_spark.operators import hnsw as H
+    from vettore_spark.operators.mllib_lsh import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, query_vector array<double>",
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topk_sets(
+        ANN.brute_force_topk(emb, queries, k=K, metric="cosine")
+        .withColumn("query_id", F.col("query_id").cast("long"))
+    )
+
+    def overlap(approx):
+        vals = [
+            len(exact[q] & approx.get(q, set())) / max(len(exact[q]), 1)
+            for q in exact
+        ]
+        return sum(vals) / len(vals)
+
+    # --- IVF: n_probe sweep (16 cells) -----------------------------------
+    cents = kmeans_centroids(emb, k=16, vector_col="embedding")
+    assigned = ANN.ivf_assign(emb, centroids=cents)
+    print(f"\nIVF (16 cells, {n_queries} queries, overlap@{K} vs exact)\n")
+    print("| n_probe | overlap@10 | sec |\n| --- | --- | --- |")
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        got = topk_sets(
+            ANN.ivf_topk(
+                emb, queries, centroids=cents, assigned=assigned,
+                n_probe=n_probe, k=K,
+            ).withColumn("query_id", F.col("query_id").cast("long"))
+        )
+        print(f"| {n_probe} | {overlap(got):.3f} | {time.time() - t0:.2f} |")
+
+    # --- HNSW: ef_search sweep --------------------------------------------
+    shards = H.build_graph_shards(
+        emb, metric="cosine", params=H.HnswParams(),
+        id_col="vec_id", vector_col="embedding", num_partitions=8,
+    )
+    shards.count()  # build once outside the timed sweeps
+    print(f"\nHNSW (8 shards, {n_queries} queries, overlap@{K} vs exact)\n")
+    print("| ef_search | overlap@10 | sec |\n| --- | --- | --- |")
+    qlist = [(str(int(r["vec_id"])), [float(x) for x in r["embedding"]])
+             for r in qrows]
+    for ef in (16, 32, 64, 128, 256):
+        t0 = time.time()
+        res = H.search_graph_shards(
+            shards, qlist, metric="cosine", k=K, ef_search=ef,
+            id_col="vec_id", id_type=T.LongType(),
+        )
+        got = {}
+        for r in res.collect():
+            got.setdefault(int(r["query_id"]), set()).add(r["vec_id"])
+        print(f"| {ef} | {overlap(got):.3f} | {time.time() - t0:.2f} |")
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
