@@ -53,3 +53,10 @@ def test_cross_corpus_dedup_is_anti_join(spark, qs):
 def test_blocklist_filter_is_map_only_on_parquet(spark, qs):
     plan = _executed(qs["blocklist_filter"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_tpch_q4_exists_is_left_semi(spark, qs):
+    """EXISTS must compile to a left-semi join — no row multiplication
+    from multi-line orders, no subquery re-execution per row."""
+    plan = _executed(qs["tpch_q4_exists"](spark, SF))
+    assert "LeftSemi" in plan

@@ -4342,6 +4342,44 @@ WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the reduced lineitem has no
+    commit/receipt dates, so the EXISTS predicate is a big-line test):
+    orders in a date window counted per priority when at least one
+    lineitem has quantity >= 45 — an EXISTS that must compile to a
+    LEFT-SEMI join (one probe per order, no row multiplication from
+    multi-line orders)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(big, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style badwords filter over the synthetic vocab: docs with any
     'slow' or 'merge' token fail at max_fraction=0.01."""
@@ -4602,6 +4640,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_embedding_neardup_blocked,
         SQL_EMBEDDING_NEARDUP_BLOCKED,
     ),
+    "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),
 }
 
 
