@@ -145,3 +145,33 @@ def test_blocklist_filter_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) — the canonical form is a
+    fixed point, so re-running the cleanup pass can never churn bytes."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["  A\tB  ", "x\x01y", "already clean", "", "MiXeD  CaSe"]
+        )],
+        "doc_id: long, text: string",
+    )
+    once = TX.normalize_text(docs).select("doc_id", "text")
+    twice = TX.normalize_text(once).collect()
+    assert all(r["changed"] is False for r in twice)
+
+
+def test_paragraph_dedup_idempotent_on_own_output(spark):
+    """Global unit dedup is a projection: running it again on its own
+    (non-empty) output drops nothing."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b"), (2, "a b x y"), (3, "c d c d")],
+        "doc_id: long, text: string",
+    )
+    once = (
+        D.paragraph_dedup(docs, window=2)
+        .filter(F.col("text") != "")
+        .select("doc_id", "text")
+    )
+    again = D.paragraph_dedup(once, window=2).collect()
+    assert all(r["n_dropped"] == 0 for r in again)
