@@ -107,6 +107,9 @@ HEADLINE = [
     "text_normalize",
     "tpch_q3_topk",
     "tpch_q19_bands",
+    "blocklist_filter",
+    "embedding_neardup_blocked",
+    "tpch_q4_exists",
 ]
 
 
