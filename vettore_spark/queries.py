@@ -4380,6 +4380,132 @@ ORDER BY o_orderpriority
 """
 
 
+def q_paragraph_dedup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeat removal (scope='doc'): the Gopher-style
+    cleanup that drops a unit only when the SAME document already said it;
+    cross-document repeats survive."""
+    return D.paragraph_dedup(
+        _t(spark, sf_dir, "documents"), window=20, scope="doc"
+    )
+
+
+SQL_PARAGRAPH_DEDUP_DOC = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+units AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS cid,
+         array_to_string(t[(CAST(u.i AS INTEGER) * 20 + 1):(CAST(u.i AS INTEGER) * 20 + 20)], ' ') AS chunk
+  FROM toks,
+       UNNEST(range(0, GREATEST(1, CAST(ceil(len(t) / 20.0) AS BIGINT)))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, cid, chunk,
+         row_number() OVER (PARTITION BY doc_id, md5(chunk) ORDER BY cid) AS rn
+  FROM units
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY cid), '') AS text,
+       count(*) AS n_units,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a quarter —
+    fact filter + two joins (orders fact-fact, customer dim broadcast) +
+    grouped agg + global top-20 via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            # per-row product quantized to DECIMAL(18,4) before the sum:
+            # the f64 product is bit-identical in any engine, but a
+            # floating SUM depends on partition order — one customer here
+            # lands on a round(.,2) boundary. The decimal sum is exact and
+            # order-independent; cast back to double at the end.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a grouped HAVING over the
+    fact table produces a SMALL key set that then drives semi-join
+    hydration of orders+customer — the aggregate-then-rejoin pattern where
+    the big table is scanned once and the rejoin carries only qualifying
+    keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, round(sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big, orders, customer
+WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style badwords filter over the synthetic vocab: docs with any
     'slow' or 'merge' token fail at max_fraction=0.01."""
@@ -4641,6 +4767,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         SQL_EMBEDDING_NEARDUP_BLOCKED,
     ),
     "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),
+    "paragraph_dedup_doc": (q_paragraph_dedup_doc, SQL_PARAGRAPH_DEDUP_DOC),
+    "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q18_volume": (q_tpch_q18, SQL_TPCH_Q18),
 }
 
 
