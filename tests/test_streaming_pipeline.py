@@ -110,3 +110,24 @@ def test_streaming_mlm_masking_matches_batch(spark, tmp_path):
     )
     got = {r["doc_id"]: r.asDict() for r in got_rows}
     assert got == want
+
+
+def test_normalize_and_blocklist_stream_parity(spark, tmp_path):
+    """Round-3 map-only text operators compose onto readStream unchanged:
+    normalize_text -> blocklist_filter streamed == batched."""
+    stream = _stream(spark, tmp_path, "r3maps")
+    out = TX.blocklist_filter(
+        TX.normalize_text(stream).select("doc_id", "text"), ["spam"],
+        max_fraction=0.1,
+    )
+    got = _run(out, spark, "r3maps_q")
+    batch = TX.blocklist_filter(
+        TX.normalize_text(
+            spark.createDataFrame(ROWS, SCHEMA)
+        ).select("doc_id", "text"),
+        ["spam"],
+        max_fraction=0.1,
+    ).collect()
+    want = {tuple(r) for r in batch}
+    assert {tuple(r) for r in got} == want
+    assert any(not r["passed"] for r in batch)  # the spam doc fails
