@@ -110,6 +110,9 @@ HEADLINE = [
     "blocklist_filter",
     "embedding_neardup_blocked",
     "tpch_q4_exists",
+    "paragraph_dedup_doc",
+    "tpch_q10_returns",
+    "tpch_q18_volume",
 ]
 
 
