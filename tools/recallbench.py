@@ -102,6 +102,51 @@ def main() -> int:
             got.setdefault(int(r["query_id"]), set()).add(r["vec_id"])
         print(f"| {ef} | {overlap(got):.3f} | {time.time() - t0:.2f} |")
 
+    # --- PQ: pure-ADC m sweep + two-stage candidates sweep ----------------
+    import numpy as np
+
+    from vettore_spark.operators import pq as PQ
+
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    exact_l2 = topk_sets(
+        ANN.brute_force_topk(emb, queries, k=K, metric="l2")
+        .withColumn("query_id", F.col("query_id").cast("long"))
+    )
+
+    def overlap_l2(approx):
+        vals = [
+            len(exact_l2[q] & approx.get(q, set())) / max(len(exact_l2[q]), 1)
+            for q in exact_l2
+        ]
+        return sum(vals) / len(vals)
+
+    print(f"\nPQ pure-ADC (256 codes, {n_queries} queries, overlap@{K} vs exact L2)\n")
+    print("| m (subspaces) | compression | overlap@10 | sec |\n| --- | --- | --- | --- |")
+    for m in (2, 4, 8, 16):
+        books = PQ.pq_train_kmeans(sample, m=m)
+        codes = PQ.pq_encode(emb, books)
+        t0 = time.time()
+        got = topk_sets(
+            PQ.pq_adc_topk(codes, queries, books, k=K)
+            .withColumn("query_id", F.col("query_id").cast("long"))
+        )
+        ratio = 64 * 4 // m  # f32 bytes per vector / code bytes
+        print(f"| {m} | {ratio}x | {overlap_l2(got):.3f} | {time.time() - t0:.2f} |")
+
+    books8 = PQ.pq_train_kmeans(sample, m=8)
+    print(f"\nPQ two-stage rerank (m=8, overlap@{K} vs exact L2)\n")
+    print("| candidates | overlap@10 | sec |\n| --- | --- | --- |")
+    for cand in (20, 50, 100, 200):
+        t0 = time.time()
+        got = topk_sets(
+            PQ.pq_search(emb, queries, books8, candidates=cand, k=K, metric="l2")
+            .withColumn("query_id", F.col("query_id").cast("long"))
+        )
+        print(f"| {cand} | {overlap_l2(got):.3f} | {time.time() - t0:.2f} |")
+
     spark.stop()
     return 0
 
