@@ -175,3 +175,23 @@ def test_paragraph_dedup_idempotent_on_own_output(spark):
     )
     again = D.paragraph_dedup(once, window=2).collect()
     assert all(r["n_dropped"] == 0 for r in again)
+
+
+def test_minhash_dedup_against_flags_cross_corpus_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark query engines")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " extra"),          # near-dup of corpus doc 1
+            (11, "novel content with no counterpart in the corpus at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = D.minhash_dedup_against(new, corpus, threshold=0.5).collect()
+    assert {(r["doc_id"], r["corpus_id"]) for r in got} == {(10, 1)}
+    assert all(r["jac"] >= 0.5 for r in got)
+    # intra-batch and intra-corpus pairs are never emitted
+    assert all(r["doc_id"] in (10, 11) and r["corpus_id"] in (1, 2) for r in got)

@@ -413,6 +413,103 @@ def minhash_signature_arrow(num_perm: int = 64):
     return sig
 
 
+def _sig_and_bands(
+    base: DataFrame, id_col: str, num_perm: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """(signature table, exploded (id, band, bh) band table) over a shingle
+    base. The signature table is derived index state (computed at ingest in
+    the reference model) — persisted per (source, num_perm) like the base.
+    Shared by same-corpus LSH pairing and cross-corpus dedup-against."""
+    rows_per_band = num_perm // bands
+    sig = _cached_persist(
+        base,
+        ("minhash_sig", id_col, num_perm),
+        lambda s: s.select(
+            id_col, minhash_signature_arrow(num_perm)(F.col("_sh")).alias("_sig")
+        ),
+    )
+    # zip against array_repeat(_sig): a bare _sig reference inside the lambda
+    # could be inlined by CollapseProject and recomputed once per band
+    bands_df = sig.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                F.array_repeat(F.col("_sig"), bands),
+                lambda j, sg: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(j, F.slice(sg, j * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    return sig, bands_df
+
+
+def minhash_dedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket_df: int = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup detection of a new batch against the ingested
+    corpus — the MinHash analog of `dedup_against` (which is exact-digest
+    only): a new document is flagged when it shares at least one LSH band
+    bucket with a corpus document AND the exact n-gram Jaccard of the pair
+    is >= `threshold`. Returns (id, corpus_id, jac); anti-join `new` on
+    `id_col` against the flagged ids to drop them.
+
+    Scale shape: the corpus-side shingle/signature/band tables are
+    persisted derived index state (built once at ingest, reused per batch),
+    so each incoming batch pays its own shingle+signature pass plus ONE
+    equi-join keyed on (band, bandhash) against the corpus band table —
+    never a batch x corpus product. `max_bucket_df` drops corpus band
+    buckets hotter than the cap (boilerplate families — exact dedup's job)
+    before the join, bounding the candidate fan-out per new document."""
+    base_n = _shingle_base(new, id_col, text_col, n)
+    base_c = _shingle_base(corpus, id_col, text_col, n)
+    _, bands_n = _sig_and_bands(base_n, id_col, num_perm, bands)
+    _, bands_c = _sig_and_bands(base_c, id_col, num_perm, bands)
+    hot = (
+        bands_c.groupBy("band", "bh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_bucket_df)
+        .select("band", "bh")
+    )
+    cand = (
+        bands_n.select(F.col(id_col).alias("_nid"), "band", "bh")
+        .join(hot, ["band", "bh"], "left_anti")
+        .join(
+            bands_c.select(F.col(id_col).alias("corpus_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("_nid", "corpus_id")
+        .distinct()
+    )
+    shn = base_n.select(F.col(id_col).alias("_nid"), F.col("_sh").alias("_sha"))
+    shc = base_c.select(
+        F.col(id_col).alias("corpus_id"), F.col("_sh").alias("_shb")
+    )
+    return (
+        cand.join(shn, "_nid")
+        .join(shc, "corpus_id")
+        .withColumn("_i", F.size(F.array_intersect("_sha", "_shb")).cast("double"))
+        .withColumn(
+            "jac",
+            F.col("_i")
+            / (F.size("_sha") + F.size("_shb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select(F.col("_nid").alias(id_col), "corpus_id", "jac")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -440,30 +537,7 @@ def minhash_lsh_pairs(
     # verification — without the persist the whole tokenize+shingle+hash
     # chain re-runs per consumer
     base = _shingle_base(df, id_col, text_col, n)
-    # the signature table is derived index state (computed at ingest in the
-    # reference model) — persisted per (source, n, num_perm) like the base
-    sig = _cached_persist(
-        base,
-        ("minhash_sig", id_col, num_perm),
-        lambda s: s.select(
-            id_col, minhash_signature_arrow(num_perm)(F.col("_sh")).alias("_sig")
-        ),
-    )
-    # zip against array_repeat(_sig): a bare _sig reference inside the lambda
-    # could be inlined by CollapseProject and recomputed once per band
-    bands_df = sig.select(
-        id_col,
-        F.explode(
-            F.zip_with(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                F.array_repeat(F.col("_sig"), bands),
-                lambda j, sg: F.struct(
-                    j.alias("band"),
-                    F.xxhash64(j, F.slice(sg, j * rows_per_band + 1, rows_per_band)).alias("bh"),
-                ),
-            )
-        ).alias("b"),
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    sig, bands_df = _sig_and_bands(base, id_col, num_perm, bands)
 
     # one shuffle: bucket members collected per (band, bh), pairs emitted
     # from the sorted id array — bands_df is consumed exactly once (a

@@ -4282,6 +4282,42 @@ WHERE d.source <> 'src0'
 """
 
 
+def q_minhash_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup of the new batch (source != src0) against the
+    ingested corpus (src0) — LSH band-bucket candidates verified by exact
+    Jaccard. At 64 perms / 16 bands x 4, recall on >= 0.8-Jaccard pairs is
+    ~1 - 2e-3 (and ~1 - 2e-7 on the planted >= 0.89 dups), so the verified
+    output equals the exact cross-source pair set: the oracle is the exact
+    cross-source Jaccard SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_dedup_against(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.8,
+    )
+    return _round(out, {"jac": 5})
+
+
+SQL_MINHASH_DEDUP_AGAINST = r"""
+WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS nid, b.doc_id AS cid, count(*) AS i
+          FROM sh a JOIN sh b USING (s)
+          WHERE a.source <> 'src0' AND b.source = 'src0'
+          GROUP BY 1, 2)
+SELECT nid AS doc_id, cid AS corpus_id,
+       round(i * 1.0 / (sa.n + sb.n - i), 5) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = nid
+JOIN sizes sb ON sb.doc_id = cid
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.normalize_text(_t(spark, sf_dir, "documents"))
 
@@ -4770,6 +4806,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "paragraph_dedup_doc": (q_paragraph_dedup_doc, SQL_PARAGRAPH_DEDUP_DOC),
     "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q18_volume": (q_tpch_q18, SQL_TPCH_Q18),
+    "minhash_dedup_against": (
+        q_minhash_dedup_against,
+        SQL_MINHASH_DEDUP_AGAINST,
+    ),
 }
 
 
