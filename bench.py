@@ -113,6 +113,7 @@ HEADLINE = [
     "paragraph_dedup_doc",
     "tpch_q10_returns",
     "tpch_q18_volume",
+    "minhash_dedup_against",
 ]
 
 

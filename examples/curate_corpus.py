@@ -83,11 +83,27 @@ def main() -> int:
     shards = SMP.shard_assign(train, 8, key_col="doc_id")
     dist = shards.groupBy("shard").count().orderBy("shard").collect()
 
+    # 7. INCREMENTAL arrival: a later crawl batch dedupes against the
+    # already-curated corpus — exact digests first (anti-join), then
+    # near-dup via the corpus's persisted MinHash band table
+    batch = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    batch = TX.normalize_text(batch).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )  # shifted ids: simulate a fresh crawl that re-sends src1 content
+    n_batch = batch.count()
+    fresh = D.dedup_against(batch, survivors)
+    near = D.minhash_dedup_against(fresh, survivors, threshold=0.8)
+    fresh = fresh.join(
+        near.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    n_fresh = fresh.count()
+
     print(f"input docs:            {n0}")
     print(f"after blocklist gate:  {n_gate}")
     print(f"after paragraph dedup: {n_para}")
     print(f"after near-dup keep:   {n_surv}")
     print("train shard sizes:     " + ", ".join(str(r["count"]) for r in dist))
+    print(f"incremental batch:     {n_batch} arrived, {n_fresh} genuinely new")
     spark.stop()
     return 0
 
