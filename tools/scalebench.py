@@ -124,7 +124,17 @@ def main() -> int:
     def op_paragraph(docs):
         return D.paragraph_dedup(docs, window=20)
 
+    def op_dedup_against(docs):
+        # fixed-size incoming batch vs a k-times-larger ingested corpus:
+        # the cost that must stay flat is the batch's, not the corpus's
+        # (its band table is persisted derived state)
+        return D.minhash_dedup_against(
+            docs0.filter(F.col("source") == "src1").select("doc_id", "text"),
+            docs, threshold=0.8,
+        )
+
     OPS = {
+        "dedup_against_neardup": op_dedup_against,
         "paragraph_dedup": op_paragraph,
         "minhash_lsh": op_minhash,
         "simhash": op_simhash,
