@@ -131,3 +131,59 @@ def test_normalize_and_blocklist_stream_parity(spark, tmp_path):
     want = {tuple(r) for r in batch}
     assert {tuple(r) for r in got} == want
     assert any(not r["passed"] for r in batch)  # the spam doc fails
+
+
+def test_stream_incremental_dedup_into_corpus(spark, tmp_path):
+    """Continuous corpus building: each micro-batch dedupes against the
+    corpus-so-far — exact digests first, then MinHash near-dup — and only
+    genuinely-new documents are absorbed. foreachBatch + the incremental
+    dedup operators compose without any new machinery."""
+    from vettore_spark.operators import dedup as D
+
+    base_a = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    base_b = "spark builds declarative plans that catalyst optimizes into narrow scans"
+    src = tmp_path / "inc"
+    schema = "doc_id: long, text: string"
+    spark.createDataFrame(
+        [(1, base_a), (2, base_b)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [
+            (10, base_a),             # exact dup of corpus doc 1
+            (11, base_b + " today"),  # near-dup of corpus doc 2
+            (12, "entirely novel content about batched vector search"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    from pyspark.sql import types as T
+
+    empty_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state = {"corpus": spark.createDataFrame([], empty_schema)}
+
+    def absorb(batch_df, _batch_id):
+        fresh = D.dedup_against(batch_df, state["corpus"])
+        near = D.minhash_dedup_against(
+            fresh, state["corpus"], threshold=0.5
+        ).select("doc_id").distinct()
+        fresh = fresh.join(near, "doc_id", "left_anti")
+        # lineage cut per batch: the corpus-so-far must not accrete a
+        # per-batch plan tree (same policy as Collection.put_many)
+        state["corpus"] = (
+            state["corpus"].unionByName(fresh.select("doc_id", "text"))
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in state["corpus"].collect())
+    assert got == [1, 2, 12]  # 10 (exact) and 11 (near) were absorbed away
