@@ -152,3 +152,41 @@ def test_snapshot_detects_tampered_index(spark, tmp_path):
     assert not c2.__dict__.get("_hnsw_shards"), "tampered index was installed"
     got = [r["id"] for r in c2.hnsw_search(q, limit=5, num_partitions=2).collect()]
     assert got == want  # rebuilt from canonical rows, same answer
+
+
+def test_where_filter_on_all_index_facades(spark):
+    """§2.2's filter superset now composes below EVERY index facade:
+    hnsw (post-filter + over-fetch), ivf (filtered inverted file),
+    sq (filtered candidate stage), pq (post-filtered candidates)."""
+    from vettore_spark import Collection
+
+    rows = [
+        {"id": f"v{i}", "vector": [1.0, float(i % 5), float(i), 0.5],
+         "metadata": {"parity": str(i % 2)}}
+        for i in range(40)
+    ]
+    c = Collection.create(spark, "wf", 4, metric="cosine")
+    c.put_many(rows)
+    q = [1.0, 2.0, 7.0, 0.5]
+    pred = "metadata['parity'] = '1'"
+    want = {r["id"] for r in c.search(q, limit=5, where=pred).collect()}
+    assert want and all(int(i[1:]) % 2 == 1 for i in want)
+
+    got_ivf = {r["id"] for r in
+               c.ivf_search(q, limit=5, n_cells=4, n_probe=4, where=pred).collect()}
+    assert got_ivf == want  # all cells probed -> exact filtered result
+
+    got_sq = {r["id"] for r in
+              c.sq_search(q, limit=5, candidates=40, where=pred).collect()}
+    assert got_sq == want  # full candidate budget -> exact
+
+    got_hnsw = {r["id"] for r in
+                c.hnsw_search(q, limit=5, ef_search=10_000,
+                              num_partitions=2, where=pred).collect()}
+    assert got_hnsw <= want and len(got_hnsw) >= 3  # over-fetched post-filter
+    assert all(int(i[1:]) % 2 == 1 for i in got_hnsw)
+
+    got_pq = {r["id"] for r in
+              c.pq_search(q, limit=5, candidates=40, m=2, n_codes=8,
+                          where=pred).collect()}
+    assert got_pq and all(int(i[1:]) % 2 == 1 for i in got_pq)

@@ -534,12 +534,17 @@ class Collection:
 
     def pq_search(self, query: list[float], *, limit: int = 10,
                   candidates: int = 100, m: int = 8, n_codes: int = 16,
-                  iters: int = 5) -> DataFrame:
+                  iters: int = 5, where=None) -> DataFrame:
         """Two-stage product-quantization search (extension beyond the
         reference's binary quantization): deterministic codebooks trained
         on an id-sorted sample, ADC candidate generation over the persisted
         code table, exact rerank with the collection metric. Supported for
-        l2/cosine collections (the ADC stage is an L2 quantizer)."""
+        l2/cosine collections (the ADC stage is an L2 quantizer).
+
+        `where` is POST-filtered on the candidate set (the code table is
+        shared across predicates), with the ADC stage over-fetching 4x
+        when a predicate is present — like hnsw_search(where=), results
+        may number fewer than `limit` under a selective predicate."""
         from vettore_spark.sources.store import PqIndex
 
         if self.config.metric not in ("l2", "euclidean", "cosine"):
@@ -557,7 +562,13 @@ class Collection:
             idx = PqIndex(m=m, n_codes=n_codes, iters=iters).build(self.df)
             cache[key] = idx
         idx.factor = max(1, candidates // max(limit, 1))
+        if where is not None:
+            idx.factor *= 4  # over-fetch so the post-filter can still fill k
         pruned = idx.candidates(self.df, q, limit)
+        if where is not None:
+            pruned = pruned.join(
+                self._where(where).select("id"), "id", "left_semi"
+            )
         from vettore_spark.operators import search as S
 
         return S.flat_topk(
@@ -567,7 +578,8 @@ class Collection:
 
     def hnsw_search(self, query: list[float], *, limit: int = 10,
                     ef_search: int | None = None,
-                    num_partitions: int = 8) -> DataFrame:
+                    num_partitions: int = 8,
+                    where=None, oversample: int = 4) -> DataFrame:
         """Partition-parallel HNSW search over a RESIDENT graph-shard table
         (Q6/Q7): built once per (params) from the canonical rows, then
         maintained incrementally — `put` inserts into one shard's graph,
@@ -575,7 +587,14 @@ class Collection:
         the reference's insert/delete-time index maintenance
         (hnsw.rs:152-245, :263-289). Bulk put_many still invalidates for a
         rebuild (bulk graph construction beats n incremental inserts).
-        Returns (id, score, distance) like `search`."""
+        Returns (id, score, distance) like `search`.
+
+        `where` is POST-filtered with over-fetch (the graph is traversed
+        for limit*oversample, then the predicate-passing top `limit` kept)
+        — the standard graph-index filtering mode: results may number
+        fewer than `limit` under a selective predicate; use
+        `search(where=)` (exact filter-first scan) when the filtered
+        subset is small enough to scan."""
         from vettore_spark.operators import hnsw as H
 
         self._check_open()
@@ -597,21 +616,35 @@ class Collection:
             hit = (shards, sids)
             cache[key] = hit
         shards, _ = hit
+        k_fetch = limit if where is None else limit * max(1, oversample)
         out = H.search_graph_shards(
-            shards, [("q", q)], metric=self.config.metric, k=limit,
+            shards, [("q", q)], metric=self.config.metric, k=k_fetch,
             ef_search=p.ef_search, id_col="id", id_type=T.StringType(),
         )
+        if where is not None:
+            allowed = self._where(where).select("id")
+            out = (
+                out.join(allowed, "id", "left_semi")
+                .orderBy("rank")
+                .limit(limit)
+            )
         return out.select("id", "score", "distance")
 
     def ivf_search(self, query: list[float], *, limit: int = 10,
-                   n_cells: int = 8, n_probe: int = 2) -> DataFrame:
+                   n_cells: int = 8, n_probe: int = 2,
+                   where=None) -> DataFrame:
         """IVF approximate search over a RESIDENT inverted file: centroids
         trained once (distributed MLlib KMeans, fixed seed), the cell
         assignment persisted and maintained on delete via the tombstone
         patch (ivf_delete — codebook untouched, the reference's
         index-maintenance contract). put/put_many invalidate for rebuild
         (a new vector may warrant a new codebook). Returns (id, score,
-        distance, rank) for the probed cells."""
+        distance, rank) for the probed cells.
+
+        `where` composes on the inverted file BEFORE within-cell scoring
+        (the filtered-probe mode, same structure as the gate query
+        ivf_filtered_topk): exact filtering with the index shared across
+        predicates — no over-fetch needed."""
         from vettore_spark.operators import ann as ANN
         from vettore_spark.operators.mllib_lsh import kmeans_centroids
 
@@ -628,6 +661,8 @@ class Collection:
             hit = (cents, assigned)
             cache[key] = hit
         cents, assigned = hit
+        if where is not None:
+            assigned = assigned.filter(where)
         queries_df = self.spark.createDataFrame(
             [("q0", q)], ["query_id", "query_vector"]
         )
@@ -638,14 +673,18 @@ class Collection:
         return out.select("id", "score", "distance", "rank")
 
     def sq_search(self, query: list[float], *, limit: int = 10,
-                  candidates: int = 100) -> DataFrame:
+                  candidates: int = 100, where=None) -> DataFrame:
         """Two-stage SQ8 scalar-quantization search (extension beyond the
         reference's binary quantization, between sign-bit and PQ on the
         compression spectrum): per-dim min/max trained once per collection
         state (invalidated on put/delete like the PQ index), scaled-integer
         L2 candidates over uint8 codes, exact rerank with the collection
         metric. Supported for l2/cosine collections (the candidate stage is
-        an L2 proxy — exact for l2, rank-preserving on unit-norm cosine)."""
+        an L2 proxy — exact for l2, rank-preserving on unit-norm cosine).
+
+        `where` restricts the CANDIDATE stage input (exact filtering: the
+        trained min/max bounds remain valid for any subset, so the shared
+        quantizer serves every predicate)."""
         from vettore_spark.operators import sq as SQ
 
         if self.config.metric not in ("l2", "euclidean", "cosine"):
@@ -660,7 +699,7 @@ class Collection:
             self.__dict__["_sq_params"] = params
         mins, maxs = params
         return SQ.sq_topk(
-            self._df, q, mins, maxs, k=limit, candidates=candidates,
+            self._where(where), q, mins, maxs, k=limit, candidates=candidates,
             id_col="id", vector_col="vector",
             metric=self.config.metric, score_mode=self.config.score,
         )
