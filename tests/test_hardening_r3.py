@@ -190,3 +190,18 @@ def test_where_filter_on_all_index_facades(spark):
               c.pq_search(q, limit=5, candidates=40, m=2, n_codes=8,
                           where=pred).collect()}
     assert got_pq and all(int(i[1:]) % 2 == 1 for i in got_pq)
+
+
+def test_multi_vector_search_where_filter(spark):
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "mvwf", 2, metric="cosine")
+    c.put_many([
+        {"id": "a", "vectors": [[1.0, 0.0], [0.9, 0.1]],
+         "metadata": {"grp": "x"}},
+        {"id": "b", "vectors": [[1.0, 0.0]], "metadata": {"grp": "y"}},
+    ])
+    got = c.multi_vector_search(
+        [[1.0, 0.0]], limit=2, where="metadata['grp'] = 'y'"
+    ).collect()
+    assert [r["id"] for r in got] == ["b"]

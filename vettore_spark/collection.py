@@ -720,7 +720,12 @@ class Collection:
         )
 
     def multi_vector_search(self, query_vectors: list[list[float]], *,
-                            metric: str | None = None, limit: int = 10) -> DataFrame:
+                            metric: str | None = None, limit: int = 10,
+                            where=None) -> DataFrame:
+        """MaxSim multi-vector top-k; `where` restricts candidate rows
+        BEFORE scoring like every other search facade (§2.2 filter
+        superset) — exact, since MaxSim is a full scan of the (filtered)
+        rows."""
         from vettore_spark.operators import multivector as MV
 
         self._check_open()
@@ -728,7 +733,7 @@ class Collection:
             if len(q) != self.config.dimensions:
                 raise ValueError("query dimension mismatch")
         return MV.maxsim_topk(
-            self.df, query_vectors, metric=metric or self.config.metric,
+            self._where(where), query_vectors, metric=metric or self.config.metric,
             k=limit, extra_cols=["value"],
         )
 
