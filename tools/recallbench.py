@@ -147,6 +147,21 @@ def main() -> int:
         )
         print(f"| {cand} | {overlap_l2(got):.3f} | {time.time() - t0:.2f} |")
 
+    # --- IVF-PQ: n_probe sweep at fixed m=8, 16 coarse cells --------------
+    coarse, books = PQ.ivfpq_train(sample, n_cells=16, m=8)
+    index_df = PQ.ivfpq_encode(emb, coarse, books)
+    index_df.persist().count()
+    print(f"\nIVF-PQ pure-ADC (16 cells, m=8, overlap@{K} vs exact L2)\n")
+    print("| n_probe | overlap@10 | sec |\n| --- | --- | --- |")
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        got = topk_sets(
+            PQ.ivfpq_topk(index_df, queries, coarse, books,
+                          n_probe=n_probe, k=K)
+            .withColumn("query_id", F.col("query_id").cast("long"))
+        )
+        print(f"| {n_probe} | {overlap_l2(got):.3f} | {time.time() - t0:.2f} |")
+
     spark.stop()
     return 0
 
