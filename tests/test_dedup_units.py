@@ -195,3 +195,31 @@ def test_minhash_dedup_against_flags_cross_corpus_neardups(spark):
     assert all(r["jac"] >= 0.5 for r in got)
     # intra-batch and intra-corpus pairs are never emitted
     assert all(r["doc_id"] in (10, 11) and r["corpus_id"] in (1, 2) for r in got)
+
+
+def test_minhash_dedup_against_consistent_with_union_pairs(spark):
+    """Cross-corpus near-dup detection must agree with running the same-
+    params LSH pair operator over the UNION corpus and keeping only the
+    cross-source pairs (at a threshold where banding recall is ~1)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated content that matches nothing else here")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, base + " nu"), (12, "fresh novel words only")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_id"], r["corpus_id"])
+        for r in D.minhash_dedup_against(new, corpus, threshold=0.8).collect()
+    }
+    union_pairs = D.minhash_lsh_pairs(
+        corpus.unionByName(new), threshold=0.8
+    ).collect()
+    cross = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]))
+        for r in union_pairs
+        if (r["doc_a"] < 10) != (r["doc_b"] < 10)  # one side in each corpus
+    }
+    assert got == cross and (10, 1) in got
