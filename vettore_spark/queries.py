@@ -4542,6 +4542,46 @@ LIMIT 100
 """
 
 
+def q_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-type event rollup via the two-phase salted aggregate
+    (plans/skew.py): event_type is a low-cardinality hot key (a handful of
+    values over the whole stream — the textbook skewed groupBy), so phase 1
+    pre-aggregates per (type, salt) across all partitions and phase 2
+    merges 16 rows per type. Results are EXACTLY the plain groupBy's
+    (sum/count/max are re-aggregatable), which is what the oracle checks."""
+    from vettore_spark.plans.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # per-row decimal quantization: the salted two-phase sum adds in a
+        # different order than any single-phase engine, so a floating sum
+        # could land on the other side of round(.,2); decimal sums are
+        # exact and order-free (the tpch_q10 trap)
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"value": "sum", "event_id": "count", "user_id": "max"},
+        salt_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+        F.col("count_event_id").cast("long").alias("n_events"),
+        F.col("max_user_id").cast("long").alias("max_user"),
+    )
+
+
+SQL_SALTED_EVENT_ROLLUP = """
+SELECT event_type,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+       count(event_id) AS n_events,
+       max(user_id) AS max_user
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style badwords filter over the synthetic vocab: docs with any
     'slow' or 'merge' token fail at max_fraction=0.01."""
@@ -4810,6 +4850,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_minhash_dedup_against,
         SQL_MINHASH_DEDUP_AGAINST,
     ),
+    "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED_EVENT_ROLLUP),
 }
 
 
