@@ -60,3 +60,19 @@ def test_tpch_q4_exists_is_left_semi(spark, qs):
     from multi-line orders, no subquery re-execution per row."""
     plan = _executed(qs["tpch_q4_exists"](spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_salted_rollup_is_two_phase(spark, qs):
+    """The salted aggregate must show TWO HashAggregate pairs (per-salt
+    partial phase, then the merge) with the second keyed only on the hot
+    key — the skew-splitting shape."""
+    plan = _executed(qs["salted_event_rollup"](spark, SF))
+    assert plan.count("HashAggregate") >= 4  # partial+final x two phases
+
+
+def test_minhash_dedup_against_no_cartesian(spark, qs):
+    """Cross-corpus near-dup must stay keyed on (band, bh) — never a
+    batch x corpus product."""
+    plan = _executed(qs["minhash_dedup_against"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
