@@ -223,3 +223,22 @@ def test_minhash_dedup_against_consistent_with_union_pairs(spark):
         if (r["doc_a"] < 10) != (r["doc_b"] < 10)  # one side in each corpus
     }
     assert got == cross and (10, 1) in got
+
+
+def test_paragraph_dedup_null_text_keeps_doc_row(spark):
+    """A NULL-text document must still appear in the output (zero units,
+    empty text), preserving the one-row-per-input-doc contract — the r4
+    advice fix for the posexplode NULL drop."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")],
+        "doc_id: long, text: string",
+    )
+    for scope in ("global", "doc"):
+        rows = {
+            r["doc_id"]: r
+            for r in D.paragraph_dedup(df, window=2, scope=scope).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[2]["text"] == "" and rows[2]["n_units"] == 0
+        assert rows[2]["n_dropped"] == 0
+        assert rows[1]["n_units"] == 2 and rows[1]["n_dropped"] == 0

@@ -1,0 +1,278 @@
+"""Round-4 hardening regressions: banded sign-prefix embedding near-dup
+(block cap + multi-band recall), capped PQ query-side collects, checkpoint
+file release in the connected-components loop, and the HNSW resident-shard
+durability ladder."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import dedup as D
+from vettore_spark.plans.checkpoint import durable_cut, release_cut
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _clear_checkpoint_dir(sc) -> None:
+    try:
+        empty = sc._jvm.scala.Option.empty()
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(empty)
+    except Exception:  # noqa: BLE001 — leave set; tests stay correct
+        pass
+
+
+# ---------------------------------------------------------------------------
+# banded embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def _banded_oracle(ids, mat, n_bits, n_bands, threshold):
+    """NumPy twin of embedding_neardup_banded: a pair is emitted iff its
+    sign prefixes agree in ANY band and the exact cosine >= threshold."""
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    keys = [
+        tuple(
+            sum(1 << i for i in range(n_bits) if mat[r, j * n_bits + i] > 0)
+            for j in range(n_bands)
+        )
+        for r in range(len(ids))
+    ]
+    out = set()
+    for a in range(len(ids)):
+        for b in range(len(ids)):
+            if not ids[a] < ids[b]:
+                continue
+            if not any(keys[a][j] == keys[b][j] for j in range(n_bands)):
+                continue
+            if float(norm[a] @ norm[b]) >= threshold:
+                out.add((ids[a], ids[b]))
+    return out
+
+
+def test_banded_neardup_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 16))
+    # plant near-dups: tiny perturbations keep signs (and cosine ~1)
+    for src, dst in [(0, 1), (2, 3), (4, 5)]:
+        mat[dst] = mat[src] + rng.normal(scale=1e-3, size=16)
+    ids = [f"d{i:02d}" for i in range(len(mat))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id: string, embedding: array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_banded(
+            df, n_bits=4, n_bands=2, threshold=0.9, max_block_size=None
+        ).collect()
+    }
+    want = _banded_oracle(ids, mat, 4, 2, 0.9)
+    assert got == want
+    assert {("d00", "d01"), ("d02", "d03"), ("d04", "d05")} <= got
+
+
+def test_banded_neardup_block_cap_drops_hot_blocks(spark):
+    """With max_block_size below every block's population, the quadratic
+    stage sees nothing and the result is empty — the hot-key escape hatch."""
+    rng = np.random.default_rng(8)
+    mat = np.abs(rng.normal(size=(12, 8)))  # all-positive: ONE block per band
+    df = spark.createDataFrame(
+        [(f"d{i}", [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id: string, embedding: array<double>",
+    )
+    capped = D.embedding_neardup_banded(
+        df, n_bits=4, n_bands=2, threshold=0.0, max_block_size=5
+    )
+    assert capped.count() == 0
+    uncapped = D.embedding_neardup_banded(
+        df, n_bits=4, n_bands=2, threshold=0.0, max_block_size=None
+    )
+    assert uncapped.count() == 12 * 11 // 2
+
+
+def test_banded_neardup_plan_caps_before_self_join(spark):
+    """Plan pin: the population filter (`_pop <= cap` behind a left-semi
+    membership join) must exist and the pair stage must stay an equi-join —
+    never a cartesian/nested-loop product."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _executed(
+        D.embedding_neardup_banded(
+            emb, n_bits=8, n_bands=2, threshold=0.35, max_block_size=100
+        )
+    )
+    assert "_pop" in plan, "block-population cap missing from the plan"
+    assert "LeftSemi" in plan, "cap must apply via semi-join before pairing"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PQ query-side collect caps
+# ---------------------------------------------------------------------------
+
+
+def _tiny_pq_setup(spark, n_queries):
+    codebooks = np.zeros((2, 4, 2))
+    codes = spark.createDataFrame(
+        [(1, [0, 0])], "vec_id: long, codes: array<int>"
+    )
+    queries = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(n_queries)],
+        "query_id: long, query_vector: array<double>",
+    )
+    return codes, queries, codebooks
+
+
+def test_pq_adc_topk_caps_query_collect(spark):
+    from vettore_spark.operators.pq import pq_adc_topk
+
+    codes, queries, books = _tiny_pq_setup(spark, 3)
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        pq_adc_topk(codes, queries, books, max_broadcast_queries=2)
+    # under the cap the same call works
+    assert pq_adc_topk(codes, queries, books, max_broadcast_queries=3).count() > 0
+
+
+def test_ivfpq_topk_caps_query_collect(spark):
+    from vettore_spark.operators.pq import ivfpq_topk
+
+    codes, queries, books = _tiny_pq_setup(spark, 3)
+    coarse = np.zeros((1, 4))
+    index = spark.createDataFrame(
+        [(1, 0, [0, 0])], "vec_id: long, cell: int, codes: array<int>"
+    )
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        ivfpq_topk(index, queries, coarse, books, max_broadcast_queries=2)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _rdd_dirs(root):
+    found = []
+    for r, dirs, _files in os.walk(root):
+        found.extend(os.path.join(r, d) for d in dirs if d.startswith("rdd-"))
+    return found
+
+
+def test_durable_cut_eager_records_and_releases_files(spark, tmp_path):
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ck1"))
+    try:
+        df = spark.range(100)
+        cut = durable_cut(df, eager=True)
+        dirs = cut.__dict__.get("_vettore_ckpt_dirs")
+        assert dirs, "eager reliable cut must record its rdd-* dirs"
+        assert all(os.path.exists(d.replace("file:", "")) for d in dirs)
+        assert cut.count() == 100
+        release_cut(cut)
+        assert not any(os.path.exists(d.replace("file:", "")) for d in dirs)
+    finally:
+        _clear_checkpoint_dir(sc)
+
+
+def test_cc_releases_previous_round_checkpoints(spark, tmp_path):
+    """The loop must not leak O(rounds) checkpoint copies: at exit only the
+    raw cut and the final round(s) remain, regardless of iteration count."""
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck2")
+    sc.setCheckpointDir(ckdir)
+    try:
+        # a 24-node chain needs several large/small-star rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(24)], "doc_a: int, doc_b: int"
+        )
+        got = {
+            (r["id"], r["component"])
+            for r in D.connected_components(pairs).collect()
+        }
+        assert got == {(i, 0) for i in range(25)}
+        remaining = _rdd_dirs(ckdir)
+        assert len(remaining) <= 3, (
+            f"checkpoint files leaked: {len(remaining)} rdd dirs remain"
+        )
+    finally:
+        _clear_checkpoint_dir(sc)
+
+
+def test_hnsw_shard_patch_routes_through_durable_cut(spark, monkeypatch):
+    """collection.put/delete shard patches must take the durability ladder,
+    not a raw localCheckpoint (a lost executor would orphan the resident
+    shards with no lineage to recompute)."""
+    from vettore_spark import collection as C
+
+    calls = []
+    real = C.durable_cut
+
+    def spy(df, **kw):
+        calls.append(kw)
+        return real(df, **kw)
+
+    monkeypatch.setattr(C, "durable_cut", spy)
+    rng = np.random.default_rng(11)
+    rows = [
+        {"id": f"v{i}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(20)
+    ]
+    c = C.Collection.create(spark, "hn_r4", 6, metric="l2").put_many(rows)
+    c.hnsw_search(rows[0]["vector"], limit=3, ef_search=10_000).collect()
+    assert c.__dict__.get("_hnsw_shards")
+
+    calls.clear()
+    c.put({"id": "fresh", "vector": [float(x) for x in rng.normal(size=6)]})
+    assert calls, "put shard patch bypassed durable_cut"
+
+    calls.clear()
+    c.delete("fresh")
+    assert calls, "delete shard patch bypassed durable_cut"
+
+
+def test_snapshot_detects_content_tampered_index(spark, tmp_path):
+    """Row-count-preserving tampering (edited blobs, rewired graph) must
+    fail the manifest's CONTENT fingerprint and skip the index — the r4
+    upgrade over the count-only check."""
+    import warnings
+
+    from pyspark.sql import functions as SF
+
+    from vettore_spark import Collection
+
+    c = Collection.create(spark, "tamper_r4", 4, metric="cosine")
+    c.put_many(
+        [{"id": f"v{i}", "vector": [1.0, float(i % 3), float(i), 0.5]}
+         for i in range(30)]
+    )
+    q = [1.0, 1.0, 5.0, 0.5]
+    want = [r["id"] for r in c.hnsw_search(q, limit=5, num_partitions=2).collect()]
+    path = str(tmp_path / "snap")
+    c.snapshot(path, include_indexes=True)
+
+    idx_dir = os.path.join(path, "index_hnsw", "k0")
+    shards = spark.read.parquet(idx_dir)
+    n = shards.count()
+    # same row count, corrupted blob content
+    tampered = spark.createDataFrame(
+        shards.select(
+            "shard_id",
+            SF.concat(SF.col("shard"), SF.lit(b"\x00")).alias("shard"),
+        ).collect(),
+        shards.schema,
+    )
+    assert tampered.count() == n
+    tampered.write.mode("overwrite").parquet(idx_dir)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        c2 = Collection.load_snapshot(spark, path)
+    assert any("integrity" in str(w.message) for w in caught)
+    assert not c2.__dict__.get("_hnsw_shards"), "tampered index was installed"
+    got = [r["id"] for r in c2.hnsw_search(q, limit=5, num_partitions=2).collect()]
+    assert got == want

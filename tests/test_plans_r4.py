@@ -1,0 +1,68 @@
+"""Round-4 physical-plan pins: the replicate-salt join and the banded
+sign-prefix near-dup gate query."""
+
+from __future__ import annotations
+
+import pytest
+
+from vettore_spark.queries import queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_user_join_spreads_key_over_salts(spark, qs):
+    """The join must be keyed on (user_id, _salt) with the dimension
+    replicated via explode — the shape that spreads a hot user over
+    n_salt reducers; never a plain single-key join (which AQE cannot
+    split for one hot group) and never a cartesian."""
+    plan = _executed(qs["salted_user_join"](spark, SF))
+    assert "_salt" in plan, "salt key missing from the join"
+    assert "Generate" in plan, "dimension replication (explode) missing"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salt_join_equals_plain_join(spark):
+    """Unit-level oracle: the replicate-salt join returns exactly the
+    plain join's rows, including hot-key multiplicity."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark.plans.skew import salt_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([1] * 3 + [2])],
+        "k: long, payload: long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k: long, tag: string"
+    )
+    got = (
+        salt_join(big, small, "k", salt_col="payload", n_salt=4)
+        .groupBy("k", "tag")
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+    )
+    want = (
+        big.join(small, "k")
+        .groupBy("k", "tag")
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_embedding_neardup_blocked_gate_query_plan(spark, qs):
+    """The 8-bit x 4-band gate query: equi-join on (band, key) only —
+    no cartesian, population cap present."""
+    plan = _executed(qs["embedding_neardup_blocked"](spark, SF))
+    assert "_pop" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -156,7 +156,11 @@ def main() -> int:
         if only and name not in only:
             continue
         results[name] = {}
-        for k in (1, 4, 16):
+        scales = tuple(
+            int(x)
+            for x in os.environ.get("SCALEBENCH_SCALES", "1,4,16").split(",")
+        )
+        for k in scales:
             CURRENT_K = k
             PC.clear()  # cold: include index/persist build
             docs = replicated(docs0, k, "doc_id")
@@ -166,7 +170,8 @@ def main() -> int:
             results[name][k] = dt
             print(f"{name:16s} {k:2d}x  {dt:7.2f}s  rows={n}", flush=True)
         r = results[name]
-        print(f"{name:16s} ratio16x = {r[16] / r[1]:.1f}x", flush=True)
+        top = max(r)
+        print(f"{name:16s} ratio{top}x = {r[top] / r[min(r)]:.1f}x", flush=True)
     spark.stop()
     return 0
 

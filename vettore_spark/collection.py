@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vettore_spark.functions import kernels as K
+from vettore_spark.plans.checkpoint import durable_cut
 
 EMBEDDING_SCHEMA = T.StructType(
     [
@@ -330,11 +331,15 @@ class Collection:
 
             rid = row.get("id") or row.get("value")
             vec = self._stored_vector(row)
+            # durability ladder, not a raw localCheckpoint: on a cluster a
+            # lost executor must not orphan the patched resident shards
+            # with no lineage to recompute (plans/checkpoint.py)
             self.__dict__["_hnsw_shards"] = {
                 k: (
-                    H.insert_into_graph_shards(
-                        sh, rid, vec, shard_ids=sids
-                    ).localCheckpoint(eager=False),
+                    durable_cut(
+                        H.insert_into_graph_shards(sh, rid, vec, shard_ids=sids),
+                        eager=False,
+                    ),
                     sids,
                 )
                 for k, (sh, sids) in resident.items()
@@ -377,7 +382,9 @@ class Collection:
 
             self.__dict__["_hnsw_shards"] = {
                 k: (
-                    H.delete_from_graph_shards(sh, id_).localCheckpoint(eager=False),
+                    durable_cut(
+                        H.delete_from_graph_shards(sh, id_), eager=False
+                    ),
                     sids,
                 )
                 for k, (sh, sids) in resident.items()
@@ -741,6 +748,29 @@ class Collection:
 
     _SNAPSHOT_FORMATS = ("parquet", "json", "csv")
 
+    @staticmethod
+    def _table_fingerprint(df: DataFrame) -> tuple[int, int]:
+        """(rows, content checksum) for an index table: bit_xor of
+        xxhash64 over EVERY column (order-insensitive across partitioning
+        and row order — the same aggregate as the data-dir sidecar). A
+        hand-replaced or corrupted index with an unchanged row count
+        (edited vectors, rewired graph edges) fails this, where a
+        count-only check would install it silently. Map columns hash as
+        map_entries (Spark prohibits hashing maps directly; entry order is
+        preserved through the parquet round-trip, so the fingerprint is
+        stable between write and load)."""
+        cols = [
+            F.map_entries(c) if isinstance(df.schema[c].dataType, T.MapType)
+            else F.col(c)
+            for c in sorted(df.columns)
+        ]
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("ck"),
+        ).collect()[0]
+        # empty table: bit_xor over zero rows is NULL — pin to 0
+        return row["n"], (0 if row["ck"] is None else row["ck"])
+
     def snapshot(self, path: str, *, format: str = "parquet",
                  include_indexes: bool = False) -> None:
         """Persist: data dir (atomic commit) + config JSON sidecar
@@ -791,11 +821,13 @@ class Collection:
                 shards.write.mode("overwrite").parquet(sub)
                 # per-index integrity: the data-dir sidecar does not cover
                 # index dirs, so a tampered/hand-replaced index would load
-                # silently and serve wrong results — record row count at
-                # write time and verify before installing on load
+                # silently and serve wrong results — record rows AND a
+                # content fingerprint at write time, verified before
+                # installing on load
+                n, ck = self._table_fingerprint(shards)
                 manifest.append(
                     {"dir": f"k{i}", "key": list(key), "shard_ids": sids,
-                     "rows": shards.count()}
+                     "rows": n, "checksum": ck}
                 )
             if manifest:
                 cfg["_hnsw_indexes"] = manifest
@@ -811,10 +843,12 @@ class Collection:
                 assigned.write.mode("overwrite").parquet(
                     os.path.join(sub, "assigned")
                 )
+                cn, cck = self._table_fingerprint(cents)
+                an, ack = self._table_fingerprint(assigned)
                 ivf_manifest.append(
                     {"dir": f"k{i}", "key": list(key),
-                     "centroid_rows": cents.count(),
-                     "assigned_rows": assigned.count()}
+                     "centroid_rows": cn, "centroid_checksum": cck,
+                     "assigned_rows": an, "assigned_checksum": ack}
                 )
             if ivf_manifest:
                 cfg["_ivf_indexes"] = ivf_manifest
@@ -909,11 +943,16 @@ class Collection:
                     os.path.join(path, "index_hnsw", ent["dir"])
                 )
                 want = ent.get("rows")
-                if want is not None and shards.count() != want:
+                want_ick = ent.get("checksum")
+                n, ck = cls._table_fingerprint(shards)
+                if (want is not None and n != want) or (
+                    want_ick is not None and ck != want_ick
+                ):
                     warnings.warn(
                         f"snapshot HNSW index {ent['dir']} failed integrity "
-                        f"check (expected {want} rows); skipping — the index "
-                        "will rebuild from canonical rows",
+                        f"check (rows/content fingerprint mismatch); "
+                        "skipping — the index will rebuild from canonical "
+                        "rows",
                         stacklevel=2,
                     )
                     continue
@@ -926,8 +965,15 @@ class Collection:
                 assigned = spark.read.parquet(os.path.join(sub, "assigned"))
                 want_c = ent.get("centroid_rows")
                 want_a = ent.get("assigned_rows")
-                if (want_c is not None and cents.count() != want_c) or (
-                    want_a is not None and assigned.count() != want_a
+                want_cck = ent.get("centroid_checksum")
+                want_ack = ent.get("assigned_checksum")
+                cn, cck = cls._table_fingerprint(cents)
+                an, ack = cls._table_fingerprint(assigned)
+                if (
+                    (want_c is not None and cn != want_c)
+                    or (want_a is not None and an != want_a)
+                    or (want_cck is not None and cck != want_cck)
+                    or (want_ack is not None and ack != want_ack)
                 ):
                     warnings.warn(
                         f"snapshot IVF index {ent['dir']} failed integrity "

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vettore_spark.plans.cache import cached_persist as _cached_persist
-from vettore_spark.plans.checkpoint import durable_cut
+from vettore_spark.plans.checkpoint import durable_cut, release_cut
 
 
 def tokens(text: Column | str) -> Column:
@@ -142,10 +142,23 @@ def paragraph_dedup(
     input."""
     if scope not in ("global", "doc"):
         raise ValueError("scope must be 'global' or 'doc'")
-    units = df.select(
+    # NULL text -> zero units, NOT a vanished document: unit_chunks is NULL
+    # on NULL input and a plain posexplode would emit no row, silently
+    # dropping the doc from the (id, text, n_units, n_dropped) contract.
+    # Totals come from the chunk ARRAY (size), so zero-unit docs keep an
+    # output row with n_units = 0 and empty text.
+    # the guard must test the COLUMN, not the chunk expression: greatest()
+    # and concat_ws() swallow NULLs inside unit_chunks, so a NULL text
+    # produces [''] rather than NULL and coalesce would never fire
+    src = df.select(
         F.col(id_col),
-        F.posexplode(unit_chunks(text_col, delimiter=delimiter, window=window))
-        .alias("_cid", "_chunk"),
+        F.when(F.col(text_col).isNull(), F.array().cast("array<string>"))
+        .otherwise(unit_chunks(text_col, delimiter=delimiter, window=window))
+        .alias("_chunks"),
+    )
+    units = src.select(
+        F.col(id_col),
+        F.posexplode("_chunks").alias("_cid", "_chunk"),
     )
     group = [F.md5("_chunk").alias("_h")]
     if scope == "doc":
@@ -177,7 +190,9 @@ def paragraph_dedup(
         ).alias("_text"),
         F.count("*").alias("_n_kept"),
     )
-    totals = units.groupBy(id_col).agg(F.count("*").alias("n_units"))
+    totals = src.groupBy(id_col).agg(
+        F.sum(F.size("_chunks")).cast("long").alias("n_units")
+    )
     return totals.join(kept, on=id_col, how="left").select(
         F.col(id_col),
         F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
@@ -767,6 +782,7 @@ def connected_components(
 
     e = edges
     prev_sig = None
+    prev_cut = None
     for _ in range(max_iter):
         # large-star: connect every strictly-larger neighbor of u to the
         # minimum of u's full neighborhood (including u itself)
@@ -791,6 +807,12 @@ def connected_components(
             .distinct()
         )
         e = durable_cut(e, eager=True)
+        # the new round's cut is materialized (eager): the previous
+        # round's checkpoint files are now unreachable — delete them so
+        # the loop does not leak O(rounds) edge-set copies on HDFS/S3
+        # (plans/checkpoint.py); no-op on local masters
+        release_cut(prev_cut)
+        prev_cut = e
         row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
@@ -852,10 +874,18 @@ def embedding_neardup_pairs(
     vector_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.9,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. With `block_col`, pairs are only
     formed within a block (e.g. an LSH bucket or cluster assignment) — the
     scale path; without it this is an all-pairs product (small inputs only).
+
+    `max_block_size` drops blocks whose population exceeds the cap BEFORE
+    the within-block self-join — the same hot-key escape hatch as
+    `minhash_lsh_pairs(max_bucket_size=...)`: one over-populated block
+    (a degenerate cluster, an all-zeros LSH bucket) otherwise emits
+    O(pop²) pairs and dominates the stage. Mandatory at corpus scale;
+    default None preserves exact within-block semantics for small inputs.
     """
     from vettore_spark.functions import kernels as K
 
@@ -864,6 +894,19 @@ def embedding_neardup_pairs(
         K.normalize_l2(vector_col).alias("_v"),
     )
     bcol = block_col if block_col else "_blk"
+    if max_block_size is not None and block_col is not None:
+        # population pre-filter: aggregate block sizes (map-side partial
+        # combine — one long per block), keep blocks under the cap, and
+        # semi-join the membership back. AQE broadcasts the kept-block
+        # list when it is small; the filter runs BEFORE the self-join so
+        # the quadratic stage never sees a hot block.
+        keep = (
+            norm.groupBy(bcol)
+            .agg(F.count("*").alias("_pop"))
+            .filter(F.col("_pop") <= max_block_size)
+            .select(bcol)
+        )
+        norm = norm.join(keep, bcol, "left_semi")
     cols = norm.columns
     a = norm.select(*[F.col(c).alias(f"a_{c}") for c in cols])
     b = norm.select(*[F.col(c).alias(f"b_{c}") for c in cols])
@@ -884,6 +927,71 @@ def embedding_neardup_pairs(
             "sim",
         )
     )
+
+
+def embedding_neardup_banded(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    n_bits: int = 8,
+    n_bands: int = 2,
+    threshold: float = 0.9,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """Multi-band sign-prefix blocked embedding near-dup — the corpus-scale
+    approximate path (reference analogy: sign-bit candidate generation,
+    `native/vettore/src/search.rs:76-92` + `distances.rs:413-423`; banding
+    per the MinHash-LSH recall mechanism, Broder et al.).
+
+    Band j blocks on the signs of dims [j*n_bits, (j+1)*n_bits) — each of
+    the `n_bands` rotated prefixes is an independent 2^n_bits-way blocking,
+    and a pair is a candidate if it collides in ANY band, so miss
+    probability multiplies across bands: P(miss) = prod_j P(some sign in
+    band j differs). Scale n_bits with log2(corpus): 2^n_bits blocks keeps
+    expected block population n / 2^n_bits bounded; add bands to buy back
+    the recall each extra bit costs. Deterministic (no random projections)
+    so a SQL oracle reproduces the exact blocking.
+
+    Plan shape: one explode (n_bands rows per doc) -> capped within-block
+    self-join on (band, key) -> exact-cosine verify inline -> pair dedup by
+    max(sim) (identical across bands; the groupBy collapses multi-band
+    collisions). No cartesian anywhere; the `max_block_size` population
+    filter runs before the quadratic stage (see embedding_neardup_pairs).
+    """
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(j).alias("_band"),
+            sum(
+                (
+                    F.when(
+                        F.element_at(vector_col, j * n_bits + i + 1) > 0, 1 << i
+                    ).otherwise(0)
+                    for i in range(n_bits)
+                ),
+                start=F.lit(0),
+            ).alias("_key"),
+        )
+        for j in range(n_bands)
+    ])
+    src = df.select(
+        F.col(id_col), F.col(vector_col), F.explode(bands_arr).alias("_bk")
+    ).select(
+        id_col,
+        vector_col,
+        F.concat_ws(":", F.col("_bk._band"), F.col("_bk._key")).alias("_blk"),
+    )
+    pairs = embedding_neardup_pairs(
+        src,
+        id_col=id_col,
+        vector_col=vector_col,
+        block_col="_blk",
+        threshold=threshold,
+        max_block_size=max_block_size,
+    )
+    # collapse multi-band collisions: sim is the same expression over the
+    # same normalized vectors in every band, so max == the value
+    return pairs.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
 
 
 def substring_gram_pairs(

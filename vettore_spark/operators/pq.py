@@ -40,6 +40,32 @@ from pyspark.sql import types as T
 from vettore_spark.operators.ann import _matrix
 
 
+def _collect_queries(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    max_broadcast_queries: int,
+) -> list:
+    """Capped query-side collect (the brute_force_topk fail-fast pattern,
+    ann.py — limit applied BEFORE the collect bounds driver memory): a
+    collection-sized query DataFrame must fail fast pointing at the
+    blocked no-collect path, never silently OOM the driver."""
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_broadcast_queries:
+        raise ValueError(
+            f"query set exceeds max_broadcast_queries={max_broadcast_queries} "
+            "for the broadcast ADC LUT; a driver collect at this size is the "
+            "scale failure mode — batch the query set, or use self_knn_topk /"
+            " cosine_neardup_blocked (block-grid, no collect) for "
+            "collection-vs-collection workloads"
+        )
+    return qrows
+
+
 def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """All-pairs squared L2 between rows of x and rows of cent via the
     expansion ||x||^2 - 2x·c + ||c||^2 (one GEMM, no materialized diffs)."""
@@ -157,6 +183,7 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
     round_digits: int | None = 5,
+    max_broadcast_queries: int = 65536,
 ) -> DataFrame:
     """Asymmetric-distance top-k over the compressed code table: per query
     a [m x n_codes] LUT of squared subspace distances, each row costs m
@@ -167,7 +194,9 @@ def pq_adc_topk(
     then broken by id) so orderings are reproducible across engines
     regardless of float summation order."""
     spark = codes_df.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = _collect_queries(
+        queries, query_id_col, query_vec_col, max_broadcast_queries
+    )
     qids = [r[query_id_col] for r in qrows]
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
     bc = spark.sparkContext.broadcast((qids, qmat, codebooks))
@@ -302,6 +331,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
     round_digits: int | None = 5,
+    max_broadcast_queries: int = 65536,
 ) -> DataFrame:
     """IVF-PQ ADC search: probe each query's `n_probe` nearest cells and
     rank rows there by the residual-PQ approximate L2. Per (query, probed
@@ -312,7 +342,9 @@ def ivfpq_topk(
 
     Rank order uses the ROUNDED distance + id tie-break (engine-stable)."""
     spark = index_df.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = _collect_queries(
+        queries, query_id_col, query_vec_col, max_broadcast_queries
+    )
     qids = [r[query_id_col] for r in qrows]
     if not qids:  # empty query set -> empty result
         empty_schema = T.StructType(

@@ -17,6 +17,21 @@ This ladder is the policy ``Collection.put_many`` applies to the canonical
 row store (collection.py); ``durable_cut`` shares it with every other
 lineage-cut site so an iterative job does not silently downgrade
 durability on a cluster.
+
+Two cluster-cost details the naive ``df.checkpoint()`` call gets wrong:
+
+1. **Double compute.** A reliable checkpoint materializes the plan once
+   for the eager count and AGAIN to write the checkpoint files (the RDD
+   checkpoint write re-runs the lineage after the action). Eager cuts
+   therefore persist() first — the write then reads the cached blocks —
+   and unpersist once the checkpoint is materialized.
+2. **File accumulation.** Spark never deletes checkpoint files unless
+   ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (and even
+   then only on GC of the RDD). An iterative loop that cuts every round
+   leaks O(rounds) edge-set copies on HDFS/S3 for the application
+   lifetime. Eager reliable cuts record the rdd-* directories they
+   created; ``release_cut(df)`` deletes them once the NEXT cut is
+   materialized and the previous round's data is unreachable.
 """
 
 from __future__ import annotations
@@ -26,6 +41,31 @@ import warnings
 from pyspark.sql import DataFrame
 
 _warned = False
+
+# attribute stashed on cut DataFrames: tuple(checkpoint rdd-dirs created)
+_CKPT_ATTR = "_vettore_ckpt_dirs"
+
+
+def _fs_and_path(sc, dir_str: str):
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dir_str)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _checkpoint_file_of(cut: DataFrame) -> tuple[str, ...]:
+    """The reliable-checkpoint directory backing a just-checkpointed
+    DataFrame, read off its LogicalRDD — exact attribution (a concurrent
+    lazy checkpoint materializing in the same window is someone else's
+    file and must never be swept up). Empty when the internals are not
+    reachable: release then degrades to a no-op, never a wrong delete."""
+    try:
+        f = cut._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        if f.isDefined():
+            return (f.get(),)
+    except Exception:  # internal API drift -> skip cleanup, stay correct
+        pass
+    return ()
 
 
 def durable_cut(df: DataFrame, *, eager: bool = False) -> DataFrame:
@@ -38,11 +78,28 @@ def durable_cut(df: DataFrame, *, eager: bool = False) -> DataFrame:
     checkpoint — taken, but with a one-time warning, because a lost
     executor then fails the job mid-iteration (the caller should
     ``sc.setCheckpointDir(...)`` in production).
+
+    Eager reliable cuts persist() the input first so the checkpoint write
+    reads cached blocks instead of recomputing the plan, and tag the
+    returned DataFrame with the rdd-* directories the cut created so an
+    iterative caller can ``release_cut`` the previous round's files.
     """
     global _warned
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+    ckpt_dir = sc.getCheckpointDir()
+    if ckpt_dir is not None:
+        if eager:
+            cached = df.persist()
+            try:
+                cut = cached.checkpoint(eager=True)
+            finally:
+                cached.unpersist()
+            cut.__dict__[_CKPT_ATTR] = _checkpoint_file_of(cut)
+            return cut
+        # lazy cut: materialization happens at the caller's first action,
+        # so there is no window to persist/unpersist around; the write
+        # recomputes once — acceptable for cuts that may never be used
+        return df.checkpoint(eager=False)
     if sc.master.startswith("local"):
         return df.localCheckpoint(eager=eager)
     if not _warned:
@@ -55,3 +112,23 @@ def durable_cut(df: DataFrame, *, eager: bool = False) -> DataFrame:
         )
         _warned = True
     return df.localCheckpoint(eager=eager)
+
+
+def release_cut(df: DataFrame | None) -> None:
+    """Delete the reliable-checkpoint files a previous ``durable_cut``
+    created for `df`, once nothing references its rows anymore (i.e. the
+    NEXT cut is materialized). No-op for local/lazy cuts and for
+    DataFrames that were never cut."""
+    if df is None:
+        return
+    dirs = df.__dict__.get(_CKPT_ATTR)
+    if not dirs:
+        return
+    sc = df.sparkSession.sparkContext
+    for d in dirs:
+        try:
+            fs, path = _fs_and_path(sc, d)
+            fs.delete(path, True)
+        except Exception:  # cleanup must never fail the job
+            pass
+    df.__dict__[_CKPT_ATTR] = ()

@@ -4338,43 +4338,59 @@ FROM norm
 
 
 def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-scale APPROXIMATE embedding near-dup path: pairs are only
-    formed inside a sign-bit LSH block (first 4 dims' signs — deterministic,
-    so the oracle reproduces the exact same blocking), then exact-cosine
-    verified. The quadratic term is bounded per block; recall vs the exact
-    all-pairs set is whatever the sign prefix gives (2/14 exact pairs at
-    sf0.01 — a 0.45-cosine "near-dup" disagrees on many signs; real
-    corpora dedup at 0.9+, where sign agreement and recall are far
-    higher, and more bands/rotations recover the rest exactly as in
-    MinHash banding). Complements `embedding_neardup` (exact block-grid
-    GEMM) as the 100 TB path."""
+    """The corpus-scale APPROXIMATE embedding near-dup path: multi-band
+    sign-prefix blocking (8 bits x 2 rotated bands — deterministic, so the
+    oracle reproduces the exact same blocking), capped block population
+    (`max_block_size` — can't bind at sf0.01 where max block << cap, so
+    the oracle needn't model it), exact-cosine verify inside blocks only.
+    2^8 = 256 blocks per band bounds the quadratic term; each extra band
+    multiplies away misses exactly as MinHash banding does. Recall vs the
+    exact all-pairs set at each (n_bits, n_bands) is tabulated in SCALE.md
+    (synthetic embeddings are near-orthogonal, so sign-agreement recall at
+    threshold 0.35 is the floor; real 0.9+ near-dups agree on nearly all
+    signs). Complements `embedding_neardup` (exact block-grid GEMM) as the
+    100 TB path."""
     emb = _t(spark, sf_dir, "embeddings")
-    blk = None
-    for i in range(4):
-        bit = F.when(F.element_at("embedding", i + 1) > 0, 1 << i).otherwise(0)
-        blk = bit if blk is None else blk + bit
-    src = emb.withColumn("_b", blk)
-    out = D.embedding_neardup_pairs(
-        src, id_col="vec_id", vector_col="embedding", block_col="_b",
-        threshold=0.45,
+    out = D.embedding_neardup_banded(
+        emb, id_col="vec_id", vector_col="embedding",
+        n_bits=8, n_bands=4, threshold=0.35, max_block_size=10_000,
     )
     return _round(out, {"sim": 5})
 
 
-SQL_EMBEDDING_NEARDUP_BLOCKED = """
+def _sql_sign_key(first_dim: int, n_bits: int) -> str:
+    """CASE-sum sign-prefix key over dims [first_dim, first_dim+n_bits),
+    1-indexed — textual twin of the banded blocking in
+    dedup.embedding_neardup_banded."""
+    return "\n       + ".join(
+        f"(CASE WHEN embedding[{first_dim + i}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+SQL_EMBEDDING_NEARDUP_BLOCKED = f"""
 WITH n AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
              x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS b
-  FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v), 5) AS sim
-FROM n a JOIN n b ON a.b = b.b
-WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45
+         {_sql_sign_key(1, 8)} AS k0,
+         {_sql_sign_key(9, 8)} AS k1,
+         {_sql_sign_key(17, 8)} AS k2,
+         {_sql_sign_key(25, 8)} AS k3
+  FROM embeddings),
+b AS (
+  SELECT vec_id, v, 0 AS band, k0 AS key FROM n
+  UNION ALL
+  SELECT vec_id, v, 1 AS band, k1 AS key FROM n
+  UNION ALL
+  SELECT vec_id, v, 2 AS band, k2 AS key FROM n
+  UNION ALL
+  SELECT vec_id, v, 3 AS band, k3 AS key FROM n)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(max(list_dot_product(a.v, b2.v)), 5) AS sim
+FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+WHERE a.vec_id < b2.vec_id AND list_dot_product(a.v, b2.v) >= 0.35
+GROUP BY 1, 2
 """
 
 
@@ -4582,6 +4598,50 @@ GROUP BY event_type
 """
 
 
+def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact x dimension join via `salt_join` (plans/skew.py — the
+    second skew primitive): events is the big side, a per-user weight
+    dimension the small-but-not-broadcastable side, and a hot user (a bot
+    account at 100 TB) would pin the whole join key to one reducer. The
+    replicate-salt join spreads each key over n_salt partitions; results
+    are EXACTLY the plain join's (each big row matches the one replica
+    carrying its salt), which is what the oracle checks — decimal sums so
+    the salted addition order cannot move a round boundary."""
+    from vettore_spark.plans.skew import salt_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("weight", (F.col("user_id") % 7).cast("long"))
+    )
+    joined = salt_join(ev, dim, "user_id", salt_col="event_id", n_salt=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("weight").cast("long").alias("sum_weight"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SALTED_USER_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT user_id, CAST(user_id % 7 AS BIGINT) AS weight FROM events
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(d.weight) AS BIGINT) AS sum_weight,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style badwords filter over the synthetic vocab: docs with any
     'slow' or 'merge' token fail at max_fraction=0.01."""
@@ -4704,17 +4764,81 @@ WHERE l_partkey = p_partkey
 # ---------------------------------------------------------------------------
 
 # Registration ORDER matters: the driver's correctness gate runs only the
-# first 50 entries per round. Round-2 rotation: the relational/temporal
-# block (ungated in round 1) moves into the window; 15 queries that already
-# earned a green CORRECTNESS_r01 row (flat cosine/dot, packed jaccard,
-# score-mode, multi-query, prefix, maxsim, mean-vector, normalize, signbit,
-# dedup_exact, quality/text/lang/fingerprint) rotate to the tail so every
-# registered query has a green row in some round's CORRECTNESS file.
+# first 50 entries per round. Rotation happens ONCE, at round START, never
+# mid-round. Round-4 rotation (per the round-3 verdict): the 13 round-3
+# additions (selfcheck-only so far) take slots 1-13; slots 14-50 are
+# regression re-checks prioritizing the round-3 fix surfaces
+# (minhash_lsh_pairs broadcast removal, neardup_clusters durable_cut,
+# simhash variance closure), the approximate-search family, the TPC-H r2
+# block, and the oldest r1 greens not re-gated since round 1. With
+# CORRECTNESS_r04 green, every one of the 125 registered queries has a
+# driver-green row in some round's CORRECTNESS file.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- r3 gate window (first 50): the 37 queries with no driver
-    # CORRECTNESS row yet (r1+r2 gated the other 75), rotated to the
-    # front at round-3 START per the round-2 verdict; slots 38-50 are
-    # regression re-checks of the round-2 fixes. ---
+    # --- slots 1-13: round-3 additions, first driver gating ---
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "paragraph_dedup_doc": (q_paragraph_dedup_doc, SQL_PARAGRAPH_DEDUP_DOC),
+    "cross_corpus_dedup": (q_cross_corpus_dedup, SQL_CROSS_CORPUS_DEDUP),
+    "minhash_dedup_against": (
+        q_minhash_dedup_against,
+        SQL_MINHASH_DEDUP_AGAINST,
+    ),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "embedding_neardup_blocked": (
+        q_embedding_neardup_blocked,
+        SQL_EMBEDDING_NEARDUP_BLOCKED,
+    ),
+    "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED_EVENT_ROLLUP),
+    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q18_volume": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19_bands": (q_tpch_q19, SQL_TPCH_Q19),
+    # --- slots 14-20: round-3 fix-surface re-checks ---
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
+    "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
+    "funnel_topk": (q_funnel_topk, SQL_FUNNEL_TOPK),
+    # --- slot 21: pq_adc_topk re-gated because the round-4 collect-cap
+    # fix touches its code path (pq.py) ---
+    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    # --- slots 22-32: TPC-H / relational r2 block re-checks ---
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14_PROMO),
+    "supplier_nation_revenue": (q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE),
+    "customers_without_big_orders": (q_customers_without_big_orders, SQL_CUSTOMERS_WITHOUT_BIG_ORDERS),
+    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
+    "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
+    "orders_above_cust_avg": (q_orders_above_cust_avg, SQL_ORDERS_ABOVE_CUST_AVG),
+    "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
+    "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    # --- slots 33-47: oldest r1 greens, not re-gated since round 1 ---
+    "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
+    "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
+    "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
+    "similarity_score_mode": (q_similarity_score_mode, SQL_SIMILARITY_SCORE_MODE),
+    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
+    "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
+    "maxsim_label_topk": (q_maxsim_label_topk, SQL_MAXSIM_LABEL_TOPK),
+    "mean_vector_by_label": (q_mean_vector_by_label, SQL_MEAN_VECTOR_BY_LABEL),
+    "normalize_stats": (q_normalize_stats, SQL_NORMALIZE_STATS),
+    "signbit_popcount": (q_signbit_popcount, SQL_SIGNBIT_POPCOUNT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # --- slots 48-50: remaining r1/r2 greens longest out of window ---
+    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    # --- past the 50-entry gate window: driver-greens (r1/r2/r3) with
+    # untouched implementations ---
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "user_event_features": (q_user_event_features, SQL_USER_EVENT_FEATURES),
     "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
@@ -4752,7 +4876,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "label_dispersion": (q_label_dispersion, SQL_LABEL_DISPERSION),
-    # --- slots 38-50: r2-fix regression re-checks ---
     "train_shards": (q_train_shards, SQL_TRAIN_SHARDS),
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
     "muvera_fde_retrieval": (q_muvera_fde_retrieval, SQL_MUVERA_FDE_RETRIEVAL),
@@ -4766,18 +4889,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "ann_brp_lsh_topk": (q_ann_brp_lsh_topk, SQL_ANN_BRP_LSH_TOPK),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
-    # --- past the 50-entry gate window: r1/r2 driver-greens with
-    # untouched implementations ---
     "flat_topk_l2": (q_flat_topk_l2, SQL_FLAT_TOPK_L2),
     "filtered_topk": (q_filtered_topk, SQL_FILTERED_TOPK),
     "flat_topk_manhattan": (q_flat_topk_manhattan, SQL_FLAT_TOPK_MANHATTAN),
     "flat_topk_chebyshev": (q_flat_topk_chebyshev, SQL_FLAT_TOPK_CHEBYSHEV),
     "flat_topk_jaccard": (q_flat_topk_jaccard, SQL_FLAT_TOPK_JACCARD),
     "flat_topk_hamming": (q_flat_topk_hamming, SQL_FLAT_TOPK_HAMMING),
-    "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
-    "funnel_topk": (q_funnel_topk, SQL_FUNNEL_TOPK),
-    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
-    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "ann_brute_topk": (q_ann_brute_topk, SQL_MULTI_QUERY_TOPK),
     "multi_query_quantized": (q_multi_query_quantized, SQL_MULTI_QUERY_QUANTIZED),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
@@ -4794,63 +4911,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_time_rollup": (q_events_time_rollup, SQL_EVENTS_TIME_ROLLUP),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
-    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
-    "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
-    "tpch_q14_promo": (q_tpch_q14_promo, SQL_TPCH_Q14_PROMO),
-    "supplier_nation_revenue": (q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE),
-    "customers_without_big_orders": (q_customers_without_big_orders, SQL_CUSTOMERS_WITHOUT_BIG_ORDERS),
-    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
-    "shipmode_priority": (q_shipmode_priority, SQL_SHIPMODE_PRIORITY),
-    "orders_above_cust_avg": (q_orders_above_cust_avg, SQL_ORDERS_ABOVE_CUST_AVG),
-    "top_orders_join": (q_top_orders_join, SQL_TOP_ORDERS_JOIN),
-    "customer_top_orders_window": (q_customer_top_orders_window, SQL_CUSTOMER_TOP_ORDERS_WINDOW),
-    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "mmr_rerank": (q_mmr_rerank, SQL_MMR_RERANK),
-    "pq_adc_topk": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
-    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
-    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hashed_embedding": (q_hashed_embedding, SQL_HASHED_EMBEDDING),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
-    "flat_topk_cosine": (q_flat_topk_cosine, SQL_FLAT_TOPK_COSINE),
-    "flat_topk_dot": (q_flat_topk_dot, SQL_FLAT_TOPK_DOT),
-    "packed_jaccard_topk": (q_packed_jaccard_topk, SQL_PACKED_JACCARD_TOPK),
-    "similarity_score_mode": (q_similarity_score_mode, SQL_SIMILARITY_SCORE_MODE),
-    "multi_query_topk": (q_multi_query_topk, SQL_MULTI_QUERY_TOPK),
-    "prefix_topk": (q_prefix_topk, SQL_PREFIX_TOPK),
-    "maxsim_label_topk": (q_maxsim_label_topk, SQL_MAXSIM_LABEL_TOPK),
-    "mean_vector_by_label": (q_mean_vector_by_label, SQL_MEAN_VECTOR_BY_LABEL),
-    "normalize_stats": (q_normalize_stats, SQL_NORMALIZE_STATS),
-    "signbit_popcount": (q_signbit_popcount, SQL_SIGNBIT_POPCOUNT),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    # --- round-3 additions (tail: enter the gate window at the r4
+    # --- round-4 additions (tail: enter the gate window at the r5
     # rotation; selfcheck-verified until then) ---
-    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "cross_corpus_dedup": (q_cross_corpus_dedup, SQL_CROSS_CORPUS_DEDUP),
-    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
-    "tpch_q3_topk": (q_tpch_q3, SQL_TPCH_Q3),
-    "tpch_q19_bands": (q_tpch_q19, SQL_TPCH_Q19),
-    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
-    "embedding_neardup_blocked": (
-        q_embedding_neardup_blocked,
-        SQL_EMBEDDING_NEARDUP_BLOCKED,
-    ),
-    "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),
-    "paragraph_dedup_doc": (q_paragraph_dedup_doc, SQL_PARAGRAPH_DEDUP_DOC),
-    "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
-    "tpch_q18_volume": (q_tpch_q18, SQL_TPCH_Q18),
-    "minhash_dedup_against": (
-        q_minhash_dedup_against,
-        SQL_MINHASH_DEDUP_AGAINST,
-    ),
-    "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED_EVENT_ROLLUP),
+    "salted_user_join": (q_salted_user_join, SQL_SALTED_USER_JOIN),
 }
 
 
@@ -4864,7 +4930,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # directories while evicting plans for sessions/dirs no longer in use
 # (evicted entries are just analyzed plans, cheap to rebuild on re-touch).
 _DF_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_DF_CACHE_MAX = 4 * 112
+_DF_CACHE_MAX = 4 * len(_REGISTRY)
 
 
 def _prepared(name: str, fn: Callable) -> Callable:
