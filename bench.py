@@ -116,6 +116,12 @@ HEADLINE = [
     "minhash_dedup_against",
     "salted_event_rollup",
     "salted_user_join",
+    "tpch_q5_local",
+    "tpch_q7_nations",
+    "tpch_q9_profit",
+    "tpch_q17_smallqty",
+    "event_funnel",
+    "user_retention",
 ]
 
 

@@ -66,3 +66,30 @@ def test_embedding_neardup_blocked_gate_query_plan(spark, qs):
     assert "_pop" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, qs):
+    """The 6-way star join: every dimension (customer, supplier, nation,
+    region) rides a broadcast hash join — the fact side is never shuffled
+    for a dim."""
+    plan = _executed(qs["tpch_q5_local"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_decorrelated_no_subquery_reexec(spark, qs):
+    """The per-part average must be a pre-aggregate joined back (scan the
+    fact twice, aggregate once) — no nested-loop re-execution and an
+    aggregate with partial_sum below the join."""
+    plan = _executed(qs["tpch_q17_smallqty"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_event_funnel_no_global_window(spark, qs):
+    """Funnel stages are min-aggregates + user_id equi-joins — never a
+    window sort over the whole stream."""
+    plan = _executed(qs["event_funnel"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

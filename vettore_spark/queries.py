@@ -4759,6 +4759,317 @@ WHERE l_partkey = p_partkey
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue): the 6-way star join —
+    lineitem fact, orders fact-fact on orderkey, customer/supplier/nation/
+    region dims broadcast, with the c_nationkey = s_nationkey "local"
+    predicate applied as a post-join filter. The region filter prunes the
+    nation dim BEFORE broadcast, so the fact scan is filtered by the
+    smallest possible build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the same
+    dimension table joined TWICE under different roles (supplier nation vs
+    customer nation) — the self-role-join Catalyst must plan as two
+    independent broadcasts, with the symmetric pair predicate applied
+    after both."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year, adapted:
+    the reduced schema has no partsupp, so profit is the discounted
+    revenue): a LIKE-filtered part dim prunes the fact early, then
+    supplier->nation hydrates the group key — the filter-on-smallest-dim-
+    first join ordering Catalyst should pick with broadcast hints."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery (per-part average quantity) decorrelated into a
+    pre-aggregate + equi-join — the fact table is scanned twice but never
+    per-row re-executed. The threshold predicate `qty < 0.2 * avg` is
+    multiplied out to `5 * qty * n < sum` in EXACT decimal arithmetic so
+    no float-division tie can flip a borderline row between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qsum"),
+        F.count("*").alias("_qn"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("decimal(18,6)") * F.col("_qn")
+            < F.col("_qsum")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH pa AS (
+  SELECT l_partkey AS _pk,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS _qsum,
+         count(*) AS _qn
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem, part, pa
+WHERE p_partkey = l_partkey AND _pk = l_partkey
+  AND p_brand = 'Brand#1'
+  AND 5 * CAST(l_quantity AS DECIMAL(18,6)) * _qn < _qsum
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream (view -> click ->
+    purchase): stage N counts users whose first qualifying stage-N event
+    strictly follows their first stage-(N-1) event. Each stage is one
+    min-aggregate keyed on user plus one equi-join on user_id — no window
+    over the whole stream, no per-user sort; at 100 TB each stage is a
+    narrow shuffle on user_id and the stage tables shrink monotonically."""
+    ev = _events_ts(spark, sf_dir)
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_after(None, "view", "", "_t1")
+    c = first_after(v, "click", "_t1", "_t2")
+    p = first_after(c, "purchase", "_t2", "_t3")
+    stages = [("1_view", v), ("2_click", c), ("3_purchase", p)]
+    out = None
+    for name, df in stages:
+        s = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("stage")
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT '2_click', count(*) FROM c
+  UNION ALL
+  SELECT '3_purchase', count(*) FROM p
+)
+ORDER BY stage
+"""
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; each (cohort, week-offset) cell counts distinct users
+    active that week. Two aggregations — per-user first-event (one shuffle
+    on user_id), then the cohort matrix (one shuffle on the small
+    composite key). The cohort join streams the events side against the
+    broadcast-sized first-event table at 100 TB only if users are bounded;
+    otherwise AQE picks the shuffle join — no forced hint."""
+    ev = _events_ts(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("_cohort_ts")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("_cohort_ts", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("_cohort_ts"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_USER_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+  FROM events GROUP BY user_id
+)
+SELECT strftime(cohort_ts, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_ts, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4917,6 +5228,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # --- round-4 additions (tail: enter the gate window at the r5
     # rotation; selfcheck-verified until then) ---
     "salted_user_join": (q_salted_user_join, SQL_SALTED_USER_JOIN),
+    "tpch_q5_local": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q7_nations": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q9_profit": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q17_smallqty": (q_tpch_q17, SQL_TPCH_Q17),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "user_retention": (q_user_retention, SQL_USER_RETENTION),
 }
 
 
