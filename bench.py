@@ -122,6 +122,7 @@ HEADLINE = [
     "tpch_q17_smallqty",
     "event_funnel",
     "user_retention",
+    "jl_projection",
 ]
 
 

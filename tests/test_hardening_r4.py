@@ -276,3 +276,45 @@ def test_snapshot_detects_content_tampered_index(spark, tmp_path):
     assert not c2.__dict__.get("_hnsw_shards"), "tampered index was installed"
     got = [r["id"] for r in c2.hnsw_search(q, limit=5, num_partitions=2).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_preserves_inner_products(spark):
+    """JL with a Rademacher matrix preserves inner products in expectation
+    (Achlioptas 2003): across many pairs the compressed dot must track the
+    true dot with small mean absolute error relative to vector norms."""
+    from vettore_spark.encodings.projections import jl_project, rademacher_signs
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(60, 64)).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {
+        r["vec_id"]: np.array(r["projected"])
+        for r in jl_project(df, d_in=64, d_out=32).collect()
+    }
+    # spark result == numpy result for the same deterministic matrix
+    S = np.array(rademacher_signs(64, 32, seed=0), dtype=np.float64)
+    want = (mat @ S.T) / np.sqrt(32)
+    assert np.allclose(np.array([got[i] for i in range(60)]), want, atol=1e-9)
+    # distance preservation: mean |proj_dot - true_dot| small for unit vecs
+    errs = []
+    for a in range(0, 60, 3):
+        for b in range(1, 60, 7):
+            errs.append(abs(float(got[a] @ got[b]) - float(mat[a] @ mat[b])))
+    assert float(np.mean(errs)) < 0.15
+
+
+def test_jl_projection_is_map_only(spark):
+    from vettore_spark.encodings.projections import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = jl_project(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

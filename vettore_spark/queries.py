@@ -5070,6 +5070,41 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection compression of the embedding
+    table 64 -> 16 dims (encodings/projections.py): the cheap-prefilter
+    encoding that keeps magnitudes (unlike the 1-bit sign-bit code).
+    Deterministic md5-derived Rademacher matrix, so the oracle embeds the
+    SAME literal matrix. Long output (vec_id, dim_idx, value) — scalar
+    columns only, engine-stable hashing. The 1/sqrt(16) = 0.25 scale is an
+    exact binary float, so scaling introduces no cross-engine rounding."""
+    from vettore_spark.encodings import projections as PJ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = PJ.jl_project(emb, d_in=64, d_out=16)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim_idx", "value")
+    ).withColumn("value", F.round("value", 5))
+
+
+def _sql_jl_projection() -> str:
+    from vettore_spark.encodings.projections import rademacher_signs
+
+    signs = rademacher_signs(64, 16, seed=0)
+    selects = []
+    for k, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+        selects.append(
+            f"SELECT vec_id, {k} AS dim_idx, "
+            f"round(list_dot_product(embedding::DOUBLE[], {arr}) * 0.25, 5) "
+            "AS value FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_JL_PROJECTION = _sql_jl_projection()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5234,6 +5269,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q17_smallqty": (q_tpch_q17, SQL_TPCH_Q17),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "user_retention": (q_user_retention, SQL_USER_RETENTION),
+    "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
 }
 
 
