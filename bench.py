@@ -123,6 +123,10 @@ HEADLINE = [
     "event_funnel",
     "user_retention",
     "jl_projection",
+    "tpch_q15_topsupp",
+    "tpch_q22_noorders",
+    "events_value_quantiles",
+    "table_profile",
 ]
 
 

@@ -93,3 +93,26 @@ def test_event_funnel_no_global_window(spark, qs):
     plan = _executed(qs["event_funnel"](spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark, qs):
+    """The 'suppliers at the max' scalar subquery must be an aggregate +
+    single-row broadcast + filter — not a rank window over all suppliers."""
+    plan = _executed(qs["tpch_q15_topsupp"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q22_is_anti_join(spark, qs):
+    plan = _executed(qs["tpch_q22_noorders"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_table_profile_single_aggregate_scan(spark, qs):
+    """All columns' null/distinct stats ride ONE aggregate over one scan;
+    the per-column output rows come from a literal explode, not one job
+    per column (expand-based multi-distinct is the expected shape)."""
+    plan = _executed(qs["table_profile"](spark, SF))
+    assert plan.count("Scan parquet") <= 1
+    assert "Generate" in plan

@@ -5105,6 +5105,192 @@ def _sql_jl_projection() -> str:
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier quarterly revenue, then
+    the suppliers matching the maximum — the scalar-subquery-on-aggregate
+    pattern planned as aggregate -> single-row broadcast -> filter. The
+    equality predicate compares EXACT decimal sums (order-free), so the
+    'ties with the max' set is engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("_sk")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("_sk") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_rev", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS _sk,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS _rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(round(_rev, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON _sk = s_suppkey
+WHERE _rev = (SELECT max(_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted to mktsegment):
+    customers with above-average positive balance and NO large orders (the
+    synthetic orders table covers every custkey, so the pure no-orders set
+    is empty — the big-order variant keeps Q22's scalar threshold +
+    anti-join + grouped rollup shape with a non-trivial result). The avg
+    comparison is multiplied out to `bal * n > sum` in exact decimal (the
+    Q17 trick), so no float-division tie can flip a borderline customer."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    thr = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("_bsum"),
+        F.count("*").alias("_bn"),
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("_bn")
+            > F.col("_bsum")
+        )
+        .join(
+            orders.filter(F.col("o_totalprice") > 300000).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH thr AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS _bsum, count(*) AS _bn
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+FROM customer, thr
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) * _bn > _bsum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event value distribution with EXACT interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, the
+    corpus_stats parity pattern) — the latency/value SLO rollup every
+    event pipeline runs. approx_percentile would be the sketch at 100 TB;
+    the exact form is one sort per group, still a single shuffle."""
+    ev = _events_ts(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of the fact table (null count + exact
+    distinct count per column) — the intake health check a pipeline runs
+    before trusting a new drop. ONE aggregate job computes every column's
+    stats (count_if + count_distinct pairs), then a literal stack unpivots
+    to (column, n_nulls, n_distinct) rows; at 100 TB swap
+    approx_count_distinct in — the shape is unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.count_if(F.col(c).isNull()).cast("long").alias(f"_null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_dist_{c}"))
+    row = li.agg(*aggs)
+    stacked = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"_null_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ])
+    return (
+        row.select(F.explode(stacked).alias("_s"))
+        .select("_s.column", "_s.n_nulls", "_s.n_distinct")
+        .orderBy("column")
+    )
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'l_orderkey' AS "column", count(*) FILTER (l_orderkey IS NULL) AS n_nulls, count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+UNION ALL
+SELECT 'l_partkey', count(*) FILTER (l_partkey IS NULL), count(DISTINCT l_partkey) FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(*) FILTER (l_suppkey IS NULL), count(DISTINCT l_suppkey) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*) FILTER (l_quantity IS NULL), count(DISTINCT l_quantity) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*) FILTER (l_extendedprice IS NULL), count(DISTINCT l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*) FILTER (l_returnflag IS NULL), count(DISTINCT l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*) FILTER (l_shipdate IS NULL), count(DISTINCT l_shipdate) FROM lineitem
+ORDER BY "column"
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5270,6 +5456,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "user_retention": (q_user_retention, SQL_USER_RETENTION),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
+    "tpch_q15_topsupp": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q22_noorders": (q_tpch_q22, SQL_TPCH_Q22),
+    "events_value_quantiles": (q_events_value_quantiles, SQL_EVENTS_VALUE_QUANTILES),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }
 
 
