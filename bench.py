@@ -123,6 +123,7 @@ HEADLINE = [
     "event_funnel",
     "user_retention",
     "jl_projection",
+    "jl_prefilter_topk",
     "tpch_q15_topsupp",
     "tpch_q22_noorders",
     "events_value_quantiles",
@@ -214,7 +215,7 @@ def main() -> None:
     try:
         exact = {r["vec_id"] for r in qs["flat_topk_l2"](spark, sf_dir).collect()}
         for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk",
-                     "sq_int8_topk"):
+                     "sq_int8_topk", "jl_prefilter_topk"):
             got = {r["vec_id"] for r in qs[mode](spark, sf_dir).collect()}
             overlap[mode] = round(len(exact & got) / max(len(exact), 1), 3)
         # compressed/partitioned ANN modes answer multiple queries; their

@@ -109,6 +109,15 @@ def test_tpch_q22_is_anti_join(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_jl_prefilter_candidate_stage_is_take_ordered(spark, qs):
+    """Stage 1's top-100 in projected space must be TakeOrderedAndProject
+    (per-partition heads + merge), never a global sort; the rerank semi-join
+    stays an equi-join."""
+    plan = _executed(qs["jl_prefilter_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_table_profile_single_aggregate_scan(spark, qs):
     """All columns' null/distinct stats ride ONE aggregate over one scan;
     the per-column output rows come from a literal explode, not one job

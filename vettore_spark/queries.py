@@ -5105,6 +5105,112 @@ def _sql_jl_projection() -> str:
 SQL_JL_PROJECTION = _sql_jl_projection()
 
 
+def _jl_query_proj(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Driver-side JL projection of the standard query vector: the SAME
+    literal values are embedded in the Spark plan and the SQL oracle, so
+    cross-engine parity of the query side is by construction."""
+    from vettore_spark.encodings.projections import rademacher_signs
+
+    qv = _qvec(spark, sf_dir)
+    signs = rademacher_signs(64, 16, seed=0)
+    return [sum(s * x for s, x in zip(row, qv)) * 0.25 for row in signs]
+
+
+def q_jl_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search through the JL-compressed table (the
+    quantized_search shape with a magnitude-preserving code): stage 1
+    ranks by squared L2 in 16-dim projected space (rounded before the
+    cut so the candidate SET is engine-stable) and keeps 200 candidates
+    (limit*20, the reference bench's config) via TakeOrderedAndProject; stage 2 exact-reranks those on full
+    vectors. The projected table is a keyed-persist derived index (the
+    PQ-codes residency model): built once per (collection, d_out, seed),
+    so stage 1 scans 16 doubles per row instead of 64 and stage 2 touches
+    200 rows — the JL lemma bounds the candidate-stage distortion, unlike
+    the 1-bit sign code whose Hamming distance drops magnitudes."""
+    from vettore_spark.encodings import projections as PJ
+    from vettore_spark.plans.cache import cached_persist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = PJ.rademacher_signs(64, 16, seed=0)
+    proj_tab = cached_persist(
+        emb,
+        ("jl_proj", "vec_id", "embedding", 16, 0),
+        lambda s: s.select(
+            "vec_id", PJ.project_column("embedding", signs).alias("_p")
+        ),
+    )
+    qp = _jl_query_proj(spark, sf_dir)
+    qp_lit = F.array(*[F.lit(v) for v in qp])
+    cdist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_p"), qp_lit, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    cand = (
+        proj_tab.select("vec_id", cdist.alias("_cd"))
+        .orderBy("_cd", "vec_id")
+        .limit(200)
+        .select("vec_id")
+    )
+    qv = _qvec(spark, sf_dir)
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qv_lit,
+                lambda x, q: (x - q) * (x - q),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.join(cand, "vec_id", "left_semi")
+        .select("vec_id", exact.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_d", 5).alias("distance"))
+    )
+
+
+def _sql_jl_prefilter() -> str:
+    # The oracle computes the query-side projection IN-ENGINE from the
+    # stored vec 0 (the `_QV` convention): Python's sum(), Spark's
+    # aggregate() fold, and DuckDB's list_dot_product all evaluate the
+    # same sequential multiply-add over the same parquet doubles, so the
+    # driver-side literals in the Spark plan and this subquery agree
+    # bit-for-bit (evidenced by the jl_projection hash match).
+    from vettore_spark.encodings.projections import rademacher_signs
+
+    signs = rademacher_signs(64, 16, seed=0)
+    terms = []
+    for row in signs:
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+        p = (
+            f"(list_dot_product(embedding::DOUBLE[], {arr}) * 0.25"
+            f" - list_dot_product({_QV}, {arr}) * 0.25)"
+        )
+        terms.append(f"{p} * {p}")
+    cd = " + ".join(terms)
+    return f"""
+WITH cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, round({cd}, 4) AS cd FROM embeddings)
+  ORDER BY cd, vec_id LIMIT 200)
+SELECT vec_id, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand))
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+SQL_JL_PREFILTER_TOPK = _sql_jl_prefilter()
+
+
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): per-supplier quarterly revenue, then
     the suppliers matching the maximum — the scalar-subquery-on-aggregate
@@ -5456,6 +5562,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "user_retention": (q_user_retention, SQL_USER_RETENTION),
     "jl_projection": (q_jl_projection, SQL_JL_PROJECTION),
+    "jl_prefilter_topk": (q_jl_prefilter_topk, SQL_JL_PREFILTER_TOPK),
     "tpch_q15_topsupp": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q22_noorders": (q_tpch_q22, SQL_TPCH_Q22),
     "events_value_quantiles": (q_events_value_quantiles, SQL_EVENTS_VALUE_QUANTILES),
