@@ -128,6 +128,7 @@ HEADLINE = [
     "tpch_q22_noorders",
     "events_value_quantiles",
     "table_profile",
+    "ivf_insert_search",
 ]
 
 

@@ -187,7 +187,8 @@ def test_ivf_delete_tombstones_without_retrain(spark):
 
 def test_collection_ivf_search_with_delete_patch(spark):
     """Facade: ivf_search trains + assigns once (resident), delete patches
-    the inverted file without retraining, put invalidates for rebuild."""
+    the inverted file without retraining; put appends incrementally (r4:
+    the ivf_insert one-row patch — state survives, codebook untouched)."""
     import numpy as np
 
     from vettore_spark.collection import Collection
@@ -209,7 +210,7 @@ def test_collection_ivf_search_with_delete_patch(spark):
 
     nv = [float(x) for x in rng.normal(size=6)]
     c.put({"id": "fresh", "vector": nv})
-    assert not c.__dict__.get("_ivf_state")  # rebuild on next search
+    assert c.__dict__.get("_ivf_state"), "put must patch the IVF state, not drop it"
     got3 = c.ivf_search(nv, limit=2, n_cells=3, n_probe=3).collect()
     assert got3[0]["id"] == "fresh"
 

@@ -318,3 +318,71 @@ def test_jl_projection_is_map_only(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = jl_project(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF insert
+# ---------------------------------------------------------------------------
+
+
+def test_collection_ivf_incremental_put(spark):
+    """Facade parity with the HNSW patch path: ivf_search builds a
+    resident inverted file; put appends ONE row to it (no codebook
+    re-train — the state object is patched, not dropped) and searches
+    find the new vector."""
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(13)
+    rows = [
+        {"id": f"v{i}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(40)
+    ]
+    c = Collection.create(spark, "ivf_r4", 6, metric="cosine").put_many(rows)
+    got = c.ivf_search(rows[3]["vector"], limit=3, n_cells=4, n_probe=4).collect()
+    assert got[0]["id"] == "v3"
+    state0 = c.__dict__.get("_ivf_state")
+    assert state0
+    cents0 = {k: cents for k, (cents, _a) in state0.items()}
+
+    nv = [float(x) for x in rng.normal(size=6)]
+    c.put({"id": "fresh", "vector": nv})
+    state1 = c.__dict__.get("_ivf_state")
+    assert state1, "resident IVF state must be patched, not dropped"
+    # codebook object unchanged (no re-train), assignment table patched
+    for k, (cents, _a) in state1.items():
+        assert cents is cents0[k]
+    got2 = c.ivf_search(nv, limit=2, n_cells=4, n_probe=4).collect()
+    assert got2[0]["id"] == "fresh"
+
+    # delete still tombstones incrementally on the patched table
+    c.delete("fresh")
+    got3 = c.ivf_search(nv, limit=5, n_cells=4, n_probe=4).collect()
+    assert all(r["id"] != "fresh" for r in got3)
+
+
+def test_ivf_insert_matches_rebuild(spark):
+    """ivf_insert's driver-side assignment must replicate the build path:
+    patched inverted file == rebuilt inverted file on the same corpus."""
+    from vettore_spark.operators import ann as ANN
+
+    rng = np.random.default_rng(17)
+    mat = rng.normal(size=(30, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in rng.normal(size=8)]) for j in range(4)],
+        "centroid_id: long, centroid: array<double>",
+    )
+    full = ANN.ivf_assign(df, centroids=cents, vector_col="embedding")
+    partial = ANN.ivf_assign(
+        df.filter(F.col("vec_id") != 7), centroids=cents, vector_col="embedding"
+    )
+    patched = ANN.ivf_insert(
+        partial, 7, [float(x) for x in mat[7]], centroids=cents,
+        id_col="vec_id", vector_col="embedding",
+    )
+    want = {(r["vec_id"], r["_cell"]) for r in full.collect()}
+    got = {(r["vec_id"], r["_cell"]) for r in patched.collect()}
+    assert got == want

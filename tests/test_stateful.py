@@ -329,3 +329,52 @@ def test_streaming_unit_dedup_matches_batch_and_suppresses_across_batches(
     ):
         stream_b1[doc_id] = (stream_b1.get(doc_id, "") + " " + unit).strip()
     assert stream_b1 == batch
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful funnel's final per-user stage equals the batch funnel
+    definition (min stage-N event strictly after stage-(N-1)) when
+    micro-batches arrive time-ordered; cross-batch progression works (a
+    user's click in batch 2 follows their view in batch 1)."""
+    rows = [
+        # u1 completes the funnel across the two batches
+        (1, 10, "view"), (1, 20, "click"),
+        # u2: click BEFORE any view -> never advances past view
+        (2, 5, "click"), (2, 15, "view"),
+        # u3: only views
+        (3, 7, "view"),
+        # --- batch 2 ---
+        (1, 30, "purchase"),
+        (2, 40, "purchase"),  # no click after view -> stays at stage 1
+        (4, 50, "click"),     # no view at all -> stage 0
+    ]
+    schema = "user_id long, ts long, event_type string"
+    src = tmp_path / "funnel"
+    spark.createDataFrame(rows[:5], schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[5:], schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    from vettore_spark.streaming.stateful import streaming_funnel_stage
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_funnel_stage(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_r4")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per user is the final funnel position
+    import collections
+
+    got = {}
+    for r in spark.sql(
+        "select * from funnel_r4"
+    ).collect():
+        got[r["user_id"]] = r["stage"]  # memory sink appends in batch order
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0}

@@ -320,17 +320,19 @@ class Collection:
 
     def put(self, row: dict) -> "Collection":
         """Single validated insert (collection.ex:167-172) — same pipeline
-        as put_many with a one-row batch. If an HNSW shard table is
-        resident, it is maintained INCREMENTALLY (one-shard graph insert,
-        hnsw.rs:152-245) instead of being dropped for rebuild — the
-        reference's insert-time index maintenance."""
+        as put_many with a one-row batch. Resident derived indexes are
+        maintained INCREMENTALLY instead of being dropped for rebuild —
+        the reference's insert-time index maintenance (hnsw.rs:152-245):
+        HNSW via the one-shard graph patch, IVF via a one-row inverted-file
+        append (ivf_insert, codebook untouched)."""
         resident = self.__dict__.pop("_hnsw_shards", None)
+        ivf_resident = self.__dict__.pop("_ivf_state", None)
         self.put_many([row])
-        if resident:
-            from vettore_spark.operators import hnsw as H
-
+        if resident or ivf_resident:
             rid = row.get("id") or row.get("value")
             vec = self._stored_vector(row)
+        if resident:
+            from vettore_spark.operators import hnsw as H
             # durability ladder, not a raw localCheckpoint: on a cluster a
             # lost executor must not orphan the patched resident shards
             # with no lineage to recompute (plans/checkpoint.py)
@@ -343,6 +345,26 @@ class Collection:
                     sids,
                 )
                 for k, (sh, sids) in resident.items()
+            }
+        if ivf_resident:
+            from vettore_spark.operators import ann as ANN
+
+            # IVF mirror of the HNSW patch: one driver-side nearest-cell
+            # assignment + a one-row append to the inverted file — no
+            # codebook re-train (ivf_insert); durable_cut bounds the
+            # patched table's lineage
+            self.__dict__["_ivf_state"] = {
+                k: (
+                    cents,
+                    durable_cut(
+                        ANN.ivf_insert(
+                            assigned, rid, vec, centroids=cents,
+                            id_col="id", vector_col="vector",
+                        ),
+                        eager=False,
+                    ),
+                )
+                for k, (cents, assigned) in ivf_resident.items()
             }
         return self
 
@@ -642,10 +664,11 @@ class Collection:
                    where=None) -> DataFrame:
         """IVF approximate search over a RESIDENT inverted file: centroids
         trained once (distributed MLlib KMeans, fixed seed), the cell
-        assignment persisted and maintained on delete via the tombstone
-        patch (ivf_delete — codebook untouched, the reference's
-        index-maintenance contract). put/put_many invalidate for rebuild
-        (a new vector may warrant a new codebook). Returns (id, score,
+        assignment persisted and maintained incrementally — delete via the
+        tombstone patch (ivf_delete), put via the one-row append
+        (ivf_insert); the codebook is untouched by both, the reference's
+        index-maintenance contract. Bulk put_many still invalidates for
+        rebuild (a batch may warrant a new codebook). Returns (id, score,
         distance, rank) for the probed cells.
 
         `where` composes on the inverted file BEFORE within-cell scoring

@@ -540,6 +540,54 @@ def _ivf_assign_cached(
     return assigned, cids, cmat
 
 
+def ivf_insert(
+    assigned: DataFrame,
+    external_id,
+    vector,
+    *,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Incremental IVF index INSERT: assign the one new vector to its
+    nearest centroid driver-side (the codebook is resident and
+    broadcast-small by construction; the argmin replicates the build
+    path's `nearest_cell` rule exactly — L2-normalize, cosine distance,
+    first minimum over the codebook's id order) and append a single row
+    to the persisted inverted file. No re-train, no re-assignment of any
+    existing row — the `ivf_delete` mirror and the inverted-file analog
+    of HNSW's one-shard insert patch (insert_into_graph_shards; reference
+    insert-time maintenance, native/vettore/src/hnsw.rs:152-245).
+
+    The appended row carries (id, vector, _cell); columns the probe path
+    does not read are NULL. Callers patching a long-lived resident table
+    should lineage-cut the result (plans/checkpoint.py::durable_cut)."""
+    spark = assigned.sparkSession
+    cids, cmat, _bc = _ivf_centroids_cached(
+        spark, centroids, centroid_id_col, centroid_vec_col
+    )
+    v = np.asarray(list(vector), dtype=np.float64)
+    n = _l2norm_rows(v.reshape(1, -1))[0]
+    cell = int(cids[int(np.argmin(1.0 - n @ cmat.T))])
+    row = spark.createDataFrame(
+        [(external_id, [float(x) for x in v], cell)],
+        T.StructType(
+            [
+                T.StructField(id_col, assigned.schema[id_col].dataType),
+                T.StructField("_v", T.ArrayType(T.DoubleType())),
+                T.StructField("_cell", assigned.schema["_cell"].dataType),
+            ]
+        ),
+    ).select(
+        id_col,
+        F.col("_v").cast(assigned.schema[vector_col].dataType).alias(vector_col),
+        "_cell",
+    )
+    return assigned.unionByName(row, allowMissingColumns=True)
+
+
 def ivf_delete(
     assigned: DataFrame, external_id, *, id_col: str = "vec_id"
 ) -> DataFrame:

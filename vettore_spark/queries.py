@@ -971,6 +971,42 @@ SQL_ANN_IVF_TOPK = _sql_ivf()
 SQL_IVF_DELETE_SEARCH = _sql_ivf(0)
 
 
+def q_ivf_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF INSERT under the exact oracle (the ivf_delete
+    mirror, HNSW-insert parity): build the inverted file WITHOUT vec 0,
+    append it via ivf_insert (driver-side nearest-cell assignment — same
+    normalize/cosine/first-min rule as the build path — plus a one-row
+    union; no re-train, no re-assignment), then search. The patched index
+    must answer exactly like the full-corpus IVF oracle — the inserted
+    vector is query 0's self-match at rank 1."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _label_mean_vectors(emb).select(
+        F.col("label").alias("centroid_id"), F.col("mean").alias("centroid")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    assigned = ANN.ivf_assign(
+        emb.filter(F.col("vec_id") != 0), centroids=centroids,
+        vector_col="embedding",
+    )
+    patched = ANN.ivf_insert(
+        assigned, 0, _qvec(spark, sf_dir, 0), centroids=centroids,
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = ANN.ivf_topk(
+        emb, queries_df, centroids=centroids, n_probe=3, k=5,
+        id_col="vec_id", vector_col="embedding", assigned=patched,
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_IVF_INSERT_SEARCH = _sql_ivf()  # full corpus: the patched index == rebuild
+
+
 def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN (§2.2 × IVF): a metadata predicate (label is odd)
     applied to the PERSISTED inverted file before within-cell scoring —
@@ -5567,6 +5603,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q22_noorders": (q_tpch_q22, SQL_TPCH_Q22),
     "events_value_quantiles": (q_events_value_quantiles, SQL_EVENTS_VALUE_QUANTILES),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "ivf_insert_search": (q_ivf_insert_search, SQL_IVF_INSERT_SEARCH),
 }
 
 

@@ -422,3 +422,68 @@ def streaming_zscore_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_stage(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming ordered-conversion-funnel tracking (the stateful twin of
+    the batch `event_funnel` query): per user, state is the minimum
+    achieved timestamp of each funnel stage — stage N counts only when its
+    event STRICTLY follows the user's stage-(N-1) time. O(1) state per
+    user (three longs), no event history retained.
+
+    Rows inside one micro-batch are processed in (ts) order; the stream
+    equals the batch funnel whenever micro-batches arrive time-ordered
+    per user (the same contract as streaming_zscore_anomaly — enforce
+    with a watermark + sorted source in production). Emits the user's
+    current stage (0..3) after every micro-batch that touches the user;
+    the LAST emission per user is the funnel position (the memory-sink
+    pattern in tests takes the final row per user).
+
+    Exactly three stages: the fixed-width state schema is the price of
+    applyInPandasWithState's static state struct.
+    """
+    if len(stages) != 3:
+        raise ValueError("streaming_funnel_stage supports exactly 3 stages")
+    out_schema = f"{user_col} long, stage int"
+    state_schema = "t1 long, t2 long, t3 long"
+
+    def _ts_long(v) -> int:
+        if hasattr(v, "value"):  # pandas Timestamp -> ns
+            return int(v.value)
+        return int(v)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        for _, r in rows.iterrows():
+            typ = r[type_col]
+            ts = _ts_long(r[ts_col])
+            if typ == stages[0]:
+                t1 = ts if t1 is None else min(t1, ts)
+            elif typ == stages[1] and t1 is not None and ts > t1:
+                t2 = ts if t2 is None else min(t2, ts)
+            elif typ == stages[2] and t2 is not None and ts > t2:
+                t3 = ts if t3 is None else min(t3, ts)
+        state.update((t1, t2, t3))
+        stage = 3 if t3 is not None else 2 if t2 is not None else (
+            1 if t1 is not None else 0
+        )
+        yield pd.DataFrame({user_col: [key[0]], "stage": [stage]})
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
