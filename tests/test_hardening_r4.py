@@ -386,3 +386,37 @@ def test_ivf_insert_matches_rebuild(spark):
     want = {(r["vec_id"], r["_cell"]) for r in full.collect()}
     got = {(r["vec_id"], r["_cell"]) for r in patched.collect()}
     assert got == want
+
+
+def test_collection_pq_incremental_put_delete(spark):
+    """PQ joins the incremental-maintenance family: put encodes the one
+    new vector with the RESIDENT codebooks and appends a code row (no
+    re-train); delete tombstones the code table. Results track the
+    collection without an index rebuild."""
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(23)
+    rows = [
+        {"id": f"v{i:02d}", "vector": [float(x) for x in rng.normal(size=8)]}
+        for i in range(50)
+    ]
+    c = Collection.create(spark, "pq_r4", 8, metric="l2").put_many(rows)
+    got = c.pq_search(rows[4]["vector"], limit=3, m=2, n_codes=8, candidates=50).collect()
+    assert got[0]["id"] == "v04"
+    idx0 = c.__dict__.get("_pq_indexes")
+    assert idx0
+    books0 = {k: idx._books for k, idx in idx0.items()}
+
+    nv = [float(x) for x in rng.normal(size=8)]
+    c.put({"id": "fresh", "vector": nv})
+    idx1 = c.__dict__.get("_pq_indexes")
+    assert idx1, "put must patch the resident PQ index, not drop it"
+    for k, idx in idx1.items():
+        assert idx._books is books0[k], "codebooks must not re-train on put"
+    got2 = c.pq_search(nv, limit=2, m=2, n_codes=8, candidates=50).collect()
+    assert got2[0]["id"] == "fresh"
+
+    c.delete("fresh")
+    assert c.__dict__.get("_pq_indexes"), "delete must tombstone, not drop"
+    got3 = c.pq_search(nv, limit=5, m=2, n_codes=8, candidates=50).collect()
+    assert all(r["id"] != "fresh" for r in got3)

@@ -327,8 +327,9 @@ class Collection:
         append (ivf_insert, codebook untouched)."""
         resident = self.__dict__.pop("_hnsw_shards", None)
         ivf_resident = self.__dict__.pop("_ivf_state", None)
+        pq_resident = self.__dict__.pop("_pq_indexes", None)
         self.put_many([row])
-        if resident or ivf_resident:
+        if resident or ivf_resident or pq_resident:
             rid = row.get("id") or row.get("value")
             vec = self._stored_vector(row)
         if resident:
@@ -366,6 +367,12 @@ class Collection:
                 )
                 for k, (cents, assigned) in ivf_resident.items()
             }
+        if pq_resident:
+            # PQ mirror: encode the one vector with the resident codebooks
+            # and append a single code row (PqIndex.insert — no re-train)
+            self.__dict__["_pq_indexes"] = {
+                k: idx.insert(rid, vec) for k, idx in pq_resident.items()
+            }
         return self
 
     def _stored_vector(self, row: dict) -> list[float]:
@@ -391,14 +398,20 @@ class Collection:
         return rows[0] if rows else None
 
     def delete(self, id_: str) -> "Collection":
-        """Row delete; a resident HNSW shard table is patched in place
-        (tombstone + edge strip + entry replacement, hnsw.rs:263-289)
-        rather than dropped for rebuild."""
+        """Row delete; resident derived indexes are patched in place
+        rather than dropped for rebuild — HNSW (tombstone + edge strip +
+        entry replacement, hnsw.rs:263-289), IVF (inverted-file
+        tombstone), PQ (code-table tombstone)."""
         self._check_open()
         resident = self.__dict__.pop("_hnsw_shards", None)
         ivf_resident = self.__dict__.pop("_ivf_state", None)
+        pq_resident = self.__dict__.pop("_pq_indexes", None)
         self._df = self._df.filter(F.col("id") != id_)
         self._invalidate_derived()
+        if pq_resident:
+            self.__dict__["_pq_indexes"] = {
+                k: idx.delete(id_) for k, idx in pq_resident.items()
+            }
         if resident:
             from vettore_spark.operators import hnsw as H
 

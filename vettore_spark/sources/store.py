@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 @runtime_checkable
@@ -225,6 +226,48 @@ class PqIndex:
             ("pq_codes", "id", "vector", "l2", hash(books.tobytes())),
             lambda s: PQ.pq_encode(s, books, id_col="id", vector_col="vector"),
         )
+        return self
+
+    def insert(self, id_, vector) -> "PqIndex":
+        """Incremental index INSERT: encode the ONE new vector with the
+        RESIDENT codebooks (driver-side `_encode_batch` on a 1-row matrix
+        — bit-identical to the build path's Arrow encoder) and append a
+        single row to the persisted code table. No re-train — the standard
+        PQ maintenance contract (codebook distortion grows slowly;
+        periodic re-train, immediate code append), mirroring
+        `ann.ivf_insert` and the HNSW one-shard patch. Callers patching a
+        long-lived resident index should lineage-cut `self._codes`
+        periodically (plans/checkpoint.py::durable_cut)."""
+        if self._books is None or self._codes is None:
+            return self  # nothing resident: next build() encodes everything
+        import numpy as np
+
+        from vettore_spark.operators.pq import _encode_batch
+
+        spark = self._codes.sparkSession
+        code = _encode_batch(
+            np.asarray([list(vector)], dtype=np.float64), self._books
+        )[0]
+        row = spark.createDataFrame(
+            [(id_, [int(c) for c in code])],
+            T.StructType(
+                [
+                    T.StructField("id", self._codes.schema["id"].dataType),
+                    T.StructField("_c", T.ArrayType(T.IntegerType())),
+                ]
+            ),
+        ).select(
+            "id",
+            F.col("_c").cast(self._codes.schema["codes"].dataType).alias("codes"),
+        )
+        self._codes = self._codes.unionByName(row)
+        return self
+
+    def delete(self, id_) -> "PqIndex":
+        """Incremental index DELETE: tombstone the row in the code table
+        (codebooks untouched — the `ivf_delete` mirror)."""
+        if self._codes is not None:
+            self._codes = self._codes.filter(F.col("id") != F.lit(id_))
         return self
 
     def candidates(self, coll: DataFrame, query: list[float], n: int) -> DataFrame:
