@@ -420,3 +420,60 @@ def test_collection_pq_incremental_put_delete(spark):
     assert c.__dict__.get("_pq_indexes"), "delete must tombstone, not drop"
     got3 = c.pq_search(nv, limit=5, m=2, n_codes=8, candidates=50).collect()
     assert all(r["id"] != "fresh" for r in got3)
+
+
+def test_collection_sq_params_survive_put_delete(spark):
+    """SQ min/max bounds stay resident across single-row put/delete (no
+    re-train scan): superset bounds stay valid on delete; on insert an
+    out-of-range value clips only in the candidate stage and the exact
+    rerank keeps results correct."""
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(29)
+    rows = [
+        {"id": f"v{i:02d}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(40)
+    ]
+    c = Collection.create(spark, "sq_r4", 6, metric="l2").put_many(rows)
+    got = c.sq_search(rows[7]["vector"], limit=3, candidates=40).collect()
+    assert got[0]["id"] == "v07"
+    params0 = c.__dict__.get("_sq_params")
+    assert params0 is not None
+
+    nv = [float(x) for x in rng.normal(size=6)]
+    c.put({"id": "fresh", "vector": nv})
+    assert c.__dict__.get("_sq_params") is params0, "bounds must stay resident"
+    got2 = c.sq_search(nv, limit=2, candidates=41).collect()
+    assert got2[0]["id"] == "fresh"
+
+    c.delete("fresh")
+    assert c.__dict__.get("_sq_params") is params0
+    got3 = c.sq_search(nv, limit=5, candidates=40).collect()
+    assert all(r["id"] != "fresh" for r in got3)
+
+
+def test_snapshot_persists_pq_index(spark, tmp_path):
+    """include_indexes=True persists the resident PQ index (codebooks in
+    the manifest, code table as parquet, content-fingerprinted); after
+    load the codebooks are bit-identical and searches start warm."""
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(31)
+    rows = [
+        {"id": f"v{i:02d}", "vector": [float(x) for x in rng.normal(size=8)]}
+        for i in range(50)
+    ]
+    c = Collection.create(spark, "pq_snap", 8, metric="l2").put_many(rows)
+    q = rows[9]["vector"]
+    want = [r["id"] for r in c.pq_search(q, limit=3, m=2, n_codes=8, candidates=50).collect()]
+    assert c.__dict__.get("_pq_indexes")
+    path = str(tmp_path / "snap")
+    c.snapshot(path, include_indexes=True)
+
+    c2 = Collection.load_snapshot(spark, path)
+    cache = c2.__dict__.get("_pq_indexes")
+    assert cache, "PQ index not restored"
+    for k, idx in cache.items():
+        assert np.array_equal(idx._books, c.__dict__["_pq_indexes"][k]._books)
+    got = [r["id"] for r in c2.pq_search(q, limit=3, m=2, n_codes=8, candidates=50).collect()]
+    assert got == want

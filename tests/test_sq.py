@@ -74,9 +74,11 @@ def test_sq_constant_dim_is_ignored(spark):
 
 
 def test_collection_sq_search_and_invalidation(spark):
-    """Facade: sq_search matches flat search top-1; the resident params are
-    invalidated on put/delete so new vectors are reachable and deleted ones
-    are gone (the round-1 PQ staleness bug class)."""
+    """Facade: sq_search matches flat search top-1; new vectors are
+    reachable after put and deleted ones are gone (the round-1 PQ
+    staleness bug class). r4: the min/max bounds STAY resident across
+    single-row put/delete (superset bounds remain valid; the plan-keyed
+    code table refreshes automatically), so no re-train scan is paid."""
     import numpy as np
 
     from vettore_spark.collection import Collection
@@ -91,10 +93,11 @@ def test_collection_sq_search_and_invalidation(spark):
     assert got[0]["id"] == "v3"
     assert c.__dict__.get("_sq_params") is not None
 
-    # insert a new exact-match vector -> must be reachable (cache dropped)
+    # insert a new exact-match vector -> must be reachable (bounds stay
+    # resident; the code table keys on the new plan and refreshes)
     target = [float(x) for x in rng.normal(size=6)]
     c.put({"id": "new", "vector": target})
-    assert c.__dict__.get("_sq_params") is None
+    assert c.__dict__.get("_sq_params") is not None
     got2 = c.sq_search(target, limit=2, candidates=20).collect()
     assert got2[0]["id"] == "new"
 

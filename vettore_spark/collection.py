@@ -328,7 +328,15 @@ class Collection:
         resident = self.__dict__.pop("_hnsw_shards", None)
         ivf_resident = self.__dict__.pop("_ivf_state", None)
         pq_resident = self.__dict__.pop("_pq_indexes", None)
+        sq_resident = self.__dict__.pop("_sq_params", None)
         self.put_many([row])
+        if sq_resident is not None:
+            # SQ min/max bounds stay resident across a single insert: an
+            # out-of-range value clips in the CANDIDATE stage only (the
+            # exact rerank re-orders on true vectors), the standard scalar-
+            # quantizer maintenance contract; the code table itself is
+            # plan-keyed and refreshes with the new rows automatically
+            self.__dict__["_sq_params"] = sq_resident
         if resident or ivf_resident or pq_resident:
             rid = row.get("id") or row.get("value")
             vec = self._stored_vector(row)
@@ -406,8 +414,13 @@ class Collection:
         resident = self.__dict__.pop("_hnsw_shards", None)
         ivf_resident = self.__dict__.pop("_ivf_state", None)
         pq_resident = self.__dict__.pop("_pq_indexes", None)
+        sq_resident = self.__dict__.pop("_sq_params", None)
         self._df = self._df.filter(F.col("id") != id_)
         self._invalidate_derived()
+        if sq_resident is not None:
+            # min/max bounds trained on a superset remain valid bounds for
+            # any subset — keep them, skip the re-train scan
+            self.__dict__["_sq_params"] = sq_resident
         if pq_resident:
             self.__dict__["_pq_indexes"] = {
                 k: idx.delete(id_) for k, idx in pq_resident.items()
@@ -888,6 +901,23 @@ class Collection:
                 )
             if ivf_manifest:
                 cfg["_ivf_indexes"] = ivf_manifest
+            pq_manifest = []
+            for i, (key, idx) in enumerate(
+                sorted((self.__dict__.get("_pq_indexes") or {}).items(),
+                       key=lambda kv: str(kv[0]))
+            ):
+                if idx._books is None or idx._codes is None:
+                    continue
+                sub = os.path.join(path, "index_pq", f"k{i}")
+                idx._codes.write.mode("overwrite").parquet(sub)
+                n, ck = self._table_fingerprint(idx._codes)
+                pq_manifest.append(
+                    {"dir": f"k{i}", "key": list(key),
+                     "books": idx._books.tolist(),
+                     "codes_rows": n, "codes_checksum": ck}
+                )
+            if pq_manifest:
+                cfg["_pq_indexes"] = pq_manifest
         # integrity sidecar, mirroring the reference's ETS extended_info
         # (object_count + md5sum, store/ets.ex:29-47): row count plus an
         # order-insensitive id checksum (XOR of xxhash64(id) survives any
@@ -919,6 +949,7 @@ class Collection:
         want_ck = raw.pop("_id_checksum", None)
         idx_manifest = raw.pop("_hnsw_indexes", [])
         ivf_manifest = raw.pop("_ivf_indexes", [])
+        pq_manifest = raw.pop("_pq_indexes", [])
         raw.update(overrides)
         cfg = CollectionConfig(**raw)
         data = os.path.join(path, "data")
@@ -1019,4 +1050,34 @@ class Collection:
                     )
                     continue
                 cache[tuple(ent["key"])] = (cents, assigned)
+        if pq_manifest:
+            import numpy as np
+
+            from vettore_spark.sources.store import PqIndex
+
+            cache = out.__dict__.setdefault("_pq_indexes", {})
+            for ent in pq_manifest:
+                codes = spark.read.parquet(
+                    os.path.join(path, "index_pq", ent["dir"])
+                )
+                n, ck = cls._table_fingerprint(codes)
+                if (
+                    ent.get("codes_rows") is not None
+                    and n != ent["codes_rows"]
+                ) or (
+                    ent.get("codes_checksum") is not None
+                    and ck != ent["codes_checksum"]
+                ):
+                    warnings.warn(
+                        f"snapshot PQ index {ent['dir']} failed integrity "
+                        "check; skipping — the index will rebuild from "
+                        "canonical rows",
+                        stacklevel=2,
+                    )
+                    continue
+                m, n_codes, iters = ent["key"]
+                idx = PqIndex(m=m, n_codes=n_codes, iters=iters)
+                idx._books = np.asarray(ent["books"], dtype=np.float64)
+                idx._codes = codes
+                cache[tuple(ent["key"])] = idx
         return out
