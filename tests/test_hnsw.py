@@ -293,11 +293,22 @@ def test_collection_hnsw_incremental_put_delete(spark):
     got3 = c.hnsw_search(nv, limit=5, ef_search=10_000).collect()
     assert all(r["id"] != "fresh" for r in got3)
 
-    # bulk put_many invalidates for rebuild
-    c.put_many([{"id": "bulk1", "vector": nv}])
-    assert not c.__dict__.get("_hnsw_shards")
+    # bulk put_many with a driver-small list now PATCHES the resident
+    # table too (r4: insert_many_into_graph_shards — one batched job)
+    c.put_many([{"id": "bulk1", "vector": nv}, {"id": "bulk2", "vector": nv}])
+    assert c.__dict__.get("_hnsw_shards"), "small-batch put_many must patch"
     got4 = c.hnsw_search(nv, limit=2, ef_search=10_000).collect()
-    assert got4[0]["id"] == "bulk1"
+    assert {got4[0]["id"], got4[1]["id"]} == {"bulk1", "bulk2"}
+
+    # a DataFrame batch still invalidates (routing would need a collect)
+    staged = c._df.sparkSession.createDataFrame(
+        [("dfrow", "dfrow", [float(x) for x in nv], None, None, None)],
+        c._df.schema,
+    )
+    c.put_many(staged)
+    assert not c.__dict__.get("_hnsw_shards")
+    got5 = c.hnsw_search(nv, limit=3, ef_search=10_000).collect()
+    assert any(r["id"] == "dfrow" for r in got5)
 
 
 def test_collection_hnsw_multivector_put_keeps_residency(spark):

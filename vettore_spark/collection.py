@@ -125,9 +125,18 @@ class Collection:
         cfg = self.config
         dims = cfg.dimensions
 
+        # resident HNSW maintenance across BATCH ingest: driver-small list
+        # batches patch the shard table (one batched graph-insert job,
+        # insert_many_into_graph_shards) instead of dropping it; DataFrame
+        # batches still invalidate — routing them would need a collect,
+        # the scale failure mode
+        hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
+        batch_rows: list[dict] | None = None
         if isinstance(rows, DataFrame):
             incoming = rows
         else:
+            rows = list(rows)
+            batch_rows = rows
             data = []
             for r in rows:
                 data.append(
@@ -269,6 +278,30 @@ class Collection:
         self.__dict__["_union_depth"] = depth
         self._maybe_nonempty = True
         self._invalidate_derived()
+        if (
+            hnsw_resident is not None
+            and batch_rows is not None
+            and len(batch_rows) <= 10_000
+        ):
+            if not batch_rows:  # empty batch: nothing to route, keep as-is
+                self.__dict__["_hnsw_shards"] = hnsw_resident
+                return self
+            from vettore_spark.operators import hnsw as H
+
+            ins = [
+                ((r.get("id") or r.get("value")), self._stored_vector(r))
+                for r in batch_rows
+            ]
+            self.__dict__["_hnsw_shards"] = {
+                k: (
+                    durable_cut(
+                        H.insert_many_into_graph_shards(sh, ins, shard_ids=sids),
+                        eager=False,
+                    ),
+                    sids,
+                )
+                for k, (sh, sids) in hnsw_resident.items()
+            }
         return self
 
     def get_many(self, ids: list[str]) -> DataFrame:

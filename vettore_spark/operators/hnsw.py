@@ -399,6 +399,60 @@ def insert_into_graph_shards(
     return shards.mapInPandas(run, "shard_id long, shard binary")
 
 
+def insert_many_into_graph_shards(
+    shards: DataFrame,
+    rows: list[tuple[object, list[float]]],
+    *,
+    shard_ids: list[int] | None = None,
+) -> DataFrame:
+    """Batched incremental insert: route every (id, vector) to its
+    deterministic target shard (same FNV-1a rule as the single-row
+    `insert_into_graph_shards`) and patch ALL touched shards in ONE
+    mapInPandas pass — a B-row ingest batch costs one job, not B. Rows
+    are inserted per shard in sorted-id order (the build path's
+    determinism rule), so the patched table is a pure function of
+    (previous table, batch). Caller contract as the single-row path: ids
+    must be new. Bounded-batch maintenance: the caller caps B
+    (Collection.put_many patches only driver-small batches; a corpus-
+    sized DataFrame ingest rebuilds instead — routing it would mean a
+    driver collect, the scale failure mode)."""
+    import pickle
+
+    sids = (
+        sorted(shard_ids)
+        if shard_ids is not None
+        else sorted(r["shard_id"] for r in shards.select("shard_id").collect())
+    )
+    if not sids:
+        raise ValueError("cannot insert into an empty shard table")
+    by_shard: dict[int, list[tuple[object, np.ndarray]]] = {}
+    for rid, vec in rows:
+        t = sids[fnv1a64(str(rid).encode()) % len(sids)]
+        by_shard.setdefault(t, []).append(
+            (rid, np.asarray(vec, dtype=np.float64))
+        )
+    for members in by_shard.values():
+        members.sort(key=lambda m: str(m[0]))
+    bc = shards.sparkSession.sparkContext.broadcast(by_shard)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        routed = bc.value
+        for pdf in it:
+            out = []
+            for sid, blob in zip(pdf["shard_id"], pdf["shard"]):
+                members = routed.get(int(sid))
+                if members:
+                    g: HnswGraph = pickle.loads(bytes(blob))
+                    for rid, vec in members:
+                        g.insert(rid, vec)
+                    out.append(pickle.dumps(g))
+                else:
+                    out.append(blob)
+            yield pd.DataFrame({"shard_id": pdf["shard_id"], "shard": out})
+
+    return shards.mapInPandas(run, "shard_id long, shard binary")
+
+
 def search_graph_shards(
     shards: DataFrame,
     queries: list[tuple[object, list[float]]],
