@@ -129,6 +129,7 @@ HEADLINE = [
     "events_value_quantiles",
     "table_profile",
     "ivf_insert_search",
+    "hnsw_batch_insert_search",
 ]
 
 

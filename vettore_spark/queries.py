@@ -2229,6 +2229,34 @@ def q_hnsw_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HNSW_INSERT_SEARCH = SQL_HNSW_TOPK  # full corpus: delete-free exact scan
 
 
+def q_hnsw_batch_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED incremental insert under the exact oracle: build the
+    graph-shard table WITHOUT vecs 0-2, insert all three in ONE
+    insert_many_into_graph_shards job (per-shard sorted-id insertion — the
+    r4 batch-maintenance path put_many takes for driver-small batches),
+    then search at full beam. The patched graph must return exactly the
+    flat scan over the FULL corpus."""
+    from vettore_spark.operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    shards = H.build_graph_shards(
+        emb.filter(F.col("vec_id") >= 3), metric="l2",
+        params=H.HnswParams(ef_search=1_000_000),
+        id_col="vec_id", vector_col="embedding", num_partitions=8,
+    )
+    batch = [(i, _qvec(spark, sf_dir, i)) for i in range(3)]
+    patched = H.insert_many_into_graph_shards(shards, batch)
+    out = H.search_graph_shards(
+        patched, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
+        ef_search=1_000_000, id_col="vec_id", id_type=T.LongType(),
+    )
+    out = out.withColumn("rank", F.col("rank").cast("long"))
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_HNSW_BATCH_INSERT_SEARCH = SQL_HNSW_TOPK  # patched == full-corpus exact
+
+
 # ---------------------------------------------------------------------------
 # MUVERA FDE retrieval (E1), SimHash, MMR — deterministic but not
 # SQL-expressible: rows-only entries (plus pytest coverage)
@@ -5604,6 +5632,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "events_value_quantiles": (q_events_value_quantiles, SQL_EVENTS_VALUE_QUANTILES),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "ivf_insert_search": (q_ivf_insert_search, SQL_IVF_INSERT_SEARCH),
+    "hnsw_batch_insert_search": (
+        q_hnsw_batch_insert_search,
+        SQL_HNSW_BATCH_INSERT_SEARCH,
+    ),
 }
 
 
