@@ -291,3 +291,65 @@ def test_paragraph_dedup_invariants_random(spark, n, window, seed):
     }
     for r in out:  # (d)
         assert doc_scope[r["doc_id"]] <= r["n_dropped"]
+
+
+# ---------------------------------------------------------------------------
+# JL projection algebra + banded near-dup soundness (round 4)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=20),
+    d_out=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_jl_projection_is_linear_and_deterministic(n, d_out, seed):
+    """P(ax + by) == aP(x) + bP(y) for the Rademacher projection, and the
+    matrix is a pure function of (d_in, d_out, seed)."""
+    from vettore_spark.encodings.projections import rademacher_signs
+
+    rng = np.random.default_rng(seed)
+    S = np.array(rademacher_signs(16, d_out, seed=0), dtype=np.float64)
+    S2 = np.array(rademacher_signs(16, d_out, seed=0), dtype=np.float64)
+    assert np.array_equal(S, S2)
+    assert set(np.unique(S)) <= {-1.0, 1.0}
+    x, y = rng.normal(size=16), rng.normal(size=16)
+    a, b = float(rng.normal()), float(rng.normal())
+    lhs = S @ (a * x + b * y)
+    rhs = a * (S @ x) + b * (S @ y)
+    assert np.allclose(lhs, rhs, atol=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=25),
+    n_bits=st.integers(min_value=1, max_value=4),
+    n_bands=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_banded_neardup_is_sound_subset(spark, n, n_bits, n_bands, seed):
+    """For ANY (n_bits, n_bands): every emitted pair is a TRUE pair of the
+    exact all-pairs set (sim >= threshold, id_a < id_b, no duplicates) —
+    blocking may lose recall but can never fabricate a pair."""
+    from vettore_spark.operators.dedup import embedding_neardup_banded
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, 12))
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id: string, embedding: array<double>",
+    )
+    rows = embedding_neardup_banded(
+        df, n_bits=n_bits, n_bands=n_bands, threshold=0.3, max_block_size=None
+    ).collect()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = {f"d{i:02d}": i for i in range(n)}
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+        true_sim = float(norm[idx[r["id_a"]]] @ norm[idx[r["id_b"]]])
+        assert true_sim >= 0.3 - 1e-9
+        assert abs(r["sim"] - true_sim) < 1e-6

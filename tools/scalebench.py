@@ -57,6 +57,7 @@ def main() -> int:
 
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     part0 = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     def op_ngram(docs):
         # the posting-list cap is a CORPUS-RELATIVE knob: replicating the
@@ -124,6 +125,20 @@ def main() -> int:
     def op_paragraph(docs):
         return D.paragraph_dedup(docs, window=20)
 
+    def op_banded_neardup(_docs):
+        # the r4 blocking rule at corpus scale: n_bits grows with
+        # log2(corpus) so expected block population stays bounded
+        # (8 bits at 1x, +log2(k)/... -> 12 bits at 16x, 14 at 64x);
+        # max_block_size caps any degenerate block
+        import math
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        bits = 8 + int(math.log2(CURRENT_K) * 0.75)
+        return D.embedding_neardup_banded(
+            emb, n_bits=bits, n_bands=2, threshold=0.5,
+            max_block_size=20_000,
+        )
+
     def op_dedup_against(docs):
         # fixed-size incoming batch vs a k-times-larger ingested corpus:
         # the cost that must stay flat is the batch's, not the corpus's
@@ -134,6 +149,7 @@ def main() -> int:
         )
 
     OPS = {
+        "banded_neardup": op_banded_neardup,
         "dedup_against_neardup": op_dedup_against,
         "paragraph_dedup": op_paragraph,
         "minhash_lsh": op_minhash,
