@@ -130,6 +130,8 @@ HEADLINE = [
     "table_profile",
     "ivf_insert_search",
     "hnsw_batch_insert_search",
+    "tpch_q13_custdist",
+    "tpch_q16_suppcnt",
 ]
 
 

@@ -118,6 +118,15 @@ def test_jl_prefilter_candidate_stage_is_take_ordered(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q13_left_outer_preserves_zero_count_customers(spark, qs):
+    """The priority predicate must ride the JOIN (customers with only
+    urgent orders count 0, not vanish); the plan shows a LeftOuter join
+    and a two-level aggregate."""
+    plan = _executed(qs["tpch_q13_custdist"](spark, SF))
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # per-customer + histogram
+
+
 def test_table_profile_single_aggregate_scan(spark, qs):
     """All columns' null/distinct stats ride ONE aggregate over one scan;
     the per-column output rows come from a literal explode, not one job

@@ -5461,6 +5461,72 @@ ORDER BY "column"
 """
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a join-side predicate (non-urgent orders only — the
+    predicate must live in the join condition, not a WHERE, or customers
+    with only urgent orders vanish instead of counting 0), then a
+    double aggregate: per-customer count -> histogram of counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count per part attribute, adapted: the
+    reduced schema has no partsupp, so the part-supplier relation comes
+    from lineitem): per (brand, type, size) the number of DISTINCT
+    suppliers — a count-distinct grouped over a broadcast-dim join with
+    dim-side exclusion filters."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 2, 3, 4, 5))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_size IN (1, 2, 3, 4, 5)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5636,6 +5702,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_hnsw_batch_insert_search,
         SQL_HNSW_BATCH_INSERT_SEARCH,
     ),
+    "tpch_q13_custdist": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q16_suppcnt": (q_tpch_q16, SQL_TPCH_Q16),
 }
 
 
