@@ -242,3 +242,36 @@ def test_paragraph_dedup_null_text_keeps_doc_row(spark):
         assert rows[2]["text"] == "" and rows[2]["n_units"] == 0
         assert rows[2]["n_dropped"] == 0
         assert rows[1]["n_units"] == 2 and rows[1]["n_dropped"] == 0
+
+
+def test_c4_line_filter_semantics(spark):
+    """Terminal-punctuation AND min-words rules per line; all-dropped docs
+    keep their row (empty text); NULL text -> one empty line, dropped."""
+    from vettore_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "this line has enough words here.\nshort one.\nno terminal line with words\nanother good line of text here!"),
+            (2, "everything here fails"),
+            (3, None),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in c4_line_filter(df, min_words=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_kept"] == 2
+    assert rows[1]["text"] == (
+        "this line has enough words here.\nanother good line of text here!"
+    )
+    assert rows[2]["n_kept"] == 0 and rows[2]["text"] == ""
+    assert rows[3]["n_lines"] == 1 and rows[3]["n_kept"] == 0
+
+
+def test_c4_line_filter_is_map_only(spark):
+    from vettore_spark.operators.text import c4_line_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -5461,6 +5461,54 @@ ORDER BY "column"
 """
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleanup (text.c4_line_filter). The synthetic
+    corpus is single-line with no punctuation, so the gate PLANTS line
+    structure deterministically (the pii_redact pattern): 7-token lines,
+    a terminal '.' on lines with index % 3 != 0. The filter must then
+    keep exactly the terminated full-length lines — the remainder line
+    additionally exercises the min-words rule."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = D.unit_chunks("text", window=7)
+    planted = F.array_join(
+        F.transform(
+            lines,
+            lambda l, i: F.concat(
+                l, F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit(""))
+            ),
+        ),
+        "\n",
+    )
+    src = docs.select("doc_id", planted.alias("text"))
+    return TX.c4_line_filter(src).withColumn("text", F.md5("text"))
+
+
+SQL_C4_LINE_FILTER = r"""
+WITH planted AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(1, ceil(len(t) / 7.0))::BIGINT),
+           i -> array_to_string(t[(i*7+1):(i*7+7)], ' ')
+                || (CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END)
+         ) AS lines
+  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS t FROM documents)
+),
+f AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+           l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                AND right(trim(l), 1) IN ('.', '!', '?', '"')) AS kept
+  FROM planted
+)
+SELECT doc_id,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS text,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       round(len(kept)::DOUBLE / len(lines)::DOUBLE, 5) AS kept_frac
+FROM f
+"""
+
+
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     join with a join-side predicate (non-urgent orders only — the
@@ -5704,6 +5752,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "tpch_q13_custdist": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q16_suppcnt": (q_tpch_q16, SQL_TPCH_Q16),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
 }
 
 
