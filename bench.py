@@ -132,6 +132,8 @@ HEADLINE = [
     "hnsw_batch_insert_search",
     "tpch_q13_custdist",
     "tpch_q16_suppcnt",
+    "c4_line_filter",
+    "events_skew_report",
 ]
 
 

@@ -67,3 +67,23 @@ def test_salt_join_matches_plain(spark, skewed):
 def test_salted_agg_rejects_avg(skewed):
     with pytest.raises(ValueError, match="non-reaggregatable"):
         salted_agg(skewed, ["user_id"], {"value": "avg"}, salt_col="event_id")
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from vettore_spark.plans.skew import skew_report
+
+    rows = [("hot", i) for i in range(90)] + [(f"k{i}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k: string, v: long")
+    got = skew_report(df, "k", top_k=3).collect()
+    assert got[0]["k"] == "hot"
+    assert got[0]["n_rows"] == 90
+    assert abs(got[0]["share"] - 0.9) < 1e-9
+    # 11 distinct keys, uniform would be 100/11 rows: ratio 90/(100/11)=9.9
+    assert abs(got[0]["skew_ratio"] - 9.9) < 1e-6
+    plan = (
+        skew_report(df, "k", top_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -81,3 +81,36 @@ def salt_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return b.join(s, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """The diagnostic run BEFORE reaching for `salted_agg`/`salt_join`:
+    the `top_k` heaviest keys with their row share and the ratio to a
+    perfectly uniform key (share * n_distinct_keys). A ratio >> 1 on the
+    head key is the signature of the single hot group AQE cannot split.
+
+    One aggregation (map-side combinable counts) + a single-row totals
+    broadcast + TakeOrderedAndProject for the head — scale-free."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            key_col,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("_total"), 5).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 3
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), key_col)
+        .limit(top_k)
+    )

@@ -5461,6 +5461,33 @@ ORDER BY "column"
 """
 
 
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew diagnostic (plans/skew.py::skew_report) over the event
+    stream's user key: top-5 heaviest users with row share and the ratio
+    vs a uniform key — the measurement that decides whether salted_agg /
+    salt_join is worth its extra shuffle. One combinable count aggregate
+    + a single-row totals broadcast + TakeOrderedAndProject."""
+    from vettore_spark.plans.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=5)
+
+
+SQL_EVENTS_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT sum(n_rows) AS _total, count(*) AS _n_keys FROM counts
+)
+SELECT user_id, n_rows,
+       round(n_rows / _total, 5) AS share,
+       round(n_rows * _n_keys / _total, 3) AS skew_ratio
+FROM counts, totals
+ORDER BY n_rows DESC, user_id
+LIMIT 5
+"""
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleanup (text.c4_line_filter). The synthetic
     corpus is single-line with no punctuation, so the gate PLANTS line
@@ -5753,6 +5780,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q13_custdist": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q16_suppcnt": (q_tpch_q16, SQL_TPCH_Q16),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "events_skew_report": (q_events_skew_report, SQL_EVENTS_SKEW_REPORT),
 }
 
 
