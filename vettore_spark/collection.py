@@ -394,7 +394,10 @@ class Collection:
             # IVF mirror of the HNSW patch: one driver-side nearest-cell
             # assignment + a one-row append to the inverted file — no
             # codebook re-train (ivf_insert); durable_cut bounds the
-            # patched table's lineage
+            # patched table's lineage. The payload columns ride along so
+            # ivf_search(where=...) — which filters the inverted file —
+            # still sees rows inserted after index residency.
+            extras = self._stored_extras(row)
             self.__dict__["_ivf_state"] = {
                 k: (
                     cents,
@@ -402,6 +405,7 @@ class Collection:
                         ANN.ivf_insert(
                             assigned, rid, vec, centroids=cents,
                             id_col="id", vector_col="vector",
+                            extras=extras,
                         ),
                         eager=False,
                     ),
@@ -415,6 +419,39 @@ class Collection:
                 k: idx.insert(rid, vec) for k, idx in pq_resident.items()
             }
         return self
+
+    def _stored_extras(self, row: dict) -> dict:
+        """Driver-side payload columns for a one-row incremental index
+        append, replicating exactly what put_many stores for `row`:
+        id<->value fallback, per-inner-vector normalization (f32-rounded),
+        sign bits packed from the normalized f64 primary vector (the
+        pre-f32 value compress_sign_bits sees in the batch path), metadata
+        as given."""
+        import numpy as np
+
+        v = row.get("vector")
+        if v is None:
+            v = np.mean(
+                np.asarray(row["vectors"], dtype=np.float64), axis=0
+            ).tolist()
+        q = self._prepare_query(v)
+        vecs = row.get("vectors")
+        if vecs is not None:
+            vecs = [
+                np.asarray(self._prepare_query(list(x)), dtype=np.float32)
+                .astype(np.float64)
+                .tolist()
+                for x in vecs
+            ]
+        val = row.get("value")
+        if val is None:
+            val = row.get("id")
+        return {
+            "value": val,
+            "vectors": vecs,
+            "binary_vector": K.pack_sign_bits_py(q, self.config.dimensions),
+            "metadata": row.get("metadata"),
+        }
 
     def _stored_vector(self, row: dict) -> list[float]:
         """The f64 view of the primary vector put_many stores for `row`:
@@ -905,8 +942,13 @@ class Collection:
                 # index dirs, so a tampered/hand-replaced index would load
                 # silently and serve wrong results — record rows AND a
                 # content fingerprint at write time, verified before
-                # installing on load
-                n, ck = self._table_fingerprint(shards)
+                # installing on load. Fingerprint the parquet JUST WRITTEN
+                # (not the in-memory plan): one cheap scan instead of a
+                # second full index-plan job, and the checksum matches the
+                # bytes on disk by construction — a lineage recompute
+                # between write and fingerprint can never poison the
+                # manifest into permanently rejecting its own files
+                n, ck = self._table_fingerprint(self.spark.read.parquet(sub))
                 manifest.append(
                     {"dir": f"k{i}", "key": list(key), "shard_ids": sids,
                      "rows": n, "checksum": ck}
@@ -925,8 +967,12 @@ class Collection:
                 assigned.write.mode("overwrite").parquet(
                     os.path.join(sub, "assigned")
                 )
-                cn, cck = self._table_fingerprint(cents)
-                an, ack = self._table_fingerprint(assigned)
+                cn, cck = self._table_fingerprint(
+                    self.spark.read.parquet(os.path.join(sub, "centroids"))
+                )
+                an, ack = self._table_fingerprint(
+                    self.spark.read.parquet(os.path.join(sub, "assigned"))
+                )
                 ivf_manifest.append(
                     {"dir": f"k{i}", "key": list(key),
                      "centroid_rows": cn, "centroid_checksum": cck,
@@ -943,7 +989,7 @@ class Collection:
                     continue
                 sub = os.path.join(path, "index_pq", f"k{i}")
                 idx._codes.write.mode("overwrite").parquet(sub)
-                n, ck = self._table_fingerprint(idx._codes)
+                n, ck = self._table_fingerprint(self.spark.read.parquet(sub))
                 pq_manifest.append(
                     {"dir": f"k{i}", "key": list(key),
                      "books": idx._books.tolist(),

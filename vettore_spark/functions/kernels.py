@@ -402,6 +402,27 @@ def compress_sign_bits(v: Column | str, dims: int) -> Column:
     return F.array(*words)
 
 
+def pack_sign_bits_py(vec, dims: int) -> list[int]:
+    """Driver-side mirror of `compress_sign_bits` for one vector: x >= 0
+    sign bits packed little-endian into ceil(dims/64) SIGNED 64-bit words
+    (two's complement — the exact bit pattern the Column version emits).
+    Used by incremental index maintenance to stage a one-row append
+    without running a Spark expression (Collection.put -> ivf_insert)."""
+    if dims <= 0:
+        raise ValueError("dimensions must be positive")
+    nwords = (dims + 63) // 64
+    out = []
+    for w in range(nwords):
+        word = 0
+        for j in range(min(64, dims - w * 64)):
+            if float(vec[w * 64 + j]) >= 0.0:
+                word |= 1 << j
+        if word >= 1 << 63:
+            word -= 1 << 64
+        out.append(word)
+    return out
+
+
 def _masked(arr: Column, dims: int) -> Column:
     """Mask padding bits of the final word (distances.rs:471-481)."""
     rem = dims % 64

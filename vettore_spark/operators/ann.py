@@ -550,6 +550,7 @@ def ivf_insert(
     vector_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    extras: dict | None = None,
 ) -> DataFrame:
     """Incremental IVF index INSERT: assign the one new vector to its
     nearest centroid driver-side (the codebook is resident and
@@ -561,8 +562,12 @@ def ivf_insert(
     of HNSW's one-shard insert patch (insert_into_graph_shards; reference
     insert-time maintenance, native/vettore/src/hnsw.rs:152-245).
 
-    The appended row carries (id, vector, _cell); columns the probe path
-    does not read are NULL. Callers patching a long-lived resident table
+    `extras` supplies driver-side values for additional columns of the
+    inverted file (typed from the assigned table's schema). Callers whose
+    probe path filters on payload columns (metadata, value — the
+    filtered-probe mode) MUST pass them: an appended row with NULL
+    payload is invisible to `where=` predicates. Columns neither probed
+    nor supplied stay NULL. Callers patching a long-lived resident table
     should lineage-cut the result (plans/checkpoint.py::durable_cut)."""
     spark = assigned.sparkSession
     cids, cmat, _bc = _ivf_centroids_cached(
@@ -571,19 +576,26 @@ def ivf_insert(
     v = np.asarray(list(vector), dtype=np.float64)
     n = _l2norm_rows(v.reshape(1, -1))[0]
     cell = int(cids[int(np.argmin(1.0 - n @ cmat.T))])
+    fields = [
+        T.StructField(id_col, assigned.schema[id_col].dataType),
+        T.StructField("_v", T.ArrayType(T.DoubleType())),
+        T.StructField("_cell", assigned.schema["_cell"].dataType),
+    ]
+    vals: list = [external_id, [float(x) for x in v], cell]
+    extra_names = []
+    for c, val in (extras or {}).items():
+        if c in (id_col, vector_col, "_cell"):
+            continue
+        fields.append(T.StructField(c, assigned.schema[c].dataType))
+        vals.append(val)
+        extra_names.append(c)
     row = spark.createDataFrame(
-        [(external_id, [float(x) for x in v], cell)],
-        T.StructType(
-            [
-                T.StructField(id_col, assigned.schema[id_col].dataType),
-                T.StructField("_v", T.ArrayType(T.DoubleType())),
-                T.StructField("_cell", assigned.schema["_cell"].dataType),
-            ]
-        ),
+        [tuple(vals)], T.StructType(fields)
     ).select(
         id_col,
         F.col("_v").cast(assigned.schema[vector_col].dataType).alias(vector_col),
         "_cell",
+        *extra_names,
     )
     return assigned.unionByName(row, allowMissingColumns=True)
 

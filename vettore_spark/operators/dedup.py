@@ -959,6 +959,20 @@ def embedding_neardup_banded(
     collisions). No cartesian anywhere; the `max_block_size` population
     filter runs before the quadratic stage (see embedding_neardup_pairs).
     """
+    # fail fast when the bands would index past the embedding: element_at
+    # beyond the array end THROWS under ANSI mode (Spark 4 default) deep
+    # inside the stage, and with ANSI off every missing dim silently hashes
+    # to the 0 bit — collapsing a whole band into a few mega-blocks (lost
+    # recall the block-size cap then masks). One single-row job at call
+    # time buys a clear argument error instead.
+    needed = n_bits * n_bands
+    head = df.select(F.size(F.col(vector_col)).alias("_d")).first()
+    if head is not None and head["_d"] is not None and head["_d"] < needed:
+        raise ValueError(
+            f"embedding_neardup_banded needs n_bits*n_bands={needed} dims "
+            f"but vectors have {head['_d']}; lower n_bits or n_bands so "
+            f"every band reads real components"
+        )
     bands_arr = F.array(*[
         F.struct(
             F.lit(j).alias("_band"),

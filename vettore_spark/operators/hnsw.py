@@ -433,10 +433,14 @@ def insert_many_into_graph_shards(
         )
     for members in by_shard.values():
         members.sort(key=lambda m: str(m[0]))
-    bc = shards.sparkSession.sparkContext.broadcast(by_shard)
+    # routed batch rides in the task closure (like the single-row path's
+    # captured vector), NOT a SparkContext.broadcast: a broadcast per
+    # ingest batch is never destroyed and accumulates dead blocks on the
+    # driver and every executor for the application lifetime — the closure
+    # is bounded by the caller's batch cap and is GC'd with the plan
+    routed = by_shard
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        routed = bc.value
         for pdf in it:
             out = []
             for sid, blob in zip(pdf["shard_id"], pdf["shard"]):

@@ -665,7 +665,9 @@ def c4_line_filter(
     half-lines never reach the dedup layer."""
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     is_kept = lambda l: (  # noqa: E731
-        (F.size(F.split(F.trim(l), " ")) >= min_words)
+        # \s+ (not a literal space): runs of spaces/tabs are one separator,
+        # matching the C4 rule and the DuckDB oracle's regexp split
+        (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
         & F.substring(F.trim(l), -1, 1).isin(*terminals)
     )
     kept = F.filter(lines, is_kept)

@@ -261,6 +261,16 @@ class PqIndex:
             F.col("_c").cast(self._codes.schema["codes"].dataType).alias("codes"),
         )
         self._codes = self._codes.unionByName(row)
+        # lineage ladder (put_many's pattern): N raw single-row unions
+        # would build an N-deep tree that every ADC scan re-analyzes —
+        # cut every 8 appends via the durability-aware helper
+        depth = getattr(self, "_insert_depth", 0) + 1
+        if depth >= 8:
+            from vettore_spark.plans.checkpoint import durable_cut
+
+            self._codes = durable_cut(self._codes, eager=False)
+            depth = 0
+        self._insert_depth = depth
         return self
 
     def delete(self, id_) -> "PqIndex":

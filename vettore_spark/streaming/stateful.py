@@ -451,7 +451,10 @@ def streaming_funnel_stage(
     """
     if len(stages) != 3:
         raise ValueError("streaming_funnel_stage supports exactly 3 stages")
-    out_schema = f"{user_col} long, stage int"
+    # mirror the input's user-id type: hardcoding `long` would make string
+    # user keys (the Collection id convention) fail at the first micro-batch
+    user_t = events.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {user_t}, stage int"
     state_schema = "t1 long, t2 long, t3 long"
 
     def _ts_long(v) -> int:
