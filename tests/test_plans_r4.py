@@ -134,3 +134,43 @@ def test_table_profile_single_aggregate_scan(spark, qs):
     plan = _executed(qs["table_profile"](spark, SF))
     assert plan.count("Scan parquet") <= 1
     assert "Generate" in plan
+
+
+def test_tpch_q21_exists_pair_is_semi_plus_anti(spark, qs):
+    """The EXISTS / NOT EXISTS pair must compile to a left-semi and a
+    left-anti join on orderkey (suppkey inequality as residual) — never a
+    cartesian or nested-loop re-execution per outer row."""
+    plan = _executed(qs["tpch_q21_waiting"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q11_threshold_is_broadcast_scalar(spark, qs):
+    """The global-total threshold joins back as a single-row broadcast —
+    the aggregate never leaves the cluster and the value table is scanned
+    (grouped) once per side, not re-executed per row."""
+    plan = _executed(qs["tpch_q11_important"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_min_per_part_is_window_not_rejoin(spark, qs):
+    """The correlated min-subquery runs as a window min over p_partkey on
+    the dim-filtered eligible set — one shuffle, no self-join of the
+    part-supplier aggregate against itself."""
+    plan = _executed(qs["tpch_q2_mincost"](spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # dims ride broadcast joins; the only sort-merge-scale join keys are
+    # the window exchange over p_partkey
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q20_nested_in_is_semi_chain(spark, qs):
+    """Both IN-subqueries narrow via semi-join/distinct — supplier is
+    probed with a left-semi, and no stage widens the fact table."""
+    plan = _executed(qs["tpch_q20_excess"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -5602,6 +5602,358 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier; adapted: no partsupp, so the
+    part-supplier relation and its supply cost come from lineitem — cost =
+    min observed unit price per (part, supplier)). The correlated
+    min-subquery compiles to a window min over p_partkey on the eligible
+    set and an equality filter — one shuffle on the already-dim-filtered
+    rows instead of a re-join. Per-row unit price is bit-identical in both
+    engines and min is order-free, so the equality is exact. Full
+    deterministic sort (s_suppkey tie-break) makes the LIMIT boundary
+    engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 2, 3) & (F.col("p_type") == "SMALL")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost")
+    )
+    elig = (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("_mn", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "s_suppkey",
+            F.round("_cost", 5).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+                 "s_suppkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS _cost
+  FROM lineitem GROUP BY 1, 2
+),
+elig AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, _cost
+  FROM ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size IN (1, 2, 3) AND p_type = 'SMALL' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       round(_cost, 5) AS supplycost
+FROM elig e
+WHERE _cost = (SELECT min(_cost) FROM elig i WHERE i.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the seven-table star with
+    nation joined in TWO roles (customer market, supplier origin), a
+    conditional decimal sum over a full sum per year. All dims broadcast;
+    the only shuffle is the final groupBy over ~years rows. Both sums are
+    exact decimals, so the double division and 5-dp round are
+    engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_regionkey").alias("_n1reg")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("_supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(reg), F.col("_n1reg") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("_supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).alias("_nat"),
+            F.sum(vol).alias("_tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nat").cast("double") / F.col("_tot").cast("double"), 5
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE),
+         5) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock; adapted via lineitem): per-part
+    shipped value for a nation group, kept when above a FRACTION of the
+    global total — the scalar-subquery-on-own-aggregate pattern, planned
+    as aggregate -> single-row broadcast -> filter (the global total never
+    leaves the cluster). Decimal sums keep both the per-part values and
+    the threshold exact; the threshold comparison happens in double on
+    identical operands."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("_val")
+        )
+    )
+    tot = val.agg(F.sum("_val").alias("_tot"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(
+            F.col("_val").cast("double") > F.col("_tot").cast("double") * 0.002
+        )
+        .select(
+            "partkey",
+            F.round("_val", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS _val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1
+)
+SELECT partkey, CAST(round(_val, 2) AS DOUBLE) AS value
+FROM val
+WHERE CAST(_val AS DOUBLE) >
+      (SELECT CAST(sum(_val) AS DOUBLE) FROM val) * CAST(0.002 AS DOUBLE)
+ORDER BY value DESC, partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay priority counts; adapted: the
+    reduced schema has no shipmode/commitdate/receiptdate, so lateness is
+    l_shipdate > o_orderdate + 60 days). One fact-fact equi-join on
+    orderkey and a conditional-count groupBy over five priority rows —
+    the CASE-sum pattern Catalyst folds into a single partial-aggregated
+    pass. Timestamp comparison is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    ords = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_count"),
+            F.sum(F.when(late, 0).otherwise(1)).cast("long").alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock; adapted via lineitem:
+    'availqty' = quantity shipped in the window). Nested IN-subqueries
+    compile to a left-semi chain: part-filtered shipped aggregate ->
+    distinct supplier keys -> semi-join into supplier. Quantity sums are
+    decimal (order-free), so the > threshold cut is exact. No row
+    explosion anywhere — every stage only narrows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS _qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND p_name LIKE '%small%'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE _qty > 50)
+ORDER BY s_name, s_suppkey
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who alone delayed multi-supplier orders;
+    adapted lateness: l_shipdate > o_orderdate + 60 days). The correlated
+    EXISTS / NOT EXISTS pair compiles to left-semi ('another supplier
+    participated') + left-anti ('no OTHER supplier was late') joins on
+    orderkey with a suppkey-inequality residual — the canonical Spark
+    translation; no window, no collect. `late` is built once and reused
+    for both the probe side and the anti side (same order => same
+    o_orderdate, so the correlated date predicate folds into the shared
+    relation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    late = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = (
+        late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5781,6 +6133,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q16_suppcnt": (q_tpch_q16, SQL_TPCH_Q16),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "events_skew_report": (q_events_skew_report, SQL_EVENTS_SKEW_REPORT),
+    # full TPC-H (adapted to the reduced schema): Q2/Q8/Q11/Q12/Q20/Q21
+    # complete all 22 shapes
+    "tpch_q2_mincost": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q8_mktshare": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q11_important": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q12_lateship": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q20_excess": (q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21_waiting": (q_tpch_q21, SQL_TPCH_Q21),
 }
 
 
