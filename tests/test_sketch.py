@@ -1,0 +1,144 @@
+"""Sketch family: KMV bottom-k distinct estimation (+ merge/set ops) and
+the count-min frequency sketch. Properties pinned: estimator accuracy at
+1/sqrt(k) scale, exactness below saturation, merge associativity, the
+count-min overestimate guarantee, and the plans that make both scale
+(WindowGroupLimit bottom-k, broadcast sketch lookup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators import sketch as SK
+
+
+def _ids(spark, n, tag=""):
+    return spark.range(n).select(
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_kmv_exact_below_saturation(spark):
+    """A group with fewer distinct keys than k holds its WHOLE hash set in
+    the sketch — the estimate is the exact count, no estimator error."""
+    df = _ids(spark, 100)
+    sk = SK.kmv_sketch(df, "key", k=256)
+    [row] = SK.kmv_estimate(sk, k=256).collect()
+    assert row["est_distinct"] == 100.0
+
+
+def test_kmv_estimate_within_relative_error(spark):
+    """Saturated sketch: (k-1)/r_k lands within ~3/sqrt(k) of truth
+    (k=256 -> 18.75%; md5 draws are uniform, the bound is loose)."""
+    n = 20_000
+    sk = SK.kmv_sketch(_ids(spark, n), "key", k=256)
+    [row] = SK.kmv_estimate(sk, k=256).collect()
+    assert abs(row["est_distinct"] - n) / n < 3 / (256 ** 0.5)
+
+
+def test_kmv_duplicates_are_invisible(spark):
+    """KMV counts DISTINCT keys: replicating every key 7x changes
+    nothing — same sketch, same estimate."""
+    base = _ids(spark, 5_000)
+    dup = base.crossJoin(spark.range(7)).select("key")
+    k = 128
+    a = SK.kmv_sketch(base, "key", k=k).collect()
+    b = SK.kmv_sketch(dup, "key", k=k).collect()
+    assert sorted((r["pos"], r["h"]) for r in a) == sorted(
+        (r["pos"], r["h"]) for r in b
+    )
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability — the property that lets sketches be computed
+    per-partition/per-corpus and combined: merge(sk(A), sk(B)) is
+    EXACTLY sk(A ∪ B)."""
+    k = 64
+    a, b = _ids(spark, 3_000, "a"), _ids(spark, 3_000, "b")
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(a, "key", k=k), SK.kmv_sketch(b, "key", k=k), k=k
+    )
+    direct = SK.kmv_sketch(a.unionByName(b), "key", k=k)
+    assert sorted((r["pos"], r["h"]) for r in merged.collect()) == sorted(
+        (r["pos"], r["h"]) for r in direct.collect()
+    )
+
+
+def test_kmv_overlap_tracks_true_jaccard(spark):
+    """Half-overlapping sets (true J = 1/3): the resemblance estimate from
+    the merged bottom-k is within 3/sqrt(k) absolute."""
+    k = 256
+    a = _ids(spark, 4_000)                      # 0..3999
+    b = spark.range(2_000, 6_000).select(F.col("id").cast("string").alias("key"))
+    [row] = SK.kmv_overlap(
+        SK.kmv_sketch(a, "key", k=k), SK.kmv_sketch(b, "key", k=k), k=k
+    ).collect()
+    assert abs(row["jaccard"] - 1 / 3) < 3 / (k ** 0.5)
+    assert abs(row["est_union"] - 6_000) / 6_000 < 3 / (k ** 0.5)
+    assert abs(row["est_intersection"] - 2_000) / 2_000 < 0.35
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: est_cnt >= exact count for EVERY key, and
+    a narrow sketch (forced collisions) stays an overestimate."""
+    rows = [(f"k{i % 50}",) for i in range(5_000)]  # 50 keys x 100, zipfless
+    df = spark.createDataFrame(rows, ["key"])
+    for width in (16, 1024):  # 16 forces collisions among 50 keys
+        cms = SK.cms_build(df, "key", depth=4, width=width)
+        exact = df.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        got = SK.cms_lookup(cms, exact, "key", depth=4, width=width).collect()
+        assert all(r["est_cnt"] >= r["n"] for r in got), width
+    # wide sketch: no collisions among 50 keys across 4 rows -> exact
+    assert all(r["est_cnt"] == r["n"] for r in got)
+
+
+def test_cms_weighted_counts(spark):
+    """weight_col aggregates weights, not rows."""
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], ["key", "w"])
+    cms = SK.cms_build(df, "key", depth=3, width=64, weight_col="w")
+    items = spark.createDataFrame([("a",), ("b",), ("zz",)], ["key"])
+    got = {r["key"]: r["est_cnt"] for r in
+           SK.cms_lookup(cms, items, "key", depth=3, width=64).collect()}
+    assert got["a"] == 12 and got["b"] == 1
+    assert got["zz"] <= 13  # absent key: bounded by colliding mass, >= 0
+
+
+def test_kmv_bottom_k_plan_is_partial_topk(spark):
+    """The scale pin: bottom-k never globally sorts. Grouped sketches plan
+    as WindowGroupLimit (per-partition bottom-k BEFORE the exchange, then
+    Final after) — a group's billion distinct hashes move as k rows per
+    input partition. A global sketch is even tighter: Catalyst collapses
+    the rank filter to TakeOrderedAndProject (per-partition heads +
+    driver-side merge of k-row heaps)."""
+    df = _ids(spark, 1_000)
+    gplan = (
+        SK.kmv_sketch(df, "key", k=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in gplan
+    grouped = df.withColumn("g", F.col("key").substr(1, 1))
+    plan = (
+        SK.kmv_sketch(grouped, "key", k=32, group_by=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_cms_lookup_broadcasts_sketch(spark):
+    """The finished sketch (depth*width rows) must broadcast into the
+    probe join — the items side never shuffles."""
+    df = _ids(spark, 1_000)
+    cms = SK.cms_build(df, "key", depth=4, width=128)
+    items = _ids(spark, 10)
+    plan = (
+        SK.cms_lookup(cms, items, "key", depth=4, width=128)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_rejects_degenerate_k(spark):
+    with pytest.raises(ValueError, match="k >= 2"):
+        SK.kmv_sketch(_ids(spark, 10), "key", k=1)
+    with pytest.raises(ValueError, match="depth"):
+        SK.cms_build(_ids(spark, 10), "key", depth=0, width=4)

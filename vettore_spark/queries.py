@@ -5954,6 +5954,202 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
 
 
+def q_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch per day vs the exact count.
+    The sketch side moves k=128 longs per day instead of every distinct
+    (user, event_type) key — the shape that holds when a day has a billion
+    distinct keys — and the estimator is deterministic (md5-derived
+    60-bit hashes), so the oracle reproduces the estimate bit-for-bit.
+    operators/sketch.py; Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07."""
+    from vettore_spark.operators import sketch as SK
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("event_type")
+        ).alias("k"),
+    )
+    sk = SK.kmv_sketch(keyed, "k", k=128, group_by=["day"])
+    est = SK.kmv_estimate(sk, k=128, group_by=["day"])
+    exact = keyed.groupBy("day").agg(
+        F.countDistinct("k").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        "day", "n_exact", "est_distinct"
+    ).orderBy("day")
+
+
+SQL_KMV_DISTINCT_DAILY = r"""
+WITH keyed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         user_id::VARCHAR || ':' || event_type AS k
+  FROM events
+),
+h AS (SELECT DISTINCT day, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+      FROM keyed),
+rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS pos
+       FROM h),
+agg AS (SELECT day, count(*) AS _n, max(h) AS _hk
+        FROM rk WHERE pos <= 128 GROUP BY day),
+ex AS (SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+       FROM keyed GROUP BY day)
+SELECT day, n_exact,
+       round(CASE WHEN _n < 128 THEN CAST(_n AS DOUBLE)
+                  ELSE (127.0 * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(_hk AS DOUBLE) END, 3) AS est_distinct
+FROM agg JOIN ex USING (day)
+ORDER BY day
+"""
+
+
+def q_kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-similarity via sketch SET OPERATIONS: split the corpus into
+    halves (doc_id parity), sketch each half's word-3-gram shingle set
+    (k=256), and estimate Jaccard / union / intersection from the merged
+    sketch — next to the exact set arithmetic for calibration. At 100 TB
+    the exact side is a full distinct-shingle shuffle per corpus; the
+    sketch side ships 256 longs per corpus and answers any pairwise
+    overlap question between N corpora without re-reading them."""
+    from vettore_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            D.shingle_array(D.tokens(F.coalesce(F.col("text"), F.lit(""))), 3)
+        ).alias("s"),
+    )
+    a = SK.kmv_sketch(sh.filter(F.col("half") == 0), "s", k=256)
+    b = SK.kmv_sketch(sh.filter(F.col("half") == 1), "s", k=256)
+    est = SK.kmv_overlap(a, b, k=256)
+    sa = sh.filter(F.col("half") == 0).select("s").distinct()
+    sb = sh.filter(F.col("half") == 1).select("s").distinct()
+    exact = (
+        sa.withColumn("_ina", F.lit(1))
+        .join(sb.withColumn("_inb", F.lit(1)), "s", "full_outer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(
+                F.when(
+                    F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("exact_intersection"),
+        )
+    )
+    return est.join(F.broadcast(exact)).select(
+        "jaccard", "est_union", "est_intersection",
+        "exact_union", "exact_intersection",
+    )
+
+
+SQL_KMV_SHINGLE_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT half,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+hs AS (SELECT half, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS pos
+                      FROM (SELECT DISTINCT h FROM hs WHERE half = 0))
+       WHERE pos <= 256),
+kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS pos
+                      FROM (SELECT DISTINCT h FROM hs WHERE half = 1))
+       WHERE pos <= 256),
+mg AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS pos
+                      FROM (SELECT h FROM ka UNION SELECT h FROM kb))
+       WHERE pos <= 256),
+fl AS (SELECT mg.h,
+              (mg.h IN (SELECT h FROM ka) AND mg.h IN (SELECT h FROM kb))
+                AS _both
+       FROM mg),
+agg AS (SELECT count(*) AS _n, max(h) AS _hk,
+               sum(CASE WHEN _both THEN 1 ELSE 0 END) AS _nboth
+        FROM fl),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersection
+  FROM (SELECT h,
+               bool_or(half = 0) AS ina, bool_or(half = 1) AS inb
+        FROM (SELECT DISTINCT half, h FROM hs) GROUP BY h)
+)
+SELECT round(CAST(_nboth AS DOUBLE) / CAST(_n AS DOUBLE), 5) AS jaccard,
+       round(CASE WHEN _n < 256 THEN CAST(_n AS DOUBLE)
+                  ELSE (255.0 * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(_hk AS DOUBLE) END, 3) AS est_union,
+       round((CAST(_nboth AS DOUBLE) / CAST(_n AS DOUBLE))
+             * (CASE WHEN _n < 256 THEN CAST(_n AS DOUBLE)
+                     ELSE (255.0 * CAST(1152921504606846976 AS DOUBLE))
+                          / CAST(_hk AS DOUBLE) END), 3) AS est_intersection,
+       exact_union, exact_intersection
+FROM agg, ex
+"""
+
+
+def q_cms_token_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over corpus tokens: estimated vs
+    exact frequency for the 20 most frequent tokens. The sketch is
+    depth*width = 4*1024 counters regardless of corpus size (map-side
+    partial sums; the finished sketch broadcasts into the lookup), and
+    the count-min guarantee est >= exact is visible in the output.
+    Deterministic bucket hashing makes the estimate oracle-able.
+    operators/sketch.py; Cormode & Muthukrishnan 2005."""
+    from vettore_spark.operators import sketch as SK
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(D.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cms = SK.cms_build(toks, "tok", depth=4, width=1024)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    return SK.cms_lookup(cms, top, "tok", depth=4, width=1024).orderBy(
+        F.desc("exact_cnt"), F.asc("tok")
+    )
+
+
+SQL_CMS_TOKEN_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok FROM toks WHERE tok <> ''),
+cms AS (
+  SELECT d, ('0x' || substr(md5(d::VARCHAR || ':' || tok), 1, 15))::BIGINT
+            % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tf, range(4) r(d)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tf GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20
+),
+probe AS (
+  SELECT top.tok, top.exact_cnt, r.d,
+         ('0x' || substr(md5(r.d::VARCHAR || ':' || top.tok), 1, 15))::BIGINT
+           % 1024 AS bucket
+  FROM top, range(4) r(d)
+)
+SELECT probe.tok, probe.exact_cnt,
+       CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est_cnt
+FROM probe LEFT JOIN cms ON probe.d = cms.d AND probe.bucket = cms.bucket
+GROUP BY probe.tok, probe.exact_cnt
+ORDER BY probe.exact_cnt DESC, probe.tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6141,6 +6337,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q12_lateship": (q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q20_excess": (q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q21_waiting": (q_tpch_q21, SQL_TPCH_Q21),
+    # deterministic sketch family (operators/sketch.py): KMV distinct
+    # counting + set ops, count-min heavy hitters
+    "kmv_distinct_daily": (q_kmv_distinct_daily, SQL_KMV_DISTINCT_DAILY),
+    "kmv_shingle_overlap": (q_kmv_shingle_overlap, SQL_KMV_SHINGLE_OVERLAP),
+    "cms_token_hitters": (q_cms_token_hitters, SQL_CMS_TOKEN_HITTERS),
 }
 
 
