@@ -142,3 +142,77 @@ def test_kmv_rejects_degenerate_k(spark):
         SK.kmv_sketch(_ids(spark, 10), "key", k=1)
     with pytest.raises(ValueError, match="depth"):
         SK.cms_build(_ids(spark, 10), "key", depth=0, width=4)
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV (bottom-k in applyInPandasWithState state) consumed
+    with availableNow equals the BATCH kmv_estimate over the same rows —
+    same md5 hash construction, same estimator, bit-for-bit. Two input
+    files force multi-batch state carry-over."""
+    from vettore_spark.streaming.stateful import streaming_kmv_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    src = tmp_path / "kmv_src"
+    half1, half2 = ev.randomSplit([0.5, 0.5], seed=7)
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    half2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema("event_type string, user_id long").parquet(
+        str(src) + "/*"
+    )
+    q = (
+        streaming_kmv_distinct(stream, k=32, group_col="event_type",
+                               key_col="user_id")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per group == final state
+    import pandas as pd  # noqa: F401
+
+    rows = spark.sql("select * from kmv_stream").collect()
+    final = {}
+    for r in rows:  # memory sink appends per batch; later rows win
+        final[r["event_type"]] = r["est_distinct"]
+
+    batch = SK.kmv_estimate(
+        SK.kmv_sketch(ev, "user_id", k=32, group_by=["event_type"]),
+        k=32,
+        group_by=["event_type"],
+    ).collect()
+    want = {r["event_type"]: r["est_distinct"] for r in batch}
+    assert final == want
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """cms_build is a pure explode + groupBy-sum, so the SAME function
+    runs on a streaming frame (complete mode): counters after availableNow
+    equal the batch sketch exactly."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    src = tmp_path / "cms_src"
+    ev.coalesce(2).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("key string").parquet(str(src) + "/*")
+    q = (
+        SK.cms_build(stream, "key", depth=3, width=64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_build(ev, "key", depth=3, width=64).collect()
+    }
+    assert got == want

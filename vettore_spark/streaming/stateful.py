@@ -490,3 +490,66 @@ def streaming_funnel_stage(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    *,
+    k: int = 128,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-group RUNNING distinct-count estimate over an unbounded stream
+    via a KMV (bottom-k) sketch held in state.
+
+    Exact streaming count-distinct needs every key ever seen in state —
+    unbounded. The sketch keeps the k smallest md5-derived 60-bit hashes
+    per group (O(k) state regardless of stream length) and emits, per
+    micro-batch, the group's current estimate: exact while fewer than k
+    distinct hashes have arrived, the unbiased (k-1)/r_k bottom-k
+    estimator after saturation. The hash is the SAME construction as the
+    batch sketch (operators/sketch.hash60: first 15 hex chars of
+    md5(str(key))), so after consuming a stream with
+    trigger(availableNow=True) the final emission per group equals the
+    batch kmv_estimate over the same rows bit-for-bit (pinned in
+    tests/test_sketch.py).
+
+    Output per micro-batch and group: (group, n_sketch, est_distinct).
+    """
+    import hashlib
+
+    if k < 2:
+        raise ValueError("kmv needs k >= 2")
+    grp_t = events.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {grp_t}, n_sketch int, est_distinct double"
+    state_schema = "hs array<long>"
+    domain = float(16 ** 15)
+
+    def _h60(v) -> int:
+        return int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15], 16)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            hs.update(_h60(v) for v in pdf[key_col])
+        bottom = sorted(hs)[:k]
+        state.update((bottom,))
+        n = len(bottom)
+        est = float(n) if n < k else (k - 1) * domain / float(bottom[-1])
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_sketch": [n],
+                "est_distinct": [round(est, 3)],
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
