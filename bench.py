@@ -134,6 +134,16 @@ HEADLINE = [
     "tpch_q16_suppcnt",
     "c4_line_filter",
     "events_skew_report",
+    "tpch_q2_mincost",
+    "tpch_q8_mktshare",
+    "tpch_q11_important",
+    "tpch_q12_lateship",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+    "kmv_distinct_daily",
+    "kmv_shingle_overlap",
+    "cms_token_hitters",
+    "weighted_doc_sample",
 ]
 
 

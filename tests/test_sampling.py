@@ -174,3 +174,58 @@ def test_leakage_safe_split_keeps_families_together(spark):
         assert (split[i] == "test") == (i in test_ids)
     # both splits non-empty at this fraction
     assert {"train", "test"} == set(split.values())
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES inclusion tracks weight: with a 10:1 weight ratio and k = 20%
+    of the population, the heavy group wins the large majority of slots
+    (expected ~95% of heavy rows in-sample vs ~10% of light)."""
+    from vettore_spark.operators.sampling import weighted_sample
+
+    rows = [(f"h{i}", 10.0) for i in range(1000)] + [
+        (f"l{i}", 1.0) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["key", "w"])
+    got = weighted_sample(df, 400, weight_col="w", key_col="key").collect()
+    heavy = sum(1 for r in got if r["key"].startswith("h"))
+    assert len(got) == 400
+    assert heavy > 2 * (400 - heavy), f"heavy={heavy}"
+
+
+def test_weighted_sample_deterministic_and_salted(spark):
+    from vettore_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(f"k{i}", float(1 + i % 7)) for i in range(500)], ["key", "w"]
+    )
+    a = [r["key"] for r in weighted_sample(df, 50, weight_col="w", key_col="key").collect()]
+    b = [r["key"] for r in weighted_sample(df, 50, weight_col="w", key_col="key").collect()]
+    c = [r["key"] for r in weighted_sample(df, 50, weight_col="w", key_col="key", salt="x").collect()]
+    assert a == b
+    assert a != c  # a different salt draws a different sample
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from vettore_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -3.0), ("d", None)], ["key", "w"]
+    )
+    got = {r["key"] for r in weighted_sample(df, 10, weight_col="w", key_col="key").collect()}
+    assert got == {"a"}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Scale pin: the top-k is TakeOrderedAndProject (per-partition heaps
+    + driver merge of k rows) — no global sort, no window, no shuffle."""
+    from vettore_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("key"), F.lit(2.0).alias("w")
+    )
+    plan = (
+        weighted_sample(df, 25, weight_col="w", key_col="key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -176,3 +176,41 @@ def write_shards(
         .mode("overwrite")
         .save(path)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): every row draws u = uniform(0,1] from
+    md5(salt || key) and ranks by u^(1/w) — equivalently ln(u)/w, the
+    monotone form used here — and the k largest keys win. Inclusion
+    probability is proportional-to-size without replacement; the heavy
+    rows' advantage is exactly the exponential-clocks construction
+    (ln(u)/w ~ -Exp(rate w)).
+
+    Spark shape: a row-local expression then ONE TakeOrderedAndProject
+    (per-partition k-heaps merged on the driver) — no shuffle, no window,
+    no RNG state; identical across runs, partitionings, and retries, and
+    reproducible in ANSI SQL (the oracle covers it).
+
+    Rows with weight <= 0 or NULL never qualify. Output: the input
+    columns plus `sample_key` (the ranking key, 8 dp)."""
+    if k < 1:
+        raise ValueError("weighted_sample needs k >= 1")
+    from vettore_spark.operators.sketch import hash60, _DOMAIN
+
+    w = F.col(weight_col).cast("double")
+    u = (hash60(key_col, salt=salt).cast("double") + F.lit(0.5)) / F.lit(_DOMAIN)
+    key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_key", F.round(key, 8))
+        .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

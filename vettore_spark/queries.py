@@ -6150,6 +6150,38 @@ ORDER BY probe.exact_cnt DESC, probe.tok
 """
 
 
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling (A-ES, Efraimidis & Spirakis
+    2006): 50 documents drawn without replacement with probability
+    proportional to length (n_chars as the quality weight). Row-local
+    key computation + one TakeOrderedAndProject — no shuffle, no RNG
+    state; the md5-derived draw makes the sample reproducible in SQL.
+    The ranking key is rounded to 8 dp BEFORE the top-k (both engines),
+    with a doc_id tie-break, so the selection boundary is
+    engine-independent. operators/sampling.py::weighted_sample."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from vettore_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        docs, 50, weight_col="n_chars", key_col="doc_id"
+    ).orderBy(F.desc("sample_key"), "doc_id")
+
+
+SQL_WEIGHTED_DOC_SAMPLE = """
+SELECT doc_id, n_chars,
+       round(
+         ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  AS DOUBLE) + 0.5)
+            / CAST(1152921504606846976 AS DOUBLE))
+         / CAST(n_chars AS DOUBLE),
+         8) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key DESC, doc_id
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6342,6 +6374,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kmv_distinct_daily": (q_kmv_distinct_daily, SQL_KMV_DISTINCT_DAILY),
     "kmv_shingle_overlap": (q_kmv_shingle_overlap, SQL_KMV_SHINGLE_OVERLAP),
     "cms_token_hitters": (q_cms_token_hitters, SQL_CMS_TOKEN_HITTERS),
+    "weighted_doc_sample": (q_weighted_doc_sample, SQL_WEIGHTED_DOC_SAMPLE),
 }
 
 
