@@ -144,6 +144,7 @@ HEADLINE = [
     "kmv_shingle_overlap",
     "cms_token_hitters",
     "weighted_doc_sample",
+    "textrank_keywords",
 ]
 
 

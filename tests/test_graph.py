@@ -1,0 +1,107 @@
+"""PageRank / TextRank: fixed-point iteration matches an exact Python
+reference (bit-for-bit — the determinism the oracle gate relies on),
+higher-degree nodes outrank leaves, and the iteration plan stays
+join+aggregate (no cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.operators.graph import (
+    SCALE,
+    pagerank,
+    textrank_keywords,
+    token_adjacency,
+)
+
+
+def _py_pagerank(edges, iters=10, dn=85):
+    """Exact fixed-point reference: same floor-division update."""
+    ow = {}
+    for s, d, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    nodes = sorted(ow)
+    base = (100 - dn) * (SCALE // 100)
+    r = {n: SCALE for n in nodes}
+    for _ in range(iters):
+        m = {}
+        for s, d, w in edges:
+            m[d] = m.get(d, 0) + (r[s] * w) // ow[s]
+        r = {n: base + (dn * m.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+STAR_EDGES = [
+    # hub <-> 4 spokes, undirected (both directions), plus a spoke chain
+    *[("hub", f"s{i}", 2) for i in range(4)],
+    *[(f"s{i}", "hub", 2) for i in range(4)],
+    ("s0", "s1", 1),
+    ("s1", "s0", 1),
+]
+
+
+def test_pagerank_matches_exact_fixed_point_reference(spark):
+    df = spark.createDataFrame(STAR_EDGES, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight_col="w", iters=10).collect()
+    }
+    assert got == _py_pagerank(STAR_EDGES, iters=10)
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    df = spark.createDataFrame(STAR_EDGES, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight_col="w", iters=10).collect()
+    }
+    assert got["hub"] == max(got.values())
+    assert got["s3"] < got["s0"]  # chain members collect extra mass
+
+
+def test_pagerank_unweighted_uniform_cycle(spark):
+    """A directed cycle is rank-uniform: every node keeps exactly
+    rank 1.0 (SCALE) under the fixed-point update."""
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(cyc, ["src", "dst"])
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=7).collect()}
+    assert set(got.values()) == {SCALE}
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=0.0)
+
+
+def test_token_adjacency_symmetric_weighted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], ["doc_id", "text"]
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"] for r in token_adjacency(docs).collect()
+    }
+    # pairs: (a,b)x2 + (b,a)x1 from doc1, (b,a)x1 from doc2 -> total 4 per direction
+    assert got == {("a", "b"): 4, ("b", "a"): 4}
+
+
+def test_textrank_deterministic_and_ordered(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [(r["token"], r["rank_scaled"]) for r in textrank_keywords(docs, k=10).collect()]
+    b = [(r["token"], r["rank_scaled"]) for r in textrank_keywords(docs, k=10).collect()]
+    assert a == b
+    ranks = [x[1] for x in a]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_pagerank_iteration_plan_no_cartesian(spark):
+    df = spark.createDataFrame(STAR_EDGES, ["src", "dst", "w"])
+    plan = (
+        pagerank(df, weight_col="w", iters=3, cut_every=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,192 @@
+"""Iterative graph centrality: weighted PageRank (power iteration) and
+TextRank keyword extraction over the token-adjacency graph.
+
+The second iterative-dataflow family next to connected components
+(operators/dedup.py::connected_components): each iteration is ONE
+shuffle — an equi-join of the current rank vector against the edge list
+plus a grouped sum — and the rank vector (O(nodes), far smaller than
+edges) is the only state carried between iterations. Lineage is cut every
+`cut_every` rounds through plans/checkpoint.py::durable_cut, the same
+ladder the CC loop uses, so a 10-iteration run on a cluster neither
+re-executes the whole chain per action nor dies with a lost executor.
+
+Determinism contract (what makes these ORACLE-GATED, not rows-only, even
+though power iteration is nominally a floating-point algorithm): the
+iteration runs in FIXED-POINT INTEGER arithmetic. Ranks are scaled by
+10^9 and held as longs; per-edge contributions are floor integer
+divisions; the damped update is integer multiply + floor division. No
+float touches the loop, so there is nothing to differ by an ulp between
+engines — Spark and the DuckDB oracle produce bit-identical ranks by
+construction. (A first implementation used 9-dp rounded doubles with
+decimal sums; it died on a half-boundary where Spark's HALF_UP round and
+DuckDB's float round disagreed by one ulp. Integers have no boundaries.)
+The quantization error per iteration is < 1e-9 per edge — far below the
+estimator's own convergence tolerance at 10 iterations.
+
+TextRank: Mihalcea & Tarau, EMNLP 2004 (keyword variant: undirected
+co-occurrence graph of adjacent tokens, edge weight = co-occurrence
+count). PageRank: Page et al. 1999; the dangling-mass simplification
+(dropped, not redistributed) matches the TextRank paper's formulation
+where every node keeps the (1-d) floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vettore_spark.plans.checkpoint import durable_cut
+
+# rank scale: ranks live in [0, nodes]; scaled by 1e9 they fit longs with
+# room for the (rank * weight) product up to weights ~1e8 on graphs of
+# ~1e10 total rank mass. Callers with heavier weights should pre-divide.
+SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iters: int = 10,
+    cut_every: int = 6,
+) -> DataFrame:
+    """Weighted PageRank by fixed-point power iteration over an edge list.
+
+    R_0(v) = 10^9 (rank 1.0 scaled); per iteration
+      S_v   = sum over in-edges (u,v) of (R(u) * w_uv) div outweight_u
+      R'(v) = (100 - D) * 10^7 + (D * S_v) div 100
+    with D = round(damping*100) — all in long integer arithmetic (div =
+    floor division), exact and engine-independent. Nodes are the distinct
+    SOURCES (an undirected graph lists both directions, so every node is
+    a source; pure sinks in a directed graph contribute but do not
+    appear — orient your edges accordingly).
+
+    Returns (node, rank_scaled, rank): the exact fixed-point rank (long,
+    scaled 1e9) and its double rendering for humans. Cross-engine
+    comparisons should use rank_scaled."""
+    if iters < 1:
+        raise ValueError("pagerank needs iters >= 1")
+    dn = int(round(damping * 100))
+    if not 0 < dn < 100:
+        raise ValueError("damping must be in (0, 1) at 2-dp resolution")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    ow = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    # The weighted edge list is read by EVERY iteration (the canonical
+    # PageRank persist, cf. the links table in Spark's own examples):
+    # persist it once through the keyed registry, so 10 iterations scan a
+    # resident table instead of re-deriving the upstream (token explode,
+    # co-occurrence aggregation) 10 times — and repeated pagerank calls
+    # over the same source reuse the same materialization.
+    from vettore_spark.plans.cache import cached_persist
+
+    ej = cached_persist(
+        e, ("pagerank_edges", src, dst, weight_col), lambda d: d.join(ow, "_src")
+    )
+    nodes = e.select(F.col("_src").alias("node")).distinct()
+    base = (100 - dn) * (SCALE // 100)
+    # Only the CONTRIBUTION table (_n, _m — nodes with in-mass) carries
+    # between iterations; a node's rank is always base + (dn*S) div 100
+    # with S = 0 when absent, so reconstructing r inline in the next
+    # iteration's join saves a nodes-left-join per round (half the
+    # shuffle stages of the naive rank-table formulation).
+    r_expr = f"({base}L + ({dn} * coalesce(_m, 0L)) div 100)"
+    contrib = None
+    for i in range(1, iters + 1):
+        if contrib is None:
+            joined = ej.withColumn("r", F.lit(SCALE).cast("long"))
+        else:
+            joined = ej.join(
+                contrib, F.col("_src") == F.col("_n"), "left"
+            ).withColumn("r", F.expr(r_expr))
+        contrib = joined.groupBy(F.col("_dst").alias("_n")).agg(
+            F.sum(F.expr("(r * _w) div _ow")).alias("_m")
+        )
+        if cut_every and i % cut_every == 0 and i < iters:
+            # EAGER: a lazy localCheckpoint barrier re-materializes at
+            # every downstream action and stacks extra passes (measured
+            # 7.2 s lazy vs 2.5 s eager vs 0.8 s uncut for 10 iterations
+            # on the sf0.01 token graph); eager pays the cut once and
+            # every later iteration reads materialized blocks. Sparse
+            # cadence (6): one cut in a default 10-iteration run — enough
+            # to bound lineage depth, cheap enough to keep.
+            contrib = durable_cut(contrib, eager=True)
+    rank = nodes.join(
+        contrib, F.col("node") == F.col("_n"), "left"
+    ).select("node", F.expr(r_expr).alias("r"))
+    return rank.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r").cast("double") / F.lit(float(SCALE)), 9).alias(
+            "rank"
+        ),
+    )
+
+
+def token_adjacency(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Undirected token co-occurrence edges (window = adjacent tokens):
+    (src, dst, w) with both directions listed and w = total co-occurrence
+    count. Self-loops and empty tokens excluded. One explode + two
+    groupBys — no joins."""
+    from vettore_spark.operators.dedup import tokens
+
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    pairs = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(t) >= 2,
+                    F.arrays_zip(
+                        F.slice(t, 1, F.size(t) - 1).alias("a"),
+                        F.slice(t, 2, F.size(t) - 1).alias("b"),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(
+            (F.col("a") != F.col("b")) & (F.col("a") != "") & (F.col("b") != "")
+        )
+    )
+    und = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    return both.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.sum("w").cast("long").alias("w")
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Top-k corpus keywords by TextRank: weighted PageRank over the
+    token-adjacency graph. The fixed-point rank (long) plus a token
+    tie-break make the top-k boundary engine-independent."""
+    ranks = pagerank(
+        token_adjacency(docs, text_col=text_col),
+        weight_col="w",
+        damping=damping,
+        iters=iters,
+    )
+    return (
+        ranks.select(F.col("node").alias("token"), "rank_scaled", "rank")
+        .orderBy(F.desc("rank_scaled"), F.asc("token"))
+        .limit(k)
+    )

@@ -6182,6 +6182,75 @@ LIMIT 50
 """
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction by TextRank (Mihalcea & Tarau 2004):
+    10 power iterations of weighted PageRank over the token-adjacency
+    graph, top-20 tokens. Iterative — yet ORACLE-GATED, because the
+    iteration is fixed-point INTEGER arithmetic (ranks scaled 1e9, floor
+    divisions): no float ever enters the loop, so Spark and the
+    unrolled-CTE oracle agree bit-for-bit by construction. The compared
+    output is the exact scaled rank (long); the double rendering is for
+    humans only and stays out of the gate. operators/graph.py."""
+    from vettore_spark.operators.graph import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), k=20, iters=10
+    ).select("token", "rank_scaled")
+
+
+def _sql_textrank(iters: int, k: int) -> str:
+    """Unrolled fixed-point power-iteration oracle: it{i} CTEs mirror
+    graph.pagerank exactly — same (r * w) // outweight floor division,
+    same integer damped update (85//100 with a 150000000 floor)."""
+    head = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT p.a AS a, p.b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {'a': t[i], 'b': t[i+1]})) AS p
+    FROM toks WHERE len(t) >= 2
+  ) WHERE p.a <> p.b AND p.a <> '' AND p.b <> ''
+),
+und AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2),
+edges AS (SELECT u.a AS src, u.b AS dst, CAST(sum(u.w) AS BIGINT) AS w
+          FROM (SELECT a, b, w FROM und
+                UNION ALL SELECT b AS a, a AS b, w FROM und) u
+          GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ow
+         FROM edges GROUP BY 1),
+it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)
+"""
+    steps = ",".join(
+        f"""
+it{i} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((p.r * e.w) // d.ow) AS m
+    FROM it{i - 1} p JOIN edges e ON e.src = p.node
+    JOIN outw d ON d.node = p.node
+    GROUP BY e.dst) s ON n.node = s.node
+)"""
+        for i in range(1, iters + 1)
+    )
+    return (
+        head
+        + ","
+        + steps
+        + f"""
+SELECT node AS token, r AS rank_scaled FROM it{iters}
+ORDER BY rank_scaled DESC, token LIMIT {k}
+"""
+    )
+
+
+SQL_TEXTRANK_KEYWORDS = _sql_textrank(10, 20)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6375,6 +6444,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kmv_shingle_overlap": (q_kmv_shingle_overlap, SQL_KMV_SHINGLE_OVERLAP),
     "cms_token_hitters": (q_cms_token_hitters, SQL_CMS_TOKEN_HITTERS),
     "weighted_doc_sample": (q_weighted_doc_sample, SQL_WEIGHTED_DOC_SAMPLE),
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
 }
 
 
