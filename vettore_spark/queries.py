@@ -6257,15 +6257,11 @@ SQL_TEXTRANK_KEYWORDS = _sql_textrank(10, 20)
 
 # Registration ORDER matters: the driver's correctness gate runs only the
 # first 50 entries per round. Rotation happens ONCE, at round START, never
-# mid-round. Round-4 rotation (per the round-3 verdict): the 13 round-3
-# additions (selfcheck-only so far) take slots 1-13; slots 14-50 are
-# regression re-checks prioritizing the round-3 fix surfaces
-# (minhash_lsh_pairs broadcast removal, neardup_clusters durable_cut,
-# simhash variance closure), the approximate-search family, the TPC-H r2
-# block, and the oldest r1 greens not re-gated since round 1. With
-# CORRECTNESS_r04 green, every one of the 125 registered queries has a
-# driver-green row in some round's CORRECTNESS file.
-_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+# mid-round. The raw dict below keeps the stable declaration order; the
+# per-round gate window is the explicit `_GATE_WINDOW` list after it, so a
+# rotation is a 50-line list edit that cannot drop or duplicate entries
+# (asserted at import).
+_REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- slots 1-13: round-3 additions, first driver gating ---
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "paragraph_dedup_doc": (q_paragraph_dedup_doc, SQL_PARAGRAPH_DEDUP_DOC),
@@ -6446,6 +6442,80 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "weighted_doc_sample": (q_weighted_doc_sample, SQL_WEIGHTED_DOC_SAMPLE),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
 }
+
+# Round-5 gate window (per the round-4 verdict): slots 1-30 are the 30
+# round-4 additions earning their first driver CORRECTNESS row; slots
+# 31-50 are regression re-checks prioritizing the round-4 fix surfaces
+# (embedding_neardup_blocked banding, pq_adc_topk collect cap,
+# neardup_clusters checkpoint release, hybrid_topk union) plus the code
+# paths this round touches (semantic_dedup_pairs de-quadratization,
+# hnsw.py distributed batch insert) and the oldest r2 greens.
+_GATE_WINDOW: list[str] = [
+    # --- slots 1-30: round-4 additions, first driver gating ---
+    "salted_user_join",
+    "tpch_q5_local",
+    "tpch_q7_nations",
+    "tpch_q9_profit",
+    "tpch_q17_smallqty",
+    "event_funnel",
+    "user_retention",
+    "jl_projection",
+    "jl_prefilter_topk",
+    "tpch_q15_topsupp",
+    "tpch_q22_noorders",
+    "events_value_quantiles",
+    "table_profile",
+    "ivf_insert_search",
+    "hnsw_batch_insert_search",
+    "tpch_q13_custdist",
+    "tpch_q16_suppcnt",
+    "c4_line_filter",
+    "events_skew_report",
+    "tpch_q2_mincost",
+    "tpch_q8_mktshare",
+    "tpch_q11_important",
+    "tpch_q12_lateship",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+    "kmv_distinct_daily",
+    "kmv_shingle_overlap",
+    "cms_token_hitters",
+    "weighted_doc_sample",
+    "textrank_keywords",
+    # --- slots 31-34: round-4 fix-surface re-checks ---
+    "embedding_neardup_blocked",
+    "pq_adc_topk",
+    "neardup_clusters",
+    "hybrid_topk",
+    # --- slots 35-39: code paths touched this round ---
+    "semantic_dedup_pairs",
+    "minhash_lsh_pairs",
+    "salted_event_rollup",
+    "hnsw_insert_search",
+    "hnsw_delete_search",
+    # --- slots 40-50: oldest r2 greens longest out of window ---
+    "hnsw_topk",
+    "ann_ivf_topk",
+    "sq_int8_topk",
+    "flat_topk_l2",
+    "filtered_topk",
+    "flat_topk_manhattan",
+    "flat_topk_chebyshev",
+    "flat_topk_jaccard",
+    "flat_topk_hamming",
+    "multi_query_quantized",
+    "ann_brute_topk",
+]
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    name: _REGISTRY_RAW[name] for name in _GATE_WINDOW
+}
+_REGISTRY.update(
+    (name, spec) for name, spec in _REGISTRY_RAW.items() if name not in _REGISTRY
+)
+assert len(_REGISTRY) == len(_REGISTRY_RAW), "gate rotation dropped a query"
+assert len(_GATE_WINDOW) == len(set(_GATE_WINDOW)), "gate window has duplicates"
+
 
 
 # Prepared-query memo: the registry functions are pure plan builders over
