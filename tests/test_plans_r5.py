@@ -1,0 +1,35 @@
+"""Round-5 physical-plan pins: the de-quadratized semantic_dedup_pairs
+gate query (banded candidates, no full-corpus cogroup GEMM)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vettore_spark.queries import queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semantic_dedup_pairs_no_full_corpus_gemm(spark, qs):
+    """semantic_dedup_pairs must generate candidates with the banded
+    sign-prefix blocker (explode -> capped (band,key) equi-self-join),
+    NOT the exact all-pairs block-grid cogroup: the grid spreads O(n^2)
+    GEMM work without removing it, so at 100x corpus it is 10,000x the
+    cost. The cogroup stage surfaces as FlatMapCoGroupsInPandas in the
+    executed plan — its absence IS the de-quadratization."""
+    plan = _executed(qs["semantic_dedup_pairs"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" not in plan, "all-pairs cogroup GEMM"
+    assert "Generate" in plan, "band explode missing"
+    assert "_pop" in plan, "block-population cap missing"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1577,18 +1577,29 @@ SQL_LEAKAGE_SAFE_SPLIT = _sql_leakage_safe_split()
 
 def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal near-dup verification report: embedding-cosine candidate
-    pairs (block-grid GEMM, ≥ 0.45) annotated with the exact word-3-gram
-    Jaccard of the paired documents (doc_id ≡ vec_id) and a lexical_match
-    verdict — embedding recall, lexical precision: the two-signal dedup a
-    production corpus runs before dropping anything. The candidate pair
-    list is tiny relative to the corpus, so both hydration joins broadcast
+    pairs (multi-band sign-prefix blocking, ≥ 0.35) annotated with the
+    exact word-3-gram Jaccard of the paired documents (doc_id ≡ vec_id)
+    and a lexical_match verdict — embedding recall, lexical precision: the
+    two-signal dedup a production corpus runs before dropping anything.
+    Candidates come from `dedup.embedding_neardup_banded` (8 bits × 4
+    rotated bands, capped block population — the same proven-scalable
+    config as the `embedding_neardup_blocked` gate query; P(band
+    collision) ≈ (1-θ/π)^bits per band, so sign-prefix recall
+    concentrates on genuine near-dups while mid-similarity pairs thin
+    out, which is the production trade: at corpus scale raise bits with
+    log₂(n)), NOT the exact all-pairs
+    block grid: the grid spreads O(n²) GEMM work but does not remove it,
+    so at 100× corpus it is 10,000× the cost, while the banded plan is one
+    explode + capped equi-self-joins whose quadratic term is bounded by
+    `max_block_size`. The exact grid (`ann.cosine_neardup_blocked`)
+    remains the bounded-input verification tier. The candidate pair list
+    is tiny relative to the corpus, so both hydration joins broadcast
     it."""
-    from vettore_spark.operators import ann as ANN
-
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
-    cand = ANN.cosine_neardup_blocked(
-        emb, threshold=0.45, id_col="vec_id", vector_col="embedding"
+    cand = D.embedding_neardup_banded(
+        emb, id_col="vec_id", vector_col="embedding",
+        n_bits=8, n_bands=4, threshold=0.35, max_block_size=10_000,
     )
     # docs with <3 tokens have no shingles: dropped here so the pair join
     # (inner) mirrors the oracle's inner join on `sizes` — a candidate pair
@@ -1597,12 +1608,17 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         D.shingle_hash_array(D.tokens("text"), 3).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    j = a.join(F.broadcast(cand), "id_a").join(
-        F.broadcast(b.join(F.broadcast(cand.select("id_b").distinct()), "id_b")),
-        "id_b",
-    )
+    # chain the two hydration joins so the candidate stage runs ONCE: the
+    # pair table is broadcast into join 1, and join 1's (small) output —
+    # which embeds that same computation — is broadcast into join 2. The
+    # previous shape referenced `cand` in two non-identical subtrees, so
+    # the banded candidate stage executed twice per action.
+    j1 = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha")
+    ).join(F.broadcast(cand), "id_a")
+    j = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb")
+    ).join(F.broadcast(j1), "id_b")
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
     jac = F.round(inter / union, 5)
@@ -1619,12 +1635,54 @@ SQL_SEMANTIC_DEDUP_PAIRS = r"""
 WITH n AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
-             x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS k0,
+         (CASE WHEN embedding[9] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[10] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[11] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[12] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[13] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[14] > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN embedding[15] > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN embedding[16] > 0 THEN 128 ELSE 0 END) AS k1,
+         (CASE WHEN embedding[17] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[18] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[19] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[20] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[21] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[22] > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN embedding[23] > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN embedding[24] > 0 THEN 128 ELSE 0 END) AS k2,
+         (CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[26] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[27] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[28] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[29] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[30] > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN embedding[31] > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN embedding[32] > 0 THEN 128 ELSE 0 END) AS k3
   FROM embeddings),
+bnd AS (
+  SELECT vec_id, v, 0 AS band, k0 AS key FROM n
+  UNION ALL
+  SELECT vec_id, v, 1 AS band, k1 AS key FROM n
+  UNION ALL
+  SELECT vec_id, v, 2 AS band, k2 AS key FROM n
+  UNION ALL
+  SELECT vec_id, v, 3 AS band, k3 AS key FROM n),
 cpairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) AS sim
-  FROM n a CROSS JOIN n b
-  WHERE a.vec_id < b.vec_id AND list_dot_product(a.v, b.v) >= 0.45),
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         max(list_dot_product(a.v, b2.v)) AS sim
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key
+  WHERE a.vec_id < b2.vec_id AND list_dot_product(a.v, b2.v) >= 0.35
+  GROUP BY 1, 2),
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(t) - 1),
