@@ -1,0 +1,102 @@
+"""Round-5 hardening: resident-index survival across rejected batches,
+CMS weight-type validation, KMV k-mismatch guard, banded ragged-dims
+probe, and pagerank checkpoint release."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.collection import Collection
+from vettore_spark.operators import sketch as S
+from vettore_spark.operators.dedup import embedding_neardup_banded
+from vettore_spark.operators.graph import pagerank
+from tests.test_graph import STAR_EDGES, _py_pagerank
+
+
+def _vec(seed: int, dims: int = 8) -> list[float]:
+    return [((seed * 31 + i * 7) % 13) - 6.0 or 1.0 for i in range(dims)]
+
+
+@pytest.fixture()
+def coll(spark):
+    c = Collection.create(spark, "r5", 8, metric="cosine")
+    c.put_many([{"id": str(i), "vector": _vec(i)} for i in range(40)])
+    return c
+
+
+def test_put_many_rejected_batch_keeps_resident_hnsw(coll):
+    """A rejected batch leaves the collection unchanged, so the resident
+    HNSW shard table must survive — not be dropped for a full rebuild on
+    the next search (the shards were popped before validation)."""
+    coll.hnsw_search(_vec(1), limit=3).collect()  # build residency
+    assert "_hnsw_shards" in coll.__dict__
+    before = coll.__dict__["_hnsw_shards"]
+    with pytest.raises(ValueError, match="duplicate id"):
+        coll.put_many([{"id": "5", "vector": _vec(99)}])  # clashes
+    assert coll.__dict__.get("_hnsw_shards") is before
+    with pytest.raises(ValueError, match="invalid vector"):
+        coll.put_many([{"id": "new", "vector": [1.0]}])  # wrong dims
+    assert coll.__dict__.get("_hnsw_shards") is before
+    assert coll.count() == 40
+
+
+def test_put_rejected_row_keeps_resident_indexes(coll):
+    """put() pops every resident index before delegating to put_many; a
+    validation failure must re-stash all of them."""
+    coll.hnsw_search(_vec(1), limit=3).collect()
+    coll.ivf_search(_vec(1), limit=3, n_cells=4, n_probe=2).collect()
+    popped = [k for k in ("_hnsw_shards", "_ivf_state") if k in coll.__dict__]
+    assert popped == ["_hnsw_shards", "_ivf_state"]
+    before = {k: coll.__dict__[k] for k in popped}
+    with pytest.raises(ValueError, match="duplicate id"):
+        coll.put({"id": "5", "vector": _vec(99)})
+    for k, v in before.items():
+        assert coll.__dict__.get(k) is v, k
+    assert coll.count() == 40
+
+
+def test_cms_build_rejects_fractional_weight_column(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5), ("b", 2.0)], ["k", "w"]
+    )
+    with pytest.raises(ValueError, match="integral"):
+        S.cms_build(df, "k", weight_col="w", depth=2, width=16)
+
+
+def test_cms_build_null_weight_counts_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", None), ("b", 2)], "k string, w long"
+    )
+    cms = S.cms_build(df, "k", weight_col="w", depth=2, width=16)
+    total = cms.filter(F.col("d") == 0).agg(F.sum("cnt")).first()[0]
+    assert total == 5  # NULL row contributes 0, not dropped-and-undefined
+
+
+def test_kmv_estimate_rejects_smaller_k_than_build(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(100)], ["k"])
+    sk = S.kmv_sketch(df, "k", k=16)
+    est = S.kmv_estimate(sk, k=16).first()[0]
+    assert est > 0
+    with pytest.raises(Exception, match="kmv_estimate"):
+        S.kmv_estimate(sk, k=8).collect()
+
+
+def test_banded_neardup_ragged_vectors_fail_fast(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 8)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="shortest vector"):
+        embedding_neardup_banded(df, n_bits=8, n_bands=4)
+
+
+def test_pagerank_multi_cut_matches_reference_and_releases(spark):
+    """cut_every=1 forces a durable cut (and a release of the previous
+    one) every iteration: results must still match the exact fixed-point
+    reference, and the released cuts must not break later reads."""
+    df = spark.createDataFrame(STAR_EDGES, ["src", "dst", "w"])
+    out = pagerank(df, weight_col="w", iters=5, cut_every=1)
+    got = {r["node"]: r["rank_scaled"] for r in out.collect()}
+    assert got == _py_pagerank(STAR_EDGES, iters=5)
+    # re-collect: the surviving final cut must still be readable
+    assert {r["node"]: r["rank_scaled"] for r in out.collect()} == got

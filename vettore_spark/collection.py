@@ -125,12 +125,6 @@ class Collection:
         cfg = self.config
         dims = cfg.dimensions
 
-        # resident HNSW maintenance across BATCH ingest: driver-small list
-        # batches patch the shard table (one batched graph-insert job,
-        # insert_many_into_graph_shards) instead of dropping it; DataFrame
-        # batches still invalidate — routing them would need a collect,
-        # the scale failure mode
-        hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
         batch_rows: list[dict] | None = None
         if isinstance(rows, DataFrame):
             incoming = rows
@@ -251,6 +245,15 @@ class Collection:
             F.col("binary_vector"),
             F.col("metadata"),
         )
+        # resident HNSW maintenance across BATCH ingest: driver-small list
+        # batches patch the shard table (one batched graph-insert job,
+        # insert_many_into_graph_shards) instead of dropping it; DataFrame
+        # batches still invalidate — routing them would need a collect,
+        # the scale failure mode. Popped only HERE, after every validation
+        # raise above: a rejected batch must leave the collection — and its
+        # resident indexes — exactly as they were (no forced rebuild on the
+        # next search just because one bad batch was refused).
+        hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
         self._df = self._df.unionByName(out)
         # cut union lineage every few batches: without this, K ingest
         # batches build a K-deep union tree and every later action (the
@@ -362,7 +365,21 @@ class Collection:
         ivf_resident = self.__dict__.pop("_ivf_state", None)
         pq_resident = self.__dict__.pop("_pq_indexes", None)
         sq_resident = self.__dict__.pop("_sq_params", None)
-        self.put_many([row])
+        try:
+            self.put_many([row])
+        except Exception:
+            # rejected row: the collection is unchanged, so the popped
+            # resident indexes are still valid — re-stash them instead of
+            # forcing a full index rebuild on the next search
+            for key, val in (
+                ("_hnsw_shards", resident),
+                ("_ivf_state", ivf_resident),
+                ("_pq_indexes", pq_resident),
+                ("_sq_params", sq_resident),
+            ):
+                if val is not None:
+                    self.__dict__[key] = val
+            raise
         if sq_resident is not None:
             # SQ min/max bounds stay resident across a single insert: an
             # out-of-range value clips in the CANDIDATE stage only (the

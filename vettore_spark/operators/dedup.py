@@ -966,12 +966,17 @@ def embedding_neardup_banded(
     # recall the block-size cap then masks). One single-row job at call
     # time buys a clear argument error instead.
     needed = n_bits * n_bands
-    head = df.select(F.size(F.col(vector_col)).alias("_d")).first()
+    # min over the WHOLE table, not first(): a ragged table whose first
+    # row is long enough would pass a head probe and then either throw
+    # deep in the stage (ANSI element_at) or silently hash missing dims
+    # to the 0 bit, collapsing a band into mega-blocks. One aggregate job
+    # costs the same single scan as the head probe.
+    head = df.agg(F.min(F.size(F.col(vector_col))).alias("_d")).first()
     if head is not None and head["_d"] is not None and head["_d"] < needed:
         raise ValueError(
             f"embedding_neardup_banded needs n_bits*n_bands={needed} dims "
-            f"but vectors have {head['_d']}; lower n_bits or n_bands so "
-            f"every band reads real components"
+            f"but the shortest vector has {head['_d']}; lower n_bits or "
+            f"n_bands so every band reads real components"
         )
     bands_arr = F.array(*[
         F.struct(

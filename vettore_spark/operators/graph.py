@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vettore_spark.plans.checkpoint import durable_cut
+from vettore_spark.plans.checkpoint import durable_cut, release_cut
 
 # rank scale: ranks live in [0, nodes]; scaled by 1e9 they fit longs with
 # room for the (rank * weight) product up to weights ~1e8 on graphs of
@@ -101,6 +101,7 @@ def pagerank(
     # shuffle stages of the naive rank-table formulation).
     r_expr = f"({base}L + ({dn} * coalesce(_m, 0L)) div 100)"
     contrib = None
+    prev_cut = None
     for i in range(1, iters + 1):
         if contrib is None:
             joined = ej.withColumn("r", F.lit(SCALE).cast("long"))
@@ -120,6 +121,16 @@ def pagerank(
             # cadence (6): one cut in a default 10-iteration run — enough
             # to bound lineage depth, cheap enough to keep.
             contrib = durable_cut(contrib, eager=True)
+            # the new cut is materialized (eager): the previous cut's
+            # reliable-checkpoint files are unreachable now — delete them
+            # so a long run does not leak O(iters/cut_every) copies of
+            # the contribution table on HDFS/S3 (no-op on local masters).
+            # The FINAL cut intentionally survives: the returned plan
+            # still reads it; its files are released when the application
+            # exits (or by the caller via plans.checkpoint.release_cut
+            # once the rank action has run and the result is persisted).
+            release_cut(prev_cut)
+            prev_cut = contrib
     rank = nodes.join(
         contrib, F.col("node") == F.col("_n"), "left"
     ).select("node", F.expr(r_expr).alias("r"))

@@ -104,12 +104,27 @@ def kmv_estimate(
     (k-1) / r_k with r_k = h_k / 2^60; otherwise the sketch holds EVERY
     distinct hash and the answer is exact (n_kept). One tiny aggregate
     over <= k rows per group. Output: group..., est_distinct (double,
-    3 dp — both engines divide identical doubles, so the round matches)."""
+    3 dp — both engines divide identical doubles, so the round matches).
+
+    `k` MUST equal the k the sketch was built with: the estimator applies
+    (k-1)/r_k at rank k, so a mismatched k silently biases the estimate.
+    The detectable direction (sketch rows beyond the claimed k) fails the
+    job via raise_error; the other direction (claimed k larger than the
+    build k) is indistinguishable from an unsaturated sketch — carry the
+    build k with the sketch in calling code."""
     gb = list(group_by or [])
     agg = sketch.groupBy(*gb).agg(
-        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+        F.count(F.lit(1)).alias("_n"),
+        F.max("h").alias("_hk"),
+        F.max("pos").alias("_maxpos"),
     )
     est = F.when(
+        F.col("_maxpos") > k,
+        F.raise_error(
+            F.lit(f"kmv_estimate: sketch holds positions beyond k={k}; "
+                  "pass the k the sketch was built with")
+        ).cast("double"),
+    ).when(
         F.col("_n") < k, F.col("_n").cast("double")
     ).otherwise(
         (F.lit(float(k - 1)) * F.lit(_DOMAIN)) / F.col("_hk").cast("double")
@@ -129,7 +144,12 @@ def kmv_overlap(
     inputs — Beyer et al.'s resemblance estimator), the union cardinality
     from the merged sketch, and their product as the intersection
     estimate. All driver-free: two broadcast-sized semi-join flags and one
-    aggregate. Output: group..., jaccard, est_union, est_intersection."""
+    aggregate. Output: group..., jaccard, est_union, est_intersection.
+
+    `k` MUST be <= the k both input sketches were built with (bottom-k of
+    a bottom-k' set is only the true bottom-k of the underlying set when
+    k <= k'); passing a larger k reads hash ranks the inputs never
+    retained and biases est_union low."""
     gb = list(group_by or [])
     merged = kmv_merge(a, b, k=k, group_by=group_by)
     # rename BOTH sides' columns before re-joining: the merged sketch is
@@ -189,7 +209,21 @@ def cms_build(
     shuffle. Output: (d, bucket, cnt)."""
     if depth < 1 or width < 2:
         raise ValueError("cms needs depth >= 1 and width >= 2")
-    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        # counters are integral longs: a fractional weight column would
+        # silently truncate toward zero at the cast and break the
+        # count-min est >= truth guarantee — reject it at plan-build time
+        # (schema check, no scan). NULL weights count as zero (explicit
+        # coalesce, not the silent sum-skips-NULL default).
+        wt = dict(df.dtypes).get(weight_col)
+        if wt is None or any(t in wt for t in ("float", "double", "decimal")):
+            raise ValueError(
+                f"cms weight_col must be an integral column, got {weight_col}:{wt}; "
+                "quantize fractional weights before sketching"
+            )
+        w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0).cast("long"))
     rows = df.select(
         F.col(key_col).cast("string").alias("_key"), w.alias("_w")
     ).withColumn("d", F.explode(F.array(*[F.lit(i) for i in range(depth)])))
