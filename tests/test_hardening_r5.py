@@ -100,3 +100,54 @@ def test_pagerank_multi_cut_matches_reference_and_releases(spark):
     assert got == _py_pagerank(STAR_EDGES, iters=5)
     # re-collect: the surviving final cut must still be readable
     assert {r["node"]: r["rank_scaled"] for r in out.collect()} == got
+
+
+def test_parquet_canonical_store_lifecycle(spark, tmp_path):
+    """attach_store: 50 put_many batches keep the plan a single parquet
+    scan (bounded size), deletes cannot be resurrected by a re-read,
+    compact_store folds the overlay into storage, and a snapshot/load
+    round-trip preserves the rows."""
+    c = Collection.create(spark, "stored", 8, metric="l2")
+    c.attach_store(str(tmp_path / "canon"))
+
+    def plan_len(cc):
+        return len(cc._df._jdf.queryExecution().analyzed().toString())
+
+    for b in range(50):
+        c.put_many(
+            [
+                {"id": f"r{b:02d}_{i}", "vector": _vec(b * 10 + i)}
+                for i in range(4)
+            ]
+        )
+        if b == 4:
+            early = plan_len(c)
+    late = plan_len(c)
+    assert c.count() == 200
+    # one parquet scan regardless of batch count: the plan may carry the
+    # (constant-size) overlay filter but must not grow with batches
+    assert late <= early + 200, (early, late)
+
+    # delete + re-ingest: the overlay must survive the store re-read
+    c.delete("r00_0")
+    assert c.get("r00_0") is None
+    c.put_many([{"id": "fresh", "vector": _vec(999)}])
+    assert c.get("r00_0") is None, "delete resurrected by store re-read"
+    assert c.count() == 200  # 200 - 1 + 1
+
+    c.compact_store()
+    assert c._store_deleted == []
+    assert c.count() == 200
+    assert c.get("r00_0") is None
+
+    # snapshot / load round-trip unchanged
+    snap = str(tmp_path / "snap")
+    c.snapshot(snap)
+    c2 = Collection.load_snapshot(spark, snap)
+    assert c2.count() == 200
+    assert c2.get("fresh") is not None
+
+    # a second collection adopting the same store sees the same rows
+    c3 = Collection.create(spark, "stored2", 8, metric="l2")
+    c3.attach_store(str(tmp_path / "canon"))
+    assert c3.count() == 200

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from vettore_spark.operators.hnsw import (
     HnswGraph,
@@ -300,13 +301,14 @@ def test_collection_hnsw_incremental_put_delete(spark):
     got4 = c.hnsw_search(nv, limit=2, ef_search=10_000).collect()
     assert {got4[0]["id"], got4[1]["id"]} == {"bulk1", "bulk2"}
 
-    # a DataFrame batch still invalidates (routing would need a collect)
+    # a DataFrame batch now PATCHES too (r5: insert_df_into_graph_shards
+    # routes executor-side — no collect, no rebuild)
     staged = c._df.sparkSession.createDataFrame(
         [("dfrow", "dfrow", [float(x) for x in nv], None, None, None)],
         c._df.schema,
     )
     c.put_many(staged)
-    assert not c.__dict__.get("_hnsw_shards")
+    assert c.__dict__.get("_hnsw_shards"), "DataFrame batch must patch"
     got5 = c.hnsw_search(nv, limit=3, ef_search=10_000).collect()
     assert any(r["id"] == "dfrow" for r in got5)
 
@@ -370,3 +372,122 @@ def test_snapshot_include_indexes_requires_parquet(spark, tmp_path):
     c.put_many([{"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]}])
     with _pytest.raises(ValueError):
         c.snapshot(str(tmp_path / "s2"), format="json", include_indexes=True)
+
+
+def test_insert_df_into_graph_shards_matches_list_path(spark):
+    """The cogroup DataFrame path and the task-closure list path must
+    produce byte-identical patched shard tables (same FNV-1a routing,
+    same sorted-id insertion order) — the property that lets put_many
+    switch paths on batch size without changing search results."""
+    import numpy as np
+
+    from vettore_spark.operators.hnsw import (
+        HnswParams,
+        build_graph_shards,
+        insert_df_into_graph_shards,
+        insert_many_into_graph_shards,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(60, 6))
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs) if i >= 10],
+        ["vec_id", "embedding"],
+    )
+    shards = build_graph_shards(
+        base, metric="l2", params=HnswParams(ef_search=10_000),
+        id_col="vec_id", vector_col="embedding", num_partitions=4,
+    )
+    sids = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
+
+    batch = [(i, [float(x) for x in vecs[i]]) for i in range(10)]
+    via_list = insert_many_into_graph_shards(shards, batch, shard_ids=sids)
+    batch_df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    via_df = insert_df_into_graph_shards(
+        shards, batch_df, shard_ids=sids,
+        id_col="vec_id", vector_col="embedding",
+    )
+    a = {r["shard_id"]: bytes(r["shard"]) for r in via_list.collect()}
+    b = {r["shard_id"]: bytes(r["shard"]) for r in via_df.collect()}
+    assert set(a) == set(b)
+    for sid in a:
+        assert a[sid] == b[sid], f"shard {sid} diverged between paths"
+
+
+def test_insert_df_into_graph_shards_equals_rebuild_search(spark):
+    """Patch == rebuild at a DataFrame-sized batch: building on rows
+    whose ids sort BEFORE the batch and patching in the batch must
+    reproduce the full-corpus rebuild's search results exactly (full
+    beam), because insertion order (sorted ids per shard) only matches
+    when the batch sorts after the base."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from vettore_spark.operators.hnsw import (
+        HnswParams,
+        build_graph_shards,
+        insert_df_into_graph_shards,
+        search_graph_shards,
+    )
+
+    rng = np.random.default_rng(47)
+    n, cut = 400, 300
+    vecs = rng.normal(size=(n, 8))
+    rows = [(f"{i:04d}", [float(x) for x in v]) for i, v in enumerate(vecs)]
+    full = spark.createDataFrame(rows, "id string, vector array<double>")
+    base = full.filter(F.col("id") < f"{cut:04d}")
+    batch = full.filter(F.col("id") >= f"{cut:04d}")
+    p = HnswParams(ef_search=10_000)
+
+    built = build_graph_shards(
+        base, metric="l2", params=p, num_partitions=4
+    )
+    sids = sorted(r["shard_id"] for r in built.select("shard_id").collect())
+    patched = insert_df_into_graph_shards(built, batch, shard_ids=sids)
+
+    q = [("q", [float(x) for x in vecs[0]])]
+    got = [
+        (r["id"], r["rank"])
+        for r in search_graph_shards(
+            patched, q, metric="l2", k=10, ef_search=10_000
+        ).collect()
+    ]
+    # exact oracle: full beam over every row == flat l2 top-10
+    dists = np.linalg.norm(vecs - vecs[0], axis=1)
+    want_ids = [
+        f"{i:04d}"
+        for i in sorted(range(n), key=lambda i: (dists[i], f"{i:04d}"))[:10]
+    ]
+    assert [g[0] for g in got] == want_ids
+
+
+def test_put_many_large_batch_keeps_residency_via_df_path(spark):
+    """A batch past the 10k closure cap must keep the resident HNSW index
+    (patched through the cogroup path), not drop it for rebuild — and the
+    inserted ids must be searchable."""
+    import numpy as np
+
+    from vettore_spark.collection import Collection
+
+    rng = np.random.default_rng(53)
+    c = Collection.create(spark, "bigbatch", 6, metric="l2")
+    c.put_many(
+        [
+            {"id": f"a{i:05d}", "vector": [float(x) for x in rng.normal(size=6)]}
+            for i in range(50)
+        ]
+    )
+    c.hnsw_search([0.0] * 6, limit=3).collect()
+    assert "_hnsw_shards" in c.__dict__
+    big = [
+        {"id": f"b{i:05d}", "vector": [float(x) for x in rng.normal(size=6)]}
+        for i in range(10_001)
+    ]
+    c.put_many(big)
+    assert "_hnsw_shards" in c.__dict__, "residency dropped for a big batch"
+    target = big[17]["vector"]
+    hits = c.hnsw_search(target, limit=1).collect()
+    assert hits[0]["id"] == "b00017"

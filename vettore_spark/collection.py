@@ -92,6 +92,13 @@ class Collection:
         # external DataFrame; the join against an actually-empty side is
         # still correct, just one superfluous scan.
         self._maybe_nonempty = df is not None
+        # optional parquet-backed canonical table (attach_store): when set,
+        # ingest appends STORAGE and re-reads, so the plan over the
+        # canonical rows is always one parquet scan — no union tree, no
+        # checkpoint dependency (the durable shape for long-lived
+        # collections on a cluster without a checkpoint dir)
+        self._store = None
+        self._store_deleted: list[str] = []
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -102,6 +109,74 @@ class Collection:
     def close(self) -> None:
         """Idempotent close; post-close ops raise (collection.ex:366-374)."""
         self._closed = True
+
+    def attach_store(self, store_or_path) -> "Collection":
+        """Route the CANONICAL rows through a parquet-backed store
+        (sources.store.ParquetStore or a path): every put/put_many appends
+        the validated batch to storage and re-reads, so the collection's
+        plan is always a single parquet scan regardless of how many
+        batches were ingested — the durable alternative to lineage cuts
+        for long-lived collections on clusters WITHOUT a checkpoint dir
+        (where localCheckpoint would turn one lost executor into
+        permanent canonical-row loss, and an uncut union tree grows the
+        plan per batch).
+
+        Deletes are tracked as a driver-side id overlay (applied as an
+        anti-filter over the scan) so a later re-read cannot resurrect
+        them; call compact_store() to fold the overlay into storage.
+        Attaching a store that already holds rows adopts them (the ingest
+        restart path); attaching over a non-empty in-memory collection
+        persists the current rows first."""
+        from vettore_spark.sources.store import ParquetStore
+
+        self._check_open()
+        store = (
+            ParquetStore(store_or_path)
+            if isinstance(store_or_path, str)
+            else store_or_path
+        )
+        if getattr(store, "exists", lambda: True)():
+            existing = store.read(self.spark)
+            if self._maybe_nonempty:
+                raise ValueError(
+                    "attach_store: both the collection and the store hold "
+                    "rows; start from an empty collection to adopt a store"
+                )
+            self._df = existing
+            self._maybe_nonempty = True
+        elif self._maybe_nonempty:
+            store.overwrite(self._df)
+            self._df = store.read(self.spark)
+        self._store = store
+        self._store_deleted = []
+        self._invalidate_derived()
+        return self
+
+    def _canonical_read(self) -> DataFrame:
+        df = self._store.read(self.spark)
+        if self._store_deleted:
+            df = df.filter(~F.col("id").isin(self._store_deleted))
+        return df
+
+    def compact_store(self) -> "Collection":
+        """Fold the delete overlay into storage: materialize the filtered
+        rows, overwrite the store, clear the overlay. The persist-then-
+        overwrite sequence protects the read-from-the-path-being-written
+        hazard with in-memory blocks — run it at a quiet moment; an
+        executor loss mid-compaction can lose cached blocks (the overlay
+        itself is only cleared after the overwrite completes)."""
+        self._check_open()
+        if self._store is None:
+            raise ValueError("no store attached")
+        if not self._store_deleted:
+            return self
+        snap = self._canonical_read().persist()
+        snap.count()  # materialize before the target files are deleted
+        self._store.overwrite(snap)
+        self._store_deleted = []
+        self._df = self._canonical_read()
+        snap.unpersist()
+        return self
 
     def _check_open(self) -> None:
         if self._closed:
@@ -254,6 +329,15 @@ class Collection:
         # resident indexes — exactly as they were (no forced rebuild on the
         # next search just because one bad batch was refused).
         hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
+        if self._store is not None:
+            # parquet-backed canonical table: append STORAGE, re-read —
+            # the plan stays one scan forever, no lineage management
+            self._store.append(out)
+            self._df = self._canonical_read()
+            self.__dict__["_union_depth"] = 0
+            self._maybe_nonempty = True
+            self._invalidate_derived()
+            return self._patch_resident_hnsw(hnsw_resident, out, batch_rows)
         self._df = self._df.unionByName(out)
         # cut union lineage every few batches: without this, K ingest
         # batches build a K-deep union tree and every later action (the
@@ -274,37 +358,71 @@ class Collection:
                 # are as durable as the process — safe to cut here
                 self._df = self._df.localCheckpoint(eager=False)
                 depth = 0
-            # else: cluster without a checkpoint dir — localCheckpoint
-            # would turn one lost executor into permanent data loss for
-            # the CANONICAL rows (unlike derived indexes, they are not
+            # else: cluster without a checkpoint dir — route the
+            # collection through attach_store (parquet canonical table)
+            # for bounded plans; without one, localCheckpoint would turn
+            # one lost executor into permanent data loss for the
+            # CANONICAL rows (unlike derived indexes, they are not
             # rebuildable), so keep the union tree and accept plan growth
         self.__dict__["_union_depth"] = depth
         self._maybe_nonempty = True
         self._invalidate_derived()
-        if (
-            hnsw_resident is not None
-            and batch_rows is not None
-            and len(batch_rows) <= 10_000
-        ):
-            if not batch_rows:  # empty batch: nothing to route, keep as-is
-                self.__dict__["_hnsw_shards"] = hnsw_resident
-                return self
+        return self._patch_resident_hnsw(hnsw_resident, out, batch_rows)
+
+    def _patch_resident_hnsw(
+        self, hnsw_resident, out: DataFrame, batch_rows: list[dict] | None
+    ) -> "Collection":
+        """Re-stash the resident HNSW shard tables patched with the batch
+        just ingested (put_many tail — runs AFTER the canonical rows are
+        committed): closure routing for driver-small list batches, the
+        cogroup DataFrame path for everything else."""
+        if hnsw_resident is not None:
             from vettore_spark.operators import hnsw as H
 
-            ins = [
-                ((r.get("id") or r.get("value")), self._stored_vector(r))
-                for r in batch_rows
-            ]
-            self.__dict__["_hnsw_shards"] = {
-                k: (
-                    durable_cut(
-                        H.insert_many_into_graph_shards(sh, ins, shard_ids=sids),
-                        eager=False,
-                    ),
-                    sids,
-                )
-                for k, (sh, sids) in hnsw_resident.items()
-            }
+            if batch_rows is not None and not batch_rows:
+                # empty batch: nothing to route, keep as-is
+                self.__dict__["_hnsw_shards"] = hnsw_resident
+                return self
+            if batch_rows is not None and len(batch_rows) <= 10_000:
+                # driver-small list batch: route in the task closure (one
+                # narrow map job, no extra DataFrame plan)
+                ins = [
+                    ((r.get("id") or r.get("value")), self._stored_vector(r))
+                    for r in batch_rows
+                ]
+                self.__dict__["_hnsw_shards"] = {
+                    k: (
+                        durable_cut(
+                            H.insert_many_into_graph_shards(
+                                sh, ins, shard_ids=sids
+                            ),
+                            eager=False,
+                        ),
+                        sids,
+                    )
+                    for k, (sh, sids) in hnsw_resident.items()
+                }
+            else:
+                # DataFrame-sized ingest (a DataFrame batch, or a list
+                # batch past the closure cap): route executor-side and
+                # patch via ONE cogroup job (insert_df_into_graph_shards)
+                # instead of dropping residency for a full O(n log n)
+                # rebuild. `out` already holds the stored (normalized,
+                # f32-rounded) vectors, so the patched graphs see exactly
+                # the values a rebuild over the unioned table would.
+                self.__dict__["_hnsw_shards"] = {
+                    k: (
+                        durable_cut(
+                            H.insert_df_into_graph_shards(
+                                sh, out, shard_ids=sids,
+                                id_col="id", vector_col="vector",
+                            ),
+                            eager=False,
+                        ),
+                        sids,
+                    )
+                    for k, (sh, sids) in hnsw_resident.items()
+                }
         return self
 
     def get_many(self, ids: list[str]) -> DataFrame:
@@ -502,7 +620,14 @@ class Collection:
         ivf_resident = self.__dict__.pop("_ivf_state", None)
         pq_resident = self.__dict__.pop("_pq_indexes", None)
         sq_resident = self.__dict__.pop("_sq_params", None)
-        self._df = self._df.filter(F.col("id") != id_)
+        if self._store is not None:
+            # record in the overlay FIRST: the canonical read applies it
+            # as an anti-filter, so a later store re-read (next put_many)
+            # cannot resurrect the deleted row
+            self._store_deleted.append(str(id_))
+            self._df = self._canonical_read()
+        else:
+            self._df = self._df.filter(F.col("id") != id_)
         self._invalidate_derived()
         if sq_resident is not None:
             # min/max bounds trained on a superset remain valid bounds for

@@ -457,6 +457,78 @@ def insert_many_into_graph_shards(
     return shards.mapInPandas(run, "shard_id long, shard binary")
 
 
+def insert_df_into_graph_shards(
+    shards: DataFrame,
+    new_rows: DataFrame,
+    *,
+    shard_ids: list[int],
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """DataFrame-sized incremental insert with NO driver collect: tag each
+    new row with its deterministic FNV-1a target shard (the same routing
+    rule as the list-batch paths, computed executor-side in an Arrow
+    batch), cogroup (shards x routed rows) on shard_id, and insert each
+    shard's members in sorted-id order (the build path's determinism
+    rule). One cogroup job patches every touched shard and passes the
+    rest through untouched — a corpus-sized ingest batch no longer forces
+    a full O(n log n) shard rebuild, and the batch never rides the task
+    closure or the driver.
+
+    `shard_ids` is required (driver-small, known at build time): routing
+    must see the COMPLETE shard-id list, and deriving it from `shards`
+    here would mean the collect this function exists to avoid. Caller
+    contract as the list paths: ids must be new to the index."""
+    import pickle
+
+    sids = sorted(shard_ids)
+    if not sids:
+        raise ValueError("cannot insert into an empty shard table")
+    n_sids = len(sids)
+    sid_arr = list(sids)
+
+    @F.pandas_udf("long")
+    def _route(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda s: sid_arr[fnv1a64(str(s).encode()) % n_sids]
+        ).astype("int64")
+
+    # _nid keeps the column's ORIGINAL type (the graph's external ids and
+    # the search output column must stay type-consistent with the build
+    # path); only the routing hash reads the string rendering.
+    routed = new_rows.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vector_col).cast("array<double>").alias("_nvec"),
+        _route(F.col(id_col).cast("string")).alias("shard_id"),
+    )
+
+    def patch(key, shard_pdf: pd.DataFrame, rows_pdf: pd.DataFrame) -> pd.DataFrame:
+        if shard_pdf.empty:
+            # routing only targets existing shard ids, so a rows-only key
+            # means the caller passed a stale/incomplete shard_ids list
+            raise ValueError(
+                f"rows routed to unknown shard {key[0]}: shard_ids is stale"
+            )
+        if rows_pdf.empty:
+            return shard_pdf
+        out = []
+        members = sorted(
+            zip(rows_pdf["_nid"], rows_pdf["_nvec"]), key=lambda m: str(m[0])
+        )
+        for blob in shard_pdf["shard"]:
+            g: HnswGraph = pickle.loads(bytes(blob))
+            for rid, vec in members:
+                g.insert(rid, np.asarray(vec, dtype=np.float64))
+            out.append(pickle.dumps(g))
+        return pd.DataFrame({"shard_id": shard_pdf["shard_id"], "shard": out})
+
+    return (
+        shards.groupby("shard_id")
+        .cogroup(routed.groupby("shard_id"))
+        .applyInPandas(patch, "shard_id long, shard binary")
+    )
+
+
 def search_graph_shards(
     shards: DataFrame,
     queries: list[tuple[object, list[float]]],

@@ -2288,22 +2288,30 @@ SQL_HNSW_INSERT_SEARCH = SQL_HNSW_TOPK  # full corpus: delete-free exact scan
 
 
 def q_hnsw_batch_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCHED incremental insert under the exact oracle: build the
-    graph-shard table WITHOUT vecs 0-2, insert all three in ONE
-    insert_many_into_graph_shards job (per-shard sorted-id insertion — the
-    r4 batch-maintenance path put_many takes for driver-small batches),
-    then search at full beam. The patched graph must return exactly the
-    flat scan over the FULL corpus."""
+    """BATCHED incremental insert under the exact oracle, BOTH batch
+    paths: build the graph-shard table WITHOUT vecs 0-5, insert 0-2 in
+    ONE insert_many_into_graph_shards job (the driver-small list path —
+    routing rides the task closure), then insert 3-5 as a DataFrame via
+    insert_df_into_graph_shards (the corpus-sized path: FNV-1a routing in
+    an Arrow batch + one cogroup patch, no driver collect), then search
+    at full beam. The twice-patched graph must return exactly the flat
+    scan over the FULL corpus."""
     from vettore_spark.operators import hnsw as H
 
     emb = _t(spark, sf_dir, "embeddings")
     shards = H.build_graph_shards(
-        emb.filter(F.col("vec_id") >= 3), metric="l2",
+        emb.filter(F.col("vec_id") >= 6), metric="l2",
         params=H.HnswParams(ef_search=1_000_000),
         id_col="vec_id", vector_col="embedding", num_partitions=8,
     )
+    sids = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
     batch = [(i, _qvec(spark, sf_dir, i)) for i in range(3)]
-    patched = H.insert_many_into_graph_shards(shards, batch)
+    patched = H.insert_many_into_graph_shards(shards, batch, shard_ids=sids)
+    patched = H.insert_df_into_graph_shards(
+        patched,
+        emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)),
+        shard_ids=sids, id_col="vec_id", vector_col="embedding",
+    )
     out = H.search_graph_shards(
         patched, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
         ef_search=1_000_000, id_col="vec_id", id_type=T.LongType(),
