@@ -5527,6 +5527,83 @@ ORDER BY "column"
 """
 
 
+def q_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table_profile's 100 TB variant: per-column null counts plus a KMV
+    (bottom-k, k=256) distinct ESTIMATE next to the exact count for
+    calibration. Exact multi-column countDistinct expands the scan by
+    n_cols and shuffles every distinct value; the sketch path makes the
+    same expand but ships only 256 longs per column through the shuffle —
+    the profile cost stops depending on column cardinality. Deterministic
+    md5-derived hashes, so the oracle reproduces the estimate
+    bit-for-bit (operators/sketch.py; Bar-Yossef et al. 2002). At a real
+    100 TB intake drop the exact column is omitted; it rides here so the
+    gate (and SCALE.md's error-vs-k curve) can measure the relative
+    error."""
+    from vettore_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    ]
+    rendered = {
+        # explicit timestamp rendering: the sketch hashes the STRING, so
+        # both engines must produce identical text
+        "l_shipdate": F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+    }
+    unp = li.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    rendered.get(c, F.col(c).cast("string")).alias("v"),
+                )
+                for c in cols
+            ])
+        ).alias("_s")
+    ).select("_s.column", "_s.v")
+    nulls = unp.groupBy("column").agg(
+        F.count_if(F.col("v").isNull()).cast("long").alias("n_nulls"),
+        F.count_distinct("v").cast("long").alias("n_distinct"),
+    )
+    sk = SK.kmv_sketch(unp.filter(F.col("v").isNotNull()), "v", k=256,
+                       group_by=["column"])
+    est = SK.kmv_estimate(sk, k=256, group_by=["column"])
+    return nulls.join(est, "column").select(
+        "column", "n_nulls", "n_distinct", "est_distinct"
+    ).orderBy("column")
+
+
+SQL_TABLE_PROFILE_SKETCH = r"""
+WITH unp AS (
+  SELECT 'l_orderkey' AS c, l_orderkey::VARCHAR AS v FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey::VARCHAR FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+  UNION ALL SELECT 'l_quantity', l_quantity::VARCHAR FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice::VARCHAR FROM lineitem
+  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') FROM lineitem
+),
+nulls AS (
+  SELECT c, CAST(count(*) FILTER (v IS NULL) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+  FROM unp GROUP BY c
+),
+h AS (SELECT DISTINCT c, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+      FROM unp WHERE v IS NOT NULL),
+rk AS (SELECT c, h, row_number() OVER (PARTITION BY c ORDER BY h) AS pos
+       FROM h),
+agg AS (SELECT c, count(*) AS _n, max(h) AS _hk
+        FROM rk WHERE pos <= 256 GROUP BY c)
+SELECT n.c AS "column", n.n_nulls, n.n_distinct,
+       round(CASE WHEN _n < 256 THEN CAST(_n AS DOUBLE)
+                  ELSE (255.0 * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(_hk AS DOUBLE) END, 3) AS est_distinct
+FROM nulls n JOIN agg USING (c)
+ORDER BY "column"
+"""
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew diagnostic (plans/skew.py::skew_report) over the event
     stream's user key: top-5 heaviest users with row share and the ratio
@@ -6507,6 +6584,9 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "cms_token_hitters": (q_cms_token_hitters, SQL_CMS_TOKEN_HITTERS),
     "weighted_doc_sample": (q_weighted_doc_sample, SQL_WEIGHTED_DOC_SAMPLE),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
+    # --- round-5 additions (tail: enter the gate window at the r6
+    # rotation; selfcheck-verified until then) ---
+    "table_profile_sketch": (q_table_profile_sketch, SQL_TABLE_PROFILE_SKETCH),
 }
 
 # Round-5 gate window (per the round-4 verdict): slots 1-30 are the 30
