@@ -128,7 +128,12 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    ran = n_pass + n_fail
+    print(
+        f"\n{n_pass} pass, {n_fail} fail "
+        f"(ran {ran} of {len(qs)} registered queries, "
+        f"{len(oracles)} with SQL oracles)"
+    )
     return 1 if n_fail else 0
 
 
