@@ -226,3 +226,47 @@ def test_jl_prefilter_graded_neighborhood_recall(spark):
         want = {n_bg + i for i, lbl in enumerate(labels) if lbl == g}
         got = want & cand
         assert len(got) == len(want), (g, want - cand)
+
+
+def test_bloom_filter_superset_and_exact_membership(spark):
+    """Bloom contract: NO false negatives ever (every inserted key
+    passes), false positives bounded; Spark word array matches a pure
+    Python reconstruction of the same md5 arithmetic."""
+    import hashlib
+
+    from vettore_spark.plans import bloom as B
+
+    keys = [f"key-{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    m_bits, k_hashes = 1 << 12, 3
+    words = B.bloom_words(
+        B.bloom_build(df, "k", m_bits=m_bits, k_hashes=k_hashes),
+        m_bits=m_bits,
+    )
+    assert len(words) == m_bits // 64
+
+    def py_pos(key, i):
+        return int(hashlib.md5(f"bloom:{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+
+    want = [0] * (m_bits // 64)
+    for k in keys:
+        for i in range(k_hashes):
+            p = py_pos(k, i)
+            want[p // 64] |= 1 << (p % 64)
+    # two's complement view: Spark longs are signed
+    want = [w - (1 << 64) if w >= (1 << 63) else w for w in want]
+    assert words == want
+
+    probe = spark.createDataFrame(
+        [(k,) for k in keys] + [(f"other-{i}",) for i in range(2000)], ["k"]
+    )
+    got = {
+        r["k"]
+        for r in probe.filter(
+            B.bloom_might_contain("k", words, k_hashes=k_hashes)
+        ).collect()
+    }
+    assert set(keys) <= got, "false negative: inserted key rejected"
+    fp = len(got) - len(keys)
+    # (1 - e^(-3*500/4096))^3 ~ 2.9%; allow 3x slack on 2000 probes
+    assert fp / 2000 < 0.09, fp

@@ -33,3 +33,28 @@ def test_semantic_dedup_pairs_no_full_corpus_gemm(spark, qs):
     assert "_pop" in plan, "block-population cap missing"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_map_side_no_shuffle_no_join(spark):
+    """The bloom membership probe must be pure scan-stage arithmetic:
+    filtering a table through bloom_might_contain adds NO exchange and
+    NO join to the plan — the property that makes it a runtime filter
+    rather than a semi-join."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark.plans import bloom as B
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    words = B.bloom_words(
+        B.bloom_build(urgent, "o_orderkey", m_bits=1 << 12), m_bits=1 << 12
+    )
+    plan = _executed(
+        li.filter(B.bloom_might_contain("l_orderkey", words))
+    )
+    assert "Exchange" not in plan, "bloom probe must not shuffle"
+    assert "Join" not in plan, "bloom probe must not join"
+    assert "Scan parquet" in plan or "FileScan" in plan
