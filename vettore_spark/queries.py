@@ -6704,68 +6704,71 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "bloom_join_prune": (q_bloom_join_prune, SQL_BLOOM_JOIN_PRUNE),
 }
 
-# Round-5 gate window (per the round-4 verdict): slots 1-30 are the 30
-# round-4 additions earning their first driver CORRECTNESS row; slots
-# 31-50 are regression re-checks prioritizing the round-4 fix surfaces
-# (embedding_neardup_blocked banding, pq_adc_topk collect cap,
-# neardup_clusters checkpoint release, hybrid_topk union) plus the code
-# paths this round touches (semantic_dedup_pairs de-quadratization,
-# hnsw.py distributed batch insert) and the oldest r2 greens.
+# Round-6 gate window (per the round-5 verdict, rotated at round START):
+# slots 1-2 are the last two never-driver-gated queries (the round-5
+# additions); slots 3-12 re-check this round's and last round's fix
+# surfaces (table_profile/_sketch plan fix, semantic_dedup banding,
+# hnsw DataFrame-cogroup insert routing, checkpoint-release paths,
+# sketch guards, the user_sessions watch item); slots 13-50 are the
+# oldest greens longest out of window — everything last gated in r1/r2
+# plus the oldest r3 block (MUVERA, multi-vector HNSW, IVF-PQ/LSH,
+# selection + retrieval families).
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-30: round-4 additions, first driver gating ---
-    "salted_user_join",
-    "tpch_q5_local",
-    "tpch_q7_nations",
-    "tpch_q9_profit",
-    "tpch_q17_smallqty",
-    "event_funnel",
-    "user_retention",
-    "jl_projection",
-    "jl_prefilter_topk",
-    "tpch_q15_topsupp",
-    "tpch_q22_noorders",
-    "events_value_quantiles",
+    # --- slots 1-2: round-5 additions, first driver gating ---
+    "table_profile_sketch",
+    "bloom_join_prune",
+    # --- slots 3-12: round-5/6 fix-surface re-checks ---
     "table_profile",
-    "ivf_insert_search",
+    "semantic_dedup_pairs",
+    "embedding_neardup_blocked",
     "hnsw_batch_insert_search",
-    "tpch_q13_custdist",
-    "tpch_q16_suppcnt",
-    "c4_line_filter",
-    "events_skew_report",
-    "tpch_q2_mincost",
-    "tpch_q8_mktshare",
-    "tpch_q11_important",
-    "tpch_q12_lateship",
-    "tpch_q20_excess",
-    "tpch_q21_waiting",
+    "neardup_clusters",
+    "textrank_keywords",
     "kmv_distinct_daily",
     "kmv_shingle_overlap",
     "cms_token_hitters",
-    "weighted_doc_sample",
-    "textrank_keywords",
-    # --- slots 31-34: round-4 fix-surface re-checks ---
-    "embedding_neardup_blocked",
-    "pq_adc_topk",
-    "neardup_clusters",
-    "hybrid_topk",
-    # --- slots 35-39: code paths touched this round ---
-    "semantic_dedup_pairs",
-    "minhash_lsh_pairs",
-    "salted_event_rollup",
-    "hnsw_insert_search",
-    "hnsw_delete_search",
-    # --- slots 40-50: oldest r2 greens longest out of window ---
-    "hnsw_topk",
-    "ann_ivf_topk",
-    "sq_int8_topk",
-    "flat_topk_l2",
-    "filtered_topk",
-    "flat_topk_manhattan",
-    "flat_topk_chebyshev",
-    "flat_topk_jaccard",
-    "flat_topk_hamming",
-    "multi_query_quantized",
-    "ann_brute_topk",
+    "user_sessions",
+    # --- slots 13-15: last gated in r1 ---
+    "stratified_sample",
+    "hashed_embedding",
+    "events_sliding_window",
+    # --- slots 16-25: last gated in r2 ---
+    "bm25_topk",
+    "rrf_fusion",
+    "doc_chunks",
+    "decontaminate",
+    "pii_redact",
+    "repetition_filter",
+    "events_anomaly",
+    "events_asof_join",
+    "events_range_join",
+    "events_time_rollup",
+    # --- slots 26-50: oldest r3 greens ---
+    "muvera_fde_retrieval",
+    "hnsw_multi_topk",
+    "ann_ivfpq_topk",
+    "ann_brp_lsh_topk",
+    "ivf_delete_search",
+    "filtered_quantized_topk",
+    "ivf_filtered_topk",
+    "dsir_weights",
+    "domain_mixture",
+    "temperature_mixture",
+    "token_budget_select",
+    "calibrated_quality",
+    "semdedup_prune",
+    "bm25_batch",
+    "retrieval_pipeline",
+    "rerank_model_topk",
+    "hard_negatives",
+    "training_pipeline",
+    "curation_pipeline",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+    "knn_graph",
+    "substring_dedup",
+    "dedup_report",
+    "ivf_insert_search",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
