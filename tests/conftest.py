@@ -18,3 +18,28 @@ def spark():
     )
     yield s
     s.stop()
+
+
+def strip_cached_plans(plan: str) -> str:
+    """Drop InMemoryRelation cached-plan subtrees from a plan string.
+
+    queries._t persists its tables (wide facts behind a round-robin
+    repartition), and InMemoryRelation prints its cache-FILL plan —
+    Exchange + FileScan — inside every consuming query's executed plan.
+    Plan-shape pins assert on the QUERY's own operators; the one-time
+    cache-fill internals are not part of any query's shuffle/scan count.
+    """
+    out = []
+    skip_col = None
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*(0123456789)")
+        indent = len(line) - len(line.lstrip(" :+-"))
+        if skip_col is not None:
+            if indent > skip_col:
+                continue
+            skip_col = None
+        if stripped.startswith("InMemoryRelation"):
+            skip_col = indent
+            continue
+        out.append(line)
+    return "\n".join(out)

@@ -27,7 +27,11 @@ def coll(spark, tmp_path_factory):
 
 
 def _executed(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import strip_cached_plans
+
+    return strip_cached_plans(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def _optimized(df) -> str:

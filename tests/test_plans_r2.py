@@ -23,7 +23,11 @@ def docs(spark):
 
 
 def _executed(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import strip_cached_plans
+
+    return strip_cached_plans(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_bm25_topk_is_take_ordered_no_explode(docs):
@@ -69,7 +73,9 @@ def test_decontaminate_benchmark_side_is_broadcast(docs, spark):
     # materialized column: the hit-side explode must be over the column
     # reference (Generate explode(_sh...)), never an inlined re-computation
     assert "Generate explode(_sh" in plan
-    assert "InMemoryRelation [doc_id" in plan
+    # persistence proof: consumers read the materialized shingle cache
+    # (the InMemoryRelation block itself is stripped by _executed)
+    assert "InMemoryTableScan [_sh" in plan
 
 
 def test_sq_candidates_take_ordered_and_rerank_broadcast(spark):

@@ -17,7 +17,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def _executed(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import strip_cached_plans
+
+    return strip_cached_plans(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_tpch_q3_is_take_ordered(spark, qs):

@@ -485,13 +485,48 @@ def insert_df_into_graph_shards(
     if not sids:
         raise ValueError("cannot insert into an empty shard table")
     n_sids = len(sids)
-    sid_arr = list(sids)
+    sid_np = np.asarray(sids, dtype=np.int64)
 
     @F.pandas_udf("long")
     def _route(ids: pd.Series) -> pd.Series:
-        return ids.map(
-            lambda s: sid_arr[fnv1a64(str(s).encode()) % n_sids]
-        ).astype("int64")
+        # Vectorized FNV-1a over the Arrow batch: view the fixed-width
+        # unicode block as a codepoint matrix and fold column-by-column
+        # with uint64 wraparound arithmetic — max_len iterations of
+        # whole-column ops instead of a Python lambda per id. For ASCII
+        # ids (every id the numeric/uuid paths produce) codepoints ==
+        # utf-8 bytes, so the hash is bit-identical to fnv1a64(); any
+        # non-ASCII or NUL-bearing batch falls back to the scalar rule
+        # to preserve routing parity with the build path.
+        s = ids.to_numpy(dtype="U")
+        n = len(s)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        width = s.dtype.itemsize // 4
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x00000100000001B3)
+        if width:
+            codes = np.ascontiguousarray(s).view(np.uint32).reshape(n, width)
+            lens = np.char.str_len(s)
+            ascii_ok = int(codes.max()) < 128 and bool(
+                (lens == (codes != 0).sum(axis=1)).all()
+            )
+        else:
+            codes = None
+            ascii_ok = True  # all-empty batch: hash == offset basis
+        if ascii_ok:
+            for j in range(width):
+                c = codes[:, j].astype(np.uint64)
+                m = c != 0
+                if not m.any():
+                    break
+                h[m] = (h[m] ^ c[m]) * prime
+        else:
+            h = np.fromiter(
+                (fnv1a64(str(x).encode()) for x in s),
+                dtype=np.uint64,
+                count=n,
+            )
+        return pd.Series(sid_np[(h % np.uint64(n_sids)).astype(np.int64)])
 
     # _nid keeps the column's ORIGINAL type (the graph's external ids and
     # the search output column must stay type-consistent with the build
