@@ -135,8 +135,22 @@ class Collection:
             if isinstance(store_or_path, str)
             else store_or_path
         )
-        if getattr(store, "exists", lambda: True)():
-            existing = store.read(self.spark)
+        # A store may or may not implement exists() (the Store protocol
+        # doesn't require it). When it does, trust it; when it doesn't,
+        # probe with read() and treat a failed read as "fresh store" —
+        # the default that makes a brand-new MemoryStore adoptable
+        # instead of raising its own empty-store error back at the user.
+        exists_fn = getattr(store, "exists", None)
+        existing = None
+        if exists_fn is None or exists_fn():
+            try:
+                existing = store.read(self.spark)
+            except Exception:
+                if exists_fn is not None:
+                    # the store CLAIMED to hold rows: a failing read is a
+                    # real error (corruption, permissions), not emptiness
+                    raise
+        if existing is not None:
             if self._maybe_nonempty:
                 raise ValueError(
                     "attach_store: both the collection and the store hold "
@@ -159,23 +173,29 @@ class Collection:
         return df
 
     def compact_store(self) -> "Collection":
-        """Fold the delete overlay into storage: materialize the filtered
-        rows, overwrite the store, clear the overlay. The persist-then-
-        overwrite sequence protects the read-from-the-path-being-written
-        hazard with in-memory blocks — run it at a quiet moment; an
-        executor loss mid-compaction can lose cached blocks (the overlay
-        itself is only cleared after the overwrite completes)."""
+        """Fold the delete overlay into storage and clear it. Stores with
+        a `replace` method (ParquetStore) get the crash-safe path: the
+        compacted copy is fully committed to a sibling directory before
+        the live one is swapped out, so no failure point — including an
+        executor loss mid-write — leaves less than one complete copy.
+        Stores without `replace` fall back to persist-then-overwrite,
+        which only guards the self-overwrite hazard with in-memory
+        blocks (a lost executor mid-overwrite can lose them)."""
         self._check_open()
         if self._store is None:
             raise ValueError("no store attached")
         if not self._store_deleted:
             return self
-        snap = self._canonical_read().persist()
-        snap.count()  # materialize before the target files are deleted
-        self._store.overwrite(snap)
+        replace = getattr(self._store, "replace", None)
+        if replace is not None:
+            replace(self._canonical_read())
+        else:
+            snap = self._canonical_read().persist()
+            snap.count()  # materialize before the target files are deleted
+            self._store.overwrite(snap)
+            snap.unpersist()
         self._store_deleted = []
         self._df = self._canonical_read()
-        snap.unpersist()
         return self
 
     def _check_open(self) -> None:
@@ -330,6 +350,30 @@ class Collection:
         # next search just because one bad batch was refused).
         hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
         if self._store is not None:
+            # a tombstoned id must NOT be re-insertable before compaction:
+            # the duplicate-id clash check above ran against the
+            # overlay-FILTERED view (the deleted id is absent there), but
+            # appending it to storage would leave the new row permanently
+            # hidden by the anti-filter and compact_store() would then
+            # discard it — an acknowledged write silently lost. Refuse
+            # with the remediation instead.
+            if self._store_deleted:
+                clash = [
+                    r["id"]
+                    for r in out.filter(
+                        F.col("id").isin(self._store_deleted)
+                    )
+                    .select("id")
+                    .limit(10)
+                    .collect()
+                ]
+                if clash:
+                    raise ValueError(
+                        "put_many: id(s) "
+                        f"{clash} are tombstoned in the attached store; "
+                        "call compact_store() first to make them "
+                        "re-insertable"
+                    )
             # parquet-backed canonical table: append STORAGE, re-read —
             # the plan stays one scan forever, no lineage management
             self._store.append(out)

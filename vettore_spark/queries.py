@@ -1694,10 +1694,17 @@ bnd AS (
   SELECT vec_id, v, 2 AS band, k2 AS key FROM n
   UNION ALL
   SELECT vec_id, v, 3 AS band, k3 AS key FROM n),
+-- mirror of the Spark side's max_block_size=10000 population cap: blocks
+-- past the cap are DROPPED before the quadratic stage by both engines, so
+-- a hot block at larger scale factors degrades recall identically instead
+-- of surfacing as an opaque row-count mismatch
+bpop AS (SELECT band, key FROM bnd GROUP BY band, key HAVING count(*) <= 10000),
 cpairs AS (
   SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
          max(list_dot_product(a.v, b2.v)) AS sim
-  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key
+  FROM bnd a
+  JOIN bpop p ON a.band = p.band AND a.key = p.key
+  JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key
   WHERE a.vec_id < b2.vec_id AND list_dot_product(a.v, b2.v) >= 0.35
   GROUP BY 1, 2),
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -4532,10 +4539,16 @@ b AS (
   UNION ALL
   SELECT vec_id, v, 2 AS band, k2 AS key FROM n
   UNION ALL
-  SELECT vec_id, v, 3 AS band, k3 AS key FROM n)
+  SELECT vec_id, v, 3 AS band, k3 AS key FROM n),
+-- mirror of max_block_size=10000: over-populated blocks are dropped by
+-- both engines before the quadratic stage (recall degrades identically
+-- at scale instead of failing the gate as a row-count mismatch)
+bpop AS (SELECT band, key FROM b GROUP BY band, key HAVING count(*) <= 10000)
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
        round(max(list_dot_product(a.v, b2.v)), 5) AS sim
-FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+FROM b a
+JOIN bpop p ON a.band = p.band AND a.key = p.key
+JOIN b b2 ON a.band = b2.band AND a.key = b2.key
 WHERE a.vec_id < b2.vec_id AND list_dot_product(a.v, b2.v) >= 0.35
 GROUP BY 1, 2
 """

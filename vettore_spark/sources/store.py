@@ -61,8 +61,22 @@ class MemoryStore:
 
 class ParquetStore:
     def __init__(self, path: str, compression: str = "snappy"):
-        self.path = path
+        self.path = path.rstrip("/")
         self.compression = compression
+        # crash recovery from an interrupted replace(): if the live dir is
+        # missing but the retired copy survived, the crash happened between
+        # the two renames — restore the retired copy (it IS the last
+        # committed state; the half-written tmp dir is garbage).
+        if not os.path.isdir(self.path) and os.path.isdir(self._old):
+            os.rename(self._old, self.path)
+
+    @property
+    def _tmp(self) -> str:
+        return self.path + "._replace_tmp"
+
+    @property
+    def _old(self) -> str:
+        return self.path + "._replace_old"
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -72,6 +86,28 @@ class ParquetStore:
 
     def overwrite(self, df: DataFrame) -> None:
         df.write.mode("overwrite").option("compression", self.compression).parquet(self.path)
+
+    def replace(self, df: DataFrame) -> None:
+        """Atomically swap the store's contents for `df`, SAFE when df's
+        lineage reads this store's own path: the new copy is fully
+        written to a sibling temp directory BEFORE the live directory is
+        touched, then swapped in with two renames. Unlike
+        mode=overwrite (which deletes the target first and would destroy
+        the only copy if an executor died mid-job), no failure point
+        leaves less than one complete copy on disk. Local-FS renames; on
+        an object store, point the swap at the storage layer's atomic
+        rename/commit instead."""
+        import shutil
+
+        for leftover in (self._tmp, self._old):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+        df.write.mode("overwrite").option(
+            "compression", self.compression
+        ).parquet(self._tmp)
+        os.rename(self.path, self._old)
+        os.rename(self._tmp, self.path)
+        shutil.rmtree(self._old)
 
     def exists(self) -> bool:
         return os.path.isdir(self.path)
