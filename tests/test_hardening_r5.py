@@ -246,7 +246,11 @@ def test_bloom_filter_superset_and_exact_membership(spark):
     assert len(words) == m_bits // 64
 
     def py_pos(key, i):
-        return int(hashlib.md5(f"bloom:{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+        # Kirsch-Mitzenmacher double hashing from one md5 draw — the
+        # same rule as plans.bloom._positions
+        h = int(hashlib.md5(f"bloom:{key}".encode()).hexdigest()[:15], 16)
+        h1, h2 = h % (1 << 30), (h >> 30) | 1
+        return (h1 + i * h2) % m_bits
 
     want = [0] * (m_bits // 64)
     for k in keys:

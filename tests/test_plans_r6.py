@@ -61,3 +61,17 @@ def test_fact_table_cache_partitioning_matches_parallelism(spark):
     ), "fact table cache must not be split-starved"
     region = Q._t(spark, SF, "region")
     assert region.rdd.getNumPartitions() <= target
+
+
+def test_tpch_q17_bloom_probe_adds_no_join_no_shuffle(spark, qs):
+    """The bloom prefilter must change Q17's plan ONLY by a map-side
+    filter on the fact scan plus one tiny bitmap-build aggregate executed
+    at plan-build time: the probed plan has no additional join and no
+    additional exchange versus plain Q17 (the runtime-filter property —
+    pruning happens in the scan stage, not via a semi-join)."""
+    pb = _executed(qs["tpch_q17_bloom"](spark, SF))
+    pp = _executed(qs["tpch_q17_smallqty"](spark, SF))
+    assert pb.count("Exchange") <= pp.count("Exchange"), "bloom added a shuffle"
+    assert pb.count("BroadcastHashJoin") == pp.count("BroadcastHashJoin")
+    for op in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in pb

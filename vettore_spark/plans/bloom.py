@@ -37,11 +37,19 @@ from vettore_spark.operators.sketch import hash60
 
 
 def _positions(key: Column, *, m_bits: int, k_hashes: int, salt: str) -> list[Column]:
-    """The k deterministic bit positions for a key: hash60 under salts
-    `{salt}:{i}:`, mod m_bits. SQL twin:
-    ('0x' || substr(md5('{salt}:{i}:' || key), 1, 15))::BIGINT % m_bits."""
+    """The k deterministic bit positions for a key from ONE md5 draw,
+    via Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m —
+    asymptotically the same false-positive rate as k independent
+    hashes; Kirsch & Mitzenmacher 2006): the probe costs one md5+conv
+    per row instead of k, which matters because the probe rides the
+    full fact scan. h1 = low 30 bits, h2 = high 30 bits forced odd.
+    SQL twin, with h = ('0x' || substr(md5('{salt}:' || key), 1, 15))::BIGINT:
+    ((h % 1073741824) + i * ((h // 1073741824) | 1)) % m_bits."""
+    base = hash60(key, salt=f"{salt}:")
+    h1 = F.pmod(base, F.lit(1 << 30))
+    h2 = F.call_function("shiftright", base, F.lit(30)).bitwiseOR(F.lit(1))
     return [
-        F.pmod(hash60(key, salt=f"{salt}:{i}:"), F.lit(m_bits)).cast("long")
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("long")
         for i in range(k_hashes)
     ]
 

@@ -5127,6 +5127,56 @@ WHERE p_partkey = l_partkey AND _pk = l_partkey
 """
 
 
+def q_tpch_q17_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 with the Bloom runtime join filter (plans/bloom.py) applied
+    where it pays: the brand predicate keeps ~1/25 of parts, so a 2^16-bit
+    / 3-hash bitmap of the surviving p_partkeys — one tiny aggregate,
+    <=1024 words as plan literals — prunes the lineitem scan with
+    map-side codegen arithmetic BEFORE the per-part quantity aggregate
+    and the join. Because the bloom is keyed on the join key, every
+    surviving partkey keeps ALL its lineitems (per-part averages stay
+    exact) and false positives are discarded by the real equi-join, so
+    the result is BIT-IDENTICAL to plain Q17 — the oracle is Q17's SQL
+    verbatim, which makes the gate a hard proof of the superset
+    contract on a query that exists. Measured at sf0.1: the probe keeps
+    ~4.1% of fact rows (SCALE.md bloom section), shrinking the heavy
+    aggregate's input ~24x. This is the declarative, pinnable version
+    of Spark's own injected runtime bloom filter."""
+    from vettore_spark.plans import bloom as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    words = B.bloom_words(
+        B.bloom_build(part, "p_partkey", m_bits=1 << 16, k_hashes=3),
+        m_bits=1 << 16,
+    )
+    lif = li.filter(B.bloom_might_contain("l_partkey", words, k_hashes=3))
+    per_part = lif.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qsum"),
+        F.count("*").alias("_qn"),
+    )
+    return (
+        lif.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("decimal(18,6)") * F.col("_qn")
+            < F.col("_qsum")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# identical result by construction: the bloom is a key-level superset
+# filter and the real join discards its false positives
+SQL_TPCH_Q17_BLOOM = SQL_TPCH_Q17
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the event stream (view -> click ->
     purchase): stage N counts users whose first qualifying stage-N event
@@ -5714,9 +5764,13 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bloom_pos(i: int) -> str:
+def _sql_bloom_pos(i: int, key_expr: str = "k") -> str:
+    """SQL twin of plans.bloom._positions: Kirsch-Mitzenmacher double
+    hashing from ONE md5 draw — h1 + i*h2 mod m with h1 = low 30 bits,
+    h2 = high 30 bits forced odd."""
+    h = f"(('0x' || substr(md5('bloom:' || {key_expr}), 1, 15))::BIGINT)"
     return (
-        f"(('0x' || substr(md5('bloom:{i}:' || k), 1, 15))::BIGINT % 65536)"
+        f"((({h} % 1073741824) + {i} * (({h} // 1073741824) | 1)) % 65536)"
     )
 
 
@@ -5737,9 +5791,9 @@ words AS (
 ),
 fkeys AS (SELECT DISTINCT l_orderkey FROM lineitem),
 fpos AS (
-  SELECT l_orderkey, {_sql_bloom_pos(0).replace("' || k", "' || l_orderkey::VARCHAR")} AS p FROM fkeys
-  UNION ALL SELECT l_orderkey, {_sql_bloom_pos(1).replace("' || k", "' || l_orderkey::VARCHAR")} FROM fkeys
-  UNION ALL SELECT l_orderkey, {_sql_bloom_pos(2).replace("' || k", "' || l_orderkey::VARCHAR")} FROM fkeys
+  SELECT l_orderkey, {_sql_bloom_pos(0, "l_orderkey::VARCHAR")} AS p FROM fkeys
+  UNION ALL SELECT l_orderkey, {_sql_bloom_pos(1, "l_orderkey::VARCHAR")} FROM fkeys
+  UNION ALL SELECT l_orderkey, {_sql_bloom_pos(2, "l_orderkey::VARCHAR")} FROM fkeys
 ),
 fhit AS (
   SELECT f.l_orderkey,
@@ -6754,6 +6808,9 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     # rotation; selfcheck-verified until then) ---
     "table_profile_sketch": (q_table_profile_sketch, SQL_TABLE_PROFILE_SKETCH),
     "bloom_join_prune": (q_bloom_join_prune, SQL_BLOOM_JOIN_PRUNE),
+    # --- round-6 additions (tail: enter the gate window at the r7
+    # rotation; selfcheck-verified until then) ---
+    "tpch_q17_bloom": (q_tpch_q17_bloom, SQL_TPCH_Q17_BLOOM),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
