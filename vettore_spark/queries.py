@@ -12,6 +12,7 @@ cannot flip the order-insensitive value hash.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from collections.abc import Callable
 
@@ -5177,6 +5178,71 @@ def q_tpch_q17_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q17_BLOOM = SQL_TPCH_Q17
 
 
+# One store-attached collection per (appId, sf_dir): the build (attach ->
+# ingest -> delete -> compact -> re-insert) runs once and every
+# invocation searches the SAME parquet-backed canonical table — the
+# long-lived-collection usage pattern API.md documents.
+_STORE_GATE_CACHE: dict = {}
+
+
+def q_store_attached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k THROUGH a parquet-backed canonical store — the gated
+    proof of the Collection.attach_store read path (sources/store.py
+    ParquetStore; the documented default for long-lived collections).
+    The build exercises the full round-6 lifecycle: attach an empty
+    store, ingest the whole embeddings table (storage append + single
+    -scan re-read), delete one id (tombstone overlay), compact_store
+    (atomic sibling-dir swap), then RE-INSERT the deleted id with its
+    original vector — legal only after compaction (put_many refuses
+    tombstoned ids). The final canonical table therefore equals the raw
+    embeddings table and the oracle is the plain flat-l2 SQL: any
+    overlay leak, lost write, or compaction corruption surfaces as a
+    result mismatch."""
+    import shutil
+    import tempfile
+
+    from vettore_spark.collection import Collection
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    coll = _STORE_GATE_CACHE.get(key)
+    if coll is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        dims = len(emb.select("embedding").first()["embedding"])
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"vettore_store_gate_{abs(hash(key)) % (1 << 48):012x}",
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        coll = Collection.create(
+            spark, "store_gate", dims, metric="l2"
+        ).attach_store(path)
+        src = emb.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("vec_id").cast("string").alias("value"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+            F.lit(None).cast("array<array<double>>").alias("vectors"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+        coll.put_many(src)
+        victim = coll.get("5")
+        coll.delete("5")
+        coll.compact_store()
+        coll.put_many(
+            [{"id": "5", "vector": [float(x) for x in victim["vector"]]}]
+        )
+        _STORE_GATE_CACHE[key] = coll
+    out = coll.search(_qvec(spark, sf_dir), limit=10)
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_STORE_ATTACHED_TOPK = f"""
+SELECT vec_id::VARCHAR AS id, vec_id::VARCHAR AS value,
+       round(-d, 5) + 0.0 AS score, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d FROM embeddings)
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the event stream (view -> click ->
     purchase): stage N counts users whose first qualifying stage-N event
@@ -6811,6 +6877,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     # --- round-6 additions (tail: enter the gate window at the r7
     # rotation; selfcheck-verified until then) ---
     "tpch_q17_bloom": (q_tpch_q17_bloom, SQL_TPCH_Q17_BLOOM),
+    "store_attached_topk": (q_store_attached_topk, SQL_STORE_ATTACHED_TOPK),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
