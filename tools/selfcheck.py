@@ -7,6 +7,11 @@ sf0.01 (override with SELFCHECK_SF_DIR), comparing:
   - order-insensitive value hash (rows sorted, columns sorted by name)
 
 Usage: cd /root/repo && python tools/selfcheck.py [query ...]
+       python tools/selfcheck.py --write    # full run + regenerate SELFCHECK.md
+
+--write refuses query filters: the committed SELFCHECK.md must always be
+the FULL registry, so the recorded count cannot trail len(_REGISTRY)
+(the evidence-drift class the round-4/5 verdicts flagged).
 """
 
 from __future__ import annotations
@@ -55,7 +60,17 @@ def _norm(v):
 
 def main() -> int:
     sf_dir = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    write = "--write" in args
+    only = set(a for a in args if a != "--write")
+    if write and only:
+        print("--write runs the FULL registry; drop the query filters")
+        return 2
+    lines: list[str] = []
+
+    def emit(msg: str) -> None:
+        print(msg, flush=True)
+        lines.append(msg)
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -86,11 +101,11 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            emit(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            emit(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
             continue
         try:
@@ -101,7 +116,7 @@ def main() -> int:
             odf = rel.fetchdf()
             orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+            emit(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
@@ -123,17 +138,36 @@ def main() -> int:
                         problems.append(f"  first diff:\n   spark  {a}\n   duckdb {b}")
                         break
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+            emit(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            emit(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     ran = n_pass + n_fail
-    print(
-        f"\n{n_pass} pass, {n_fail} fail "
+    summary = (
+        f"{n_pass} pass, {n_fail} fail "
         f"(ran {ran} of {len(qs)} registered queries, "
         f"{len(oracles)} with SQL oracles)"
     )
+    print("\n" + summary)
+    if write:
+        md = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SELFCHECK.md",
+        )
+        with open(md, "w") as f:
+            f.write(
+                "# SELFCHECK — local replica of the driver's correctness gate\n\n"
+                "GENERATED by `python tools/selfcheck.py --write` — do not edit;\n"
+                "regenerate as the LAST change of a round so the committed count\n"
+                f"always equals the live registry. Run: sf dir `{sf_dir}`,\n"
+                f"{len(qs)} registered queries, {len(oracles)} with SQL oracles\n"
+                "(row count + sorted columns + order-insensitive value hash vs\n"
+                "each query's DuckDB oracle).\n\n```\n"
+                + "\n".join(lines)
+                + f"\n\n{summary}\n```\n"
+            )
+        print(f"wrote {md}")
     return 1 if n_fail else 0
 
 
