@@ -193,8 +193,77 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_real_decoder_is_gated():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"not-an-image")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"not-an-image")
+    else:
+        # with pillow present the gate opens and bad bytes fail in PIL
+        with pytest.raises(Exception):
+            MM.decode_image(b"not-an-image")
+
+
+def test_real_image_decode_e2e(spark):
+    """Runs only where pillow exists (reference parity with its env-gated
+    fastembed e2e): a real PNG flows payload -> decode_image ->
+    image_features through the SAME mapInPandas plumbing the fake
+    decoder exercises, and the per-channel features match a local numpy
+    computation of the same pixels."""
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    rows = []
+    pixels = {}
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        buf = BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format="PNG")
+        rows.append((f"img{i}", buf.getvalue(), "image/png", None))
+        pixels[f"img{i}"] = arr
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r["features"]
+        for r in MM.image_features(
+            df, decode_fn=MM.decode_image, feature_dim=12
+        ).collect()
+    }
+    assert set(out) == set(pixels)
+    for mid, arr in pixels.items():
+        px = arr.reshape(-1, 3).astype(np.float64)
+        want = np.concatenate(
+            [px.mean(0), px.std(0), px.min(0), px.max(0)]
+        )[:12]
+        assert np.allclose(np.array(out[mid], dtype=np.float64), want, atol=1e-3)
+
+
+def test_real_text_encoder_e2e(spark):
+    """Runs only where sentence-transformers AND a configured model
+    exist: real embeddings flow through the same Arrow encode stage as
+    the deterministic fake, normalized and dimension-consistent."""
+    pytest.importorskip("sentence_transformers")
+    import os
+
+    if not os.environ.get("SPARK_VETTORE_EMBED_MODEL"):
+        pytest.skip("SPARK_VETTORE_EMBED_MODEL not configured")
+    from vettore_spark.encodings import encoders as E
+
+    enc = E.load_real_encoder()
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "goodbye world")], ["doc_id", "text"]
+    )
+    probe = enc(__import__("pandas").Series(["hello world"]))
+    out = E.encode_texts(
+        df, encode_fn=enc, dim=int(probe.shape[1])
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert np.isfinite(v).all()
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3  # normalized
 
 
 def test_frame_sample(spark):

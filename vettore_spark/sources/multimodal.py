@@ -34,17 +34,24 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode — requires an imaging library that is not available
-    in this environment. The Spark plumbing calls `decode_fn`-shaped
-    callables; swap this in where PIL/libvips exists."""
+    """Real image decode, env-gated on PIL (not shipped in this
+    container — the same gating as the reference's fastembed e2e,
+    test/ex_fastembed_integration_test.exs:9-60): payload bytes ->
+    (h, w, 3) uint8 RGB array. `decode_fn`-shaped, so it drops into
+    image_features/image_resize wherever pillow exists;
+    tests/test_extensions.py carries the e2e that runs when it does.
+    fake_decode_image remains the deterministic oracle path."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
             "image decoding requires PIL/pillow; use fake_decode_image for "
             "pipeline testing"
         ) from e
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+    from io import BytesIO
+
+    img = Image.open(BytesIO(payload))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def fake_decode_image(payload: bytes, *, h: int = 8, w: int = 8) -> np.ndarray:
