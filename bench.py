@@ -146,6 +146,9 @@ HEADLINE = [
     "cms_token_hitters",
     "weighted_doc_sample",
     "textrank_keywords",
+    "tpch_q17_bloom",
+    "store_attached_topk",
+    "events_quantile_sketch",
 ]
 
 

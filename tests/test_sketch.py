@@ -216,3 +216,60 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
         for r in SK.cms_build(ev, "key", depth=3, width=64).collect()
     }
     assert got == want
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Estimate within one bucket_width of the exact quantile; histograms
+    merge by adding counts (estimate over the union == estimate from the
+    merged histogram, by construction of the bucket counts)."""
+    import numpy as np
+
+    from vettore_spark.operators import sketch as SK
+
+    rng = np.random.default_rng(11)
+    vals_a = rng.gamma(2.0, 25.0, size=4000)
+    vals_b = rng.gamma(3.0, 15.0, size=4000)
+    rows = [("a", float(v)) for v in vals_a] + [
+        ("b", float(v)) for v in vals_b
+    ]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    w = 2.0
+    qs = [0.5, 0.9, 0.99]
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in SK.histogram_quantiles(
+            df, "value", qs, bucket_width=w, group_by=["g"]
+        ).collect()
+    }
+    assert len(got) == 6
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        for q in qs:
+            exact = float(np.quantile(vals, q))
+            assert abs(got[(g, q)] - exact) <= w + 1e-9, (g, q, got[(g, q)], exact)
+
+    # mergeability: the union of two halves estimates identically to the
+    # whole (bucket counts are additive, interpolation reads only counts)
+    half1 = spark.createDataFrame(rows[:4000], ["g", "value"])
+    half2 = spark.createDataFrame(rows[4000:], ["g", "value"])
+    merged = {
+        (r["g"], r["q"]): r["est"]
+        for r in SK.histogram_quantiles(
+            half1.unionByName(half2), "value", qs, bucket_width=w,
+            group_by=["g"],
+        ).collect()
+    }
+    assert merged == got
+
+
+def test_histogram_quantiles_validation(spark):
+    import pytest
+
+    from vettore_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "value"])
+    with pytest.raises(ValueError):
+        SK.histogram_quantiles(df, "value", [], bucket_width=1.0)
+    with pytest.raises(ValueError):
+        SK.histogram_quantiles(df, "value", [1.5], bucket_width=1.0)
+    with pytest.raises(ValueError):
+        SK.histogram_quantiles(df, "value", [0.5], bucket_width=0.0)
