@@ -273,3 +273,47 @@ def test_histogram_quantiles_validation(spark):
         SK.histogram_quantiles(df, "value", [1.5], bucket_width=1.0)
     with pytest.raises(ValueError):
         SK.histogram_quantiles(df, "value", [0.5], bucket_width=0.0)
+
+
+def test_streaming_histogram_matches_batch(spark, tmp_path):
+    """Streaming histogram (bucket counters in applyInPandasWithState
+    state) consumed with availableNow equals the BATCH
+    histogram_quantiles over the same rows bit-for-bit — same bucket
+    rule, same interpolation arithmetic, same HALF_UP 4-dp round. Two
+    input files force multi-batch state carry-over."""
+    from vettore_spark.streaming.stateful import streaming_histogram_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value"
+    )
+    src = tmp_path / "hist_src"
+    half1, half2 = ev.randomSplit([0.5, 0.5], seed=13)
+    half1.coalesce(1).write.parquet(str(src / "b1"))
+    half2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema("event_type string, value double").parquet(
+        str(src) + "/*"
+    )
+    q = (
+        streaming_histogram_quantiles(
+            stream, quantiles=[0.5, 0.9, 0.99], bucket_width=2.0,
+            group_col="event_type", value_col="value",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hist_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("select * from hist_stream").collect():
+        final[(r["event_type"], r["q"])] = r["est"]  # later batches win
+
+    want = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in SK.histogram_quantiles(
+            ev, "value", [0.5, 0.9, 0.99], bucket_width=2.0,
+            group_by=["event_type"],
+        ).collect()
+    }
+    assert final == want

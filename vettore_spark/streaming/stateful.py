@@ -553,3 +553,88 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_histogram_quantiles(
+    events: DataFrame,
+    *,
+    quantiles: list[float],
+    bucket_width: float,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group RUNNING quantile estimates over an unbounded stream via
+    the fixed-boundary histogram sketch held in state — the streaming twin
+    of operators/sketch.histogram_quantiles, completing the streaming
+    sketch family (KMV, CMS, histogram).
+
+    Exact streaming quantiles need every value ever seen; the histogram
+    keeps one counter per OCCUPIED bucket per group (state bounded by the
+    value range / bucket_width, not the stream length) and histograms are
+    additive, so micro-batch ingestion is just counter addition. Each
+    emission interpolates the current estimates with the SAME double
+    arithmetic as the batch operator:
+        est(q) = bucket_lo + w * (q*n - cum_below) / bucket_count
+    (identical IEEE operation order; HALF_UP 4-dp round mirroring Spark's
+    `round`), so after trigger(availableNow=True) the final emission per
+    group equals the batch histogram_quantiles over the same rows
+    bit-for-bit (pinned in tests/test_sketch.py).
+
+    Output per micro-batch and group: (group, q, est) — one row per
+    requested quantile.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    if not all(0.0 < q < 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1)")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = float(bucket_width)
+    qs = sorted(float(q) for q in quantiles)
+    grp_t = events.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {grp_t}, q double, est double"
+    state_schema = "bs array<long>, cs array<long>"
+    q4 = Decimal("0.0001")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bs, cs = state.get
+            hist = dict(zip(bs, cs))
+        else:
+            hist = {}
+        for pdf in pdfs:
+            vc = pdf[value_col].astype("float64")
+            for b, c in vc.map(lambda v: math.floor(v / w)).value_counts().items():
+                hist[int(b)] = hist.get(int(b), 0) + int(c)
+        items = sorted(hist.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        n = float(sum(hist.values()))
+        ests = []
+        for q in qs:
+            t = q * n
+            cum = 0
+            for b, c in items:
+                below = float(cum)
+                cum += c
+                if below < t <= float(cum):
+                    est = float(b) * w + w * ((t - below) / float(c))
+                    ests.append(
+                        float(Decimal(est).quantize(q4, rounding=ROUND_HALF_UP))
+                    )
+                    break
+        yield pd.DataFrame(
+            {group_col: [key[0]] * len(qs), "q": qs, "est": ests}
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
