@@ -229,3 +229,59 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_mod_sample_is_consistent_per_key(spark):
+    """Congruential sampling draws KEYS: every row of a sampled key is
+    kept, every row of an unsampled key dropped — no partial users."""
+    rows = [(u, e) for u in range(400) for e in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, event long")
+    kept = SMP.deterministic_sample  # noqa: F841 (naming parity)
+    s = df.filter(SMP.mod_sample_predicate("user_id", 7)).collect()
+    per_user = {}
+    for r in s:
+        per_user.setdefault(r["user_id"], set()).add(r["event"])
+    assert per_user, "1-in-7 over 400 keys cannot be empty"
+    assert all(evts == {0, 1, 2} for evts in per_user.values())
+    # and the draw is the documented md5 construction
+    for u in per_user:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        assert h % 7 == 0
+
+
+def test_approx_rollup_estimates_within_sampling_error(spark):
+    """1-in-10 keyed sample over 5000 uniform keys: every estimate lands
+    within 5 relative standard errors of the truth (binomial key draw:
+    rse ~ sqrt((1-p)/(p*n_keys_per_group)))."""
+    import math
+
+    rows = [(u, ["a", "b"][u % 2], float(u % 100)) for u in range(5000)
+            for _ in range(2)]
+    df = spark.createDataFrame(rows, "user_id long, g string, value double")
+    est = {
+        r["g"]: r
+        for r in SMP.approx_rollup(
+            df, key_col="user_id", one_in=10, group_by=["g"],
+            sum_cols=["value"],
+        ).collect()
+    }
+    exact = {
+        r["g"]: r
+        for r in df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("user_id").alias("keys"),
+            F.sum("value").alias("sum_value"),
+        ).collect()
+    }
+    tol = 5.0 * math.sqrt(0.9 / (0.1 * 2500))  # ~0.30
+    for g in ("a", "b"):
+        for est_k, ex_k in (("est_rows", "rows"), ("est_keys", "keys"),
+                            ("est_sum_value", "sum_value")):
+            rel = abs(est[g][est_k] - exact[g][ex_k]) / exact[g][ex_k]
+            assert rel < tol, (g, est_k, est[g][est_k], exact[g][ex_k])
+
+
+def test_mod_sample_validation(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError):
+        SMP.mod_sample_predicate("user_id", 0)

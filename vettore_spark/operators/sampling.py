@@ -214,3 +214,64 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def mod_sample_predicate(key: Column | str, one_in: int, *, salt: str = "") -> Column:
+    """Boolean column: does this KEY fall in the deterministic 1-in-N
+    systematic hash sample? hash60(key) % one_in == 0 — every row of a
+    sampled key qualifies (consistent / congruential sampling: per-key
+    statistics stay unbiased because keys, not rows, are drawn). SQL
+    twin: `('0x' || substr(md5(key), 1, 15))::BIGINT % one_in = 0`."""
+    if one_in < 1:
+        raise ValueError("one_in must be >= 1")
+    from vettore_spark.operators.sketch import hash60
+
+    return hash60(key, salt=salt) % F.lit(one_in) == F.lit(0)
+
+
+def approx_rollup(
+    df: DataFrame,
+    *,
+    key_col: str,
+    one_in: int,
+    group_by: list[str],
+    sum_cols: list[str] | None = None,
+    salt: str = "",
+    precision: int = 2,
+) -> DataFrame:
+    """Approximate per-group rollup from a 1-in-N deterministic hash
+    sample of KEYS — the 100 TB answer when the rollup is run constantly
+    (dashboards, data-quality monitors) and a ~1/sqrt(n_sampled_keys)
+    relative error is acceptable: the scan reads 1/N of the rows (the
+    sample predicate is a pushable deterministic filter — at scale the
+    sample lives as its own materialized 1-in-N table and the rollup
+    never touches the full fact table at all).
+
+    Estimates scale by the EXACT integer N (no float scale factor):
+      est_rows     = count(*) * N                     (long, exact arith)
+      est_keys     = count(distinct key) * N          (long)
+      est_sum_<c>  = round(sum(decimal(c)) * N, p)    (decimal -> double;
+                     decimal sums are order-free, so the engines agree)
+    Deterministic end to end — same md5 key draw as every sampler here —
+    so a SQL engine reproduces each estimate bit-for-bit and the
+    correctness gate covers it like an exact query. Measured error vs the
+    exact rollup is in SCALE.md.
+    """
+    scols = list(sum_cols or [])
+    sampled = df.filter(mod_sample_predicate(key_col, one_in, salt=salt))
+    aggs = [
+        (F.count(F.lit(1)) * F.lit(one_in)).cast("long").alias("est_rows"),
+        (F.count_distinct(F.col(key_col)) * F.lit(one_in))
+        .cast("long")
+        .alias("est_keys"),
+    ]
+    for c in scols:
+        aggs.append(
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,6)")) * F.lit(one_in),
+                precision,
+            )
+            .cast("double")
+            .alias(f"est_sum_{c}")
+        )
+    return sampled.groupBy(*group_by).agg(*aggs)

@@ -5665,6 +5665,41 @@ ORDER BY event_type, q
 """
 
 
+def q_approx_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type event rollup from a 1-in-10 deterministic
+    hash sample of USERS (operators/sampling.py::approx_rollup) — the
+    constantly-re-run dashboard rollup that at 100 TB should read 10% of
+    the fact table (or a pre-materialized 1-in-N sample table), not all
+    of it. Keys are drawn, not rows (congruential sampling), so per-user
+    statistics stay unbiased; estimates scale by the EXACT integer 10
+    with decimal sums, so both engines agree bit-for-bit and the hard
+    gate covers an approximate query. Measured error vs the exact
+    rollup is in SCALE.md."""
+    from vettore_spark.operators.sampling import approx_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return approx_rollup(
+        ev,
+        key_col="user_id",
+        one_in=10,
+        group_by=["event_type"],
+        sum_cols=["value"],
+    ).orderBy("event_type")
+
+
+SQL_APPROX_EVENT_ROLLUP = """
+SELECT event_type,
+       count(*) * 10 AS est_rows,
+       count(DISTINCT user_id) * 10 AS est_keys,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 10, 2) AS DOUBLE)
+         AS est_sum_value
+FROM events
+WHERE ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 10 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profiling of the fact table (null count + exact
     distinct count per column) — the intake health check a pipeline runs
@@ -6923,6 +6958,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "tpch_q17_bloom": (q_tpch_q17_bloom, SQL_TPCH_Q17_BLOOM),
     "store_attached_topk": (q_store_attached_topk, SQL_STORE_ATTACHED_TOPK),
     "events_quantile_sketch": (q_events_quantile_sketch, SQL_EVENTS_QUANTILE_SKETCH),
+    "approx_event_rollup": (q_approx_event_rollup, SQL_APPROX_EVENT_ROLLUP),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
