@@ -381,3 +381,88 @@ def bucketed_write(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def zorder_key(
+    cols: list[str],
+    bounds: list[tuple[int, int]],
+    *,
+    bits: int = 8,
+) -> F.Column:
+    """Z-order (Morton) key column: each input column is scaled to a
+    `bits`-bit integer rank inside its [min, max] bounds with exact
+    integer arithmetic, then the ranks' bits are interleaved LSB-first
+    (col i owns bit positions i, i+n, i+2n, ...). Sorting by this key
+    clusters rows so that EVERY participating column's value range is
+    narrow within any contiguous run — which is what lets parquet min/max
+    footer statistics skip files/row groups for multi-column box
+    predicates, where a single-column sort only ever prunes on its lead
+    column (the Delta/Iceberg OPTIMIZE ZORDER layout, built here from
+    plain shiftleft/and/or expressions that stay in whole-stage codegen).
+
+    Pure integer arithmetic: ranks are ((x - lo) * (2^bits - 1)) div
+    (hi - lo), so the key is engine-reproducible (SQL twin: the same
+    expression with // and %). Values outside bounds are clamped. Total
+    key width bits * len(cols) must fit a signed long (<= 62)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if len(bounds) != n:
+        raise ValueError("bounds must match cols")
+    if bits * n > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    top = (1 << bits) - 1
+    ranks = []
+    for c, (lo, hi) in zip(cols, bounds):
+        lo, hi = int(lo), int(hi)
+        if hi <= lo:
+            raise ValueError(f"degenerate bounds for {c}: [{lo}, {hi}]")
+        # integer `div` keeps the rank exact and engine-reproducible
+        # (the SQL twin uses // on the same longs)
+        ranks.append(
+            F.expr(
+                f"((greatest(least(cast(`{c}` as bigint), {hi}L), {lo}L)"
+                f" - {lo}L) * {top}L) div {hi - lo}L"
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Write parquet clustered by the Z-order of `cols`: bounds come from
+    ONE tiny min/max aggregate (2*len(cols) longs to the driver), rows are
+    range-partitioned and sorted by the interleaved key, and the key
+    itself is dropped before writing. Every file then covers a compact
+    box in the multi-column space, so min/max footer stats prune
+    files/row groups for box predicates on ANY participating column —
+    measured skip ratios in SCALE.md; the multi-column complement to
+    `range_sorted_write`."""
+    spark = df.sparkSession
+    row = df.agg(
+        *[f(c).cast("long").alias(f"{n}_{c}")
+          for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    bounds = [(row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols]
+    n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    (
+        df.withColumn("_z", zorder_key(cols, bounds, bits=bits))
+        .repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
