@@ -398,3 +398,38 @@ def test_search_many_batched(spark):
     filtered = c.search_many([[1.0, 0.0, 0.0, 0.5]], limit=12,
                              where="id != 'v0'").collect()
     assert all(r["id"] != "v0" for r in filtered)
+
+
+def test_range_search_matches_topk_within_radius(agreement_coll):
+    """flat_range == the rows of flat_topk whose distance clears the
+    threshold, in the same (rank, id) order; and every returned distance
+    respects the radius."""
+    c = agreement_coll
+    full = c.search(QUERY, limit=64).collect()
+    thr = full[9]["distance"]  # radius that admits exactly the top 10
+    got = c.range_search(QUERY, max_distance=thr).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in full[:10]]
+    assert all(r["distance"] <= thr for r in got)
+    # min_score form: same rows via the score threshold (l2 score = -d)
+    got2 = c.range_search(QUERY, min_score=-thr).collect()
+    assert [r["id"] for r in got2] == [r["id"] for r in got]
+    # limit caps the ordered result
+    got3 = c.range_search(QUERY, max_distance=thr, limit=3).collect()
+    assert [r["id"] for r in got3] == [r["id"] for r in got[:3]]
+
+
+def test_range_search_where_composes(agreement_coll):
+    c = agreement_coll
+    thr = c.search(QUERY, limit=64).collect()[20]["distance"]
+    got = c.range_search(
+        QUERY, max_distance=thr, where=F.col("id") > "id-31"
+    ).collect()
+    assert got, "some of the top-21 ids sort after id-31"
+    assert all(r["id"] > "id-31" and r["distance"] <= thr for r in got)
+
+
+def test_range_search_validation(agreement_coll):
+    with pytest.raises(ValueError, match="exactly one"):
+        agreement_coll.range_search(QUERY)
+    with pytest.raises(ValueError, match="exactly one"):
+        agreement_coll.range_search(QUERY, max_distance=1.0, min_score=0.0)

@@ -787,6 +787,29 @@ class Collection:
             extra_cols=["value"],
         )
 
+    def range_search(self, query: list[float], *,
+                     max_distance: float | None = None,
+                     min_score: float | None = None,
+                     limit: int | None = None, where=None) -> DataFrame:
+        """All rows within a distance/score threshold, best first — the
+        radius companion to `search` (Spark superset surface; the
+        reference is top-k-only). Exactly one of `max_distance` /
+        `min_score`; `where` restricts candidates before scoring, and
+        `limit` caps the (otherwise unbounded-by-construction) result."""
+        from vettore_spark.operators import search as S
+
+        q = self._prepare_query(query)
+        return S.flat_range(
+            self._where(where),
+            q,
+            metric=self.config.metric,
+            max_distance=max_distance,
+            min_score=min_score,
+            limit=limit,
+            score_mode=self.config.score,
+            extra_cols=["value"],
+        )
+
     def search_many(
         self,
         queries: dict[str, list[float]] | list[list[float]],

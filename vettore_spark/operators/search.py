@@ -99,6 +99,59 @@ def flat_topk(
     return _ordered_topk(scored, k, id_col=id_col).drop("_rank")
 
 
+def flat_range(
+    coll: DataFrame,
+    query: list[float],
+    *,
+    metric: str = "cosine",
+    max_distance: float | None = None,
+    min_score: float | None = None,
+    limit: int | None = None,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Range search: ALL rows within a distance/score threshold, best
+    first — the radius companion to `flat_topk` (every vector store pairs
+    its top-k with a within-radius query; the reference's surface is
+    top-k-only, so this is part of the Spark superset, like `where=`).
+
+    Exactly one of `max_distance` / `min_score` must be given; the
+    threshold is applied to the SAME score_columns the top-k path
+    returns, so `range + limit k` == `flat_topk` restricted to the
+    radius. The threshold filter sits directly above the scoring
+    projection — a plain codegen predicate; with `limit` the plan is
+    still TakeOrderedAndProject, without it the best-first order is a
+    range exchange over just the MATCHING rows (the result is unbounded
+    by construction — it scales with how many rows match, the point of a
+    radius query — so pass a cap when feeding driver-side consumers)."""
+    if (max_distance is None) == (min_score is None):
+        raise ValueError("give exactly one of max_distance / min_score")
+    metric = K.canonical_metric(metric)
+    raw = K.raw_metric(
+        metric, F.col(vector_col), _query_lit(query), pre_normalized=pre_normalized
+    )
+    cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    staged = _staged_raw(coll, raw, cols)
+    rank, score, dist = score_columns(metric, F.col("_raw"), score_mode)
+    scored = staged.select(
+        *cols,
+        rank.alias("_rank"),
+        score.alias("score"),
+        dist.alias("distance"),
+    )
+    if max_distance is not None:
+        scored = scored.filter(F.col("distance") <= F.lit(float(max_distance)))
+    else:
+        scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
+    out = scored.orderBy(F.col("_rank").asc(), F.col(id_col).asc())
+    if limit is not None:
+        out = out.limit(limit)
+    return out.drop("_rank")
+
+
 def prefix_topk(
     coll: DataFrame,
     query: list[float],

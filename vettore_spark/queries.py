@@ -5773,6 +5773,31 @@ FROM z GROUP BY zcell ORDER BY zcell
 SQL_ZORDER_CLUSTER_PROFILE = _sql_zorder_profile()
 
 
+def q_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (operators/search.py::flat_range): every vector
+    with true cosine >= 0.2 against the standard query, best first — the
+    within-threshold companion to flat top-k that every vector store
+    pairs with it (the reference is top-k-only; Spark superset surface,
+    like `where=`). The threshold is a plain codegen predicate above the
+    one staged scoring projection — no shuffle, result size scales with
+    matches, not the collection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.flat_range(
+        emb, _qvec(spark, sf_dir), metric="cosine", min_score=0.2,
+        id_col="vec_id", vector_col="embedding", pre_normalized=False,
+    )
+    return _round(out, {"score": 5, "distance": 5})
+
+
+SQL_RANGE_SEARCH_COSINE = f"""
+SELECT vec_id, round(c, 5) AS score, round(1 - c, 5) AS distance
+FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], {_QV}) AS c
+      FROM embeddings)
+WHERE c >= 0.2
+ORDER BY 1 - c, vec_id
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profiling of the fact table (null count + exact
     distinct count per column) — the intake health check a pipeline runs
@@ -7033,6 +7058,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "events_quantile_sketch": (q_events_quantile_sketch, SQL_EVENTS_QUANTILE_SKETCH),
     "approx_event_rollup": (q_approx_event_rollup, SQL_APPROX_EVENT_ROLLUP),
     "zorder_cluster_profile": (q_zorder_cluster_profile, SQL_ZORDER_CLUSTER_PROFILE),
+    "range_search_cosine": (q_range_search_cosine, SQL_RANGE_SEARCH_COSINE),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
