@@ -317,3 +317,15 @@ def test_streaming_histogram_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert final == want
+
+
+def test_kmv_rollup_equals_direct_sketch(spark):
+    """Merging per-day bottom-k sketches loses nothing: any hash in the
+    week's true bottom-k is necessarily in its day's bottom-k, so the
+    rolled-up weekly estimate equals sketching the week directly."""
+    from vettore_spark.queries import q_kmv_weekly_rollup
+
+    rows = q_kmv_weekly_rollup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["est_from_daily"] == r["est_direct"], r

@@ -5798,6 +5798,82 @@ ORDER BY 1 - c, vec_id
 """
 
 
+def q_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup REUSE — the pattern that makes sketches pay at
+    100 TB: per-DAY KMV sketches (the bounded summaries a pipeline would
+    store next to each daily partition) are merged per week by re-taking
+    the bottom-k of their union (kmv_merge's associativity), and the
+    weekly estimate from the stored daily sketches EQUALS the estimate
+    from sketching the week directly — both columns returned, equality
+    by construction, the oracle reproduces both. The weekly query never
+    touches raw events, only 7×k longs per week."""
+    from vettore_spark.operators import sketch as SK
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        ((F.dayofmonth("ts") - 1) / 7).cast("long").alias("week"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("event_type")
+        ).alias("k"),
+    )
+    daily = SK.kmv_sketch(keyed, "k", k=128, group_by=["week", "day"])
+    merged = (
+        daily.select("week", "h")
+        .distinct()
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("week").orderBy(F.col("h").asc())
+            ),
+        )
+        .filter(F.col("pos") <= 128)
+    )
+    est_rolled = SK.kmv_estimate(merged, k=128, group_by=["week"]).withColumnRenamed(
+        "est_distinct", "est_from_daily"
+    )
+    direct = SK.kmv_estimate(
+        SK.kmv_sketch(keyed, "k", k=128, group_by=["week"]),
+        k=128,
+        group_by=["week"],
+    ).withColumnRenamed("est_distinct", "est_direct")
+    return est_rolled.join(direct, "week").orderBy("week")
+
+
+SQL_KMV_WEEKLY_ROLLUP = r"""
+WITH keyed AS (
+  SELECT ((EXTRACT(day FROM ts) - 1) // 7)::BIGINT AS week,
+         strftime(ts, '%Y-%m-%d') AS day,
+         user_id::VARCHAR || ':' || event_type AS k
+  FROM events
+),
+h AS (SELECT DISTINCT week, day, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+      FROM keyed),
+daily AS (SELECT week, day, h,
+                 row_number() OVER (PARTITION BY week, day ORDER BY h) AS pos
+          FROM h),
+un AS (SELECT DISTINCT week, h FROM daily WHERE pos <= 128),
+merged AS (SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS pos
+           FROM un),
+ma AS (SELECT week, count(*) AS _n, max(h) AS _hk
+       FROM merged WHERE pos <= 128 GROUP BY week),
+dh AS (SELECT DISTINCT week, h FROM h),
+drk AS (SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS pos
+        FROM dh),
+da AS (SELECT week, count(*) AS _n, max(h) AS _hk
+       FROM drk WHERE pos <= 128 GROUP BY week)
+SELECT ma.week,
+       round(CASE WHEN ma._n < 128 THEN CAST(ma._n AS DOUBLE)
+                  ELSE (127.0 * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(ma._hk AS DOUBLE) END, 3) AS est_from_daily,
+       round(CASE WHEN da._n < 128 THEN CAST(da._n AS DOUBLE)
+                  ELSE (127.0 * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(da._hk AS DOUBLE) END, 3) AS est_direct
+FROM ma JOIN da USING (week)
+ORDER BY ma.week
+"""
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profiling of the fact table (null count + exact
     distinct count per column) — the intake health check a pipeline runs
@@ -7059,6 +7135,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "approx_event_rollup": (q_approx_event_rollup, SQL_APPROX_EVENT_ROLLUP),
     "zorder_cluster_profile": (q_zorder_cluster_profile, SQL_ZORDER_CLUSTER_PROFILE),
     "range_search_cosine": (q_range_search_cosine, SQL_RANGE_SEARCH_COSINE),
+    "kmv_weekly_rollup": (q_kmv_weekly_rollup, SQL_KMV_WEEKLY_ROLLUP),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
