@@ -75,3 +75,68 @@ def test_tpch_q17_bloom_probe_adds_no_join_no_shuffle(spark, qs):
     assert pb.count("BroadcastHashJoin") == pp.count("BroadcastHashJoin")
     for op in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in pb
+
+
+def test_events_quantile_sketch_plan_is_bucket_counts(spark, qs):
+    """The histogram sketch must aggregate BUCKET COUNTS, not sort raw
+    values: one scan of events, no Sort over the raw rows before the
+    bucket aggregate (the window sorts <= n_buckets counter rows), one
+    Generate (the quantile-probe explode), no join."""
+    plan = _executed(qs["events_quantile_sketch"](spark, SF))
+    assert plan.count("Scan ") <= 1 or plan.count("FileScan") <= 1
+    assert plan.count("Generate") == 1, "quantile explode only"
+    for op in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"):
+        assert op not in plan
+
+
+def test_approx_rollup_filters_before_aggregate(spark, qs):
+    """The 1-in-N sample predicate must sit BELOW the aggregate (scan ->
+    filter -> partial agg): at 100 TB it is the difference between
+    shuffling 1/N of the rows and shuffling all of them. No join, and
+    exactly one aggregate exchange (+ the presentation sort)."""
+    plan = _executed(qs["approx_event_rollup"](spark, SF))
+    assert "Filter" in plan
+    # the filter must appear in the scan stage, i.e. BEFORE the first
+    # exchange in bottom-up plan order: find textual positions (executed
+    # plans print top-down, so filter position > exchange position means
+    # filter is deeper = earlier)
+    assert plan.rindex("Filter") > plan.index("Exchange")
+    for op in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin"):
+        assert op not in plan
+
+
+def test_zorder_profile_single_scan_no_join(spark, qs):
+    """The Morton key is pure shift/and/or projection: one scan of
+    lineitem feeding one aggregate — no join, no Generate, and the key
+    expressions stay inside whole-stage codegen."""
+    df = qs["zorder_cluster_profile"](spark, SF)
+    plan = _executed(df)
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2
+    for op in ("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+               "Generate"):
+        assert op not in plan
+    # the key is plain shift/and/or column arithmetic — no Python
+    # evaluation node anywhere in the plan
+    for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert op not in plan
+
+
+def test_range_search_no_shuffle_before_threshold(spark):
+    """flat_range's threshold is a codegen Filter over the scoring
+    projection; the ONLY exchange is the final best-first sort over the
+    matching rows (and with a limit, TakeOrderedAndProject instead)."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark.operators.search import flat_range
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    q = [float(i % 5) / 5 for i in range(64)]
+    df = flat_range(emb, q, metric="cosine", min_score=0.2,
+                    id_col="vec_id", vector_col="embedding",
+                    pre_normalized=False)
+    plan = _executed(df)
+    assert plan.count("Exchange") <= 1, "only the final sort may shuffle"
+    capped = flat_range(emb, q, metric="cosine", min_score=0.2, limit=5,
+                        id_col="vec_id", vector_col="embedding",
+                        pre_normalized=False)
+    assert "TakeOrderedAndProject" in _executed(capped)
