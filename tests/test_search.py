@@ -433,3 +433,29 @@ def test_range_search_validation(agreement_coll):
         agreement_coll.range_search(QUERY)
     with pytest.raises(ValueError, match="exactly one"):
         agreement_coll.range_search(QUERY, max_distance=1.0, min_score=0.0)
+
+
+def test_range_search_many_matches_single_query_range(agreement_coll):
+    """Batched radius == per-query flat_range row sets; and the plan has
+    no window and no exchange (scan -> filter only)."""
+    c = agreement_coll
+    thr = 2.0
+    out = c.range_search_many([QUERY, [0.0, 0.0, 0.0, 0.0]],
+                              max_distance=thr)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # queries broadcast is fine; the collection must not shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    want0 = {r["id"] for r in c.range_search(QUERY, max_distance=thr).collect()}
+    want1 = {
+        r["id"]
+        for r in c.range_search([0.0] * 4, max_distance=thr).collect()
+    }
+    assert got.get("q0", set()) == want0
+    assert got.get("q1", set()) == want1
+    with pytest.raises(ValueError, match="exactly one"):
+        c.range_search_many([QUERY])

@@ -844,6 +844,41 @@ class Collection:
             score_mode=self.config.score,
         )
 
+    def range_search_many(
+        self,
+        queries: dict[str, list[float]] | list[list[float]],
+        *,
+        max_distance: float | None = None,
+        min_score: float | None = None,
+        where=None,
+    ) -> DataFrame:
+        """Batched radius search: every query's within-threshold matches
+        in ONE pass over the collection (broadcast queries + codegen
+        threshold filter — operators.search.multi_query_range; no
+        per-query window, no shuffle of the collection). Accepts
+        {query_id: vector} or a list (ids q0, q1, ...). Returns
+        (query_id, id, score, distance), unordered."""
+        from vettore_spark.operators import search as S
+
+        self._check_open()
+        if isinstance(queries, dict):
+            items = [(k, self._prepare_query(v)) for k, v in queries.items()]
+        else:
+            items = [
+                (f"q{i}", self._prepare_query(v)) for i, v in enumerate(queries)
+            ]
+        qdf = self.spark.createDataFrame(
+            items, "query_id string, query_vector array<double>"
+        )
+        return S.multi_query_range(
+            qdf,
+            self._where(where),
+            metric=self.config.metric,
+            max_distance=max_distance,
+            min_score=min_score,
+            score_mode=self.config.score,
+        )
+
     def quantized_search(self, query: list[float], *, limit: int = 10,
                          candidates: int | None = None, where=None) -> DataFrame:
         from vettore_spark.operators import search as S

@@ -525,3 +525,49 @@ def multi_query_topk(
         .withColumnRenamed("_rn", "rank")
         .drop("_rank")
     )
+
+
+def multi_query_range(
+    queries: DataFrame,
+    coll: DataFrame,
+    *,
+    metric: str = "cosine",
+    max_distance: float | None = None,
+    min_score: float | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    score_mode: str = "raw",
+    pre_normalized: bool = True,
+) -> DataFrame:
+    """Batched radius search: every query's within-threshold matches in
+    ONE pass over the collection — `multi_query_topk`'s radius twin, and
+    the serving shape for thousands of simultaneous radius queries
+    against 100 TB (one broadcast + one scan, instead of a Spark job per
+    query).
+
+    Unlike the top-k batch there is no per-query window at all: the
+    threshold is a plain codegen filter over the scored broadcast join,
+    so the plan is scan → filter — NO shuffle of the collection, and the
+    output size scales with total matches. Rows come back unordered
+    (global order would range-exchange the matches; order per query at
+    the consumer if needed). Output: (query_id, id, score, distance)."""
+    if (max_distance is None) == (min_score is None):
+        raise ValueError("give exactly one of max_distance / min_score")
+    metric = K.canonical_metric(metric)
+    joined = coll.crossJoin(F.broadcast(queries))
+    raw = K.raw_metric(
+        metric, F.col(vector_col), F.col(query_vec_col), pre_normalized=pre_normalized
+    )
+    staged = _staged_raw(joined, raw, [F.col(query_id_col), F.col(id_col)])
+    _, score, dist = score_columns(metric, F.col("_raw"), score_mode)
+    scored = staged.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        score.alias("score"),
+        dist.alias("distance"),
+    )
+    if max_distance is not None:
+        return scored.filter(F.col("distance") <= F.lit(float(max_distance)))
+    return scored.filter(F.col("score") >= F.lit(float(min_score)))

@@ -5840,6 +5840,40 @@ def q_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est_rolled.join(direct, "week").orderBy("week")
 
 
+def q_multi_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched radius search (operators/search.py::multi_query_range):
+    8 queries' within-threshold matches in ONE pass over the collection —
+    broadcast queries, score, codegen threshold filter; NO per-query
+    window and NO shuffle of the collection (plan pinned). The serving
+    shape for thousands of simultaneous radius queries at 100 TB; output
+    scales with total matches, not queries × collection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = S.multi_query_range(
+        qs, emb, metric="cosine", min_score=0.3,
+        id_col="vec_id", vector_col="embedding", pre_normalized=False,
+    )
+    return _round(out, {"score": 5, "distance": 5}).orderBy(
+        "query_id", "distance", "vec_id"
+    )
+
+
+SQL_MULTI_QUERY_RANGE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, round(c, 5) AS score, round(1 - c, 5) AS distance
+FROM scored WHERE c >= 0.3
+ORDER BY query_id, 1 - c, vec_id
+"""
+
+
 SQL_KMV_WEEKLY_ROLLUP = r"""
 WITH keyed AS (
   SELECT ((EXTRACT(day FROM ts) - 1) // 7)::BIGINT AS week,
@@ -7136,6 +7170,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "zorder_cluster_profile": (q_zorder_cluster_profile, SQL_ZORDER_CLUSTER_PROFILE),
     "range_search_cosine": (q_range_search_cosine, SQL_RANGE_SEARCH_COSINE),
     "kmv_weekly_rollup": (q_kmv_weekly_rollup, SQL_KMV_WEEKLY_ROLLUP),
+    "multi_query_range": (q_multi_query_range, SQL_MULTI_QUERY_RANGE),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
