@@ -149,6 +149,11 @@ HEADLINE = [
     "tpch_q17_bloom",
     "store_attached_topk",
     "events_quantile_sketch",
+    "approx_event_rollup",
+    "zorder_cluster_profile",
+    "range_search_cosine",
+    "kmv_weekly_rollup",
+    "multi_query_range",
 ]
 
 

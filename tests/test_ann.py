@@ -236,3 +236,48 @@ def test_snapshot_persists_ivf_index(spark, tmp_path):
     got = [(r["id"], r["score"]) for r in
            c2.ivf_search(q, limit=5, n_cells=4).collect()]
     assert got == want
+
+
+def test_ivf_range_matches_filtered_probe_scores(spark, emb):
+    """ivf_range == ivf_topk's probe stage threshold-filtered: every
+    (query, id) the radius returns must appear in a large-k ivf_topk over
+    the same probes with distance <= threshold, and vice versa; and the
+    executed plan has no Window (threshold is a plain filter)."""
+    cents = emb.groupBy("label").agg(
+        F.collect_list("embedding").alias("_vs")
+    ).select(
+        F.col("label").cast("long").alias("centroid_id"),
+        K.mean_vector("_vs", 16).alias("centroid"),
+    )
+    qs = _queries(spark, emb)
+    thr = 0.4  # distance threshold well inside the cluster radius
+    rng = ANN.ivf_range(
+        emb, qs, centroids=cents, n_probe=2, max_distance=thr,
+        id_col="vec_id", vector_col="embedding",
+    )
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {(r["query_id"], r["vec_id"]) for r in rng.collect()}
+    big = ANN.ivf_topk(
+        emb, qs, centroids=cents, n_probe=2, k=400,
+        id_col="vec_id", vector_col="embedding",
+    )
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in big.collect()
+        if r["distance"] <= thr
+    }
+    assert got == want
+    assert len(got) > 0
+    # min_score form is the same set (score = 1 - distance for cosine)
+    got2 = {
+        (r["query_id"], r["vec_id"])
+        for r in ANN.ivf_range(
+            emb, qs, centroids=cents, n_probe=2, min_score=1.0 - thr,
+            id_col="vec_id", vector_col="embedding",
+        ).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="exactly one"):
+        ANN.ivf_range(emb, qs, centroids=cents, n_probe=2,
+                      id_col="vec_id", vector_col="embedding")

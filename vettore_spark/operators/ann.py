@@ -655,6 +655,46 @@ def ivf_topk(
     should be validated against brute_force_topk (the reference's pattern:
     approximate modes report overlap@k vs exact — bench/search_modes_bench.exs:193-238).
     """
+    scored = _ivf_probe_scored(
+        coll,
+        queries,
+        centroids=centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vector_col=vector_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        assigned=assigned,
+    )
+    return (
+        scored
+        .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )
+
+
+def _ivf_probe_scored(
+    coll: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vector_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+    assigned: DataFrame | None,
+) -> DataFrame:
+    """Shared IVF probe stage: per-query n_probe nearest cells (JVM-side
+    over the literal codebook), broadcast probe join against the persisted
+    inverted file, Arrow-vectorized exact cosine within probed cells.
+    Returns (query_id, id, score, distance) unranked — ivf_topk windows it,
+    ivf_range threshold-filters it."""
     from vettore_spark.functions import kernels as K
 
     spark = coll.sparkSession
@@ -720,14 +760,56 @@ def ivf_topk(
         F.col(vector_col).cast("array<double>"),
         F.col(query_vec_col).cast("array<double>"),
     )
-    return (
-        joined.select(
-            query_id_col,
-            id_col,
-            raw.alias("score"),
-            (1.0 - raw).alias("distance"),
-        )
-        .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())))
-        .filter(F.col("_rn") <= k)
-        .withColumnRenamed("_rn", "rank")
+    return joined.select(
+        query_id_col,
+        id_col,
+        raw.alias("score"),
+        (1.0 - raw).alias("distance"),
     )
+
+
+def ivf_range(
+    coll: DataFrame,
+    queries: DataFrame,
+    *,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    max_distance: float | None = None,
+    min_score: float | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-accelerated radius search: every probed-cell row within the
+    cosine threshold, per query — the index-pruned scale path for radius
+    queries (operators.search.flat_range / multi_query_range scan the whole
+    collection; this touches n_probe/n_cells of it, the same approximation
+    contract as ivf_topk: matches living outside the probed cells are
+    missed, recall tunable via n_probe).
+
+    No window at all — the threshold is a plain filter over the probe-join
+    scores, so the only shuffle-ish move is the broadcast of (query, cell)
+    probes; output scales with total matches. Rows come back unordered.
+    Output: (query_id, id, score, distance)."""
+    if (max_distance is None) == (min_score is None):
+        raise ValueError("give exactly one of max_distance / min_score")
+    scored = _ivf_probe_scored(
+        coll,
+        queries,
+        centroids=centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vector_col=vector_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        assigned=assigned,
+    )
+    if max_distance is not None:
+        return scored.filter(F.col("distance") <= F.lit(float(max_distance)))
+    return scored.filter(F.col("score") >= F.lit(float(min_score)))
