@@ -281,3 +281,46 @@ def test_ivf_range_matches_filtered_probe_scores(spark, emb):
     with pytest.raises(ValueError, match="exactly one"):
         ANN.ivf_range(emb, qs, centroids=cents, n_probe=2,
                       id_col="vec_id", vector_col="embedding")
+
+
+def test_ivf_health_report_invariants_and_drift_detection(spark, emb):
+    """Health report: populations sum to the corpus, shares to 1.0,
+    residuals >= 0; inserting a drifted vector into a cell raises that
+    cell's max residual — the monitoring signal actually detects drift."""
+    cents = emb.groupBy("label").agg(
+        F.collect_list("embedding").alias("_vs")
+    ).select(
+        F.col("label").cast("long").alias("centroid_id"),
+        K.mean_vector("_vs", 16).alias("centroid"),
+    )
+    base = ANN.ivf_health(
+        emb, centroids=cents, id_col="vec_id", vector_col="embedding"
+    ).collect()
+    assert sum(r["n_rows"] for r in base) == emb.count()
+    assert abs(sum(r["share"] for r in base) - 1.0) < 1e-9
+    assert all(r["mean_dist"] >= 0.0 and r["max_dist"] >= r["mean_dist"] - 1e-12
+               for r in base)
+
+    # drift: a far-off vector still lands in SOME nearest cell; that
+    # cell's max residual must exceed its baseline
+    assigned = ANN.ivf_assign(
+        emb, centroids=cents, id_col="vec_id", vector_col="embedding"
+    )
+    drifted = [100.0] * 16
+    patched = ANN.ivf_insert(
+        assigned, 99_999, drifted, centroids=cents,
+        id_col="vec_id", vector_col="embedding",
+    )
+    after = {
+        r["cell"]: r
+        for r in ANN.ivf_health(
+            emb, centroids=cents, id_col="vec_id", vector_col="embedding",
+            assigned=patched,
+        ).collect()
+    }
+    before = {r["cell"]: r for r in base}
+    moved = [c for c in after
+             if after[c]["n_rows"] != before.get(c, {"n_rows": 0})["n_rows"]]
+    assert len(moved) == 1
+    c = moved[0]
+    assert after[c]["max_dist"] > before[c]["max_dist"]

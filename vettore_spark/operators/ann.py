@@ -813,3 +813,66 @@ def ivf_range(
     if max_distance is not None:
         return scored.filter(F.col("distance") <= F.lit(float(max_distance)))
     return scored.filter(F.col("score") >= F.lit(float(min_score)))
+
+
+def ivf_health(
+    coll: DataFrame,
+    *,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF index health report: per-cell population and residual-distance
+    stats over the persisted inverted file — the monitoring signal that
+    tells an operator WHEN to re-train the codebook (rising residuals =
+    drifted corpus; share skew = hot cells that serialize probe work).
+
+    One aggregate over the SAME persisted assignment the query path uses
+    (no second assignment pass), cosine residual via the Arrow kernel,
+    `share` from a window over the n_cells-row aggregate (never the
+    corpus). Returns (cell, n_rows, share, mean_dist, max_dist), one row
+    per occupied cell. At 100 TB this is a single map-side-combined
+    aggregate: n_cells partial rows per partition through the shuffle."""
+    if assigned is None:
+        assigned, _cids, _cmat = _ivf_assign_cached(
+            coll, centroids, vector_col, centroid_id_col, centroid_vec_col
+        )
+    cent = centroids.select(
+        F.col(centroid_id_col).cast("long").alias("_cell"),
+        F.col(centroid_vec_col).cast("array<double>").alias("_cv"),
+    )
+
+    @F.pandas_udf("double")
+    def cos_dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _matrix(a), _matrix(b)
+        sims = np.einsum(
+            "ij,ij->i", _l2norm_rows(ma), _l2norm_rows(mb)
+        )
+        return pd.Series(1.0 - np.clip(sims, -1.0, 1.0))
+
+    per_cell = (
+        assigned.join(F.broadcast(cent), on="_cell")
+        .select(
+            F.col("_cell").alias("cell"),
+            cos_dist(
+                F.col(vector_col).cast("array<double>"), F.col("_cv")
+            ).alias("_d"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.avg("_d").alias("_mean_d"),
+            F.max("_d").alias("_max_d"),
+        )
+    )
+    total = Window.partitionBy()
+    return per_cell.select(
+        "cell",
+        "n_rows",
+        (F.col("n_rows") / F.sum("n_rows").over(total)).alias("share"),
+        F.col("_mean_d").alias("mean_dist"),
+        F.col("_max_d").alias("max_dist"),
+    )

@@ -5904,6 +5904,51 @@ def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IVF_RANGE_SEARCH = _sql_ivf(min_score=0.3)
 
 
+def q_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index monitoring (operators/ann.py::ivf_health): per-cell
+    population, corpus share, and mean/max cosine residual to the owning
+    centroid — ONE aggregate over the same persisted inverted file the
+    query path probes (rising residuals say 're-train the codebook';
+    share skew says 'these cells serialize probe work'). The share window
+    runs over the n_cells-row aggregate, never the corpus."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _label_mean_vectors(emb).select(
+        F.col("label").alias("centroid_id"), F.col("mean").alias("centroid")
+    )
+    out = ANN.ivf_health(
+        emb, centroids=centroids, id_col="vec_id", vector_col="embedding"
+    )
+    return _round(
+        out, {"share": 5, "mean_dist": 5, "max_dist": 5}
+    ).orderBy("cell")
+
+
+SQL_IVF_HEALTH_REPORT = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (SELECT label::BIGINT AS cid, list(m ORDER BY i) AS cv FROM pos GROUP BY 1),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM cent c
+          ORDER BY 1 - list_cosine_similarity(e.embedding::DOUBLE[], c.cv), c.cid
+          LIMIT 1) AS cell
+  FROM embeddings e),
+res AS (
+  SELECT a.cell, 1 - list_cosine_similarity(a.embedding::DOUBLE[], c.cv) AS d
+  FROM assign a JOIN cent c ON c.cid = a.cell),
+agg AS (
+  SELECT cell, count(*)::BIGINT AS n_rows, avg(d) AS mean_d, max(d) AS max_d
+  FROM res GROUP BY cell)
+SELECT cell, n_rows,
+       round(n_rows / (SELECT sum(n_rows) FROM agg), 5) AS share,
+       round(mean_d, 5) AS mean_dist, round(max_d, 5) AS max_dist
+FROM agg ORDER BY cell
+"""
+
+
 SQL_MULTI_QUERY_RANGE = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 8),
@@ -7215,6 +7260,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "kmv_weekly_rollup": (q_kmv_weekly_rollup, SQL_KMV_WEEKLY_ROLLUP),
     "multi_query_range": (q_multi_query_range, SQL_MULTI_QUERY_RANGE),
     "ivf_range_search": (q_ivf_range_search, SQL_IVF_RANGE_SEARCH),
+    "ivf_health_report": (q_ivf_health_report, SQL_IVF_HEALTH_REPORT),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
