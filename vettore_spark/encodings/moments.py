@@ -1,0 +1,176 @@
+"""Second-moment statistics and PCA projection for embedding columns.
+
+The data-dependent complement to the JL projection (projections.py): JL
+preserves distances obliviously; PCA spends the same d_out dimensions on
+the directions THIS corpus actually varies in, so a PCA prefilter at equal
+width ranks candidates strictly better whenever the corpus has structure
+(and collapses to JL-grade behavior when it does not).
+
+Scale design — the n×d corpus never feeds a shuffle wider than d²:
+
+- `gram_partials` runs ONE Arrow pass (mapInPandas): each partition folds
+  its batches into (count, Σx, XᵀX) — d + d² doubles per partition, the
+  classic map-side-combined moment sketch. Partials are exact sums, so
+  they merge by addition in any order/grouping (the property every
+  sketch here relies on — KMV, CMS, histogram, and now moments).
+- `covariance_entries` reduces the ≤ num_partitions partial rows to the
+  d(d+1)/2 upper-triangle covariance entries fully IN-PLAN (posexplode of
+  the d²-wide arrays → groupBy index — thousands of rows, never corpus
+  rows; no driver collect on the data path).
+- `pca_components` collects only the d² covariance entries (bounded by
+  construction, like the IVF codebook), runs `numpy.linalg.eigh`
+  driver-side, and fixes the eigenvector sign deterministically (the
+  coordinate of largest |value| — first index on ties — is made
+  positive), so repeated builds and every executor see the same basis.
+- `pca_project` embeds the k×d component matrix as plan literals — the
+  same codegen-fused fused-multiply-add shape as projections.project
+  (map-only, no shuffle, no Python on the projection path).
+
+The two-stage search pattern (`pca_prefilter_topk` shape) is pinned in
+tests/test_moments.py: projected-space top-C via TakeOrderedAndProject →
+exact rerank, and at equal d_out its planted-neighborhood recall must be
+at least the JL prefilter's.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_partials(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    dim: int,
+) -> DataFrame:
+    """One row per input partition: (n long, s array<double> — Σx,
+    g array<double> — row-major XᵀX). Exact partial sums; additive."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    return df.select(vector_col).mapInPandas(
+        fold, "n long, s array<double>, g array<double>"
+    )
+
+
+def covariance_entries(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    dim: int,
+) -> DataFrame:
+    """(i, j, cov) population-covariance entries for the upper triangle
+    (i <= j, 0-based): cov_ij = G_ij/n − (S_i/n)(S_j/n). The reduce side
+    only ever sees d²-wide rows (partials), then d² (index, value) rows
+    through one small shuffle — corpus size never appears after the map
+    stage."""
+    parts = gram_partials(df, vector_col=vector_col, dim=dim)
+    totals = parts.groupBy().agg(
+        F.sum("n").alias("n"),
+        *[
+            F.sum(F.col("s")[i]).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    gsum = (
+        parts.select(F.posexplode("g").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("gv"))
+        .filter((F.col("idx") % dim) >= (F.col("idx") / dim).cast("int"))
+    )
+    means = totals.select(
+        "n",
+        F.array(*[F.col(f"_s{i}") / F.col("n") for i in range(dim)]).alias(
+            "_m"
+        ),
+    )
+    return (
+        gsum.crossJoin(F.broadcast(means))
+        .select(
+            (F.col("idx") / dim).cast("int").cast("long").alias("i"),
+            (F.col("idx") % dim).cast("long").alias("j"),
+            (
+                F.col("gv") / F.col("n")
+                - F.element_at("_m", (F.col("idx") / dim).cast("int") + 1)
+                * F.element_at("_m", (F.col("idx") % dim).cast("int") + 1)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    cov_entries: DataFrame, *, dim: int, k: int
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k principal axes from the covariance-entry table (collects only
+    the bounded d² entries — the codebook-residency pattern). Returns
+    (components k×d, explained_variance k), eigenvalue-descending, with
+    the deterministic sign convention: the largest-|coordinate| (first
+    index on ties) of every component is positive."""
+    c = np.zeros((dim, dim), dtype=np.float64)
+    for r in cov_entries.collect():
+        c[int(r["i"]), int(r["j"])] = float(r["cov"])
+        c[int(r["j"]), int(r["i"])] = float(r["cov"])
+    w, v = np.linalg.eigh(c)  # ascending eigenvalues, orthonormal columns
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        e = v[:, idx]
+        pivot = int(np.argmax(np.abs(e)))
+        if e[pivot] < 0:
+            e = -e
+        comps.append([float(x) for x in e])
+    return comps, [float(w[i]) for i in order]
+
+
+def project_literal(vector_col: str | Column, mat: list[list[float]]) -> Column:
+    """`array<double>` of len(mat) components: one zip_with/aggregate dot
+    product per output dim against a literal row — identical plan shape to
+    projections.project_column, without the JL 1/sqrt scaling (PCA rows
+    are already unit-norm)."""
+    v = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    comps = []
+    for row in mat:
+        lrow = F.array(*[F.lit(float(x)) for x in row])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, lrow, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*comps)
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """(id, projected array<double>) — map-only literal-matrix projection
+    onto the fitted principal axes."""
+    return df.select(
+        F.col(id_col), project_literal(vector_col, components).alias("projected")
+    )

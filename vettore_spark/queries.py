@@ -5875,6 +5875,41 @@ def q_multi_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus second-moment statistics (encodings/moments.py): the
+    d(d+1)/2 upper-triangle population-covariance entries of the embedding
+    column. ONE Arrow pass folds each partition into (n, Σx, XᵀX) — d + d²
+    doubles per partition — and the reduce stage only ever sees those
+    partials (corpus size never crosses the shuffle). The fitted input for
+    PCA projection (pca_components/pca_project, pytest-pinned); entries
+    rounded at 6dp with the +0.0 negative-zero guard."""
+    from vettore_spark.encodings import moments as M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = M.covariance_entries(emb, vector_col="embedding", dim=DIMS)
+    return out.select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    ).orderBy("i", "j")
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH u AS (
+  SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) t(i)),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+m AS (SELECT i, sum(x) AS sx FROM u GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+      FROM u a JOIN u b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2)
+SELECT p.i, p.j,
+       round(sxy / nn.n - (ma.sx / nn.n) * (mb.sx / nn.n), 6) + 0.0 AS cov
+FROM p
+CROSS JOIN nn
+JOIN m ma ON ma.i = p.i
+JOIN m mb ON mb.i = p.j
+ORDER BY p.i, p.j
+"""
+
+
 def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-accelerated radius search (operators/ann.py::ivf_range): probe
     the 3 nearest cells per query, exact cosine within probed cells, plain
@@ -7261,6 +7296,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "multi_query_range": (q_multi_query_range, SQL_MULTI_QUERY_RANGE),
     "ivf_range_search": (q_ivf_range_search, SQL_IVF_RANGE_SEARCH),
     "ivf_health_report": (q_ivf_health_report, SQL_IVF_HEALTH_REPORT),
+    "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
