@@ -154,6 +154,9 @@ HEADLINE = [
     "range_search_cosine",
     "kmv_weekly_rollup",
     "multi_query_range",
+    "ivf_range_search",
+    "ivf_health_report",
+    "embedding_covariance",
 ]
 
 
