@@ -87,6 +87,23 @@ def _recall_at10(x, y, n_queries=20):
     return sum(overlaps) / len(overlaps)
 
 
+def test_fit_components_local_matches_distributed(spark, structured, tmp_path):
+    """The driver-side literal-parity fit (fit_components_local — what the
+    gated pca_prefilter_topk embeds in both engines) computes the SAME
+    model as the distributed moments path, up to float reduction-order
+    noise far below the 6dp literal rounding."""
+    df, x = structured
+    p = str(tmp_path / "emb.parquet")
+    df.write.parquet(p)
+    local = np.array(
+        M.fit_components_local(p, dim=DIM, k=4, round_digits=12)
+    )
+    dist, _ = M.pca_components(
+        M.covariance_entries(spark.read.parquet(p), dim=DIM), dim=DIM, k=4
+    )
+    assert np.allclose(local, np.array(dist), atol=1e-6)
+
+
 def test_pca_prefilter_recall_at_least_jl(spark, structured):
     """At equal output width 4, ranking in PCA space must recover exact
     neighbors at least as well as the oblivious JL projection — the reason

@@ -119,6 +119,25 @@ def covariance_entries(
     )
 
 
+def _eigh_topk(
+    c: np.ndarray, k: int
+) -> tuple[list[list[float]], list[float]]:
+    """Shared eigendecomposition tail of every fit path: top-k eigenpairs
+    of the symmetric matrix `c`, eigenvalue-descending, sign-fixed so the
+    largest-|coordinate| (first index on ties) of each component is
+    positive — repeated builds and every engine see the same basis."""
+    w, v = np.linalg.eigh(c)  # ascending eigenvalues, orthonormal columns
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        e = v[:, idx]
+        pivot = int(np.argmax(np.abs(e)))
+        if e[pivot] < 0:
+            e = -e
+        comps.append([float(x) for x in e])
+    return comps, [float(w[i]) for i in order]
+
+
 def pca_components(
     cov_entries: DataFrame, *, dim: int, k: int
 ) -> tuple[list[list[float]], list[float]]:
@@ -131,16 +150,42 @@ def pca_components(
     for r in cov_entries.collect():
         c[int(r["i"]), int(r["j"])] = float(r["cov"])
         c[int(r["j"]), int(r["i"])] = float(r["cov"])
-    w, v = np.linalg.eigh(c)  # ascending eigenvalues, orthonormal columns
-    order = np.argsort(w)[::-1][:k]
-    comps = []
-    for idx in order:
-        e = v[:, idx]
-        pivot = int(np.argmax(np.abs(e)))
-        if e[pivot] < 0:
-            e = -e
-        comps.append([float(x) for x in e])
-    return comps, [float(w[i]) for i in order]
+    return _eigh_topk(c, k)
+
+
+def fit_components_local(
+    parquet_path: str,
+    *,
+    vector_col: str = "embedding",
+    dim: int,
+    k: int,
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """Deterministic driver-side PCA fit straight from a parquet file —
+    the literal-parity twin of the distributed fit. A two-engine gate
+    (Spark plan vs SQL oracle) needs BOTH sides to embed bit-identical
+    component literals; eigenvectors of two covariance matrices that
+    differ by float reduction order can disagree in late digits, so the
+    gated prefilter query fits ONCE here (one defined summation order)
+    and embeds the rounded k×d matrix in both plans. The distributed
+    moments path (gram_partials → covariance_entries → pca_components)
+    computes the same model up to reduction-order noise — pinned in
+    tests/test_moments.py — and is what a 100 TB fit would run; the
+    projection/search plan downstream is identical either way (a k×d
+    literal matrix, however fitted)."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(parquet_path, columns=[vector_col])
+    x = np.array(
+        [np.asarray(v, dtype=np.float64) for v in tab[vector_col].to_pylist()]
+    )
+    if x.shape[1] != dim:
+        raise ValueError(f"expected dim {dim}, parquet has {x.shape[1]}")
+    n = x.shape[0]
+    m = x.sum(axis=0) / n
+    c = x.T @ x / n - np.outer(m, m)
+    comps, _ = _eigh_topk(c, k)
+    return [[round(v, round_digits) for v in row] for row in comps]
 
 
 def project_literal(vector_col: str | Column, mat: list[list[float]]) -> Column:

@@ -5910,6 +5910,127 @@ ORDER BY p.i, p.j
 """
 
 
+def _pca_comps_for(sf_dir: str) -> list[list[float]]:
+    """Memoized deterministic PCA fit (64 → 16, 6dp literals) from the
+    embeddings parquet — ONE defined summation order shared by the Spark
+    plan builder and the SQL-oracle builder, so both engines embed
+    bit-identical component literals (moments.fit_components_local)."""
+    from vettore_spark.encodings import moments as M
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    comps = _PCA_COMPS_CACHE.get(path)
+    if comps is None:
+        comps = M.fit_components_local(path, dim=DIMS, k=16, round_digits=6)
+        _PCA_COMPS_CACHE[path] = comps
+    return comps
+
+
+_PCA_COMPS_CACHE: dict[str, list[list[float]]] = {}
+
+
+def q_pca_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search through the PCA-compressed table — jl_prefilter_topk
+    with the oblivious Rademacher matrix replaced by the corpus's own top-16
+    principal axes (encodings/moments.py): stage 1 ranks by squared L2 in
+    16-dim PCA space (rounded 4dp before the cut so the candidate SET is
+    engine-stable) and keeps 200 candidates via TakeOrderedAndProject;
+    stage 2 exact-reranks those on full vectors. The projected table is a
+    keyed-persist derived index (the PQ-codes residency model). The fit is
+    the deterministic driver-side twin of the distributed moments sketch
+    (distributed == local pinned in tests/test_moments.py; the gated
+    embedding_covariance query proves the distributed path's arithmetic) —
+    at equal width PCA spends its 16 dims on the directions this corpus
+    varies in, so its candidate stage dominates JL's on structured data."""
+    from vettore_spark.encodings import moments as M
+    from vettore_spark.plans.cache import cached_persist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = _pca_comps_for(sf_dir)
+    proj_tab = cached_persist(
+        emb,
+        ("pca_proj", "vec_id", "embedding", 16, 6),
+        lambda s: s.select(
+            "vec_id", M.project_literal("embedding", comps).alias("_p")
+        ),
+    )
+    qv = _qvec(spark, sf_dir)
+    qp = [sum(c * x for c, x in zip(row, qv)) for row in comps]
+    qp_lit = F.array(*[F.lit(v) for v in qp])
+    cdist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_p"), qp_lit, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    cand = (
+        proj_tab.select("vec_id", cdist.alias("_cd"))
+        .orderBy("_cd", "vec_id")
+        .limit(200)
+        .select("vec_id")
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qv_lit,
+                lambda x, q: (x - q) * (x - q),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.join(cand, "vec_id", "left_semi")
+        .select("vec_id", exact.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("_d", 5).alias("distance"))
+    )
+
+
+def _sql_pca_prefilter() -> str | None:
+    # Same literal-parity convention as _sql_jl_prefilter: the component
+    # matrix is embedded verbatim in both engines (fit once, driver-side,
+    # _pca_comps_for), and the query-side projection is computed in-engine
+    # from the stored vec 0 — list_dot_product's sequential fold matches
+    # Python's sum() and Spark's aggregate() (evidenced by the
+    # jl_projection/jl_prefilter hash matches). The gate runs at sf0.01;
+    # if no testdata is visible at import the query degrades to the
+    # rows-only check instead of breaking the module import.
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            break
+    else:
+        return None
+    comps = _pca_comps_for(sf_dir)
+    terms = []
+    for row in comps:
+        arr = "[" + ", ".join(repr(float(c)) for c in row) + "]"
+        p = (
+            f"(list_dot_product(embedding::DOUBLE[], {arr})"
+            f" - list_dot_product({_QV}, {arr}))"
+        )
+        terms.append(f"{p} * {p}")
+    cd = " + ".join(terms)
+    return f"""
+WITH cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, round({cd}, 4) AS cd FROM embeddings)
+  ORDER BY cd, vec_id LIMIT 200)
+SELECT vec_id, round(d, 5) AS distance
+FROM (SELECT vec_id, list_distance(embedding::DOUBLE[], {_QV}) AS d
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand))
+ORDER BY d, vec_id LIMIT 10
+"""
+
+
+SQL_PCA_PREFILTER_TOPK = _sql_pca_prefilter()
+
+
 def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-accelerated radius search (operators/ann.py::ivf_range): probe
     the 3 nearest cells per query, exact cosine within probed cells, plain
@@ -7297,6 +7418,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "ivf_range_search": (q_ivf_range_search, SQL_IVF_RANGE_SEARCH),
     "ivf_health_report": (q_ivf_health_report, SQL_IVF_HEALTH_REPORT),
     "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
+    "pca_prefilter_topk": (q_pca_prefilter_topk, SQL_PCA_PREFILTER_TOPK),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
