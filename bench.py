@@ -157,6 +157,8 @@ HEADLINE = [
     "ivf_range_search",
     "ivf_health_report",
     "embedding_covariance",
+    "pca_prefilter_topk",
+    "embedding_drift_by_label",
 ]
 
 
@@ -256,7 +258,8 @@ def main() -> None:
     try:
         exact = {r["vec_id"] for r in qs["flat_topk_l2"](spark, sf_dir).collect()}
         for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk",
-                     "sq_int8_topk", "jl_prefilter_topk"):
+                     "sq_int8_topk", "jl_prefilter_topk",
+                     "pca_prefilter_topk"):
             got = {r["vec_id"] for r in qs[mode](spark, sf_dir).collect()}
             overlap[mode] = round(len(exact & got) / max(len(exact), 1), 3)
         # compressed/partitioned ANN modes answer multiple queries; their

@@ -140,3 +140,32 @@ def test_range_search_no_shuffle_before_threshold(spark):
                         id_col="vec_id", vector_col="embedding",
                         pre_normalized=False)
     assert "TakeOrderedAndProject" in _executed(capped)
+
+
+def test_pca_prefilter_stage1_is_take_ordered_no_python(spark, qs):
+    """pca_prefilter_topk's candidate stage must compile exactly like
+    jl_prefilter's: a TakeOrderedAndProject cut over the persisted
+    16-double projected table, the literal-matrix projection fully in
+    codegen (no Python eval nodes), and the rerank joining candidates
+    back by broadcast — never a sort-merge join or cartesian."""
+    plan = _executed(qs["pca_prefilter_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "SortMergeJoin", "CartesianProduct"):
+        assert op not in plan
+
+
+def test_embedding_drift_partial_aggregates_and_broadcast(spark, qs):
+    """embedding_drift_by_label: both rails are map-side-combined hash
+    aggregates over the exploded scan (only (label,dim) / dim partials
+    cross the shuffle — never corpus rows via collect_list), the d-row
+    global table joins by broadcast, and nothing falls out of codegen
+    into Python."""
+    plan = _executed(qs["embedding_drift_by_label"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for op in ("SortMergeJoin", "CartesianProduct", "CollectList",
+               "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan
+    # partial->final pairs for both rails: at least 2 pairs of
+    # HashAggregate (4 nodes) plus the final per-label rollup
+    assert plan.count("HashAggregate") >= 6

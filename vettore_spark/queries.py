@@ -6031,6 +6031,65 @@ ORDER BY d, vec_id LIMIT 10
 SQL_PCA_PREFILTER_TOPK = _sql_pca_prefilter()
 
 
+def q_embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor over the embedding corpus, per label
+    (the drop/shard/source axis a training pipeline slices by): how far
+    each slice's centroid sits from the global centroid (L2) and how much
+    within-slice scatter it carries (variance trace = Σ_i (E[x_i²] −
+    E[x_i]²)). Everything derives from plain per-dimension sums — two
+    map-side-combined aggregates over the posexploded scan (n_labels×d and
+    d partial rows cross the shuffle, never corpus rows), broadcast-joined
+    on the d-row global table. The alarm that says 'this week's crawl
+    moved' before retraining an IVF/PQ codebook on it (pair with
+    ivf_health_report, which watches the same drift from the index side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    st = u.groupBy("label", "i").agg(
+        F.count("x").alias("c"),
+        F.avg("x").alias("m"),
+        F.avg(F.col("x") * F.col("x")).alias("m2"),
+    )
+    g = u.groupBy("i").agg(F.avg("x").alias("gm"))
+    return (
+        st.join(F.broadcast(g), "i")
+        .groupBy("label")
+        .agg(
+            F.max("c").alias("n"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+                    )
+                ),
+                5,
+            ).alias("centroid_offset"),
+            F.round(
+                F.sum(F.col("m2") - F.col("m") * F.col("m")), 5
+            ).alias("var_trace"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_DRIFT_BY_LABEL = """
+WITH u AS (
+  SELECT label, i - 1 AS i, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) t(i)),
+st AS (SELECT label, i, count(x) AS c, avg(x) AS m, avg(x * x) AS m2
+       FROM u GROUP BY label, i),
+g AS (SELECT i, avg(x) AS gm FROM u GROUP BY i)
+SELECT st.label AS label, max(c) AS n,
+       round(sqrt(sum((m - gm) * (m - gm))), 5) AS centroid_offset,
+       round(sum(m2 - m * m), 5) AS var_trace
+FROM st JOIN g USING (i)
+GROUP BY st.label
+ORDER BY label
+"""
+
+
 def q_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-accelerated radius search (operators/ann.py::ivf_range): probe
     the 3 nearest cells per query, exact cosine within probed cells, plain
@@ -7419,6 +7478,10 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "ivf_health_report": (q_ivf_health_report, SQL_IVF_HEALTH_REPORT),
     "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
     "pca_prefilter_topk": (q_pca_prefilter_topk, SQL_PCA_PREFILTER_TOPK),
+    "embedding_drift_by_label": (
+        q_embedding_drift_by_label,
+        SQL_EMBEDDING_DRIFT_BY_LABEL,
+    ),
 }
 
 # Round-6 gate window (per the round-5 verdict, rotated at round START):
