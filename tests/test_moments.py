@@ -128,3 +128,42 @@ def test_pca_prefilter_recall_at_least_jl(spark, structured):
     r_jl = _recall_at10(x, y_jl)
     assert r_pca >= r_jl
     assert r_pca >= 0.9  # near-exact: noise floor is tiny vs latent variance
+
+
+def test_streaming_moment_stats_matches_batch_fixed(spark, tmp_path):
+    """Streaming moments (fixed-point integer sums in state) consumed with
+    availableNow equals the BATCH moment_stats_fixed over the same rows —
+    same quantization, same integer sums, same left-fold emission formula,
+    bit-for-bit on the output doubles. Two input files force multi-batch
+    state carry-over."""
+    from vettore_spark.streaming.stateful import streaming_moment_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "label", "embedding"
+    )
+    src = tmp_path / "mom_src"
+    h1, h2 = emb.randomSplit([0.5, 0.5], seed=3)
+    h1.coalesce(1).write.parquet(str(src / "b1"))
+    h2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = spark.readStream.schema(
+        "label int, embedding array<float>"
+    ).parquet(str(src) + "/*")
+    q = (
+        streaming_moment_stats(stream, dim=64, group_col="label",
+                               vector_col="embedding")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mom_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql("select * from mom_stream").collect():
+        final[r["label"]] = (r["n"], r["mean_norm"], r["var_trace"])
+
+    batch = M.moment_stats_fixed(
+        emb, group_col="label", vector_col="embedding", dim=64
+    ).collect()
+    want = {r["label"]: (r["n"], r["mean_norm"], r["var_trace"]) for r in batch}
+    assert final == want

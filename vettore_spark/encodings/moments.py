@@ -188,6 +188,73 @@ def fit_components_local(
     return [[round(v, round_digits) for v in row] for row in comps]
 
 
+def moment_stats_fixed(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vector_col: str = "embedding",
+    dim: int,
+    scale_bits: int = 24,
+) -> DataFrame:
+    """Per-group (n, mean_norm, var_trace) from FIXED-POINT moment sums —
+    the batch twin of streaming.stateful.streaming_moment_stats, and the
+    trick that makes their parity exact: every element is quantized once
+    (floor(x·2^b + 0.5), identical IEEE ops on both sides) and the sums
+    are then INTEGER sums — order-free, so a distributed shuffle, a
+    micro-batch fold, and a single-thread loop all produce the same longs
+    bit-for-bit (the fixed-point PageRank convention, graph.py). The
+    final float formula is one defined left-fold over ascending dims,
+    mirrored verbatim in the streaming emitter. Quantization error is
+    2^-b per element — noise for a drift monitor. Shuffle carries only
+    n_groups×d partial longs, never vectors."""
+    s = float(1 << scale_bits)
+    u = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vector_col).cast("array<double>")).alias("i", "x"),
+    )
+    fx = F.floor(F.col("x") * F.lit(s) + F.lit(0.5))
+    per_dim = u.groupBy(group_col, "i").agg(
+        F.count("x").alias("c"),
+        F.sum(fx).alias("sfx"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * F.lit(s) + F.lit(0.5))
+        ).alias("qfx"),
+    )
+    # one defined fold order: ascending dim index, left fold — the
+    # streaming emitter loops the same way
+    m_i = (
+        lambda e: e["sfx"].cast("double") / F.col("n").cast("double") / F.lit(s)
+    )
+    q_i = (
+        lambda e: e["qfx"].cast("double") / F.col("n").cast("double") / F.lit(s)
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.max("c").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("i", "sfx", "qfx"))
+            ).alias("_ps"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.sqrt(
+                F.aggregate(
+                    "_ps",
+                    F.lit(0.0),
+                    lambda acc, e: acc + m_i(e) * m_i(e),
+                )
+            ).alias("mean_norm"),
+            F.aggregate(
+                "_ps",
+                F.lit(0.0),
+                lambda acc, e: acc + (q_i(e) - m_i(e) * m_i(e)),
+            ).alias("var_trace"),
+        )
+    )
+
+
 def project_literal(vector_col: str | Column, mat: list[list[float]]) -> Column:
     """`array<double>` of len(mat) components: one zip_with/aggregate dot
     product per output dim against a literal row — identical plan shape to

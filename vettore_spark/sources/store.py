@@ -334,6 +334,30 @@ class PqIndex:
         return coll.join(F.broadcast(cand.select("id")), on="id", how="left_semi")
 
 
+class _pinned_range_sample:
+    """Pin a large range-partitioner sample for the duration of a
+    clustering WRITE (boundaries from the default per-partition sample
+    wobble run-to-run because the sample seed varies with the RDD id; a
+    layout write wants stable, near-exact quantile boundaries and its
+    cost dwarfs the sampling)."""
+
+    _KEY = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(self._KEY, "5000")
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False
+
+
 def range_sorted_write(
     df: DataFrame,
     path: str,
@@ -355,13 +379,14 @@ def range_sorted_write(
     min/max disjointness from the parquet footers."""
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    (
-        df.repartitionByRange(n, F.col(sort_col))
-        .sortWithinPartitions(sort_col)
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .parquet(path)
-    )
+    with _pinned_range_sample(spark):
+        (
+            df.repartitionByRange(n, F.col(sort_col))
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(path)
+        )
 
 
 def bucketed_write(
@@ -457,12 +482,13 @@ def zorder_write(
     ).first()
     bounds = [(row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols]
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    (
-        df.withColumn("_z", zorder_key(cols, bounds, bits=bits))
-        .repartitionByRange(n, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .parquet(path)
-    )
+    with _pinned_range_sample(spark):
+        (
+            df.withColumn("_z", zorder_key(cols, bounds, bits=bits))
+            .repartitionByRange(n, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(path)
+        )

@@ -638,3 +638,85 @@ def streaming_histogram_quantiles(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_moment_stats(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    group_col: str = "label",
+    vector_col: str = "embedding",
+    scale_bits: int = 24,
+) -> DataFrame:
+    """Per-group RUNNING embedding-distribution stats (n, mean_norm,
+    var_trace) over an unbounded vector stream — the streaming twin of
+    encodings/moments.moment_stats_fixed, completing the streaming sketch
+    family (KMV, CMS, histogram, moments) with the drift monitor's
+    continuous form: watch a corpus's centroid magnitude and scatter move
+    micro-batch by micro-batch as a crawl streams in.
+
+    Exact parity with the batch twin is by FIXED-POINT construction:
+    every element is quantized once (floor(x·2^b + 0.5) — identical IEEE
+    ops here and in the batch operator), the state carries only integer
+    sums (n, Σfx, Σfx²; 2d longs per group, O(1) in stream length), and
+    integer addition is order-free — so after trigger(availableNow=True)
+    the final emission per group equals moment_stats_fixed over the same
+    rows bit-for-bit (pinned in tests/test_moments.py). The float
+    emission formula is the same defined left-fold over ascending dims.
+    """
+    import math
+
+    import numpy as np
+
+    s = float(1 << scale_bits)
+    grp_t = vectors.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {grp_t}, n long, mean_norm double, var_trace double"
+    )
+    state_schema = "n long, sfx array<long>, qfx array<long>"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, sfx, qfx = state.get
+            sfx = np.array(sfx, dtype=np.int64)
+            qfx = np.array(qfx, dtype=np.int64)
+        else:
+            n = 0
+            sfx = np.zeros(dim, dtype=np.int64)
+            qfx = np.zeros(dim, dtype=np.int64)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            n += x.shape[0]
+            sfx += np.floor(x * s + 0.5).astype(np.int64).sum(axis=0)
+            qfx += np.floor(x * x * s + 0.5).astype(np.int64).sum(axis=0)
+        state.update((int(n), sfx.tolist(), qfx.tolist()))
+        # the SAME left-fold over ascending dims as the batch twin
+        acc_m = 0.0
+        acc_v = 0.0
+        for i in range(dim):
+            m_i = float(sfx[i]) / float(n) / s
+            q_i = float(qfx[i]) / float(n) / s
+            acc_m = acc_m + m_i * m_i
+            acc_v = acc_v + (q_i - m_i * m_i)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n": [n],
+                "mean_norm": [math.sqrt(acc_m)],
+                "var_trace": [acc_v],
+            }
+        )
+
+    return vectors.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
