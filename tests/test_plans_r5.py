@@ -31,7 +31,17 @@ def test_semantic_dedup_pairs_no_full_corpus_gemm(spark, qs):
     GEMM work without removing it, so at 100x corpus it is 10,000x the
     cost. The cogroup stage surfaces as FlatMapCoGroupsInPandas in the
     executed plan — its absence IS the de-quadratization."""
-    plan = _executed(qs["semantic_dedup_pairs"](spark, SF))
+    # Built FRESH (cleared persist registry + prepared-query memo): the
+    # banded candidate table is a cached_persist derived index, and a plan
+    # built after another test materialized it reads InMemoryRelation —
+    # strip_cached_plans would then hide the very subtree this pin
+    # inspects.
+    from vettore_spark import queries as Q
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    Q._DF_CACHE.clear()
+    plan = _executed(Q.q_semantic_dedup_pairs(spark, SF))
     assert "FlatMapCoGroupsInPandas" not in plan, "all-pairs cogroup GEMM"
     assert "Generate" in plan, "band explode missing"
     assert "_pop" in plan, "block-population cap missing"
