@@ -148,8 +148,28 @@ def main() -> int:
             docs, threshold=0.8,
         )
 
+    def op_moments(_docs):
+        # one Arrow pass -> (n, Σx, XᵀX) partials; only d + d² doubles per
+        # partition cross the shuffle, so time should track the scan alone
+        from vettore_spark.encodings import moments as M
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        return M.covariance_entries(emb, vector_col="embedding", dim=64)
+
+    def op_drift(_docs):
+        # two map-side-combined aggregates over the exploded scan; the
+        # shuffle carries n_labels×d partials regardless of corpus size
+        from vettore_spark.encodings import moments as M
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        return M.moment_stats_fixed(
+            emb, group_col="label", vector_col="embedding", dim=64
+        )
+
     OPS = {
         "banded_neardup": op_banded_neardup,
+        "moments_covariance": op_moments,
+        "drift_stats": op_drift,
         "dedup_against_neardup": op_dedup_against,
         "paragraph_dedup": op_paragraph,
         "minhash_lsh": op_minhash,
