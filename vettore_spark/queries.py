@@ -7484,71 +7484,71 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-6 gate window (per the round-5 verdict, rotated at round START):
-# slots 1-2 are the last two never-driver-gated queries (the round-5
-# additions); slots 3-12 re-check this round's and last round's fix
-# surfaces (table_profile/_sketch plan fix, semantic_dedup banding,
-# hnsw DataFrame-cogroup insert routing, checkpoint-release paths,
-# sketch guards, the user_sessions watch item); slots 13-50 are the
-# oldest greens longest out of window — everything last gated in r1/r2
-# plus the oldest r3 block (MUVERA, multi-vector HNSW, IVF-PQ/LSH,
-# selection + retrieval families).
+# Round-7 gate window (per the round-6 verdict, rotated at round START):
+# slots 1-13 are the 13 round-6 additions that have never had a driver
+# CORRECTNESS row (after this window every registered query has one:
+# cumulative 170/170); slots 14-18 re-check this round's fix surfaces
+# (the put_many ingest attribution touches collection.py's put path —
+# hnsw/ivf insert+delete and the batch-insert cogroup patch — and
+# table_profile_sketch's round-6 single-scan plan); slots 19-41 are the
+# entire block last gated in r3 (media/multimodal, text-features,
+# sampling/splits, event props); slots 42-50 are the oldest r4 greens
+# (core search facades) in registry order.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-2: round-5 additions, first driver gating ---
-    "table_profile_sketch",
-    "bloom_join_prune",
-    # --- slots 3-12: round-5/6 fix-surface re-checks ---
-    "table_profile",
-    "semantic_dedup_pairs",
-    "embedding_neardup_blocked",
+    # --- slots 1-13: round-6 additions, first driver gating ---
+    "approx_event_rollup",
+    "embedding_covariance",
+    "embedding_drift_by_label",
+    "events_quantile_sketch",
+    "ivf_health_report",
+    "ivf_range_search",
+    "kmv_weekly_rollup",
+    "multi_query_range",
+    "pca_prefilter_topk",
+    "range_search_cosine",
+    "store_attached_topk",
+    "tpch_q17_bloom",
+    "zorder_cluster_profile",
+    # --- slots 14-18: round-7 fix-surface re-checks ---
     "hnsw_batch_insert_search",
-    "neardup_clusters",
-    "textrank_keywords",
-    "kmv_distinct_daily",
-    "kmv_shingle_overlap",
-    "cms_token_hitters",
-    "user_sessions",
-    # --- slots 13-15: last gated in r1 ---
-    "stratified_sample",
-    "hashed_embedding",
-    "events_sliding_window",
-    # --- slots 16-25: last gated in r2 ---
-    "bm25_topk",
-    "rrf_fusion",
-    "doc_chunks",
-    "decontaminate",
-    "pii_redact",
-    "repetition_filter",
-    "events_anomaly",
-    "events_asof_join",
-    "events_range_join",
-    "events_time_rollup",
-    # --- slots 26-50: oldest r3 greens ---
-    "muvera_fde_retrieval",
-    "hnsw_multi_topk",
-    "ann_ivfpq_topk",
-    "ann_brp_lsh_topk",
-    "ivf_delete_search",
-    "filtered_quantized_topk",
-    "ivf_filtered_topk",
-    "dsir_weights",
-    "domain_mixture",
-    "temperature_mixture",
-    "token_budget_select",
-    "calibrated_quality",
-    "semdedup_prune",
-    "bm25_batch",
-    "retrieval_pipeline",
-    "rerank_model_topk",
-    "hard_negatives",
-    "training_pipeline",
-    "curation_pipeline",
-    "ngram_jaccard_pairs",
-    "embedding_neardup",
-    "knn_graph",
-    "substring_dedup",
-    "dedup_report",
+    "table_profile_sketch",
+    "hnsw_insert_search",
+    "hnsw_delete_search",
     "ivf_insert_search",
+    # --- slots 19-41: everything last gated in r3 ---
+    "train_shards",
+    "media_frame_sample",
+    "media_image_features",
+    "media_audio_features",
+    "media_image_resize",
+    "user_event_features",
+    "bpe_pair_stats",
+    "text_embed",
+    "media_ahash_pairs",
+    "mlm_masking",
+    "bitext_mining",
+    "corpus_diversity",
+    "charlm_quality",
+    "corpus_stats",
+    "leakage_safe_split",
+    "fuzzy_value_pairs",
+    "uniform_negatives",
+    "quality_deciles",
+    "event_window_dedup",
+    "embedding_outliers",
+    "events_json_props",
+    "sequence_packing",
+    "label_dispersion",
+    # --- slots 42-50: oldest r4 greens, registry order ---
+    "flat_topk_cosine",
+    "flat_topk_dot",
+    "packed_jaccard_topk",
+    "similarity_score_mode",
+    "multi_query_topk",
+    "prefix_topk",
+    "quantized_topk",
+    "funnel_topk",
+    "maxsim_label_topk",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
