@@ -137,18 +137,22 @@ class Collection:
         )
         # A store may or may not implement exists() (the Store protocol
         # doesn't require it). When it does, trust it; when it doesn't,
-        # probe with read() and treat a failed read as "fresh store" —
-        # the default that makes a brand-new MemoryStore adoptable
-        # instead of raising its own empty-store error back at the user.
+        # probe with read() and treat ONLY the protocol's documented
+        # empty signal — a ValueError mentioning "empty" (see
+        # sources/store.py Store.read) — as "fresh store", the default
+        # that makes a brand-new MemoryStore adoptable. Any other read
+        # failure (permissions, connectivity, corruption) re-raises:
+        # falling through to the non-empty branch below would call
+        # store.overwrite(self._df) and clobber the store's real rows.
         exists_fn = getattr(store, "exists", None)
         existing = None
         if exists_fn is None or exists_fn():
             try:
                 existing = store.read(self.spark)
-            except Exception:
-                if exists_fn is not None:
-                    # the store CLAIMED to hold rows: a failing read is a
-                    # real error (corruption, permissions), not emptiness
+            except ValueError as e:
+                if exists_fn is not None or "empty" not in str(e).lower():
+                    # the store CLAIMED to hold rows, or the failure is
+                    # not the documented empty signal: a real error
                     raise
         if existing is not None:
             if self._maybe_nonempty:
@@ -340,6 +344,32 @@ class Collection:
             F.col("binary_vector"),
             F.col("metadata"),
         )
+        # a tombstoned id must NOT be re-insertable before compaction:
+        # the duplicate-id clash check above ran against the
+        # overlay-FILTERED view (the deleted id is absent there), but
+        # appending it to storage would leave the new row permanently
+        # hidden by the anti-filter and compact_store() would then
+        # discard it — an acknowledged write silently lost. Refuse
+        # with the remediation instead. This check runs BEFORE the
+        # resident-HNSW pop below: it needs no index state, and a refusal
+        # here must not cost the caller a shard rebuild.
+        if self._store is not None and self._store_deleted:
+            clash = [
+                r["id"]
+                for r in out.filter(
+                    F.col("id").isin(self._store_deleted)
+                )
+                .select("id")
+                .limit(10)
+                .collect()
+            ]
+            if clash:
+                raise ValueError(
+                    "put_many: id(s) "
+                    f"{clash} are tombstoned in the attached store; "
+                    "call compact_store() first to make them "
+                    "re-insertable"
+                )
         # resident HNSW maintenance across BATCH ingest: driver-small list
         # batches patch the shard table (one batched graph-insert job,
         # insert_many_into_graph_shards) instead of dropping it; DataFrame
@@ -350,30 +380,6 @@ class Collection:
         # next search just because one bad batch was refused).
         hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
         if self._store is not None:
-            # a tombstoned id must NOT be re-insertable before compaction:
-            # the duplicate-id clash check above ran against the
-            # overlay-FILTERED view (the deleted id is absent there), but
-            # appending it to storage would leave the new row permanently
-            # hidden by the anti-filter and compact_store() would then
-            # discard it — an acknowledged write silently lost. Refuse
-            # with the remediation instead.
-            if self._store_deleted:
-                clash = [
-                    r["id"]
-                    for r in out.filter(
-                        F.col("id").isin(self._store_deleted)
-                    )
-                    .select("id")
-                    .limit(10)
-                    .collect()
-                ]
-                if clash:
-                    raise ValueError(
-                        "put_many: id(s) "
-                        f"{clash} are tombstoned in the attached store; "
-                        "call compact_store() first to make them "
-                        "re-insertable"
-                    )
             # parquet-backed canonical table: append STORAGE, re-read —
             # the plan stays one scan forever, no lineage management
             self._store.append(out)

@@ -504,15 +504,25 @@ def insert_df_into_graph_shards(
         width = s.dtype.itemsize // 4
         h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
         prime = np.uint64(0x00000100000001B3)
+        # true pre-conversion lengths: numpy's fixed-width U conversion
+        # silently DROPS trailing '\x00' characters (they read as
+        # padding), so the converted block alone cannot tell "a" from
+        # "a\x00" — compare against the original Series' lengths and
+        # send any mismatch down the scalar path over the ORIGINAL
+        # values, where the bytes are intact.
+        orig_lens = ids.astype(str).str.len().to_numpy(dtype=np.int64)
         if width:
             codes = np.ascontiguousarray(s).view(np.uint32).reshape(n, width)
             lens = np.char.str_len(s)
             ascii_ok = int(codes.max()) < 128 and bool(
                 (lens == (codes != 0).sum(axis=1)).all()
+                and (lens == orig_lens).all()
             )
         else:
             codes = None
-            ascii_ok = True  # all-empty batch: hash == offset basis
+            # zero-width block: only truly-empty ids hash to the offset
+            # basis; a "\x00" id (orig len 1) must take the scalar path
+            ascii_ok = bool((orig_lens == 0).all())
         if ascii_ok:
             for j in range(width):
                 c = codes[:, j].astype(np.uint64)
@@ -522,7 +532,7 @@ def insert_df_into_graph_shards(
                 h[m] = (h[m] ^ c[m]) * prime
         else:
             h = np.fromiter(
-                (fnv1a64(str(x).encode()) for x in s),
+                (fnv1a64(str(x).encode("utf-8")) for x in ids),
                 dtype=np.uint64,
                 count=n,
             )

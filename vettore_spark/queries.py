@@ -12,6 +12,7 @@ cannot flip the order-insensitive value hash.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections import OrderedDict
 from collections.abc import Callable
@@ -5222,9 +5223,18 @@ def q_store_attached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if coll is None:
         emb = _t(spark, sf_dir, "embeddings")
         dims = len(emb.select("embedding").first()["embedding"])
+        # stable digest of sf_dir ONLY, not hash(key): Python string
+        # hashing is PYTHONHASHSEED-randomized and the appId changes per
+        # Spark app, so either in the name would mint a fresh /tmp dir
+        # every driver run and never clean up the last one. Keyed on
+        # sf_dir the path is reproducible across processes and the
+        # rmtree below reclaims the previous run's dir. (Gate runs are
+        # single-process per host — driver, selfcheck, bench each own
+        # their run — so cross-process reuse of the name is the point,
+        # not a race.)
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = os.path.join(
-            tempfile.gettempdir(),
-            f"vettore_store_gate_{abs(hash(key)) % (1 << 48):012x}",
+            tempfile.gettempdir(), f"vettore_store_gate_{digest}"
         )
         shutil.rmtree(path, ignore_errors=True)
         coll = Collection.create(
@@ -5997,11 +6007,19 @@ def _sql_pca_prefilter() -> str | None:
     # _pca_comps_for), and the query-side projection is computed in-engine
     # from the stored vec 0 — list_dot_product's sequential fold matches
     # Python's sum() and Spark's aggregate() (evidenced by the
-    # jl_projection/jl_prefilter hash matches). The gate runs at sf0.01;
-    # if no testdata is visible at import the query degrades to the
-    # rows-only check instead of breaking the module import.
-    for sf in ("sf0.01", "sf0.001", "sf0.1"):
-        sf_dir = f"/root/testdata/{sf}"
+    # jl_projection/jl_prefilter hash matches). Unlike JL's oblivious
+    # matrix, PCA components are DATA-dependent, so this oracle is built
+    # LAZILY at oracle_sql() call time (the registry stores the function;
+    # see oracle_sql) against the same sf_dir the gate will run at —
+    # SELFCHECK_SF_DIR when set, else the driver's sf0.01 — never pinned
+    # to whatever directory happened to exist at import. If no testdata
+    # is visible the query degrades to the rows-only check instead of
+    # breaking oracle_sql().
+    env = os.environ.get("SELFCHECK_SF_DIR")
+    candidates = [env] if env else [
+        f"/root/testdata/{sf}" for sf in ("sf0.01", "sf0.001", "sf0.1")
+    ]
+    for sf_dir in candidates:
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
             break
     else:
@@ -6028,7 +6046,10 @@ ORDER BY d, vec_id LIMIT 10
 """
 
 
-SQL_PCA_PREFILTER_TOPK = _sql_pca_prefilter()
+# Registered as the FUNCTION, not its value: resolved per-call inside
+# oracle_sql() so the PCA literals always come from the gate's actual
+# sf_dir (data-dependent fit; see _sql_pca_prefilter).
+SQL_PCA_PREFILTER_TOPK = _sql_pca_prefilter
 
 
 def q_embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7598,4 +7619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    # A registry entry may hold the SQL string OR a zero-arg builder
+    # (data-dependent oracles — PCA — must be rendered at call time
+    # against the gate's sf_dir, not at import).
+    out: dict[str, str] = {}
+    for name, (_, sql) in _REGISTRY.items():
+        if callable(sql):
+            sql = sql()
+        if sql is not None:
+            out[name] = sql
+    return out

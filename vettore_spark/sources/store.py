@@ -26,7 +26,14 @@ from pyspark.sql import types as T
 
 @runtime_checkable
 class Store(Protocol):
-    """Storage contract (lib/vettore/store.ex:15-29)."""
+    """Storage contract (lib/vettore/store.ex:15-29).
+
+    Empty signal: a store without exists() that holds no rows must raise
+    ``ValueError`` with "empty" in the message from read() — that exact
+    signal (and nothing else) is what Collection.attach_store treats as
+    "fresh store"; any other exception is propagated as a real failure so
+    a transient read error can never be mistaken for emptiness (and the
+    store then silently overwritten)."""
 
     def read(self, spark: SparkSession) -> DataFrame: ...
 
