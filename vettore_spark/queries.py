@@ -2347,11 +2347,20 @@ def q_hnsw_batch_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sids = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
     batch = [(i, _qvec(spark, sf_dir, i)) for i in range(3)]
     patched = H.insert_many_into_graph_shards(shards, batch, shard_ids=sids)
+    # cut between batches, exactly like the product path
+    # (Collection._patch_resident_hnsw durable_cuts each patched table):
+    # the patch operators split touched/untouched shards so untouched
+    # blobs never ride through Python, and the split's two branches must
+    # not re-execute the PREVIOUS batch's patch lineage on every action.
+    from vettore_spark.plans.checkpoint import durable_cut
+
+    patched = durable_cut(patched, eager=False)
     patched = H.insert_df_into_graph_shards(
         patched,
         emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)),
         shard_ids=sids, id_col="vec_id", vector_col="embedding",
     )
+    patched = durable_cut(patched, eager=False)
     out = H.search_graph_shards(
         patched, [("q0", _qvec(spark, sf_dir))], metric="l2", k=10,
         ef_search=1_000_000, id_col="vec_id", id_type=T.LongType(),
