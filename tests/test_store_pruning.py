@@ -194,3 +194,41 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
     # dims, so allow the straddle files on top
     k, t = kept(zdir, {"x": slab, "y": slab})
     assert k <= t // 2, (k, t)
+
+
+def test_q6_zorder_table_prunes_box_and_matches_plain_q6(spark):
+    """The gated tpch_q6_zorder contract end-to-end at sf0.001: the
+    clustered copy's footer stats skip row groups for Q6's box predicate
+    (the natural one-file layout cannot skip anything), and the query
+    over the clustered files returns plain Q6's revenue bit-for-bit."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vettore_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = Q._zordered_lineitem_path(spark, sf_dir)
+
+    lo_d, hi_d = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    kept = total = 0
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            stats = {
+                rg.column(j).path_in_schema: rg.column(j).statistics
+                for j in range(rg.num_columns)
+            }
+            total += 1
+            sd, disc = stats["l_shipdate"], stats["l_discount"]
+            if not (sd.max < lo_d or sd.min >= hi_d) and not (
+                disc.max < 0.05 or disc.min > 0.07
+            ):
+                kept += 1
+    assert kept < total, (kept, total)
+
+    plain = Q.q_tpch_q6(spark, sf_dir).first()["revenue"]
+    clustered = Q.q_tpch_q6_zorder(spark, sf_dir).first()["revenue"]
+    assert clustered == plain
