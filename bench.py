@@ -352,6 +352,99 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # MUVERA at bench scale (the one reference bench scenario —
+    # search_modes_bench.exs MUVERA rows — that had no sf0.1 timing until
+    # r7): docs = 8-token multi-vector groups of the embeddings table,
+    # timed stages = doc-FDE encode (the ingest-side cost), FDE
+    # inner-product candidates + exact MaxSim rerank (the query-side
+    # cost), and the exact full-corpus MaxSim baseline; recall@5 of the
+    # two-stage flow vs that baseline.
+    muvera = {}
+    try:
+        import numpy as np
+
+        from vettore_spark.encodings import muvera as MU
+        from vettore_spark.operators import multivector as MV
+        from vettore_spark.operators import search as SRCH
+
+        cfg = MU.MuveraConfig(
+            dimension=64, num_repetitions=2, num_simhash_projections=3,
+            seed=42, projection_dimension=32,
+        )
+        emb_t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs_mv = (
+            emb_t.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.collect_list("embedding").alias("vectors"))
+            .persist()
+        )
+        n_docs = docs_mv.count()
+        qtok = [
+            [float(x) for x in r["embedding"]]
+            for r in emb_t.filter(F.col("vec_id") < 2)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        qf = [
+            float(x)
+            for x in MU.encode_query(np.array(qtok, dtype=np.float32), cfg)
+        ]
+
+        def encode():
+            return (
+                docs_mv.withColumn("fde", MU.fde_column("vectors", cfg, "document"))
+                .select("doc_id", "fde")
+            )
+
+        encode().agg(F.count("fde")).first()  # warmup
+        t0 = time.time()
+        encode().agg(F.count("fde")).first()
+        muvera["encode_docs_sec"] = round(time.time() - t0, 3)
+        muvera["n_docs"] = n_docs
+
+        fdes = encode().persist()
+        fdes.count()
+
+        def two_stage(k_cand):
+            cand = SRCH.flat_topk(
+                fdes, qf, metric="inner_product", k=k_cand,
+                id_col="doc_id", vector_col="fde",
+            ).select("doc_id")
+            pruned = docs_mv.join(F.broadcast(cand), "doc_id", "left_semi")
+            return MV.maxsim_topk(
+                pruned, qtok, metric="cosine", k=5,
+                id_col="doc_id", vectors_col="vectors", vector_col=None,
+            )
+
+        two_stage(20).collect()  # warmup
+        t0 = time.time()
+        got20 = {r["doc_id"] for r in two_stage(20).collect()}
+        muvera["fde_search_rerank_sec"] = round(time.time() - t0, 3)
+
+        exact_df = MV.maxsim_topk(
+            docs_mv, qtok, metric="cosine", k=5,
+            id_col="doc_id", vectors_col="vectors", vector_col=None,
+        )
+        exact_df.collect()  # warmup
+        t0 = time.time()
+        exact5 = {r["doc_id"] for r in exact_df.collect()}
+        muvera["exact_maxsim_sec"] = round(time.time() - t0, 3)
+        # recall at two candidate depths: the FDE proxy needs ~100
+        # candidates for full recall on this UNSTRUCTURED corpus (the
+        # jl/pca data-floor effect, SCALE.md) — both depths recorded so
+        # the number is self-describing
+        got100 = {r["doc_id"] for r in two_stage(100).collect()}
+        muvera["recall_at_5_cand20"] = round(
+            len(exact5 & got20) / max(len(exact5), 1), 3
+        )
+        muvera["recall_at_5_cand100"] = round(
+            len(exact5 & got100) / max(len(exact5), 1), 3
+        )
+        fdes.unpersist()
+        docs_mv.unpersist()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench muvera failed: {e}", file=sys.stderr)
+
     # ingest throughput, mirroring the reference's write-boundary bench
     # (bench/ets_owner_bench.exs: batched put_many is the recommended path):
     # validated batch insert through the Collection pipeline (id/value
@@ -462,6 +555,7 @@ def main() -> None:
         "full_registry_rest_sec": rest_total,
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
+        "muvera": muvera,
         "ingest": ingest,
         "sf": sf_val,
     }
@@ -489,6 +583,7 @@ def main() -> None:
         "n_failed": len(failed),
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
+        "muvera": muvera,
         "ingest": ingest,
         "sf": sf_val,
     }

@@ -166,7 +166,66 @@ def main() -> int:
             emb, group_col="label", vector_col="embedding", dim=64
         )
 
+    # --- radius-search tier ladder (r7): 8 fixed queries, cosine >= 0.3.
+    # flat = one best-first scan PER query (8 scans); multi = ONE scan for
+    # the whole batch (threshold inside the broadcast join); ivf = probe
+    # 3 of the 10 cells per query (cold: includes the assignment pass —
+    # the inverted file is persisted derived state in serving, so the
+    # warm tier is probes only, measured separately in SCALE.md).
+    _rq = emb0.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    _rq_rows = [
+        (r["query_id"], [float(x) for x in r["query_vector"]])
+        for r in _rq.collect()
+    ]
+    _centroids = (
+        emb0.groupBy("label")
+        .agg(
+            F.array(*[F.avg(F.col("embedding")[i]) for i in range(64)]).alias(
+                "centroid"
+            )
+        )
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+
+    def op_range_flat(_docs):
+        from vettore_spark.operators import search as S
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        out = None
+        for qid, qv in _rq_rows:
+            o = S.flat_range(
+                emb, qv, metric="cosine", min_score=0.3,
+                id_col="vec_id", vector_col="embedding",
+                pre_normalized=False,
+            ).withColumn("query_id", F.lit(qid))
+            out = o if out is None else out.unionByName(o)
+        return out
+
+    def op_range_multi(_docs):
+        from vettore_spark.operators import search as S
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        return S.multi_query_range(
+            _rq, emb, metric="cosine", min_score=0.3,
+            id_col="vec_id", vector_col="embedding", pre_normalized=False,
+        )
+
+    def op_range_ivf(_docs):
+        from vettore_spark.operators import ann as ANN
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        return ANN.ivf_range(
+            emb, _rq, centroids=_centroids, n_probe=3, min_score=0.3,
+            id_col="vec_id", vector_col="embedding",
+        )
+
     OPS = {
+        "range_flat_x8": op_range_flat,
+        "range_multi_x8": op_range_multi,
+        "range_ivf_x8": op_range_ivf,
         "banded_neardup": op_banded_neardup,
         "moments_covariance": op_moments,
         "drift_stats": op_drift,
