@@ -1,0 +1,87 @@
+"""operators/eval_metrics.py against hand-computed fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vettore_spark.operators.eval_metrics import retrieval_metrics
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """q0: run [d1(rel2), d2(rel0), d3(rel1)] with 3 positives total
+    (d4 rel=3 unretrieved); q1: no relevant anywhere; q2: perfect
+    single-hit run."""
+    runs = spark.createDataFrame(
+        [
+            (0, "d1", 1), (0, "d2", 2), (0, "d3", 3),
+            (1, "x1", 1), (1, "x2", 2),
+            (2, "y1", 1),
+        ],
+        "query_id long, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [
+            (0, "d1", 2), (0, "d3", 1), (0, "d4", 3),
+            (2, "y1", 1),
+        ],
+        "query_id long, doc_id string, rel long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(runs, qrels, k=3).collect()
+    }
+
+    q0 = out[0]
+    assert q0["hits"] == 2
+    assert q0["precision_at_k"] == pytest.approx(2 / 3, abs=1e-5)
+    assert q0["recall_at_k"] == pytest.approx(2 / 3, abs=1e-5)
+    assert q0["rr"] == pytest.approx(1.0)
+    dcg = (2**2 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (
+        2**1 - 1
+    ) / math.log2(4)
+    assert q0["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
+
+    q1 = out[1]
+    assert q1["hits"] == 0
+    assert q1["recall_at_k"] == 0.0  # unlabeled query: 0, not null
+    assert q1["rr"] == 0.0
+    assert q1["ndcg_at_k"] == 0.0
+
+    q2 = out[2]
+    assert q2["hits"] == 1
+    assert q2["recall_at_k"] == pytest.approx(1.0)
+    assert q2["rr"] == pytest.approx(1.0)
+    assert q2["ndcg_at_k"] == pytest.approx(1.0)
+
+
+def test_retrieval_metrics_ignores_rows_past_k(spark):
+    runs = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2), (0, "c", 3)],
+        "query_id long, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, "c", 5)], "query_id long, doc_id string, rel long"
+    )
+    row = retrieval_metrics(runs, qrels, k=2).collect()[0]
+    assert row["hits"] == 0  # the only relevant doc sits at rank 3 > k
+    assert row["rr"] == 0.0
+    assert row["ndcg_at_k"] == 0.0
+
+
+def test_retrieval_metrics_plan_no_global_window(spark):
+    """The only window partitions by query_id over qrels — a global
+    (unpartitioned) window would plan an Exchange SinglePartition, the
+    serialize-everything shape this operator must never take."""
+    runs = spark.createDataFrame(
+        [(0, "a", 1)], "query_id long, doc_id string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(0, "a", 1)], "query_id long, doc_id string, rel long"
+    )
+    df = retrieval_metrics(runs, qrels, k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan

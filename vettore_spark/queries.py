@@ -1494,6 +1494,119 @@ QUALIFY rank <= 10
 SQL_BM25_BATCH = _sql_bm25_batch()
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR metrics over the BM25 batch run (operators/eval_metrics.py):
+    precision@10 / recall@10 / RR / nDCG@10 per query, with graded qrels
+    derived deterministically from the corpus itself — rel(query, doc) =
+    number of DISTINCT query terms appearing in the doc's tokens. The
+    eval plan shares the run's inverted-index tables (cached_persist) and
+    adds one runs⋈qrels equi-join + per-query aggregates; the only window
+    partitions by query over each query's own labeled set — nothing scans
+    or shuffles the corpus beyond the token explode the run already does."""
+    from vettore_spark.operators import eval_metrics as EM
+    from vettore_spark.operators import retrieval as RT
+    from vettore_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(_BM25_BATCH, ["query_id", "terms"])
+    runs = RT.bm25_batch_topk(
+        docs, queries_df, k=10, k1=_BM25_K1, b=_BM25_B
+    ).select("query_id", "doc_id", "rank")
+    qt = queries_df.select(
+        "query_id", F.explode("terms").alias("_term")
+    ).distinct()
+    doc_terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(tokens("text"), F.lower))
+        ).alias("_term"),
+    )
+    qrels = (
+        doc_terms.join(F.broadcast(qt), "_term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("rel"))
+    )
+    out = EM.retrieval_metrics(runs, qrels, k=10)
+    return out.withColumn("query_id", F.col("query_id").cast("long")).orderBy(
+        "query_id"
+    )
+
+
+def _sql_retrieval_eval() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_BATCH for t in terms
+    )
+    k1, b = _BM25_K1, _BM25_B
+    return rf"""
+WITH toks AS (SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> lower(x)) AS t
+              FROM documents),
+tf AS (SELECT doc_id, u.term AS term, count(*)::BIGINT AS tf
+       FROM toks, unnest(t) u(term) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+q(query_id, term) AS (VALUES {vals}),
+j AS (SELECT q.query_id, tf.doc_id,
+             ln(1.0::DOUBLE + ((s.n::DOUBLE - d.df::DOUBLE) + 0.5::DOUBLE)
+                              / (d.df::DOUBLE + 0.5::DOUBLE))
+             * tf.tf::DOUBLE * {k1 + 1.0!r}::DOUBLE
+             / (tf.tf::DOUBLE + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE
+                + ({b!r}::DOUBLE * dl.dl::DOUBLE) / (s.sdl::DOUBLE / s.n::DOUBLE))) AS c
+      FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN stats s),
+agg AS (SELECT query_id::BIGINT AS query_id, doc_id, round(sum(c), 5) AS bm25
+        FROM j GROUP BY 1, 2),
+runs AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id) AS rank
+           FROM agg) WHERE rank <= 10),
+qrels AS (SELECT q.query_id::BIGINT AS query_id, dt.doc_id,
+                 count(*)::BIGINT AS rel
+          FROM (SELECT DISTINCT doc_id, u.term
+                FROM toks, unnest(list_distinct(t)) u(term)) dt
+          JOIN (SELECT DISTINCT query_id, term FROM q) q USING (term)
+          GROUP BY 1, 2),
+lab AS (SELECT r.query_id, r.doc_id, r.rank,
+               coalesce(qr.rel, 0)::BIGINT AS rel
+        FROM runs r LEFT JOIN qrels qr
+          ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id),
+per_run AS (SELECT query_id,
+                   sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+                   max(CASE WHEN rel > 0
+                            THEN 1.0::DOUBLE / rank::DOUBLE END) AS rr0,
+                   sum((pow(2.0::DOUBLE, rel::DOUBLE) - 1.0::DOUBLE)
+                       / log2(rank::DOUBLE + 1.0::DOUBLE)) AS dcg
+            FROM lab GROUP BY 1),
+totals AS (SELECT query_id, count(*)::BIGINT AS npos
+           FROM qrels WHERE rel > 0 GROUP BY 1),
+ideal AS (SELECT query_id,
+                 sum((pow(2.0::DOUBLE, rel::DOUBLE) - 1.0::DOUBLE)
+                     / log2(irank::DOUBLE + 1.0::DOUBLE)) AS idcg
+          FROM (SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id) AS irank
+                FROM qrels WHERE rel > 0)
+          WHERE irank <= 10 GROUP BY 1)
+SELECT p.query_id, p.hits,
+       round(p.hits::DOUBLE / 10.0::DOUBLE, 5) AS precision_at_k,
+       round(CASE WHEN t.npos > 0
+                  THEN p.hits::DOUBLE / t.npos::DOUBLE
+                  ELSE 0.0::DOUBLE END, 5) AS recall_at_k,
+       round(coalesce(p.rr0, 0.0::DOUBLE), 5) AS rr,
+       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg
+                  ELSE 0.0::DOUBLE END, 5) AS ndcg_at_k
+FROM per_run p LEFT JOIN totals t USING (query_id)
+               LEFT JOIN ideal i USING (query_id)
+ORDER BY p.query_id
+"""
+
+
+SQL_RETRIEVAL_EVAL = _sql_retrieval_eval()
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: RRF of the BM25 lexical top-50 and the dense cosine
     top-50 (query = embedding of vec 0; doc_id ≡ vec_id in the testdata).
@@ -7470,6 +7583,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "hnsw_insert_search": (q_hnsw_insert_search, SQL_HNSW_INSERT_SEARCH),
     "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
+    "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
     "fuzzy_value_pairs": (q_fuzzy_value_pairs, SQL_FUZZY_VALUE_PAIRS),
     "filtered_quantized_topk": (q_filtered_quantized_topk, SQL_FILTERED_QUANTIZED_TOPK),
     "uniform_negatives": (q_uniform_negatives, SQL_UNIFORM_NEGATIVES),
