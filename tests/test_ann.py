@@ -324,3 +324,47 @@ def test_ivf_health_report_invariants_and_drift_detection(spark, emb):
     assert len(moved) == 1
     c = moved[0]
     assert after[c]["max_dist"] > before[c]["max_dist"]
+
+
+def test_mutual_knn_kills_hub_keeps_true_pairs(spark):
+    """Planted geometry (l2, k=1): h sits between a and b so it is BOTH
+    their nearest neighbor (a hub), but h's own NN is b — so (a, h) must
+    be filtered (one-directional) while (b, h) and the isolated tight
+    pair (c, d) survive as mutual."""
+    from vettore_spark.operators.ann import mutual_knn_pairs
+
+    rows = [
+        ("a", [0.0, 0.0]),
+        ("b", [1.0, 0.0]),
+        ("h", [0.6, 0.0]),
+        ("c", [10.0, 0.0]),
+        ("d", [10.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    pairs = {
+        (r["src"], r["dst"])
+        for r in mutual_knn_pairs(df, k=1, metric="l2").collect()
+    }
+    assert pairs == {("b", "h"), ("c", "d")}
+
+
+def test_mutual_knn_accepts_precomputed_edges(spark):
+    """The knn= path: a hand-built edge table short-circuits the exact
+    graph build (the corpus-scale entry point for IVF/LSH-blocked
+    graphs)."""
+    from vettore_spark.operators.ann import mutual_knn_pairs
+
+    edges = spark.createDataFrame(
+        [
+            ("x", "y", 0.9, 0.1, 1),
+            ("y", "x", 0.9, 0.1, 1),
+            ("x", "z", 0.5, 0.5, 2),
+            ("z", "w", 0.4, 0.6, 1),
+        ],
+        "query_id string, vec_id string, score double, distance double, rank long",
+    )
+    pairs = {
+        (r["src"], r["dst"])
+        for r in mutual_knn_pairs(None, knn=edges).collect()
+    }
+    assert pairs == {("x", "y")}

@@ -876,3 +876,49 @@ def ivf_health(
         F.col("_mean_d").alias("mean_dist"),
         F.col("_max_d").alias("max_dist"),
     )
+
+
+def mutual_knn_pairs(
+    coll: DataFrame,
+    *,
+    k: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    knn: DataFrame | None = None,
+) -> DataFrame:
+    """High-precision pairing: (a, b) pairs where b is in a's k-NN AND a
+    is in b's k-NN — the mutual-nearest-neighbor filter used for bitext
+    mining and near-dup candidate hardening (a one-directional neighbor is
+    often an asymmetric hub match; mutuality kills hubs). Emits each pair
+    once, canonicalized src < dst, with the src->dst score/distance.
+
+    Pass `knn` to reuse a precomputed edge table (any (query_id, id,
+    score, distance, rank) table — the exact block-grid graph here, an
+    IVF/LSH-blocked approximate graph at corpus scale); otherwise the
+    exact self_knn_topk builds it with k+1 (self sits at rank 1 and is
+    dropped).
+
+    Scale shape: edges are O(n*k) rows; the mutuality check is ONE
+    equi-join of the edge table with its own (dst, src) projection (a
+    left-semi, so nothing widens), and canonicalization is a plain
+    filter. No window, no corpus shuffle beyond the edge build itself."""
+    edges = (
+        knn
+        if knn is not None
+        else self_knn_topk(
+            coll, k=k + 1, metric=metric, id_col=id_col, vector_col=vector_col
+        )
+    )
+    e = edges.filter(F.col("query_id") != F.col(id_col)).select(
+        F.col("query_id").alias("src"),
+        F.col(id_col).alias("dst"),
+        "score",
+        "distance",
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "score", "distance")
+    )

@@ -289,6 +289,42 @@ FROM ranked WHERE rn <= 4
 """
 
 
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pairs (operators/ann.py::mutual_knn_pairs):
+    (a, b) kept only when each is in the other's 3-NN — the hub-killing
+    filter bitext mining and near-dup hardening use on top of a kNN graph.
+    Edge table is the exact block-grid graph (knn_graph's plan); mutuality
+    is ONE left-semi equi-join of the O(n*k) edge table with its own
+    reversed projection — no window, nothing widens. At 100 TB the same
+    join runs over an IVF/LSH-blocked approximate graph (the `knn=`
+    parameter)."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ANN.mutual_knn_pairs(
+        emb, k=3, metric="cosine", id_col="vec_id", vector_col="embedding",
+    )
+    return _round(out, {"score": 5, "distance": 5}).orderBy("src", "dst")
+
+
+SQL_MUTUAL_KNN_PAIRS = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS c
+  FROM embeddings a CROSS JOIN embeddings b),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM scored),
+e AS (SELECT query_id AS src, vec_id AS dst, c
+      FROM ranked WHERE rn <= 4 AND query_id <> vec_id)
+SELECT e.src, e.dst, round(e.c, 5) AS score, round(1 - e.c, 5) AS distance
+FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+WHERE e.src < e.dst
+ORDER BY e.src, e.dst
+"""
+
+
 # ---------------------------------------------------------------------------
 # prefix / quantized / funnel / hybrid pipelines (Q2-Q5, Q9)
 # ---------------------------------------------------------------------------
@@ -7606,6 +7642,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "mutual_knn_pairs": (q_mutual_knn_pairs, SQL_MUTUAL_KNN_PAIRS),
     "ann_brp_lsh_topk": (q_ann_brp_lsh_topk, SQL_ANN_BRP_LSH_TOPK),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
     "flat_topk_l2": (q_flat_topk_l2, SQL_FLAT_TOPK_L2),
