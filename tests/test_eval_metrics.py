@@ -85,3 +85,36 @@ def test_retrieval_metrics_plan_no_global_window(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_spearman_hand_computed(spark):
+    """Classic fixtures: perfect agreement -> 1, perfect reversal -> -1,
+    a tie-bearing case against the scipy-checked value, constant column
+    -> NULL."""
+    from vettore_spark.operators.stats import spearman_by_group
+
+    rows = (
+        # g=same: y == x
+        [("same", float(i), float(i) * 2.0) for i in range(5)]
+        # g=rev: y reversed
+        + [("rev", float(i), float(4 - i)) for i in range(5)]
+        # g=tie: x = [1,2,2,3], y = [1,3,2,4]
+        + [("tie", 1.0, 1.0), ("tie", 2.0, 3.0), ("tie", 2.0, 2.0),
+           ("tie", 3.0, 4.0)]
+        # g=const: x constant
+        + [("const", 7.0, float(i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in spearman_by_group(
+            df, group_col="g", x_col="x", y_col="y"
+        ).collect()
+    }
+    assert out["same"]["spearman"] == pytest.approx(1.0)
+    assert out["rev"]["spearman"] == pytest.approx(-1.0)
+    # ranks x: [1, 2.5, 2.5, 4]; y: [1, 3, 2, 4]
+    # pearson of those ranks = 0.9486833 (scipy.stats.spearmanr parity)
+    assert out["tie"]["spearman"] == pytest.approx(0.94868, abs=1e-5)
+    assert out["const"]["spearman"] is None
+    assert out["same"]["n"] == 5

@@ -1643,6 +1643,60 @@ ORDER BY p.query_id
 SQL_RETRIEVAL_EVAL = _sql_retrieval_eval()
 
 
+def q_score_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation between two scorers of the
+    same corpus (operators/stats.py::spearman_by_group) — the
+    did-the-ranking-change monitor for scorer swaps. Here the two scorers
+    are intrinsic document statistics (token count vs distinct-token
+    count), so the oracle recomputes everything from the raw text;
+    average-rank tie handling makes rho exact half-integer arithmetic
+    until the final division — bit-stable across engines. Plan: two
+    group-partitioned rank windows + one aggregate per group; output is
+    O(n_langs)."""
+    from vettore_spark.operators import stats as ST
+    from vettore_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).cast("double").alias(
+            "n_distinct"
+        ),
+    )
+    out = ST.spearman_by_group(
+        scored, group_col="lang", x_col="n_tokens", y_col="n_distinct"
+    )
+    return out.orderBy("lang")
+
+
+SQL_SCORE_AGREEMENT = r"""
+WITH s AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS x,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE AS y
+  FROM documents),
+r AS (
+  SELECT lang,
+         rank() OVER (PARTITION BY lang ORDER BY x)::DOUBLE
+           + (count(*) OVER (PARTITION BY lang, x)::DOUBLE - 1.0) / 2.0 AS rx,
+         rank() OVER (PARTITION BY lang ORDER BY y)::DOUBLE
+           + (count(*) OVER (PARTITION BY lang, y)::DOUBLE - 1.0) / 2.0 AS ry
+  FROM s),
+a AS (
+  SELECT lang, count(*)::DOUBLE AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+  FROM r GROUP BY 1)
+SELECT lang, n::BIGINT AS n,
+       round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 5) AS spearman
+FROM a ORDER BY lang
+"""
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: RRF of the BM25 lexical top-50 and the dense cosine
     top-50 (query = embedding of vec 0; doc_id ≡ vec_id in the testdata).
@@ -7620,6 +7674,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "hnsw_insert_search": (q_hnsw_insert_search, SQL_HNSW_INSERT_SEARCH),
     "bm25_batch": (q_bm25_batch, SQL_BM25_BATCH),
     "retrieval_eval": (q_retrieval_eval, SQL_RETRIEVAL_EVAL),
+    "score_agreement": (q_score_agreement, SQL_SCORE_AGREEMENT),
     "fuzzy_value_pairs": (q_fuzzy_value_pairs, SQL_FUZZY_VALUE_PAIRS),
     "filtered_quantized_topk": (q_filtered_quantized_topk, SQL_FILTERED_QUANTIZED_TOPK),
     "uniform_negatives": (q_uniform_negatives, SQL_UNIFORM_NEGATIVES),
