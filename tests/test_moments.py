@@ -167,3 +167,34 @@ def test_streaming_moment_stats_matches_batch_fixed(spark, tmp_path):
     ).collect()
     want = {r["label"]: (r["n"], r["mean_norm"], r["var_trace"]) for r in batch}
     assert final == want
+
+
+def test_zca_whitens_planted_correlations(spark, tmp_path):
+    """ZCA property test on a planted correlated Gaussian: whitened
+    covariance must be ~identity (off-diagonals crushed, variances ~1 up
+    to the eps shrinkage lam/(lam+eps)), and the transform must be
+    sign-stable (W = U f(L) U^T is invariant to eigenvector signs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vettore_spark.encodings.moments import zca_matrix_local
+
+    rng = np.random.default_rng(11)
+    d, n = 6, 4000
+    a = rng.normal(size=(d, d))
+    cov = a @ a.T / d + np.eye(d) * 0.1
+    x = rng.multivariate_normal(np.ones(d) * 3.0, cov, size=n)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({"embedding": [row.tolist() for row in x]}), path
+    )
+
+    w, off = zca_matrix_local(path, dim=d, eps=1e-3)
+    wm = np.array(w)
+    y = x @ wm.T - np.array(off)
+    cy = np.cov(y, rowvar=False, bias=True)
+    assert np.abs(np.diag(cy) - 1.0).max() < 0.05
+    off_diag = cy - np.diag(np.diag(cy))
+    assert np.abs(off_diag).max() < 0.05
+    assert np.abs(y.mean(axis=0)).max() < 1e-4

@@ -286,3 +286,48 @@ def pca_project(
     return df.select(
         F.col(id_col), project_literal(vector_col, components).alias("projected")
     )
+
+
+def zca_matrix_local(
+    parquet_path: str,
+    *,
+    vector_col: str = "embedding",
+    dim: int,
+    rows: int | None = None,
+    eps: float = 1e-3,
+    round_digits: int = 6,
+) -> tuple[list[list[float]], list[float]]:
+    """Deterministic driver-side ZCA whitening fit: W = U (Λ+eps)^(-1/2) Uᵀ
+    over the covariance of the parquet corpus (same defined summation
+    order as fit_components_local), returned as (rounded W rows, rounded
+    offsets W·m) so the whitening transform y = W·x − W·m is a literal
+    map-only expression both engines evaluate identically. Unlike the PCA
+    components, W is SIGN-INVARIANT (U's column signs cancel in U f(Λ) Uᵀ),
+    so no eigenvector sign convention is needed. `rows` truncates to the
+    first rows of W (a whitening PROJECTION) to keep gate oracles bounded;
+    the distributed twin at 100 TB fits from gram_partials exactly like
+    the PCA path."""
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(parquet_path, columns=[vector_col])
+    x = np.array(
+        [np.asarray(v, dtype=np.float64) for v in tab[vector_col].to_pylist()]
+    )
+    if x.shape[1] != dim:
+        raise ValueError(f"expected dim {dim}, parquet has {x.shape[1]}")
+    n = x.shape[0]
+    m = x.sum(axis=0) / n
+    c = x.T @ x / n - np.outer(m, m)
+    lam, u = np.linalg.eigh(c)
+    w = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
+    if rows is not None:
+        w = w[:rows]
+    wr = [[round(float(v), round_digits) for v in row] for row in w]
+    mr = [round(float(v), round_digits) for v in m]
+    # offsets from the ROUNDED literals (exact Python arithmetic), so both
+    # engines subtract the identical constant
+    off = [
+        round(sum(wv * mv for wv, mv in zip(row, mr)), round_digits)
+        for row in wr
+    ]
+    return wr, off

@@ -6329,6 +6329,93 @@ ORDER BY d, vec_id LIMIT 10
 SQL_PCA_PREFILTER_TOPK = _sql_pca_prefilter
 
 
+_ZCA_CACHE: dict[str, tuple[list[list[float]], list[float]]] = {}
+
+
+def _zca_for(sf_dir: str) -> tuple[list[list[float]], list[float]]:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    fit = _ZCA_CACHE.get(path)
+    if fit is None:
+        from vettore_spark.encodings import moments as M
+
+        fit = M.zca_matrix_local(path, dim=DIMS, rows=8, eps=1e-3)
+        _ZCA_CACHE[path] = fit
+    return fit
+
+
+def q_zca_whiten_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening (encodings/moments.py::zca_matrix_local) verified by
+    its defining property: per-dimension mean ≈ 0 and variance ≈
+    λ/(λ+eps) ≈ 1 of the whitened corpus, for the first 8 whitened dims.
+    The transform is a literal map-only expression (y = W·x − W·m with
+    both W rows and offsets embedded as constants fit once per sf_dir —
+    the PCA lazy-literal pattern), so the corpus never shuffles anything
+    wider than the 8-row stats aggregate. The 100 TB fit runs the
+    distributed gram_partials path; the projection plan is identical."""
+    w8, off = _zca_for(sf_dir)
+    from vettore_spark.encodings import moments as M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    off_lit = F.array(*[F.lit(v) for v in off])
+    y = F.zip_with(
+        M.project_literal("embedding", w8), off_lit, lambda a, b: a - b
+    )
+    ex = emb.select(F.posexplode(y).alias("dim", "y"))
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            (F.round(F.sum("y") / n, 5) + F.lit(0.0)).alias("mean"),
+            (
+                F.round(
+                    F.sum(F.col("y") * F.col("y")) / n
+                    - (F.sum("y") / n) * (F.sum("y") / n),
+                    5,
+                )
+                + F.lit(0.0)
+            ).alias("variance"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .orderBy("dim")
+    )
+
+
+def _sql_zca_whiten_stats() -> str | None:
+    # data-dependent literals -> lazy per the gate's sf_dir, exactly like
+    # _sql_pca_prefilter (registered as the function, resolved in
+    # oracle_sql())
+    env = os.environ.get("SELFCHECK_SF_DIR")
+    candidates = [env] if env else [
+        f"/root/testdata/{sf}" for sf in ("sf0.01", "sf0.001", "sf0.1")
+    ]
+    for sf_dir in candidates:
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            break
+    else:
+        return None
+    w8, off = _zca_for(sf_dir)
+    selects = []
+    for i, (row, o) in enumerate(zip(w8, off)):
+        arr = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        selects.append(
+            f"SELECT {i}::BIGINT AS dim, "
+            f"(list_dot_product(embedding::DOUBLE[], {arr}) - {o!r}) AS y "
+            "FROM embeddings"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH yv AS ({body})
+SELECT dim,
+       round(sum(y) / count(*), 5) + 0.0 AS mean,
+       round(sum(y * y) / count(*)
+             - (sum(y) / count(*)) * (sum(y) / count(*)), 5) + 0.0 AS variance
+FROM yv GROUP BY dim ORDER BY dim
+"""
+
+
+SQL_ZCA_WHITEN_STATS = _sql_zca_whiten_stats
+
+
 def q_embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift monitor over the embedding corpus, per label
     (the drop/shard/source axis a training pipeline slices by): how far
@@ -7782,6 +7869,7 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "ivf_health_report": (q_ivf_health_report, SQL_IVF_HEALTH_REPORT),
     "embedding_covariance": (q_embedding_covariance, SQL_EMBEDDING_COVARIANCE),
     "pca_prefilter_topk": (q_pca_prefilter_topk, SQL_PCA_PREFILTER_TOPK),
+    "zca_whiten_stats": (q_zca_whiten_stats, SQL_ZCA_WHITEN_STATS),
     "embedding_drift_by_label": (
         q_embedding_drift_by_label,
         SQL_EMBEDDING_DRIFT_BY_LABEL,
