@@ -278,10 +278,30 @@ def main() -> None:
     try:
         exact = {r["vec_id"] for r in qs["flat_topk_l2"](spark, sf_dir).collect()}
         for mode in ("quantized_topk", "funnel_topk", "hybrid_topk", "hnsw_topk",
-                     "sq_int8_topk", "jl_prefilter_topk",
-                     "pca_prefilter_topk"):
+                     "sq_int8_topk"):
             got = {r["vec_id"] for r in qs[mode](spark, sf_dir).collect()}
             overlap[mode] = round(len(exact & got) / max(len(exact), 1), 3)
+        # jl/pca prefilter: keys carry the stage-1 candidate depth (the
+        # pq_adc_stage1_only treatment, r7 verdict #7) — the gated default
+        # (200 = limit*20) is a cheap tier on this unstructured corpus;
+        # the sweep row next to it shows the depth that buys full overlap
+        from vettore_spark.queries import (
+            q_jl_prefilter_topk,
+            q_pca_prefilter_topk,
+        )
+
+        for label, fn2 in (
+            ("jl_prefilter_topk", q_jl_prefilter_topk),
+            ("pca_prefilter_topk", q_pca_prefilter_topk),
+        ):
+            for depth in (200, 800):
+                got = {
+                    r["vec_id"]
+                    for r in fn2(spark, sf_dir, candidates=depth).collect()
+                }
+                overlap[f"{label}@cand{depth}"] = round(
+                    len(exact & got) / max(len(exact), 1), 3
+                )
         # compressed/partitioned ANN modes answer multiple queries; their
         # query 0 is the same vector as the flat baselines' (embedding of
         # vec 0), so overlap@5 against the matching-metric exact top-5
@@ -421,6 +441,15 @@ def main() -> None:
         got20 = {r["doc_id"] for r in two_stage(20).collect()}
         muvera["fde_search_rerank_sec"] = round(time.time() - t0, 3)
 
+        # DEFAULT config (encodings/muvera.py::default_candidates —
+        # max(100, 20k) capped at corpus): recall and cost recorded side
+        # by side so the default is self-describing (r7 verdict #8)
+        c_def = MU.default_candidates(5, n_docs)
+        muvera["default_candidates"] = c_def
+        t0 = time.time()
+        got_def = {r["doc_id"] for r in two_stage(c_def).collect()}
+        muvera["fde_search_rerank_default_sec"] = round(time.time() - t0, 3)
+
         exact_df = MV.maxsim_topk(
             docs_mv, qtok, metric="cosine", k=5,
             id_col="doc_id", vectors_col="vectors", vector_col=None,
@@ -439,6 +468,9 @@ def main() -> None:
         )
         muvera["recall_at_5_cand100"] = round(
             len(exact5 & got100) / max(len(exact5), 1), 3
+        )
+        muvera["recall_at_5_default"] = round(
+            len(exact5 & got_def) / max(len(exact5), 1), 3
         )
         fdes.unpersist()
         docs_mv.unpersist()

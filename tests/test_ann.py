@@ -368,3 +368,79 @@ def test_mutual_knn_accepts_precomputed_edges(spark):
         for r in mutual_knn_pairs(None, knn=edges).collect()
     }
     assert pairs == {("x", "y")}
+
+
+def test_self_knn_exclude_self_k_edges_among_duplicates(spark):
+    """With >= k+1 exact-duplicate vectors, the old k+1-then-drop-self
+    shortcut lost an edge (self falls out of the top-(k+1) when duplicate
+    ids tie-break ahead of it). exclude_self ranks over non-self edges,
+    so EVERY node keeps exactly k out-edges."""
+    from vettore_spark.operators.ann import self_knn_topk
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(5)] + [
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = self_knn_topk(df, k=3, metric="cosine", exclude_self=True)
+    counts = {
+        r["query_id"]: r["n"]
+        for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {i: 3 for i in [0, 1, 2, 3, 4, 10, 11]}
+    assert out.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+    # id 4 is the duplicate whose self-edge the shortcut lost: its 3
+    # nearest non-self are duplicates 0,1,2 (id tie-break)
+    n4 = sorted(
+        r["vec_id"] for r in out.filter(F.col("query_id") == 4).collect()
+    )
+    assert n4 == [0, 1, 2]
+
+
+def test_blocked_knn_matches_within_block_exact(spark, emb):
+    """blocked_knn_topk == exact self-kNN computed independently per
+    sign-prefix block (NumPy oracle), and every edge stays in-block."""
+    from vettore_spark.operators.ann import blocked_knn_topk
+
+    k, n_bits = 3, 4
+    out = blocked_knn_topk(
+        emb, k=k, metric="cosine", n_bits=n_bits,
+        id_col="vec_id", vector_col="embedding",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 9))
+        for r in out.collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    blk = np.zeros(len(ids), dtype=int)
+    for i in range(n_bits):
+        blk += (m[:, i] >= 0).astype(int) << i
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    expected = {}
+    for b in np.unique(blk):
+        sel = np.where(blk == b)[0]
+        sims = np.clip(mn[sel] @ mn[sel].T, -1.0, 1.0)
+        for jj, j in enumerate(sel):
+            d = 1.0 - sims[:, jj]
+            order = np.lexsort((ids[sel], d))
+            nonself = [x for x in order if ids[sel][x] != ids[j]][:k]
+            for rnk, x in enumerate(nonself, start=1):
+                expected[(ids[j], rnk)] = (
+                    ids[sel][x], round(float(d[x]), 9)
+                )
+    assert got == expected
+
+
+def test_blocked_knn_hot_block_fails_fast(spark):
+    """A block past max_block_size must raise naming the knobs, not
+    silently quadratically blow up."""
+    from vettore_spark.operators.ann import blocked_knn_topk
+
+    rows = [(i, [1.0, 1.0]) for i in range(20)]  # all in one block
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = blocked_knn_topk(df, k=2, n_bits=2, max_block_size=10)
+    with pytest.raises(Exception, match="max_block_size"):
+        out.collect()

@@ -118,3 +118,44 @@ def test_spearman_hand_computed(spark):
     assert out["tie"]["spearman"] == pytest.approx(0.94868, abs=1e-5)
     assert out["const"]["spearman"] is None
     assert out["same"]["n"] == 5
+
+
+def test_retrieval_metrics_zero_fills_queries_past_k(spark):
+    """A query whose run rows ALL sit past rank k still gets its output
+    row, zero-filled — one row per run query, always (the rank<=k filter
+    must not silently drop whole queries)."""
+    runs = spark.createDataFrame(
+        [(0, "a", 1), (1, "b", 5), (1, "c", 6)],
+        "query_id long, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, "a", 1), (1, "b", 2)], "query_id long, doc_id string, rel long"
+    )
+    out = {
+        r["query_id"]: r for r in retrieval_metrics(runs, qrels, k=2).collect()
+    }
+    assert set(out) == {0, 1}
+    q1 = out[1]
+    assert q1["hits"] == 0
+    assert q1["precision_at_k"] == 0.0
+    assert q1["recall_at_k"] == 0.0  # npos=1 but 0 hits
+    assert q1["rr"] == 0.0
+    assert q1["ndcg_at_k"] == 0.0
+    assert out[0]["hits"] == 1
+
+
+def test_spearman_excludes_null_scores(spark):
+    """NULL x/y rows are excluded before ranking (engines disagree on
+    NULL sort order); n reflects the exclusion."""
+    from vettore_spark.operators.stats import spearman_by_group
+
+    rows = (
+        [("g", float(i), float(i)) for i in range(4)]
+        + [("g", None, 9.0), ("g", 5.0, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    row = spearman_by_group(
+        df, group_col="g", x_col="x", y_col="y"
+    ).collect()[0]
+    assert row["n"] == 4
+    assert row["spearman"] == pytest.approx(1.0)

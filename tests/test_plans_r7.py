@@ -39,9 +39,38 @@ def test_q6_zorder_predicates_reach_the_clustered_scan(spark, qs):
     assert "_zday" not in read and "_zdisc" not in read, read
 
 
+def _single_partition_exchanges_are_scalar_aggs(plan: str) -> bool:
+    """True when every `Exchange SinglePartition` in the plan feeds a
+    scalar aggregate (HashAggregate with keys=[] — one row per upstream
+    partition merged to one total row, e.g. BM25's corpus count/sum-dl
+    stats). That shape is O(partitions) rows and benign at any scale;
+    what the pins must ban is SinglePartition under a Sort/Window of
+    CORPUS rows, which serializes the dataset through one task."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the exchange's child is the next operator line (possibly behind
+        # AQE ShuffleQueryStage wrappers); it must be a scalar aggregate
+        child_ok = False
+        for nxt in lines[i + 1 : i + 4]:
+            if "HashAggregate" in nxt or "SortAggregate" in nxt:
+                child_ok = "keys=[]" in nxt
+                break
+            if "ShuffleQueryStage" in nxt or "InputAdapter" in nxt:
+                continue
+            break
+        if not child_ok:
+            return False
+    return True
+
+
 def test_retrieval_eval_no_global_window_no_cartesian(spark, qs):
+    """No corpus-row serialization: the only SinglePartition exchange
+    allowed is the BM25 corpus-stats scalar aggregate (partial per
+    partition -> one merged row)."""
     plan = _executed(qs["retrieval_eval"](spark, SF))
-    assert "Exchange SinglePartition" not in plan
+    assert _single_partition_exchanges_are_scalar_aggs(plan), plan
     assert "CartesianProduct" not in plan
 
 

@@ -224,3 +224,25 @@ def encode_column(config: MuveraConfig, mode: str = "document"):
 def fde_column(vectors_col: Column | str, config: MuveraConfig, mode: str = "document") -> Column:
     c = F.col(vectors_col) if isinstance(vectors_col, str) else vectors_col
     return encode_column(config, mode)(c)
+
+
+def default_candidates(k: int, n_docs: int | None = None) -> int:
+    """Default stage-1 candidate depth for FDE two-stage retrieval
+    (FDE top-C by inner product -> exact MaxSim rerank of C docs).
+
+    C = max(100, 20*k), capped at the corpus size when known. Rationale
+    (measured, SCALE.md/BENCH muvera blocks): on an unstructured corpus
+    the FDE inner product is a coarse proxy — recall@5 was 0.6 at C=20
+    and 1.0 at C=100 — so the floor is an ABSOLUTE 100, not a multiple
+    of k alone; past the floor the 20x multiplier keeps deep-k queries
+    covered. The rerank stage is O(C * avg_vectors^2) work on C docs
+    only, so the default trades a bounded constant rerank cost for
+    >= 0.9 recall; callers with a structured corpus (clustered, high
+    FDE fidelity) can pass a smaller explicit C.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = max(100, 20 * k)
+    if n_docs is not None:
+        c = min(c, n_docs)
+    return c

@@ -352,12 +352,18 @@ def self_knn_topk(
     vector_col: str = "embedding",
     query_blocks: int | None = None,
     data_blocks: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """Exact self k-NN graph (every row's top-k neighbors, itself included)
-    with NO driver collect: block-grid cogroup + per-group NumPy GEMM +
-    local top-k, merged by a (rank, id) window. Output matches
-    brute_force_topk with queries == collection: (query_id, id, score,
-    distance, rank 1..k).
+    """Exact self k-NN graph (every row's top-k neighbors, itself included
+    unless `exclude_self`) with NO driver collect: block-grid cogroup +
+    per-group NumPy GEMM + local top-k, merged by a (rank, id) window.
+    Output matches brute_force_topk with queries == collection: (query_id,
+    id, score, distance, rank 1..k).
+
+    `exclude_self=True` drops the (x, x) edge BEFORE the rank cut, so every
+    node gets exactly k non-self out-edges even when >= k+1 exact-duplicate
+    vectors tie-break ahead of self (the k+1-then-drop-self shortcut loses
+    an edge there).
 
     The graph-construction primitive under graph dedup and HNSW-style
     indexes. Exact is O(n^2) work no matter the plan — this shape spreads it
@@ -390,7 +396,9 @@ def self_knn_topk(
         ids = rpdf[id_col].to_numpy()
         m = _matrix(rpdf[vector_col])
         score, dist, rank = _score_block(m, qmat, metric)
-        kk = min(k, len(ids))
+        # with exclude_self the (x, x) edge is dropped AFTER this block-local
+        # cut, so keep one extra candidate per block to preserve exactness
+        kk = min(k + 1 if exclude_self else k, len(ids))
         out = []
         for j in range(len(qids)):
             idx = np.lexsort((ids, rank[:, j]))[:kk]
@@ -412,6 +420,8 @@ def self_knn_topk(
         .cogroup(right.groupBy("_qblk", "_rblk"))
         .applyInPandas(gemm, out_schema)
     )
+    if exclude_self:
+        local = local.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_rank").asc(), F.col(id_col).asc()
     )
@@ -896,25 +906,36 @@ def mutual_knn_pairs(
     Pass `knn` to reuse a precomputed edge table (any (query_id, id,
     score, distance, rank) table — the exact block-grid graph here, an
     IVF/LSH-blocked approximate graph at corpus scale); otherwise the
-    exact self_knn_topk builds it with k+1 (self sits at rank 1 and is
-    dropped).
+    exact self_knn_topk builds it with exclude_self=True (rank cut over
+    non-self edges, so every node has exactly k out-edges even among
+    duplicate vectors).
 
-    Scale shape: edges are O(n*k) rows; the mutuality check is ONE
-    equi-join of the edge table with its own (dst, src) projection (a
-    left-semi, so nothing widens), and canonicalization is a plain
-    filter. No window, no corpus shuffle beyond the edge build itself."""
+    Scale shape: edges are O(n*k) rows, built ONCE and persisted
+    (cached_persist) — both sides of the mutuality join read the
+    materialized table, so the O(n*k) GEMM build never executes twice.
+    The mutuality check is ONE equi-join of the edge table with its own
+    (dst, src) projection (a left-semi, so nothing widens), and
+    canonicalization is a plain filter. No window, no corpus shuffle
+    beyond the edge build itself."""
+    from vettore_spark.plans.cache import cached_persist
+
     edges = (
         knn
         if knn is not None
         else self_knn_topk(
-            coll, k=k + 1, metric=metric, id_col=id_col, vector_col=vector_col
+            coll, k=k, metric=metric, id_col=id_col, vector_col=vector_col,
+            exclude_self=True,
         )
     )
-    e = edges.filter(F.col("query_id") != F.col(id_col)).select(
-        F.col("query_id").alias("src"),
-        F.col(id_col).alias("dst"),
-        "score",
-        "distance",
+    e = cached_persist(
+        edges,
+        ("mutual_knn_edges", id_col),
+        lambda src: src.filter(F.col("query_id") != F.col(id_col)).select(
+            F.col("query_id").alias("src"),
+            F.col(id_col).alias("dst"),
+            "score",
+            "distance",
+        ),
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
@@ -922,3 +943,92 @@ def mutual_knn_pairs(
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst", "score", "distance")
     )
+
+
+def blocked_knn_topk(
+    coll: DataFrame,
+    *,
+    k: int = 10,
+    metric: str = "cosine",
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    max_block_size: int = 200_000,
+) -> DataFrame:
+    """Approximate self-kNN edge table via sign-prefix (SimHash-style)
+    blocking: block id = the sign bits of the first `n_bits` raw
+    dimensions, neighbors searched only WITHIN each block. Output matches
+    self_knn_topk's shape — (query_id, id, score, distance, rank 1..k),
+    self excluded, rank over non-self in-block candidates — but cost is
+    sum(|block|^2) instead of n^2: with 2^n_bits roughly-even blocks,
+    ~n^2 / 2^n_bits GEMM work and NO cross-block shuffle (each query's
+    rank is final inside its block, so there is no merge window at all).
+
+    This is the corpus-scale edge builder for mutual_knn_pairs(knn=...):
+    recall < 1 by construction (a true neighbor in another block is
+    invisible), traded for the 2^n_bits work reduction — measured
+    recall-vs-bits in SCALE.md. Deterministic (raw-dim signs, no trained
+    codebook, no RNG), so an external oracle can reproduce the blocking
+    exactly. Blocks past `max_block_size` fail fast naming the knobs —
+    a hot block means the sign prefix is skewed for this data; raise
+    n_bits or pre-whiten.
+    """
+    if metric not in ("cosine", "l2", "inner_product"):
+        raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
+    if not 1 <= n_bits <= 20:
+        raise ValueError(f"n_bits must be in [1, 20], got {n_bits}")
+    blk = None
+    for i in range(n_bits):
+        bit = F.when(
+            F.element_at(F.col(vector_col), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        blk = bit if blk is None else blk + bit
+    src = coll.select(
+        F.col(id_col), F.col(vector_col), blk.cast("int").alias("_blk")
+    )
+    id_type = coll.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField(id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("distance", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+
+    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+        )
+        if n <= 1:
+            return empty
+        if n > max_block_size:
+            raise ValueError(
+                f"sign-prefix block holds {n} rows > max_block_size="
+                f"{max_block_size}: raise n_bits (currently {n_bits}) or "
+                "max_block_size explicitly"
+            )
+        ids = pdf[id_col].to_numpy()
+        m = _matrix(pdf[vector_col])
+        score, dist, rank = _score_block(m, m, metric)
+        kk = min(k, n - 1)
+        out = []
+        for j in range(n):
+            order = np.lexsort((ids, rank[:, j]))
+            idx = order[ids[order] != ids[j]][:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": [ids[j]] * len(idx),
+                        id_col: ids[idx],
+                        "score": score[idx, j],
+                        "distance": dist[idx, j],
+                        "rank": np.arange(1, len(idx) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return src.groupBy("_blk").applyInPandas(topk_block, out_schema)

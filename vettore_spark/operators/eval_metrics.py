@@ -43,7 +43,9 @@ def retrieval_metrics(
     (query, doc) pair absent from qrels counts as rel 0. Queries present
     in `runs` but with NO positive qrel row get recall/RR/nDCG 0.0 (not
     null) — a run over an unlabeled query is measurably useless, not
-    unmeasurable.
+    unmeasurable. Likewise a query whose run rows ALL sit past rank `k`
+    still gets its row, with every metric 0 (zero-filled from the run's
+    distinct query set) — one output row per run query, always.
 
     Returns one row per run query: (query_id, hits, precision_at_k,
     recall_at_k, rr, ndcg_at_k), metrics rounded to `round_digits` so the
@@ -87,6 +89,17 @@ def retrieval_metrics(
                 / F.log2(F.col("_irank").cast("double") + F.lit(1.0))
             ).alias("_idcg")
         )
+    )
+
+    # zero-fill: every run query gets a row even when all its run rows sit
+    # past rank k (per_run would drop it — the rank<=k filter removed every
+    # input row for that query)
+    run_queries = runs.select(q).distinct()
+    per_run = run_queries.join(per_run, q, "left").select(
+        F.col(q),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.col("_rr"),
+        F.coalesce(F.col("_dcg"), F.lit(0.0)).alias("_dcg"),
     )
 
     out = (

@@ -53,7 +53,14 @@ def spearman_by_group(
     engines evaluate the identical expression over exact half-integer
     rank sums. Groups where either column is constant (zero rank
     variance) return NULL — correlation is undefined there, and NULL says
-    so louder than a sentinel 0.0."""
+    so louder than a sentinel 0.0.
+
+    Rows where x_col or y_col is NULL are EXCLUDED before ranking (and
+    from n): a NULL score carries no rank information, and engines
+    disagree on NULL sort order (Spark asc sorts NULLs first, DuckDB
+    last), so ranking them would silently skew rho differently per
+    engine."""
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     ranked = df.select(
         F.col(group_col),
         _avg_rank(group_col, x_col).alias("_rx"),

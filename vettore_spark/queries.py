@@ -293,11 +293,12 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor pairs (operators/ann.py::mutual_knn_pairs):
     (a, b) kept only when each is in the other's 3-NN — the hub-killing
     filter bitext mining and near-dup hardening use on top of a kNN graph.
-    Edge table is the exact block-grid graph (knn_graph's plan); mutuality
-    is ONE left-semi equi-join of the O(n*k) edge table with its own
-    reversed projection — no window, nothing widens. At 100 TB the same
-    join runs over an IVF/LSH-blocked approximate graph (the `knn=`
-    parameter)."""
+    Edge table is the exact block-grid graph (knn_graph's plan, non-self
+    ranks), built once and PERSISTED so both sides of the mutuality join
+    read the materialized table; mutuality is ONE left-semi equi-join of
+    the O(n*k) edge table with its own reversed projection — no window,
+    nothing widens. At 100 TB the same join runs over an IVF/LSH-blocked
+    approximate graph (the `knn=` parameter)."""
     from vettore_spark.operators import ann as ANN
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -311,13 +312,63 @@ SQL_MUTUAL_KNN_PAIRS = """
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id,
          list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS c
-  FROM embeddings a CROSS JOIN embeddings b),
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id),
 ranked AS (
   SELECT query_id, vec_id, c,
          row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
   FROM scored),
 e AS (SELECT query_id AS src, vec_id AS dst, c
-      FROM ranked WHERE rn <= 4 AND query_id <> vec_id)
+      FROM ranked WHERE rn <= 3)
+SELECT e.src, e.dst, round(e.c, 5) AS score, round(1 - e.c, 5) AS distance
+FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+WHERE e.src < e.dst
+ORDER BY e.src, e.dst
+"""
+
+
+def q_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN over the BLOCKED approximate edge graph — the corpus-
+    scale tier of the pairing family, gated the way tpch_q6_zorder gates
+    Z-order: the Spark side runs mutual_knn_pairs(knn=blocked_knn_topk(...))
+    (operators/ann.py::blocked_knn_topk — sign-prefix blocks, neighbors
+    searched only within a block, sum(|block|^2) work instead of n^2 and
+    NO rank-merge window), and the oracle reproduces the deterministic
+    blocking exactly (block id = sign bits of the first 4 raw dims), so
+    the gate proves the approximate path's semantics, not just the exact
+    one's. Recall vs the exact mutual graph is measured in SCALE.md."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = ANN.blocked_knn_topk(
+        emb, k=3, metric="cosine", n_bits=4,
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = ANN.mutual_knn_pairs(
+        emb, k=3, metric="cosine", id_col="vec_id", vector_col="embedding",
+        knn=edges,
+    )
+    return _round(out, {"score": 5, "distance": 5}).orderBy("src", "dst")
+
+
+SQL_MUTUAL_KNN_BLOCKED = """
+WITH b AS (
+  SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS blk
+  FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, c.vec_id,
+         list_cosine_similarity(c.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS c
+  FROM b a JOIN b c ON a.blk = c.blk AND a.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM scored),
+e AS (SELECT query_id AS src, vec_id AS dst, c
+      FROM ranked WHERE rn <= 3)
 SELECT e.src, e.dst, round(e.c, 5) AS score, round(1 - e.c, 5) AS distance
 FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
 WHERE e.src < e.dst
@@ -5442,12 +5493,13 @@ def q_store_attached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf_dir the path is reproducible across processes and the
         # rmtree below reclaims the previous run's dir. (Gate runs are
         # single-process per host — driver, selfcheck, bench each own
-        # their run — so cross-process reuse of the name is the point,
-        # not a race.)
+        # their run — and _claim_scratch_dir's PID lockfile turns the
+        # two-live-processes case into a loud error instead of a race.)
         digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = os.path.join(
             tempfile.gettempdir(), f"vettore_store_gate_{digest}"
         )
+        _claim_scratch_dir(path)
         shutil.rmtree(path, ignore_errors=True)
         coll = Collection.create(
             spark, "store_gate", dims, metric="l2"
@@ -5628,13 +5680,17 @@ def _jl_query_proj(spark: SparkSession, sf_dir: str) -> list[float]:
     return [sum(s * x for s, x in zip(row, qv)) * 0.25 for row in signs]
 
 
-def q_jl_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_jl_prefilter_topk(
+    spark: SparkSession, sf_dir: str, candidates: int = 200
+) -> DataFrame:
     """Two-stage search through the JL-compressed table (the
     quantized_search shape with a magnitude-preserving code): stage 1
     ranks by squared L2 in 16-dim projected space (rounded before the
-    cut so the candidate SET is engine-stable) and keeps 200 candidates
-    (limit*20, the reference bench's config) via TakeOrderedAndProject; stage 2 exact-reranks those on full
-    vectors. The projected table is a keyed-persist derived index (the
+    cut so the candidate SET is engine-stable) and keeps `candidates`
+    rows (default 200 = limit*20, the reference bench's config — a CHEAP
+    TIER: overlap@10 vs exact is ~0.6 on this unstructured corpus; bench
+    sweeps deeper depths alongside it) via TakeOrderedAndProject; stage 2
+    exact-reranks those on full vectors. The projected table is a keyed-persist derived index (the
     PQ-codes residency model): built once per (collection, d_out, seed),
     so stage 1 scans 16 doubles per row instead of 64 and stage 2 touches
     200 rows — the JL lemma bounds the candidate-stage distortion, unlike
@@ -5664,7 +5720,7 @@ def q_jl_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         proj_tab.select("vec_id", cdist.alias("_cd"))
         .orderBy("_cd", "vec_id")
-        .limit(200)
+        .limit(candidates)
         .select("vec_id")
     )
     qv = _qvec(spark, sf_dir)
@@ -6009,6 +6065,58 @@ FROM z GROUP BY zcell ORDER BY zcell
 SQL_ZORDER_CLUSTER_PROFILE = _sql_zorder_profile()
 
 
+def _claim_scratch_dir(path: str) -> None:
+    """Claim exclusive ownership of a shared /tmp scratch dir before
+    (re)creating it.
+
+    The stable md5-of-sf_dir names below are deliberately shared across
+    processes (reproducible path -> the next run reclaims the previous
+    run's dir instead of leaking one per run), but that sharing means two
+    LIVE processes on one host (driver gate + bench, say) could rmtree
+    each other's store mid-query. Guard: an O_EXCL lockfile holding the
+    owner PID next to the dir. A live owner in another process -> fail
+    fast (loudly, instead of silently deleting its data); a dead owner's
+    lock is reclaimed; our own lock (re-entry after a memo-cache clear)
+    passes through."""
+    lock = path + ".lock"
+    me = os.getpid()
+    for _ in range(8):  # bounded: each retry removes one stale lock
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(me).encode())
+            os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    pid = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid == me:
+                return
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive:
+                raise RuntimeError(
+                    f"scratch dir {path} is owned by live process {pid} "
+                    f"(lockfile {lock}); refusing to delete it out from "
+                    "under a concurrent run — stop that process or use a "
+                    "different sf_dir"
+                ) from None
+            try:  # stale lock: dead owner — reclaim and retry the claim
+                os.unlink(lock)
+            except OSError:
+                pass
+    raise RuntimeError(f"could not claim scratch lock {lock}")
+
+
 _ZORDER_Q6_CACHE: dict = {}
 
 
@@ -6031,6 +6139,7 @@ def _zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
         path = os.path.join(
             tempfile.gettempdir(), f"vettore_zorder_q6_{digest}"
         )
+        _claim_scratch_dir(path)
         shutil.rmtree(path, ignore_errors=True)
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         li = li.withColumn(
@@ -6215,12 +6324,16 @@ def _pca_comps_for(sf_dir: str) -> list[list[float]]:
 _PCA_COMPS_CACHE: dict[str, list[list[float]]] = {}
 
 
-def q_pca_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pca_prefilter_topk(
+    spark: SparkSession, sf_dir: str, candidates: int = 200
+) -> DataFrame:
     """Two-stage search through the PCA-compressed table — jl_prefilter_topk
     with the oblivious Rademacher matrix replaced by the corpus's own top-16
     principal axes (encodings/moments.py): stage 1 ranks by squared L2 in
     16-dim PCA space (rounded 4dp before the cut so the candidate SET is
-    engine-stable) and keeps 200 candidates via TakeOrderedAndProject;
+    engine-stable) and keeps `candidates` rows (default 200 = limit*20,
+    the reference bench's config — a cheap tier on unstructured data;
+    bench sweeps deeper depths) via TakeOrderedAndProject;
     stage 2 exact-reranks those on full vectors. The projected table is a
     keyed-persist derived index (the PQ-codes residency model). The fit is
     the deterministic driver-side twin of the distributed moments sketch
@@ -6254,7 +6367,7 @@ def q_pca_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         proj_tab.select("vec_id", cdist.alias("_cd"))
         .orderBy("_cd", "vec_id")
-        .limit(200)
+        .limit(candidates)
         .select("vec_id")
     )
     qv_lit = F.array(*[F.lit(float(x)) for x in qv])
@@ -7874,73 +7987,75 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         q_embedding_drift_by_label,
         SQL_EMBEDDING_DRIFT_BY_LABEL,
     ),
+    # --- round-8 additions (tail: enter the gate window at the r9
+    # rotation; selfcheck-verified until then) ---
+    "mutual_knn_blocked": (q_mutual_knn_blocked, SQL_MUTUAL_KNN_BLOCKED),
 }
 
-# Round-7 gate window (per the round-6 verdict, rotated at round START):
-# slots 1-13 are the 13 round-6 additions that have never had a driver
+# Round-8 gate window (per the round-7 verdict, rotated at round START):
+# slots 1-5 are the 5 round-7 additions that have never had a driver
 # CORRECTNESS row (after this window every registered query has one:
-# cumulative 170/170); slots 14-18 re-check this round's fix surfaces
-# (the put_many ingest attribution touches collection.py's put path —
-# hnsw/ivf insert+delete and the batch-insert cogroup patch — and
-# table_profile_sketch's round-6 single-scan plan); slots 19-41 are the
-# entire block last gated in r3 (media/multimodal, text-features,
-# sampling/splits, event props); slots 42-50 are the oldest r4 greens
-# (core search facades) in registry order.
+# cumulative 175/175); slot 6 re-checks knn_graph — this round's
+# mutual-kNN fix touches self_knn_topk (exclude_self param + per-block
+# keep widening), the operator under knn_graph's plan; slots 7-41 are the
+# entire block last gated in r4 (text features, TPC-H relational core,
+# paragraph/cross-corpus dedup); slots 42-50 are the oldest r5 greens in
+# the ANN/search-facade family (also adjacent to the ann.py fix surface).
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-13: round-6 additions, first driver gating ---
-    "approx_event_rollup",
-    "embedding_covariance",
-    "embedding_drift_by_label",
-    "events_quantile_sketch",
-    "ivf_health_report",
-    "ivf_range_search",
-    "kmv_weekly_rollup",
-    "multi_query_range",
-    "pca_prefilter_topk",
-    "range_search_cosine",
-    "store_attached_topk",
-    "tpch_q17_bloom",
-    "zorder_cluster_profile",
-    # --- slots 14-18: round-7 fix-surface re-checks ---
-    "hnsw_batch_insert_search",
-    "table_profile_sketch",
-    "hnsw_insert_search",
-    "hnsw_delete_search",
-    "ivf_insert_search",
-    # --- slots 19-41: everything last gated in r3 ---
-    "train_shards",
-    "media_frame_sample",
-    "media_image_features",
-    "media_audio_features",
-    "media_image_resize",
-    "user_event_features",
-    "bpe_pair_stats",
-    "text_embed",
-    "media_ahash_pairs",
-    "mlm_masking",
-    "bitext_mining",
-    "corpus_diversity",
-    "charlm_quality",
-    "corpus_stats",
-    "leakage_safe_split",
-    "fuzzy_value_pairs",
-    "uniform_negatives",
-    "quality_deciles",
-    "event_window_dedup",
-    "embedding_outliers",
-    "events_json_props",
-    "sequence_packing",
-    "label_dispersion",
-    # --- slots 42-50: oldest r4 greens, registry order ---
-    "flat_topk_cosine",
-    "flat_topk_dot",
-    "packed_jaccard_topk",
-    "similarity_score_mode",
-    "multi_query_topk",
-    "prefix_topk",
-    "quantized_topk",
-    "funnel_topk",
-    "maxsim_label_topk",
+    # --- slots 1-5: round-7 additions, first driver gating ---
+    "mutual_knn_pairs",
+    "retrieval_eval",
+    "score_agreement",
+    "tpch_q6_zorder",
+    "zca_whiten_stats",
+    # --- slot 6: round-8 fix-surface re-check (self_knn_topk change) ---
+    "knn_graph",
+    # --- slots 7-41: everything last gated in r4 ---
+    "mean_vector_by_label",
+    "normalize_stats",
+    "signbit_popcount",
+    "dedup_exact",
+    "simhash_pairs",
+    "mmr_rerank",
+    "quality_score",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "events_hourly",
+    "dedup_keep_best",
+    "tpch_q1_pricing",
+    "tpch_q6_revenue",
+    "tpch_q14_promo",
+    "supplier_nation_revenue",
+    "customers_without_big_orders",
+    "lineitem_rollup",
+    "shipmode_priority",
+    "orders_above_cust_avg",
+    "top_orders_join",
+    "customer_top_orders_window",
+    "region_revenue",
+    "paragraph_dedup",
+    "paragraph_dedup_doc",
+    "cross_corpus_dedup",
+    "minhash_dedup_against",
+    "text_normalize",
+    "blocklist_filter",
+    "tpch_q3_topk",
+    "tpch_q4_exists",
+    "tpch_q10_returns",
+    "tpch_q18_volume",
+    "tpch_q19_bands",
+    # --- slots 42-50: oldest r5 greens, ANN/search facades ---
+    "flat_topk_l2",
+    "filtered_topk",
+    "flat_topk_manhattan",
+    "flat_topk_chebyshev",
+    "flat_topk_jaccard",
+    "flat_topk_hamming",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "hnsw_topk",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
