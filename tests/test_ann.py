@@ -444,3 +444,24 @@ def test_blocked_knn_hot_block_fails_fast(spark):
     out = blocked_knn_topk(df, k=2, n_bits=2, max_block_size=10)
     with pytest.raises(Exception, match="max_block_size"):
         out.collect()
+
+
+def test_block_grid_pairs_groups_across_many_partitions(spark):
+    """Regression: the grid's cogroup keys must be the SAME type on both
+    sides. pmod(xxhash64) is bigint while explode(sequence) was int, and
+    cogroup co-partitions each side with its own key types — murmur3 of
+    int 1 != murmur3 of bigint 1 — so the two sides landed in different
+    partitions and the cogroup silently produced ZERO rows whenever the
+    input was big enough that AQE did not coalesce both sides into one
+    partition. 4000 rows on 8 shuffle partitions reproduces the empty
+    result pre-fix; the pin is exact edge count (k per node)."""
+    from vettore_spark.operators.ann import self_knn_topk
+
+    n, k = 4000, 3
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = self_knn_topk(df, k=k, metric="cosine", exclude_self=True)
+    assert out.count() == n * k

@@ -1,0 +1,86 @@
+"""Round-8 hardening: the O(1) maintained row count (reference parity:
+ETS table size, store/ets.ex info) must stay EXACT through every
+mutation path — a drifting counter is a silently wrong count(), worse
+than a slow one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vettore_spark.collection import Collection
+
+
+def _rows(n, offset=0):
+    return [
+        {"id": str(i + offset), "vector": [float(i + offset)] * 4}
+        for i in range(n)
+    ]
+
+
+def test_count_maintained_through_put_and_put_many(spark):
+    c = Collection.create(spark, "rc1", 4, metric="l2")
+    assert c.count() == 0
+    c.put_many(_rows(5))
+    assert c.count() == 5
+    c.put({"id": "x", "vector": [1.0, 2.0, 3.0, 4.0]})
+    assert c.count() == 6
+    # the maintained value equals a real scan
+    assert c.df.count() == 6
+
+
+def test_count_unchanged_by_rejected_batch(spark):
+    c = Collection.create(spark, "rc2", 4, metric="l2")
+    c.put_many(_rows(3))
+    with pytest.raises(ValueError):
+        c.put_many(_rows(2))  # duplicate ids vs existing
+    assert c.count() == 3
+    with pytest.raises(ValueError):
+        c.put_many([{"id": "bad", "vector": [1.0]}])  # wrong dims
+    assert c.count() == 3
+
+
+def test_count_recovers_after_delete(spark):
+    """delete invalidates (the id may be absent — the filter no-ops);
+    the next count() re-derives from the rows and re-caches."""
+    c = Collection.create(spark, "rc3", 4, metric="l2")
+    c.put_many(_rows(4))
+    c.delete("2")
+    assert c.count() == 3
+    c.delete("no-such-id")  # no-op delete must not drift the counter
+    assert c.count() == 3
+    c.put_many(_rows(2, offset=100))
+    assert c.count() == 5
+
+
+def test_count_with_attached_store(spark, tmp_path):
+    c = Collection.create(spark, "rc4", 4, metric="l2").attach_store(
+        str(tmp_path / "store")
+    )
+    c.put_many(_rows(4))
+    assert c.count() == 4
+    c.delete("1")
+    assert c.count() == 3
+    c.compact_store()
+    assert c.count() == 3
+    c.put_many(_rows(1, offset=50))
+    assert c.count() == 4
+    # adopt path: a fresh collection over the existing store has an
+    # unknown size until it counts
+    c2 = Collection.create(spark, "rc5", 4, metric="l2").attach_store(
+        str(tmp_path / "store")
+    )
+    assert c2.count() == 4
+
+
+def test_count_is_driver_side_after_ingest(spark):
+    """After put_many the maintained counter answers count() without a
+    job — pinned by counting Spark jobs around the call."""
+    c = Collection.create(spark, "rc6", 4, metric="l2")
+    c.put_many(_rows(10))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n = c.count()
+    after = tracker.getJobIdsForGroup(None)
+    assert n == 10
+    assert len(after) == len(before), "count() ran a Spark job"

@@ -222,7 +222,62 @@ def main() -> int:
             id_col="vec_id", vector_col="embedding",
         )
 
+    # --- index BUILD costs (r7 verdict #5): at 100 TB the build is the
+    # dominant batch job, so its scaling curve matters as much as the
+    # serving path's. Mirrors the reference's build-size sweep
+    # (bench/performance.md:9-35, sizes {1k,10k,100k}); here sizes are
+    # 1x/16x/64x the sf corpus via replication, cold (PC.clear() per run).
+    def op_hnsw_build(_docs):
+        # one graph per hash shard, built in a single mapInPandas pass:
+        # work is O(rows * ef_construction * log rows) spread over shards,
+        # shuffle is the repartition scan only, output O(n_shards) blobs
+        from vettore_spark.operators import hnsw as H
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        src = emb.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        )
+        return H.build_graph_shards(
+            src, metric="cosine", id_col="id", vector_col="vector",
+            num_partitions=32,
+        )
+
+    def op_ivf_train(_docs):
+        # distributed MLlib KMeans (kmeans|| init): per-iteration cost is
+        # one corpus scan + O(k*d) reduce — the path when even a training
+        # sample exceeds one machine
+        from vettore_spark.operators.mllib_lsh import kmeans_centroids
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        return kmeans_centroids(emb, k=32, vector_col="embedding")
+
+    def op_pq_train_encode(_docs):
+        # codebook train is a FIXED-size driver job (deterministic 2000-row
+        # sample; more data does not grow it) — what scales is the one-pass
+        # Arrow encode of the corpus, so the curve should track the scan
+        import numpy as np
+
+        from vettore_spark.operators import pq as PQ
+
+        emb = replicated(emb0, CURRENT_K, "vec_id")
+        samp = np.array(
+            [
+                r["embedding"]
+                for r in emb0.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(2000)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        books = PQ.pq_train_kmeans(samp, m=8)
+        return PQ.pq_encode(emb, books, id_col="vec_id", vector_col="embedding")
+
     OPS = {
+        "hnsw_shard_build": op_hnsw_build,
+        "ivf_kmeans_train": op_ivf_train,
+        "pq_train_encode": op_pq_train_encode,
         "range_flat_x8": op_range_flat,
         "range_multi_x8": op_range_multi,
         "range_ivf_x8": op_range_ivf,

@@ -99,6 +99,14 @@ class Collection:
         # collections on a cluster without a checkpoint dir)
         self._store = None
         self._store_deleted: list[str] = []
+        # O(1) row count (the reference's ETS table size, store/ets.ex
+        # info): maintained exactly through put/put_many (+= validated
+        # batch size), invalidated (None) by mutations whose delta is
+        # unknown without a scan (delete of a possibly-absent id,
+        # adopting a store); count() recomputes lazily and re-caches.
+        # At 100 TB this turns the most common monitoring call from a
+        # full scan into a driver lookup.
+        self._row_count: int | None = 0 if df is None else None
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -162,6 +170,7 @@ class Collection:
                 )
             self._df = existing
             self._maybe_nonempty = True
+            self._row_count = None  # adopted rows: size unknown until read
         elif self._maybe_nonempty:
             store.overwrite(self._df)
             self._df = store.read(self.spark)
@@ -302,6 +311,7 @@ class Collection:
             F.sum(F.when(~K.is_valid_vector("vector", dims), 1).otherwise(0)).alias("bad_vec"),
             (F.count("*") - F.countDistinct("id")).alias("dups"),
             F.sum("_clash").alias("clash"),
+            F.count(F.lit(1)).alias("n_batch"),
         ).first()
         if checks["bad_id"]:
             raise ValueError("embedding id/value must be a non-empty string")
@@ -379,16 +389,27 @@ class Collection:
         # resident indexes — exactly as they were (no forced rebuild on the
         # next search just because one bad batch was refused).
         hnsw_resident = self.__dict__.pop("_hnsw_shards", None)
+
+        def _bump_count() -> None:
+            # every validation that can raise has run and the batch is
+            # committed: the maintained count moves by exactly the
+            # validated batch size (called AFTER the store append so an
+            # IO failure cannot leave the counter ahead of storage)
+            if self._row_count is not None:
+                self._row_count += int(checks["n_batch"])
+
         if self._store is not None:
             # parquet-backed canonical table: append STORAGE, re-read —
             # the plan stays one scan forever, no lineage management
             self._store.append(out)
+            _bump_count()
             self._df = self._canonical_read()
             self.__dict__["_union_depth"] = 0
             self._maybe_nonempty = True
             self._invalidate_derived()
             return self._patch_resident_hnsw(hnsw_resident, out, batch_rows)
         self._df = self._df.unionByName(out)
+        _bump_count()
         # cut union lineage every few batches: without this, K ingest
         # batches build a K-deep union tree and every later action (the
         # duplicate-id semi-join above, every search) pays Catalyst
@@ -666,6 +687,9 @@ class Collection:
         entry replacement, hnsw.rs:263-289), IVF (inverted-file
         tombstone), PQ (code-table tombstone)."""
         self._check_open()
+        # delta unknown without a lookup (the id may be absent — filter
+        # no-ops); invalidate, count() re-derives and re-caches
+        self._row_count = None
         resident = self.__dict__.pop("_hnsw_shards", None)
         ivf_resident = self.__dict__.pop("_ivf_state", None)
         pq_resident = self.__dict__.pop("_pq_indexes", None)
@@ -724,7 +748,13 @@ class Collection:
         return self.df
 
     def count(self) -> int:
-        return self.df.count()
+        """Row count — O(1) from the maintained counter when valid (the
+        reference reads ETS table size, store/ets.ex info), one scan +
+        re-cache otherwise."""
+        self._check_open()
+        if self._row_count is None:
+            self._row_count = self.df.count()
+        return self._row_count
 
     def fold(self, *aggs) -> list:
         """Streaming fold over rows (store/ets.ex:151-179): the Spark shape

@@ -328,17 +328,28 @@ def _block_grid(
     bq = query_blocks or default_b
     br = data_blocks or default_b
     src = coll.select(F.col(id_col), F.col(vector_col))
+    # both grid keys MUST be the same type on both sides: pmod(xxhash64)
+    # is bigint while explode(sequence) is int, and Spark's cogroup
+    # co-partitions each side with ITS OWN key types — murmur3(int 1) !=
+    # murmur3(bigint 1), so mixed types send the same (qblk, rblk) value
+    # to DIFFERENT partitions and the two sides never meet (empty result,
+    # not an error; small inputs masked it whenever AQE coalesced both
+    # sides into one partition)
     left = src.select(
         F.col(id_col).alias("_qid"),
         F.col(vector_col).alias("_qv"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(bq)).alias("_qblk"),
-        F.explode(F.sequence(F.lit(0), F.lit(br - 1))).alias("_rblk"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(br - 1)).cast("array<bigint>")
+        ).alias("_rblk"),
     )
     right = src.select(
         F.col(id_col),
         F.col(vector_col),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(br)).alias("_rblk"),
-        F.explode(F.sequence(F.lit(0), F.lit(bq - 1))).alias("_qblk"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(bq - 1)).cast("array<bigint>")
+        ).alias("_qblk"),
     )
     return left, right
 
@@ -951,41 +962,62 @@ def blocked_knn_topk(
     k: int = 10,
     metric: str = "cosine",
     n_bits: int = 4,
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     max_block_size: int = 200_000,
 ) -> DataFrame:
     """Approximate self-kNN edge table via sign-prefix (SimHash-style)
-    blocking: block id = the sign bits of the first `n_bits` raw
-    dimensions, neighbors searched only WITHIN each block. Output matches
-    self_knn_topk's shape — (query_id, id, score, distance, rank 1..k),
-    self excluded, rank over non-self in-block candidates — but cost is
-    sum(|block|^2) instead of n^2: with 2^n_bits roughly-even blocks,
-    ~n^2 / 2^n_bits GEMM work and NO cross-block shuffle (each query's
-    rank is final inside its block, so there is no merge window at all).
+    blocking: band b's block id = the sign bits of raw dimensions
+    [b*n_bits, (b+1)*n_bits), neighbors searched only WITHIN each block.
+    Output matches self_knn_topk's shape — (query_id, id, score, distance,
+    rank 1..k), self excluded, rank over non-self in-block candidates —
+    but cost is n_bands * sum(|block|^2) instead of n^2: with 2^n_bits
+    roughly-even blocks, ~n_bands * n^2 / 2^n_bits GEMM work. With
+    n_bands=1 there is NO cross-block shuffle at all (each query's rank
+    is final inside its block — no merge window); n_bands > 1 unions the
+    per-band top-k edges, dedupes pairs, and re-ranks with one
+    (distance, id) window over O(n_bands * n * k) rows.
 
     This is the corpus-scale edge builder for mutual_knn_pairs(knn=...):
-    recall < 1 by construction (a true neighbor in another block is
-    invisible), traded for the 2^n_bits work reduction — measured
-    recall-vs-bits in SCALE.md. Deterministic (raw-dim signs, no trained
+    a single band keeps a true neighbor with P ~ p_bit^n_bits where
+    p_bit = 1 - theta/pi (the SimHash collision bound), so recall on an
+    UNSTRUCTURED corpus is low by construction (measured ~0.13 at 4 bits
+    on the isotropic testdata — the jl/pca data-floor effect); bands
+    multiply recall toward 1-(1-p)^B at linear cost — the measured
+    band sweep is in SCALE.md. Deterministic (raw-dim signs, no trained
     codebook, no RNG), so an external oracle can reproduce the blocking
     exactly. Blocks past `max_block_size` fail fast naming the knobs —
     a hot block means the sign prefix is skewed for this data; raise
-    n_bits or pre-whiten.
+    n_bits or pre-whiten. Requires n_bands * n_bits <= dims (element_at
+    past the vector's end would silently zero the missing bits).
     """
     if metric not in ("cosine", "l2", "inner_product"):
         raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
     if not 1 <= n_bits <= 20:
         raise ValueError(f"n_bits must be in [1, 20], got {n_bits}")
-    blk = None
-    for i in range(n_bits):
-        bit = F.when(
-            F.element_at(F.col(vector_col), i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        blk = bit if blk is None else blk + bit
-    src = coll.select(
-        F.col(id_col), F.col(vector_col), blk.cast("int").alias("_blk")
-    )
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    parts = []
+    for b in range(n_bands):
+        blk = None
+        for i in range(n_bits):
+            bit = F.when(
+                F.element_at(F.col(vector_col), b * n_bits + i + 1) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            blk = bit if blk is None else blk + bit
+        parts.append(
+            coll.select(
+                F.col(id_col),
+                F.col(vector_col),
+                F.lit(b).alias("_band"),
+                blk.cast("int").alias("_blk"),
+            )
+        )
+    src = parts[0]
+    for p in parts[1:]:
+        src = src.unionByName(p)
     id_type = coll.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -1031,4 +1063,20 @@ def blocked_knn_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    return src.groupBy("_blk").applyInPandas(topk_block, out_schema)
+    local = src.groupBy("_band", "_blk").applyInPandas(topk_block, out_schema)
+    if n_bands == 1:
+        return local
+    # multi-band merge: a pair surfacing in several bands carries
+    # bit-identical score/distance (the GEMM arithmetic depends only on
+    # the two vectors), so dedupe then re-rank globally by the universal
+    # rank value (distance == rank for all three metrics in _score_block)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.dropDuplicates(["query_id", id_col])
+        .withColumn("_rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("_rn") <= k)
+        .drop("rank")
+        .withColumnRenamed("_rn", "rank")
+    )
