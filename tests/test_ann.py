@@ -465,3 +465,45 @@ def test_block_grid_pairs_groups_across_many_partitions(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = self_knn_topk(df, k=k, metric="cosine", exclude_self=True)
     assert out.count() == n * k
+
+
+def test_blocked_knn_multiband_matches_numpy_union(spark, emb):
+    """n_bands > 1: per-band in-block top-k edges unioned, pairs deduped,
+    re-ranked globally by (distance, id) — pinned against a NumPy oracle
+    that replays the banded blocking exactly."""
+    from vettore_spark.operators.ann import blocked_knn_topk
+
+    k, n_bits, n_bands = 3, 3, 2
+    out = blocked_knn_topk(
+        emb, k=k, metric="cosine", n_bits=n_bits, n_bands=n_bands,
+        id_col="vec_id", vector_col="embedding",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 9))
+        for r in out.collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.clip(mn @ mn.T, -1.0, 1.0)
+    d = 1.0 - sims
+    cand: dict[int, set[int]] = {int(i): set() for i in ids}
+    for b in range(n_bands):
+        blk = np.zeros(len(ids), dtype=int)
+        for i in range(n_bits):
+            blk += (m[:, b * n_bits + i] >= 0).astype(int) << i
+        for bb in np.unique(blk):
+            sel = np.where(blk == bb)[0]
+            for jj, j in enumerate(sel):
+                order = np.lexsort((ids[sel], d[sel, j]))
+                nonself = [sel[x] for x in order if ids[sel[x]] != ids[j]][:k]
+                cand[int(ids[j])].update(int(ids[x]) for x in nonself)
+    expected = {}
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    for q, cs in cand.items():
+        ordered = sorted(cs, key=lambda c: (d[idx_of[c], idx_of[q]], c))[:k]
+        for rnk, c in enumerate(ordered, start=1):
+            expected[(q, rnk)] = (c, round(float(d[idx_of[c], idx_of[q]]), 9))
+    assert got == expected
