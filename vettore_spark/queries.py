@@ -351,6 +351,64 @@ def q_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5}).orderBy("src", "dst")
 
 
+def q_mutual_knn_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN over the MULTI-BAND blocked graph — the recall-recovery
+    knob of the blocked tier (SCALE.md r8: recall 1-(1-p)^B at linear
+    cost): band b blocks on the sign bits of dims [3b, 3b+3), per-band
+    in-block top-k edges are unioned, pairs deduped (bit-identical
+    score/distance across bands), and re-ranked by ONE (distance, id)
+    window over O(B*n*k) rows — the only window in the plan. The oracle
+    replays both bands' blocking exactly; gating this proves the
+    band-merge semantics cross-engine, completing the tier ladder
+    exact -> single-band -> multi-band."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = ANN.blocked_knn_topk(
+        emb, k=3, metric="cosine", n_bits=3, n_bands=2,
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = ANN.mutual_knn_pairs(
+        emb, k=3, metric="cosine", id_col="vec_id", vector_col="embedding",
+        knn=edges,
+    )
+    return _round(out, {"score": 5, "distance": 5}).orderBy("src", "dst")
+
+
+def _sql_band_edges(bit_dims: tuple[int, ...], k: int) -> str:
+    blk = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(bit_dims)
+    )
+    return f"""
+  SELECT query_id, vec_id, c FROM (
+    SELECT query_id, vec_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS c
+      FROM (SELECT vec_id, embedding, {blk} AS blk FROM embeddings) a
+      JOIN (SELECT vec_id, embedding, {blk} AS blk FROM embeddings) b
+        ON a.blk = b.blk AND a.vec_id <> b.vec_id))
+  WHERE rn <= {k}"""
+
+
+SQL_MUTUAL_KNN_MULTIBAND = f"""
+WITH u AS ({_sql_band_edges((0, 1, 2), 3)}
+  UNION
+  {_sql_band_edges((3, 4, 5), 3)}),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM u),
+e AS (SELECT query_id AS src, vec_id AS dst, c FROM ranked WHERE rn <= 3)
+SELECT e.src, e.dst, round(e.c, 5) AS score, round(1 - e.c, 5) AS distance
+FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+WHERE e.src < e.dst
+ORDER BY e.src, e.dst
+"""
+
+
 SQL_MUTUAL_KNN_BLOCKED = """
 WITH b AS (
   SELECT vec_id, embedding,
@@ -3016,6 +3074,83 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+_STREAM_SRC_CACHE: dict = {}
+
+
+def _streaming_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Spark's file STREAM source requires a directory to list; the
+    testdata table is a single parquet file. Materialize a per-sf_dir
+    scratch directory holding a hardlink to the file (no data copy;
+    shutil.copy fallback across filesystems), once per app — the
+    zorder/store-gate scratch pattern with the same PID-lockfile guard."""
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _STREAM_SRC_CACHE.get(key)
+    if path is None:
+        digest = hashlib.md5(("evstream:" + sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"vettore_evstream_{digest}"
+        )
+        _claim_scratch_dir(path)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path)
+        src = os.path.join(sf_dir, "events.parquet")
+        dst = os.path.join(path, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        _STREAM_SRC_CACHE[key] = path
+    return path
+
+
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly event rollup run as an ACTUAL Structured Streaming query
+    (streaming/ingest.py::windowed_event_counts — event-time tumbling
+    window + watermark on the readStream source), gated against the same
+    batch SQL oracle as events_hourly: readStream over the events parquet,
+    trigger(availableNow) replays the file source to completion, the
+    memory sink holds the complete-mode result, and the finished table is
+    returned as a plain DataFrame for the hash compare. This closes the
+    streaming family's 'pytest-only, no oracle possible' gap: batch/stream
+    parity is now driver-verified end-to-end, not just pinned in tests.
+    At 100 TB the identical plan runs unbounded (kafka/file source, real
+    watermark, append sink); availableNow is Spark's bounded-replay mode
+    of the same engine path — one plan, two run modes."""
+    path = _streaming_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    from vettore_spark.streaming.ingest import windowed_event_counts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        # parquet stores TIMESTAMP_NTZ; watermarks require instant
+        # semantics — session-timezone cast, same as the batch reader
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(
+        stream, window="1 hour", watermark="2 hours",
+        ts_col="ts", key_col="event_type",
+    )
+    name = "streaming_events_hourly_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("event_type"),
+        F.col("window_start").alias("hour"),
+        F.col("n"),
+        F.col("sum_value"),
+    )
 
 
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7990,6 +8125,11 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     # --- round-8 additions (tail: enter the gate window at the r9
     # rotation; selfcheck-verified until then) ---
     "mutual_knn_blocked": (q_mutual_knn_blocked, SQL_MUTUAL_KNN_BLOCKED),
+    "mutual_knn_multiband": (q_mutual_knn_multiband, SQL_MUTUAL_KNN_MULTIBAND),
+    # a REAL Structured Streaming run (availableNow bounded replay) gated
+    # against the batch oracle VERBATIM — the zorder/bloom "same oracle,
+    # different execution" pattern applied to the streaming engine
+    "streaming_events_hourly": (q_streaming_events_hourly, SQL_EVENTS_HOURLY),
 }
 
 # Round-8 gate window (per the round-7 verdict, rotated at round START):
