@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -305,6 +306,31 @@ def cosine_neardup_gemm(
     return coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
 
 
+_GRID_N_CACHE: OrderedDict = OrderedDict()
+_GRID_N_CACHE_MAX = 64
+
+
+def _grid_rows(src: DataFrame) -> int:
+    """Row count for grid sizing, memoized by the source plan's semantic
+    hash so repeated grid builds over the same collection pay the count
+    job once per session (the cached_persist keying rule)."""
+    key = None
+    try:
+        key = src.semanticHash()
+        hit = _GRID_N_CACHE.get(key)
+        if hit is not None and hit[0].sameSemantics(src):
+            _GRID_N_CACHE.move_to_end(key)
+            return hit[1]
+    except Exception:  # noqa: BLE001 — unanalyzable plan: just count
+        key = None
+    n = src.count()
+    if key is not None:
+        _GRID_N_CACHE[key] = (src, n)
+        while len(_GRID_N_CACHE) > _GRID_N_CACHE_MAX:
+            _GRID_N_CACHE.popitem(last=False)
+    return n
+
+
 def _block_grid(
     coll: DataFrame,
     *,
@@ -318,16 +344,26 @@ def _block_grid(
     (_qblk, _rblk) cogroup: the query side replicates across data blocks and
     vice versa, so a group holds n/Bq query rows x n/Br data rows — bounded
     task memory, NO driver collect, no broadcast of either side. Shuffle is
-    n*(Bq+Br) rows; choose blocks ~ sqrt(n/rows_per_task) at scale. This is
-    the distributed exact-kNN / all-pairs plan; the approximate web-scale
-    alternative is LSH/IVF blocking (dedup.embedding_neardup_pairs)."""
-    spark = coll.sparkSession
-    default_b = max(
-        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32) // 4
-    )
-    bq = query_blocks or default_b
-    br = data_blocks or default_b
+    n*(Bq+Br) rows. This is the distributed exact-kNN / all-pairs plan; the
+    approximate web-scale alternative is LSH/IVF blocking
+    (dedup.embedding_neardup_pairs).
+
+    Default block count is sized from the ACTUAL row count (one cheap
+    count job — negligible next to the O(n^2) GEMM it is sizing):
+    B = ceil(n / 3000), so a task's score matrix is at most ~3000x3000
+    doubles (~72 MB) and its GEMM ~0.6 GFLOP at 64 dims — bounded task
+    memory BY CONSTRUCTION at any n. (The old default — shuffle
+    partitions / 4, independent of n — meant n=1M rows on the default 32
+    partitions produced 125k x 125k blocks whose score matrix alone is
+    ~125 GB per task: an OOM that only appears at cluster scale. A
+    config-derived constant cannot bound a quantity that grows with the
+    data.) Pass query_blocks/data_blocks explicitly to skip the count."""
     src = coll.select(F.col(id_col), F.col(vector_col))
+    if query_blocks is None or data_blocks is None:
+        n = _grid_rows(src)
+        auto_b = max(2, -(-n // 3000))  # ceil, floor 2 so the grid exists
+    bq = query_blocks or auto_b
+    br = data_blocks or auto_b
     # both grid keys MUST be the same type on both sides: pmod(xxhash64)
     # is bigint while explode(sequence) is int, and Spark's cogroup
     # co-partitions each side with ITS OWN key types — murmur3(int 1) !=

@@ -3079,27 +3079,29 @@ GROUP BY 1, 2
 _STREAM_SRC_CACHE: dict = {}
 
 
-def _streaming_events_dir(spark: SparkSession, sf_dir: str) -> str:
+def _streaming_table_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
     """Spark's file STREAM source requires a directory to list; the
-    testdata table is a single parquet file. Materialize a per-sf_dir
-    scratch directory holding a hardlink to the file (no data copy;
-    shutil.copy fallback across filesystems), once per app — the
+    testdata tables are single parquet files. Materialize a per-(sf_dir,
+    table) scratch directory holding a hardlink to the file (no data
+    copy; shutil.copy fallback across filesystems), once per app — the
     zorder/store-gate scratch pattern with the same PID-lockfile guard."""
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     path = _STREAM_SRC_CACHE.get(key)
     if path is None:
-        digest = hashlib.md5(("evstream:" + sf_dir).encode()).hexdigest()[:12]
+        digest = hashlib.md5(
+            (f"stream:{table}:" + sf_dir).encode()
+        ).hexdigest()[:12]
         path = os.path.join(
-            tempfile.gettempdir(), f"vettore_evstream_{digest}"
+            tempfile.gettempdir(), f"vettore_stream_{table}_{digest}"
         )
         _claim_scratch_dir(path)
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path)
-        src = os.path.join(sf_dir, "events.parquet")
-        dst = os.path.join(path, "events.parquet")
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        dst = os.path.join(path, f"{table}.parquet")
         try:
             os.link(src, dst)
         except OSError:
@@ -3121,7 +3123,7 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the identical plan runs unbounded (kafka/file source, real
     watermark, append sink); availableNow is Spark's bounded-replay mode
     of the same engine path — one plan, two run modes."""
-    path = _streaming_events_dir(spark, sf_dir)
+    path = _streaming_table_dir(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
     from vettore_spark.streaming.ingest import windowed_event_counts
 
@@ -3151,6 +3153,45 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("sum_value"),
     )
+
+
+def q_streaming_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming dedup, driver-gated: streaming/stateful.py
+    ::streaming_exact_dedup (applyInPandasWithState — one boolean+keeper of
+    state per distinct digest, first-ever-wins across micro-batches) run
+    over a readStream of the documents table with trigger(availableNow)
+    and a memory sink, returned as a plain DataFrame. The single-batch
+    replay makes the intra-batch keep rule (lowest id per digest) the
+    whole answer, so the oracle is plain SQL — min(doc_id) GROUP BY
+    md5(text) — and the gate hash-verifies the STATEFUL engine path
+    (GroupState, Arrow state serialization, append-mode emission), which
+    until r8 was only pytest-pinned. At 100 TB the identical operator runs
+    unbounded with the same bounded state: one entry per DISTINCT digest,
+    shuffled uniformly by md5."""
+    from vettore_spark.streaming.stateful import streaming_exact_dedup
+
+    path = _streaming_table_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_exact_dedup(stream, id_col="doc_id", text_col="text")
+    name = "streaming_dedup_keepers_sink"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id", "digest").orderBy("doc_id")
+
+
+SQL_STREAMING_DEDUP_KEEPERS = """
+SELECT min(doc_id) AS doc_id, md5(text) AS digest
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
 
 
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8130,6 +8171,13 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     # against the batch oracle VERBATIM — the zorder/bloom "same oracle,
     # different execution" pattern applied to the streaming engine
     "streaming_events_hourly": (q_streaming_events_hourly, SQL_EVENTS_HOURLY),
+    # the STATEFUL streaming path (applyInPandasWithState) under the same
+    # bounded-replay gate: single-batch replay makes the intra-batch keep
+    # rule the whole answer, so plain SQL oracles the GroupState engine
+    "streaming_dedup_keepers": (
+        q_streaming_dedup_keepers,
+        SQL_STREAMING_DEDUP_KEEPERS,
+    ),
 }
 
 # Round-8 gate window (per the round-7 verdict, rotated at round START):
