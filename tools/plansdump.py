@@ -29,7 +29,14 @@ PICK = {
     "text_embed": "encoder stage: ArrowEvalPython(mapInPandas) over a spread narrow projection",
     "token_budget_select": "budgeted selection: ordered window only over the distinct-weight aggregate, broadcast back",
     "retrieval_pipeline": "retrieve-then-rerank: inverted-index BM25 -> bounded candidate set -> Arrow pair scorer -> group-limit top-k",
+    "mutual_knn_pairs": "mutuality over a PERSISTED edge table: both semi-join sides read the InMemoryRelation; the block-grid GEMM lives only in its one-time fill plan (r8)",
+    "mutual_knn_blocked": "single-band blocked kNN edges: groupBy-cogroup-free AND window-free — each rank is final inside its sign-prefix block (r8)",
 }
+
+MARKER = (
+    "<!-- MANUAL NOTES — everything below this line is hand-written and "
+    "preserved by tools/plansdump.py -->"
+)
 
 HEADER = """# PLANS — formatted physical plans of representative queries (sf0.01)
 
@@ -64,8 +71,18 @@ def main() -> int:
             df.explain("formatted")
         tree = buf.getvalue().split("\n\n")[0]
         out.write(f"## {name}\n\n{blurb}\n\n```\n{tree}\n```\n\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
-        f.write(out.getvalue())
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    # preserve the hand-written round notes below the marker — regenerating
+    # the plan captures must never eat the evidence sections
+    manual = ""
+    if os.path.exists(md):
+        prev = open(md).read()
+        if MARKER in prev:
+            manual = MARKER + prev.split(MARKER, 1)[1]
+    with open(md, "w") as f:
+        f.write(out.getvalue() + manual)
     spark.stop()
     return 0
 
