@@ -162,6 +162,40 @@ def main() -> int:
         )
         print(f"| {n_probe} | {overlap_l2(got):.3f} | {time.time() - t0:.2f} |")
 
+    # --- blocked mutual-kNN: (n_bits, n_bands) sweep vs the exact graph ---
+    # pair-level recall of mutual_knn_pairs over the sign-prefix blocked
+    # edge table (SCALE.md r8); work ratio = n_bands / 2^n_bits of the
+    # exact grid's pair count. COLD per config (persist registry cleared).
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    t0 = time.time()
+    exact_pairs = {
+        (r["src"], r["dst"])
+        for r in ANN.mutual_knn_pairs(emb, k=3).collect()
+    }
+    t_exact = time.time() - t0
+    print(
+        f"\nBlocked mutual-kNN (k=3, pair recall vs exact "
+        f"{len(exact_pairs)} pairs / {t_exact:.2f}s)\n"
+    )
+    print("| n_bits | n_bands | recall | work ratio | sec |\n| --- | --- | --- | --- | --- |")
+    for bits, bands in ((4, 1), (6, 1), (8, 1), (4, 4), (8, 2), (2, 8)):
+        PC.clear()
+        t0 = time.time()
+        got = {
+            (r["src"], r["dst"])
+            for r in ANN.mutual_knn_pairs(
+                emb, k=3,
+                knn=ANN.blocked_knn_topk(emb, k=3, n_bits=bits, n_bands=bands),
+            ).collect()
+        }
+        rec = len(got & exact_pairs) / max(len(exact_pairs), 1)
+        print(
+            f"| {bits} | {bands} | {rec:.3f} | {bands / 2**bits:.3f} "
+            f"| {time.time() - t0:.2f} |"
+        )
+
     spark.stop()
     return 0
 
