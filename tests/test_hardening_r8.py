@@ -84,3 +84,28 @@ def test_count_is_driver_side_after_ingest(spark):
     after = tracker.getJobIdsForGroup(None)
     assert n == 10
     assert len(after) == len(before), "count() ran a Spark job"
+
+
+def test_large_tombstone_overlay_uses_anti_join(spark, tmp_path, monkeypatch):
+    """Past _TOMBSTONE_ISIN_MAX the delete overlay must become a broadcast
+    anti-join, not a giant isin literal list (a million deletes would
+    inline a million literals into every scan's plan). Same visible rows
+    either way — pinned by shrinking the threshold to 2 and deleting 3."""
+    monkeypatch.setattr(Collection, "_TOMBSTONE_ISIN_MAX", 2)
+    c = Collection.create(spark, "rc7", 4, metric="l2").attach_store(
+        str(tmp_path / "store")
+    )
+    c.put_many(_rows(6))
+    for i in ("0", "1", "2"):
+        c.delete(i)
+    assert c.count() == 3
+    assert {r["id"] for r in c.all().collect()} == {"3", "4", "5"}
+    plan = c.all()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    # tombstoned ids still refuse re-insert through the join path
+    with pytest.raises(ValueError, match="tombstoned"):
+        c.put_many(_rows(1))
+    # compaction folds the overlay; re-insert becomes legal again
+    c.compact_store()
+    c.put_many(_rows(1))
+    assert c.count() == 4

@@ -182,8 +182,26 @@ class Collection:
     def _canonical_read(self) -> DataFrame:
         df = self._store.read(self.spark)
         if self._store_deleted:
-            df = df.filter(~F.col("id").isin(self._store_deleted))
+            df = self._without_tombstoned(df)
         return df
+
+    # past this many overlay tombstones, isin()'s literal list stops being
+    # a filter expression and starts being a plan-size problem (a million
+    # deletes would inline a million literals into every scan); switch to
+    # a broadcast anti-join against a driver-built id table instead
+    _TOMBSTONE_ISIN_MAX = 1000
+
+    def _without_tombstoned(self, df: DataFrame) -> DataFrame:
+        """Apply the delete overlay: literal isin for small overlays (the
+        common case between compactions — pushable to the parquet scan),
+        broadcast LEFT ANTI join once the overlay outgrows what a literal
+        expression should carry."""
+        if len(self._store_deleted) <= self._TOMBSTONE_ISIN_MAX:
+            return df.filter(~F.col("id").isin(self._store_deleted))
+        tomb = self.spark.createDataFrame(
+            [(str(i),) for i in self._store_deleted], "id string"
+        )
+        return df.join(F.broadcast(tomb), "id", "left_anti")
 
     def compact_store(self) -> "Collection":
         """Fold the delete overlay into storage and clear it. Stores with
@@ -364,14 +382,15 @@ class Collection:
         # resident-HNSW pop below: it needs no index state, and a refusal
         # here must not cost the caller a shard rebuild.
         if self._store is not None and self._store_deleted:
-            clash = [
-                r["id"]
-                for r in out.filter(
-                    F.col("id").isin(self._store_deleted)
+            if len(self._store_deleted) <= self._TOMBSTONE_ISIN_MAX:
+                clashing = out.filter(F.col("id").isin(self._store_deleted))
+            else:  # big overlay: semi-join, same rule as _without_tombstoned
+                tomb = self.spark.createDataFrame(
+                    [(str(i),) for i in self._store_deleted], "id string"
                 )
-                .select("id")
-                .limit(10)
-                .collect()
+                clashing = out.join(F.broadcast(tomb), "id", "left_semi")
+            clash = [
+                r["id"] for r in clashing.select("id").limit(10).collect()
             ]
             if clash:
                 raise ValueError(
