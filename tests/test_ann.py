@@ -507,3 +507,34 @@ def test_blocked_knn_multiband_matches_numpy_union(spark, emb):
         for rnk, c in enumerate(ordered, start=1):
             expected[(q, rnk)] = (c, round(float(d[idx_of[c], idx_of[q]]), 9))
     assert got == expected
+
+
+def test_blocked_knn_block_col_matches_per_cell_exact(spark, emb):
+    """block_col= path: in-block exact kNN per caller-provided cell —
+    pinned against a NumPy per-label oracle, every edge in-cell."""
+    from vettore_spark.operators.ann import blocked_knn_topk
+
+    out = blocked_knn_topk(
+        emb, k=2, metric="cosine", block_col="label",
+        id_col="vec_id", vector_col="embedding",
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()
+    }
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    labels = np.array([r["label"] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    expected = {}
+    for lab in np.unique(labels):
+        sel = np.where(labels == lab)[0]
+        sims = np.clip(mn[sel] @ mn[sel].T, -1.0, 1.0)
+        for jj, j in enumerate(sel):
+            d = 1.0 - sims[:, jj]
+            order = np.lexsort((ids[sel], d))
+            nonself = [x for x in order if ids[sel][x] != ids[j]][:2]
+            for rnk, x in enumerate(nonself, start=1):
+                expected[(ids[j], rnk)] = ids[sel][x]
+    assert got == expected

@@ -1002,10 +1002,19 @@ def blocked_knn_topk(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     max_block_size: int = 200_000,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Approximate self-kNN edge table via sign-prefix (SimHash-style)
     blocking: band b's block id = the sign bits of raw dimensions
     [b*n_bits, (b+1)*n_bits), neighbors searched only WITHIN each block.
+
+    Pass `block_col` to block on a caller-provided partition column
+    instead of sign bits (n_bits/n_bands are then ignored, single band):
+    the trained-cell path — an IVF KMeans assignment
+    (mllib_lsh.kmeans_centroids + ivf_assign), a domain/language column,
+    any clustering the corpus already carries. Same output shape, same
+    in-block exact semantics; recall is whatever fraction of true
+    neighbor pairs the blocking keeps co-located.
     Output matches self_knn_topk's shape — (query_id, id, score, distance,
     rank 1..k), self excluded, rank over non-self in-block candidates —
     but cost is n_bands * sum(|block|^2) instead of n^2: with 2^n_bits
@@ -1030,30 +1039,39 @@ def blocked_knn_topk(
     """
     if metric not in ("cosine", "l2", "inner_product"):
         raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
-    if not 1 <= n_bits <= 20:
-        raise ValueError(f"n_bits must be in [1, 20], got {n_bits}")
-    if n_bands < 1:
-        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
-    parts = []
-    for b in range(n_bands):
-        blk = None
-        for i in range(n_bits):
-            bit = F.when(
-                F.element_at(F.col(vector_col), b * n_bits + i + 1) >= 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            blk = bit if blk is None else blk + bit
-        parts.append(
-            coll.select(
-                F.col(id_col),
-                F.col(vector_col),
-                F.lit(b).alias("_band"),
-                blk.cast("int").alias("_blk"),
-            )
+    if block_col is not None:
+        n_bands = 1
+        src = coll.select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.lit(0).alias("_band"),
+            F.col(block_col).cast("string").alias("_blk"),
         )
-    src = parts[0]
-    for p in parts[1:]:
-        src = src.unionByName(p)
+    else:
+        if not 1 <= n_bits <= 20:
+            raise ValueError(f"n_bits must be in [1, 20], got {n_bits}")
+        if n_bands < 1:
+            raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+        parts = []
+        for b in range(n_bands):
+            blk = None
+            for i in range(n_bits):
+                bit = F.when(
+                    F.element_at(F.col(vector_col), b * n_bits + i + 1) >= 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                blk = bit if blk is None else blk + bit
+            parts.append(
+                coll.select(
+                    F.col(id_col),
+                    F.col(vector_col),
+                    F.lit(b).alias("_band"),
+                    blk.cast("int").alias("_blk"),
+                )
+            )
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
     id_type = coll.schema[id_col].dataType
     out_schema = T.StructType(
         [

@@ -375,6 +375,48 @@ def q_mutual_knn_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(out, {"score": 5, "distance": 5}).orderBy("src", "dst")
 
 
+def q_mutual_knn_cellblocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN over a CELL-blocked graph (blocked_knn_topk block_col=) —
+    the trained-IVF production shape: at 100 TB the block column is a
+    KMeans cell assignment (mllib_lsh.kmeans_centroids + ivf_assign);
+    here it is the table's own label column, the deterministic stand-in
+    that lets the oracle reproduce the blocking exactly (kmeans|| is not
+    bit-portable cross-engine — same reason the IVF gates probe label-mean
+    centroids). Plan shape is identical either way: one groupBy-block
+    in-block exact kNN (no window at all), one persisted edge table, one
+    mutuality semi-join."""
+    from vettore_spark.operators import ann as ANN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = ANN.blocked_knn_topk(
+        emb, k=3, metric="cosine", block_col="label",
+        id_col="vec_id", vector_col="embedding",
+    )
+    out = ANN.mutual_knn_pairs(
+        emb, k=3, metric="cosine", id_col="vec_id", vector_col="embedding",
+        knn=edges,
+    )
+    return _round(out, {"score": 5, "distance": 5}).orderBy("src", "dst")
+
+
+SQL_MUTUAL_KNN_CELLBLOCKED = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, c.vec_id,
+         list_cosine_similarity(c.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS c
+  FROM embeddings a JOIN embeddings c
+    ON a.label = c.label AND a.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY 1 - c, vec_id) AS rn
+  FROM scored),
+e AS (SELECT query_id AS src, vec_id AS dst, c FROM ranked WHERE rn <= 3)
+SELECT e.src, e.dst, round(e.c, 5) AS score, round(1 - e.c, 5) AS distance
+FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+WHERE e.src < e.dst
+ORDER BY e.src, e.dst
+"""
+
+
 def _sql_band_edges(bit_dims: tuple[int, ...], k: int) -> str:
     blk = " + ".join(
         f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
@@ -8167,6 +8209,10 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     # rotation; selfcheck-verified until then) ---
     "mutual_knn_blocked": (q_mutual_knn_blocked, SQL_MUTUAL_KNN_BLOCKED),
     "mutual_knn_multiband": (q_mutual_knn_multiband, SQL_MUTUAL_KNN_MULTIBAND),
+    "mutual_knn_cellblocked": (
+        q_mutual_knn_cellblocked,
+        SQL_MUTUAL_KNN_CELLBLOCKED,
+    ),
     # a REAL Structured Streaming run (availableNow bounded replay) gated
     # against the batch oracle VERBATIM — the zorder/bloom "same oracle,
     # different execution" pattern applied to the streaming engine
