@@ -3188,7 +3188,9 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # False = still running: a hung
+        q.stop()  # source must FAIL the gate, not hand back a partial table
+        raise TimeoutError("streaming gate did not finish within 300s")
     return spark.table(name).select(
         F.col("event_type"),
         F.col("window_start").alias("hour"),
@@ -3224,7 +3226,9 @@ def q_streaming_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # False = still running: a hung
+        q.stop()  # source must FAIL the gate, not hand back a partial table
+        raise TimeoutError("streaming gate did not finish within 300s")
     return spark.table(name).select("doc_id", "digest").orderBy("doc_id")
 
 
