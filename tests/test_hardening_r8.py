@@ -109,3 +109,22 @@ def test_large_tombstone_overlay_uses_anti_join(spark, tmp_path, monkeypatch):
     c.compact_store()
     c.put_many(_rows(1))
     assert c.count() == 4
+
+
+def test_delete_chain_lineage_is_cut(spark):
+    """K in-memory deletes must not build a K-deep filter chain: the same
+    depth-8 lineage cut that bounds ingest unions applies to deletes.
+    Pinned by counting Filter nodes in the analyzed plan after 20
+    deletes (a LogicalRDD/checkpoint cut resets the chain) and by row
+    correctness."""
+    c = Collection.create(spark, "rc8", 4, metric="l2")
+    c.put_many(_rows(30))
+    for i in range(20):
+        c.delete(str(i))
+    assert c.count() == 10
+    assert {r["id"] for r in c.all().collect()} == {
+        str(i) for i in range(20, 30)
+    }
+    plan = c.df._jdf.queryExecution().analyzed().toString()
+    n_filters = plan.count("Filter ")
+    assert n_filters < 8, f"{n_filters} chained filters — lineage not cut"

@@ -436,6 +436,18 @@ class Collection:
         # collection. localCheckpoint materializes the current rows into
         # executor storage (the reference's resident-store model,
         # store/ets.ex:27-47) and restarts the lineage from there.
+        self._cut_lineage_maybe()
+        self._maybe_nonempty = True
+        self._invalidate_derived()
+        return self._patch_resident_hnsw(hnsw_resident, out, batch_rows)
+
+    def _cut_lineage_maybe(self) -> None:
+        """Bound the in-memory plan's mutation depth: every _df rebind that
+        STACKS a node (a put_many union, an in-memory delete filter)
+        increments the depth counter, and at 8 the lineage is cut — K
+        mutations must never build a K-deep plan that every later action
+        re-analyzes (the long-lived-collection creep, for deletes as much
+        as for ingest batches)."""
         depth = self.__dict__.get("_union_depth", 0) + 1
         if depth >= 8:
             sc = self.spark.sparkContext
@@ -455,9 +467,6 @@ class Collection:
             # CANONICAL rows (unlike derived indexes, they are not
             # rebuildable), so keep the union tree and accept plan growth
         self.__dict__["_union_depth"] = depth
-        self._maybe_nonempty = True
-        self._invalidate_derived()
-        return self._patch_resident_hnsw(hnsw_resident, out, batch_rows)
 
     def _patch_resident_hnsw(
         self, hnsw_resident, out: DataFrame, batch_rows: list[dict] | None
@@ -721,6 +730,10 @@ class Collection:
             self._df = self._canonical_read()
         else:
             self._df = self._df.filter(F.col("id") != id_)
+            # a delete stacks a filter node exactly like a put stacks a
+            # union — same depth budget, same cut (10k deletes must not
+            # build a 10k-node plan)
+            self._cut_lineage_maybe()
         self._invalidate_derived()
         if sq_resident is not None:
             # min/max bounds trained on a superset remain valid bounds for
