@@ -758,8 +758,17 @@ class Collection:
         if ivf_resident:
             from vettore_spark.operators import ann as ANN
 
+            # durable_cut like the insert path: K deletes must not chain
+            # K filter nodes onto the resident inverted file (the same
+            # lineage creep _cut_lineage_maybe bounds for canonical rows)
             self.__dict__["_ivf_state"] = {
-                k: (cents, ANN.ivf_delete(assigned, id_, id_col="id"))
+                k: (
+                    cents,
+                    durable_cut(
+                        ANN.ivf_delete(assigned, id_, id_col="id"),
+                        eager=False,
+                    ),
+                )
                 for k, (cents, assigned) in ivf_resident.items()
             }
         return self
