@@ -294,7 +294,7 @@ def main() -> None:
             ("jl_prefilter_topk", q_jl_prefilter_topk),
             ("pca_prefilter_topk", q_pca_prefilter_topk),
         ):
-            for depth in (200, 800):
+            for depth in (200, 800, 2000):
                 got = {
                     r["vec_id"]
                     for r in fn2(spark, sf_dir, candidates=depth).collect()
