@@ -128,3 +128,63 @@ def test_delete_chain_lineage_is_cut(spark):
     plan = c.df._jdf.queryExecution().analyzed().toString()
     n_filters = plan.count("Filter ")
     assert n_filters < 8, f"{n_filters} chained filters — lineage not cut"
+
+
+def test_mutation_invalidates_semantically_equal_cached_persist(spark, tmp_path):
+    """The cached_persist blind spot: appending to a store path leaves the
+    re-read sameSemantics-EQUAL to the pre-append read, so a derived table
+    persisted from the old rows would silently keep serving them.
+    Collection mutations must evict those entries (invalidate_source)."""
+    from vettore_spark.plans import cache as PC
+    from pyspark.sql import functions as F
+
+    PC.clear()
+    c = Collection.create(spark, "rc9", 4, metric="l2").attach_store(
+        str(tmp_path / "store")
+    )
+    c.put_many(_rows(3))
+
+    def build(src):
+        return src.select("id")
+
+    first = PC.cached_persist(c.df, ("ids",), build)
+    assert first.count() == 3
+    c.put_many(_rows(2, offset=100))  # append: same path, same plan hash
+    fresh = PC.cached_persist(c.df, ("ids",), build)
+    assert fresh.count() == 5, "stale persisted table served after append"
+    c.delete("100")
+    fresh2 = PC.cached_persist(c.df, ("ids",), build)
+    assert fresh2.count() == 4
+    PC.clear()
+
+
+def test_spearman_all_null_group_keeps_its_row(spark):
+    """A group whose every row is NULL-scored must surface as
+    (group, n=0, NULL), not vanish (the zero-variance NULL contract)."""
+    from vettore_spark.operators.stats import spearman_by_group
+
+    rows = [("g1", float(i), float(i)) for i in range(4)] + [
+        ("g2", None, 1.0),
+        ("g2", None, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in spearman_by_group(
+            df, group_col="g", x_col="x", y_col="y"
+        ).collect()
+    }
+    assert set(out) == {"g1", "g2"}
+    assert out["g2"]["n"] == 0 and out["g2"]["spearman"] is None
+    assert out["g1"]["spearman"] == pytest.approx(1.0)
+
+
+def test_blocked_knn_rejects_bands_past_vector_end(spark):
+    """n_bands * n_bits > dims must raise (element_at past the end would
+    silently zero the missing bits and collapse those bands)."""
+    from vettore_spark.operators.ann import blocked_knn_topk
+
+    rows = [(i, [1.0, -1.0, 1.0, -1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimensionality"):
+        blocked_knn_topk(df, k=1, n_bits=3, n_bands=2)

@@ -191,6 +191,20 @@ class Collection:
     # a broadcast anti-join against a driver-built id table instead
     _TOMBSTONE_ISIN_MAX = 1000
 
+    def _tombstone_df(self) -> DataFrame:
+        """Driver-built table of the overlay ids, memoized until the
+        overlay changes (it only grows between compactions, so its length
+        is a valid version tag) — a 500k-id overlay must not be
+        re-serialized on every read/put."""
+        cached = self.__dict__.get("_tomb_df_cache")
+        if cached is not None and cached[0] == len(self._store_deleted):
+            return cached[1]
+        tomb = self.spark.createDataFrame(
+            [(str(i),) for i in self._store_deleted], "id string"
+        )
+        self.__dict__["_tomb_df_cache"] = (len(self._store_deleted), tomb)
+        return tomb
+
     def _without_tombstoned(self, df: DataFrame) -> DataFrame:
         """Apply the delete overlay: literal isin for small overlays (the
         common case between compactions — pushable to the parquet scan),
@@ -198,10 +212,7 @@ class Collection:
         expression should carry."""
         if len(self._store_deleted) <= self._TOMBSTONE_ISIN_MAX:
             return df.filter(~F.col("id").isin(self._store_deleted))
-        tomb = self.spark.createDataFrame(
-            [(str(i),) for i in self._store_deleted], "id string"
-        )
-        return df.join(F.broadcast(tomb), "id", "left_anti")
+        return df.join(F.broadcast(self._tombstone_df()), "id", "left_anti")
 
     def compact_store(self) -> "Collection":
         """Fold the delete overlay into storage and clear it. Stores with
@@ -385,10 +396,9 @@ class Collection:
             if len(self._store_deleted) <= self._TOMBSTONE_ISIN_MAX:
                 clashing = out.filter(F.col("id").isin(self._store_deleted))
             else:  # big overlay: semi-join, same rule as _without_tombstoned
-                tomb = self.spark.createDataFrame(
-                    [(str(i),) for i in self._store_deleted], "id string"
+                clashing = out.join(
+                    F.broadcast(self._tombstone_df()), "id", "left_semi"
                 )
-                clashing = out.join(F.broadcast(tomb), "id", "left_semi")
             clash = [
                 r["id"] for r in clashing.select("id").limit(10).collect()
             ]
@@ -784,6 +794,18 @@ class Collection:
         self.__dict__.pop("_sq_params", None)
         self.__dict__.pop("_hnsw_shards", None)
         self.__dict__.pop("_ivf_state", None)
+        # module-level keyed persists (IVF assignments, shingle tables,
+        # kNN edge tables) built FROM this collection's rows must go too:
+        # for a store-backed collection the post-mutation read is
+        # sameSemantics-EQUAL to the pre-mutation one (appends don't
+        # change the plan), so without this hook cached_persist would
+        # silently keep serving the old rows
+        try:
+            from vettore_spark.plans.cache import invalidate_source
+
+            invalidate_source(self._df)
+        except Exception:  # noqa: BLE001 — cache cleanup must never fail a write
+            pass
 
     def all(self) -> DataFrame:
         return self.df

@@ -23,7 +23,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -306,29 +305,15 @@ def cosine_neardup_gemm(
     return coll.select(id_col, vector_col).mapInPandas(compute, out_schema)
 
 
-_GRID_N_CACHE: OrderedDict = OrderedDict()
-_GRID_N_CACHE_MAX = 64
-
-
 def _grid_rows(src: DataFrame) -> int:
-    """Row count for grid sizing, memoized by the source plan's semantic
-    hash so repeated grid builds over the same collection pay the count
-    job once per session (the cached_persist keying rule)."""
-    key = None
-    try:
-        key = src.semanticHash()
-        hit = _GRID_N_CACHE.get(key)
-        if hit is not None and hit[0].sameSemantics(src):
-            _GRID_N_CACHE.move_to_end(key)
-            return hit[1]
-    except Exception:  # noqa: BLE001 — unanalyzable plan: just count
-        key = None
-    n = src.count()
-    if key is not None:
-        _GRID_N_CACHE[key] = (src, n)
-        while len(_GRID_N_CACHE) > _GRID_N_CACHE_MAX:
-            _GRID_N_CACHE.popitem(last=False)
-    return n
+    """Row count for grid sizing — deliberately NOT memoized: appending
+    files to a parquet path leaves the plan sameSemantics-equal, so a
+    cached count would silently under-size the grid after the collection
+    grows and re-introduce the unbounded-task-memory failure the sizing
+    exists to prevent. One count job is noise next to the O(n^2) GEMM it
+    is sizing; callers on a hot path pass query_blocks/data_blocks
+    explicitly to skip it."""
+    return src.count()
 
 
 def _block_grid(
@@ -1001,7 +986,7 @@ def blocked_knn_topk(
     n_bands: int = 1,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    max_block_size: int = 200_000,
+    max_block_size: int = 20_000,
     block_col: str | None = None,
 ) -> DataFrame:
     """Approximate self-kNN edge table via sign-prefix (SimHash-style)
@@ -1034,8 +1019,13 @@ def blocked_knn_topk(
     codebook, no RNG), so an external oracle can reproduce the blocking
     exactly. Blocks past `max_block_size` fail fast naming the knobs —
     a hot block means the sign prefix is skewed for this data; raise
-    n_bits or pre-whiten. Requires n_bands * n_bits <= dims (element_at
-    past the vector's end would silently zero the missing bits).
+    n_bits or pre-whiten. The 20k default bounds the in-block GEMM's
+    three n x n float64 matrices at ~3 x 3.2 GB peak — raise it only
+    with executor memory to match (the guard is there precisely so a
+    skewed prefix fails LOUDLY instead of OOMing). Requires
+    n_bands * n_bits <= dims — validated against the first row's vector
+    (element_at past the vector's end would silently zero the missing
+    bits, collapsing those bands into one full-corpus block).
     """
     if metric not in ("cosine", "l2", "inner_product"):
         raise ValueError(f"unsupported metric for GEMM path: {metric!r}")
@@ -1052,6 +1042,14 @@ def blocked_knn_topk(
             raise ValueError(f"n_bits must be in [1, 20], got {n_bits}")
         if n_bands < 1:
             raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+        probe = coll.select(F.size(F.col(vector_col)).alias("d")).first()
+        if probe is not None and probe["d"] < n_bands * n_bits:
+            raise ValueError(
+                f"n_bands * n_bits = {n_bands * n_bits} exceeds the vector "
+                f"dimensionality {probe['d']}: bands past the end would "
+                "silently collapse into one full-corpus block — lower "
+                "n_bands or n_bits"
+            )
         parts = []
         for b in range(n_bands):
             blk = None

@@ -59,7 +59,10 @@ def spearman_by_group(
     from n): a NULL score carries no rank information, and engines
     disagree on NULL sort order (Spark asc sorts NULLs first, DuckDB
     last), so ranking them would silently skew rho differently per
-    engine."""
+    engine. A group whose every row is NULL-scored still gets its output
+    row — (group, n=0, spearman NULL) — the same undefined-is-NULL
+    contract as zero-variance groups, never a silently missing group."""
+    groups = df.select(F.col(group_col)).distinct()
     df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     ranked = df.select(
         F.col(group_col),
@@ -77,7 +80,7 @@ def spearman_by_group(
     num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    return agg.select(
+    out = agg.select(
         F.col(group_col),
         F.col("_n").cast("long").alias("n"),
         F.round(
@@ -86,4 +89,10 @@ def spearman_by_group(
             ),
             round_digits,
         ).alias("spearman"),
+    )
+    # re-attach groups the NULL filter emptied: (group, 0, NULL)
+    return groups.join(out, group_col, "left").select(
+        F.col(group_col),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.col("spearman"),
     )

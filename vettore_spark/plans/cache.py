@@ -76,6 +76,40 @@ def cached_persist(
     return out
 
 
+def invalidate_source(src: DataFrame) -> int:
+    """Unpersist and drop every entry whose RECORDED source is semantically
+    equal to `src`; returns how many were dropped.
+
+    The semantic-hash keying has one blind spot this hook exists for:
+    appending files to a parquet path does NOT change the plan — a re-read
+    of the same path after an append is sameSemantics-equal to the
+    pre-append read, so a derived table persisted from the old rows would
+    silently keep serving them. Mutation owners (Collection.put_many /
+    delete rebind the canonical rows over the SAME store path) must call
+    this with the post-mutation DataFrame; the semantic equality that
+    causes the staleness is exactly what lets this call find and evict the
+    stale entries."""
+    n = 0
+    stale = []
+    try:
+        for key, (recorded, out) in _PERSIST_CACHE.items():
+            try:
+                if recorded.sameSemantics(src):
+                    stale.append((key, out))
+            except Exception:  # noqa: BLE001 — dead session entry: evict
+                stale.append((key, out))
+    except Exception:  # noqa: BLE001 — src unanalyzable: nothing to match
+        return 0
+    for key, out in stale:
+        _PERSIST_CACHE.pop(key, None)
+        try:
+            out.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+        n += 1
+    return n
+
+
 def clear() -> None:
     """Unpersist and drop every cached entry (test isolation helper)."""
     while _PERSIST_CACHE:

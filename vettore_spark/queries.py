@@ -3165,17 +3165,26 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the identical plan runs unbounded (kafka/file source, real
     watermark, append sink); availableNow is Spark's bounded-replay mode
     of the same engine path — one plan, two run modes."""
+    # the batch reader's (_events_ts) exact conventions, applied HERE and
+    # not inherited by side effect: UTC session zone pinned BEFORE the
+    # NTZ->instant cast (a fresh session in a non-UTC zone would otherwise
+    # shift every window against the DuckDB oracle — and the r9 gate may
+    # run this query before any batch events query has pinned the zone),
+    # and the nanos-LONG branch for Spark versions that need
+    # legacy.parquet.nanosAsLong
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = _streaming_table_dir(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
     from vettore_spark.streaming.ingest import windowed_event_counts
 
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(path)
-        # parquet stores TIMESTAMP_NTZ; watermarks require instant
-        # semantics — session-timezone cast, same as the batch reader
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_event_counts(
         stream, window="1 hour", watermark="2 hours",
         ts_col="ts", key_col="event_type",
