@@ -89,17 +89,23 @@ def invalidate_source(src: DataFrame) -> int:
     this with the post-mutation DataFrame; the semantic equality that
     causes the staleness is exactly what lets this call find and evict the
     stale entries."""
-    n = 0
-    stale = []
     try:
-        for key, (recorded, out) in _PERSIST_CACHE.items():
-            try:
-                if recorded.sameSemantics(src):
-                    stale.append((key, out))
-            except Exception:  # noqa: BLE001 — dead session entry: evict
-                stale.append((key, out))
+        h = src.semanticHash()
     except Exception:  # noqa: BLE001 — src unanalyzable: nothing to match
         return 0
+    n = 0
+    stale = []
+    # keys carry the recorded source's semanticHash as element 0, so one
+    # hash call prefilters the scan — the per-mutation cost is O(1) py4j
+    # round trips, not one sameSemantics per entry
+    for key, (recorded, out) in _PERSIST_CACHE.items():
+        if key[0] != h:
+            continue
+        try:
+            if recorded.sameSemantics(src):
+                stale.append((key, out))
+        except Exception:  # noqa: BLE001 — dead session entry: evict
+            stale.append((key, out))
     for key, out in stale:
         _PERSIST_CACHE.pop(key, None)
         try:
