@@ -168,8 +168,12 @@ def test_semdedup_centroids_broadcast_and_cluster_local(spark):
 
 
 def test_substring_pairs_single_aggregate_no_join(spark):
-    """The posting-list plan: explode → one groupBy → pair emission. No
-    self-join of the document table, no cartesian product."""
+    """The posting-list plan: explode → count-first cap → posting
+    aggregate → pair emission. No self-join of the DOCUMENT table, no
+    cartesian product; the only join allowed is the cap's LEFT SEMI of
+    exploded rows against the count-filtered key set (the r8
+    bounded-memory shape — a hot gram is dropped before its posting list
+    ever materializes)."""
     from vettore_spark.operators.dedup import substring_gram_pairs
     from vettore_spark.plans import checks as PC
 
@@ -181,7 +185,9 @@ def test_substring_pairs_single_aggregate_no_join(spark):
     out = substring_gram_pairs(df, k=40)
     plan = PC.executed_plan(out)
     assert not PC.has_cartesian(out)
-    assert "SortMergeJoin" not in plan  # no doc-table self-join
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "LeftSemi" in line, line
 
 
 def test_trailing_features_single_shuffle(spark):

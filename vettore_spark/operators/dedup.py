@@ -16,7 +16,8 @@ Scale design (100 TB):
   shingle sets only for candidate pairs (broadcast of the pair list when
   small). Signature computation is per-row JVM expression work — no Python.
 - All join keys are integral hashes -> AQE handles skew; buckets above
-  `max_bucket_size` are dropped with a logged count rather than exploding.
+  `max_bucket_size` are dropped BEFORE their posting list materializes
+  (count-first, _capped_posting_lists) rather than exploding one task.
 """
 
 from __future__ import annotations
@@ -263,6 +264,32 @@ def _shingle_base(
     return _cached_persist(src, ("shingle", id_col, text_col, n), build)
 
 
+def _capped_posting_lists(
+    exploded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    max_size: int | None,
+) -> DataFrame:
+    """(key..., _ids sorted array) over (key, id) rows, with the bucket
+    size cap enforced BEFORE any list materializes: a count aggregate
+    (map-side combinable — a hot key costs one long per partition, never
+    an array) selects the keys in (1, max_size], and only THEIR rows
+    reach collect_list. The naive collect-then-filter shape builds the
+    hot key's corpus-sized array inside one aggregation task first — the
+    exact single-task blowup the cap exists to prevent (10M documents
+    sharing one boilerplate shingle = a 10M-element array in one task)."""
+    counts = exploded.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    keep = counts.filter(F.col("_n") > 1)
+    if max_size is not None:
+        keep = keep.filter(F.col("_n") <= max_size)
+    return (
+        exploded.join(keep.select(*key_cols), key_cols, "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+    )
+
+
 def _bucket_pairs(buckets: DataFrame, ids_col: str = "_ids") -> DataFrame:
     """Emit all ordered pairs (a < b) from each bucket's sorted id array —
     one shuffle fewer than a self-join on the bucket key."""
@@ -301,16 +328,19 @@ def ngram_jaccard_pairs(
     # the inverted index (shingle -> sorted posting list) is ingest-time
     # state — persisted per source like the shingle base; single-member
     # postings can never produce a pair and are dropped before persisting
+    # cap INSIDE the persisted build (keyed per cap): the count-first
+    # shape must run before any posting list materializes, so the cap
+    # cannot be a post-filter over an uncapped persisted table
     buckets = _cached_persist(
         base,
-        ("ngram_postings", id_col),
-        lambda s: s.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("s"))
-        .groupBy("s")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .filter(F.size("_ids") > 1),
+        ("ngram_postings", id_col, max_shingle_df),
+        lambda s: _capped_posting_lists(
+            s.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("s")),
+            ["s"],
+            "_id",
+            max_size=max_shingle_df,
+        ),
     )
-    if max_shingle_df is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_shingle_df)
     inter = _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("_i")
     )
@@ -435,6 +465,21 @@ def _sig_and_bands(
     base. The signature table is derived index state (computed at ingest in
     the reference model) — persisted per (source, num_perm) like the base.
     Shared by same-corpus LSH pairing and cross-corpus dedup-against."""
+    if bands < 1 or bands > num_perm:
+        raise ValueError(
+            f"bands must be in [1, num_perm={num_perm}], got {bands}: "
+            "bands > num_perm makes every band an empty slice whose hash "
+            "is identical for ALL documents (one global bucket — either "
+            "dropped by the size cap, losing every pair, or an all-pairs "
+            "blowup)"
+        )
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by bands={bands}: the "
+            f"trailing {num_perm % bands} permutations would be silently "
+            "ignored, weakening the collision probability the (bands, "
+            "rows-per-band) config claims"
+        )
     rows_per_band = num_perm // bands
     sig = _cached_persist(
         base,
@@ -562,9 +607,9 @@ def minhash_lsh_pairs(
     buckets = _cached_persist(
         sig,
         ("lsh_buckets", id_col, bands, rows_per_band, max_bucket_size),
-        lambda _s: bands_df.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
-        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket_size)),
+        lambda _s: _capped_posting_lists(
+            bands_df, ["band", "bh"], id_col, max_size=max_bucket_size
+        ),
     )
     cand = _bucket_pairs(buckets).distinct()
     # exact verification of candidates only. No forced broadcast: on a
@@ -646,9 +691,22 @@ def simhash_pairs(
     block_bits: int = 16,
     hash_fn=None,
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on `block_bits`-bit prefixes of the
-    rotated simhash (4 rotations cover any <=3-bit difference with high
-    probability), verify by full 64-bit Hamming distance."""
+    """SimHash near-dup candidates: block on `block_bits`-bit slices of the
+    simhash, verify by full 64-bit Hamming distance.
+
+    Coverage contract: with S = 64 // block_bits slices, every pair
+    within Hamming <= S - 1 is GUARANTEED a shared slice (pigeonhole —
+    the default 16-bit slices cover <= 3 exactly); a larger max_hamming
+    is a deliberate approximate regime where a pair is found only when
+    its differing bits leave some slice untouched (high probability for
+    clustered bit flips, not certain). Both regimes are deterministic,
+    so an external oracle reproduces the candidate set either way — the
+    gated config (max_hamming=8 over 4 slices) runs the approximate
+    regime on both engines identically."""
+    if block_bits < 1 or 64 % block_bits != 0:
+        raise ValueError(
+            f"block_bits must divide 64, got {block_bits}"
+        )
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
     src = df.select(F.col(id_col), F.col(text_col))
@@ -693,8 +751,14 @@ def simhash_pairs(
         )
         return staged.select(F.col(id_col), word.alias("_sh"), F.col("_pin"))
 
-    hash_name = getattr(hash_fn, "__name__", "xxhash64") if hash_fn else "xxhash64"
-    base = _cached_persist(src, ("simhash", id_col, text_col, hash_name), build)
+    # key a CUSTOM hash_fn by the function OBJECT (hashes by identity and
+    # the key tuple's strong ref prevents id-reuse aliasing), not by
+    # __name__: two different functions named '<lambda>' must not silently
+    # reuse each other's persisted simhash table — identity trades
+    # cross-invocation reuse of fresh closures for correctness. Only the
+    # default path (hash_fn None) gets the stable shared key.
+    hash_key = "xxhash64" if hash_fn is None else hash_fn
+    base = _cached_persist(src, ("simhash", id_col, text_col, hash_key), build)
     # block on 4 disjoint 16-bit slices: pairs within Hamming<=3 share at
     # least one identical slice (pigeonhole over 4 slices)
     blocks = base.select(
@@ -1067,11 +1131,11 @@ def substring_gram_pairs(
     src = spread_narrow(
         df.filter(F.length(F.col(text_col)) >= k), [id_col, text_col]
     )
-    postings = (
-        src.select(F.col(id_col).alias("_id"), F.explode(grams).alias("g"))
-        .groupBy("g")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_gram_df))
+    postings = _capped_posting_lists(
+        src.select(F.col(id_col).alias("_id"), F.explode(grams).alias("g")),
+        ["g"],
+        "_id",
+        max_size=max_gram_df,
     )
     return (
         _bucket_pairs(postings)

@@ -260,7 +260,13 @@ class HnswGraph:
         best = self._search_layer(
             entry, q, 0, max(self.params.ef_search, limit)
         )
-        best.sort(key=lambda t: (t[0], str(self.ext_ids[t[1]])))
+        # tie-break by the NATIVE id, matching the global shard-merge
+        # window's ordering (search_graph_shards sorts by the id column's
+        # own type): a str() key here would cut numeric-id ties at the
+        # shard-local limit in a different order than the merge expects
+        # (str '10' < '9'), returning the wrong tie member. One graph
+        # holds one id type, so native comparison is always defined.
+        best.sort(key=lambda t: (t[0], self.ext_ids[t[1]]))
         out = []
         for _, nid in best[:limit]:
             out.append((self.ext_ids[nid], self._raw(q, self.vectors[nid])))
@@ -371,7 +377,14 @@ def insert_into_graph_shards(
     Pass `shard_ids` (the known shard-id list, e.g. collected once at
     build time) to avoid the routing collect — without it every insert
     launches a Spark job, which on a lazily-checkpointed patch chain
-    forces materialization before the put returns."""
+    forces materialization before the put returns. When you do pass it,
+    it MUST be the current table's exact shard-id set: the lazy patch
+    cannot verify membership without the job this parameter exists to
+    avoid, so an id routed to a shard absent from the table is silently
+    LOST (note build_graph_shards emits no row for an empty partition —
+    range(num_partitions) is NOT a valid list; the batched
+    insert_many_into_graph_shards and the DataFrame variant both verify
+    and raise on stale lists)."""
     import pickle
 
     sids = (
@@ -464,6 +477,27 @@ def insert_many_into_graph_shards(
     # Routing targets are known driver-side here (by_shard keys), so the
     # split is two isin filters over the persisted table, no extra job.
     touched = sorted(routed)
+    # stale-shard_ids guard (the DF variant raises on this; the list path
+    # must too): a routed target absent from the TABLE — e.g. a caller
+    # passing range(num_partitions) while the build emitted no row for an
+    # empty partition — would otherwise patch nothing and silently LOSE
+    # the insert. One tiny distinct-collect over <= len(touched) rows of
+    # the persisted table, amortized across the whole batch.
+    present = {
+        r["shard_id"]
+        for r in shards.filter(F.col("shard_id").isin(touched))
+        .select("shard_id")
+        .distinct()
+        .collect()
+    }
+    missing = [t for t in touched if t not in present]
+    if missing:
+        raise ValueError(
+            f"shard_ids is stale: routed target shards {missing[:5]} are "
+            "not in the shard table — collect the id list from the "
+            "CURRENT table (build_graph_shards emits no row for an empty "
+            "partition, so range(num_partitions) is NOT a valid list)"
+        )
     patched = shards.filter(F.col("shard_id").isin(touched)).mapInPandas(
         run, "shard_id long, shard binary"
     )

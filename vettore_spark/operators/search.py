@@ -312,17 +312,18 @@ def funnel_search(
 
 
 def union_candidates(cands: list[DataFrame], *, id_col: str = "id") -> DataFrame:
-    """Union candidate id sets from generators, first occurrence wins
-    (collection.ex:617-629): tag each generator with its rank, keep min."""
-    tagged = [
-        c.select(id_col).withColumn("_gen", F.lit(i)) for i, c in enumerate(cands)
-    ]
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.unionByName(t)
-    return (
-        out.groupBy(id_col).agg(F.min("_gen").alias("_gen")).drop("_gen")
-    )
+    """Deduplicated union of candidate id sets from generators.
+
+    The reference's union keeps the FIRST occurrence's row
+    (collection.ex:617-629) because its generators carry scores; here
+    every hybrid path exact-reranks the candidate SET afterwards
+    (hybrid_search whitelists rerank in {exact, multi_vector}), so
+    generator order never survives into results and the union is a plain
+    distinct — no tag column, no min aggregate."""
+    out = cands[0].select(id_col)
+    for c in cands[1:]:
+        out = out.unionByName(c.select(id_col))
+    return out.distinct()
 
 
 def hybrid_search(
@@ -467,17 +468,25 @@ def multi_query_quantized(
     raw2 = K.raw_metric(
         metric, F.col(vector_col), F.col(query_vec_col), pre_normalized=pre_normalized
     )
-    rank, score, dist = score_columns(metric, raw2, score_mode)
-    w2 = Window.partitionBy(query_id_col).orderBy(rank.asc(), F.col(id_col).asc())
+    # stage the raw fold like every other scoring path: rank/score/dist
+    # are three CASE exprs over it, and an unstaged interpreted HOF fold
+    # would run three times per candidate row
+    staged2 = _staged_raw(
+        rejoined, raw2, [F.col(query_id_col), F.col(id_col)]
+    )
+    rank, score, dist = score_columns(metric, F.col("_raw"), score_mode)
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("_rank").asc(), F.col(id_col).asc()
+    )
     return (
-        rejoined.select(
+        staged2.select(
             F.col(query_id_col),
             F.col(id_col),
             rank.alias("_rank"),
             score.alias("score"),
             dist.alias("distance"),
         )
-        .withColumn("_rn", F.row_number().over(Window.partitionBy(query_id_col).orderBy(F.col("_rank").asc(), F.col(id_col).asc())))
+        .withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .withColumnRenamed("_rn", "rank")
         .drop("_rank")
