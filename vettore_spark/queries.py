@@ -8239,70 +8239,69 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-8 gate window (per the round-7 verdict, rotated at round START):
-# slots 1-5 are the 5 round-7 additions that have never had a driver
-# CORRECTNESS row (after this window every registered query has one:
-# cumulative 175/175); slot 6 re-checks knn_graph — this round's
-# mutual-kNN fix touches self_knn_topk (exclude_self param + per-block
-# keep widening), the operator under knn_graph's plan; slots 7-41 are the
-# entire block last gated in r4 (text features, TPC-H relational core,
-# paragraph/cross-corpus dedup); slots 42-50 are the oldest r5 greens in
-# the ANN/search-facade family (also adjacent to the ann.py fix surface).
+# Round-9 gate window (per the round-8 verdict, rotated at round START):
+# slots 1-5 are the 5 round-8 additions that have never had a driver
+# CORRECTNESS row (judge-selfcheck-verified in r8; after this window the
+# cumulative driver-gated count is 180/180); slots 6-34 are the 29
+# queries whose latest driver green is r5 (TPC-H long tail, skew/salting,
+# quantized/JL/PQ search tiers, sampling); slots 35-50 are the 16 oldest
+# r6 greens ranked by first-green round (the r1/r2-era dedup, session,
+# BM25/RRF, as-of/range-join block) — 5+29+16 fills 50 exactly, and after
+# this gate no query's latest green is older than r6.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-5: round-7 additions, first driver gating ---
-    "mutual_knn_pairs",
-    "retrieval_eval",
-    "score_agreement",
-    "tpch_q6_zorder",
-    "zca_whiten_stats",
-    # --- slot 6: round-8 fix-surface re-check (self_knn_topk change) ---
-    "knn_graph",
-    # --- slots 7-41: everything last gated in r4 ---
-    "mean_vector_by_label",
-    "normalize_stats",
-    "signbit_popcount",
-    "dedup_exact",
-    "simhash_pairs",
-    "mmr_rerank",
-    "quality_score",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "events_hourly",
-    "dedup_keep_best",
-    "tpch_q1_pricing",
-    "tpch_q6_revenue",
-    "tpch_q14_promo",
-    "supplier_nation_revenue",
-    "customers_without_big_orders",
-    "lineitem_rollup",
-    "shipmode_priority",
-    "orders_above_cust_avg",
-    "top_orders_join",
-    "customer_top_orders_window",
-    "region_revenue",
-    "paragraph_dedup",
-    "paragraph_dedup_doc",
-    "cross_corpus_dedup",
-    "minhash_dedup_against",
-    "text_normalize",
-    "blocklist_filter",
-    "tpch_q3_topk",
-    "tpch_q4_exists",
-    "tpch_q10_returns",
-    "tpch_q18_volume",
-    "tpch_q19_bands",
-    # --- slots 42-50: oldest r5 greens, ANN/search facades ---
-    "flat_topk_l2",
-    "filtered_topk",
-    "flat_topk_manhattan",
-    "flat_topk_chebyshev",
-    "flat_topk_jaccard",
-    "flat_topk_hamming",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "hnsw_topk",
+    # --- slots 1-5: round-8 additions, first driver gating ---
+    "mutual_knn_blocked",
+    "mutual_knn_multiband",
+    "mutual_knn_cellblocked",
+    "streaming_events_hourly",
+    "streaming_dedup_keepers",
+    # --- slots 6-34: every query whose latest green is r5 ---
+    "c4_line_filter",
+    "event_funnel",
+    "events_skew_report",
+    "events_value_quantiles",
+    "hybrid_topk",
+    "jl_prefilter_topk",
+    "jl_projection",
+    "minhash_lsh_pairs",
+    "multi_query_quantized",
+    "pq_adc_topk",
+    "salted_event_rollup",
+    "salted_user_join",
+    "sq_int8_topk",
+    "tpch_q2_mincost",
+    "tpch_q5_local",
+    "tpch_q7_nations",
+    "tpch_q8_mktshare",
+    "tpch_q9_profit",
+    "tpch_q11_important",
+    "tpch_q12_lateship",
+    "tpch_q13_custdist",
+    "tpch_q15_topsupp",
+    "tpch_q16_suppcnt",
+    "tpch_q17_smallqty",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+    "tpch_q22_noorders",
+    "user_retention",
+    "weighted_doc_sample",
+    # --- slots 35-50: the 16 oldest r6 greens (first green r1/r2) ---
+    "neardup_clusters",
+    "stratified_sample",
+    "hashed_embedding",
+    "events_sliding_window",
+    "events_anomaly",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+    "user_sessions",
+    "bm25_topk",
+    "rrf_fusion",
+    "doc_chunks",
+    "decontaminate",
+    "pii_redact",
+    "repetition_filter",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
