@@ -372,6 +372,49 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # blocked mutual-kNN recall vs the exact mutual graph — the reference's
+    # every-approximate-mode-reports-overlap pattern
+    # (bench/search_modes_bench.exs:193-238) applied to the pairing tier:
+    # SCALE.md carries the controlled recall curves; THIS block is where the
+    # driver bench looks, so the gated variants report their recall at bench
+    # sf next to their timings, plus the production-depth 8-bit x 2-band row.
+    mutual_recall: dict[str, float] = {}
+    try:
+        exact_pairs = {
+            (r["src"], r["dst"])
+            for r in qs["mutual_knn_pairs"](spark, sf_dir).collect()
+        }
+        if exact_pairs:
+            for qname, label in (
+                ("mutual_knn_blocked", "blocked@bits4"),
+                ("mutual_knn_multiband", "multiband@bits3x2"),
+                ("mutual_knn_cellblocked", "cellblocked@label"),
+            ):
+                got = {
+                    (r["src"], r["dst"])
+                    for r in qs[qname](spark, sf_dir).collect()
+                }
+                mutual_recall[label] = round(
+                    len(got & exact_pairs) / len(exact_pairs), 3
+                )
+            from vettore_spark.operators import ann as ANN
+
+            emb_mr = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            edges = ANN.blocked_knn_topk(
+                emb_mr, k=3, metric="cosine", n_bits=8, n_bands=2,
+                id_col="vec_id", vector_col="embedding",
+            )
+            prs = ANN.mutual_knn_pairs(
+                emb_mr, k=3, metric="cosine", id_col="vec_id",
+                vector_col="embedding", knn=edges,
+            )
+            got = {(r["src"], r["dst"]) for r in prs.collect()}
+            mutual_recall["blocked@bits8bands2"] = round(
+                len(got & exact_pairs) / len(exact_pairs), 3
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench mutual recall failed: {e}", file=sys.stderr)
+
     # MUVERA at bench scale (the one reference bench scenario —
     # search_modes_bench.exs MUVERA rows — that had no sf0.1 timing until
     # r7): docs = 8-token multi-vector groups of the embeddings table,
@@ -591,6 +634,7 @@ def main() -> None:
         "full_registry_rest_sec": rest_total,
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
+        "mutual_pair_recall": mutual_recall,
         "muvera": muvera,
         "ingest": ingest,
         "sf": sf_val,
@@ -619,6 +663,7 @@ def main() -> None:
         "n_failed": len(failed),
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
+        "mutual_pair_recall": mutual_recall,
         "muvera": muvera,
         "ingest": ingest,
         "sf": sf_val,

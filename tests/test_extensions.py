@@ -45,6 +45,21 @@ def test_compat_lifecycle(spark):
         db.insert("c", {"id": "x", "vector": [0.0, 0.0]})
 
 
+def test_compat_get_all_cap(spark):
+    """get_all is a driver collect by legacy contract — past the cap it
+    must fail fast naming the DataFrame path, not OOM the driver."""
+    db = Vettore.new(spark)
+    db.create_collection("cap", 2, metric="l2")
+    db.batch("cap", [{"id": str(i), "vector": [float(i), 0.0]} for i in range(5)])
+    with pytest.raises(ValueError, match="Collection.all"):
+        db.get_all("cap", max_rows=3)
+    assert len(db.get_all("cap", max_rows=5)) == 5
+    # get_by_vector must not collect the collection: it returns the one
+    # matching row through a JVM-side filter (normalized-vector compare)
+    assert db.get_by_vector("cap", [3.0, 0.0])["id"] == "3"
+    assert db.get_by_vector("cap", [99.0, 1.0]) is None
+
+
 def test_compat_hnsw_metric_inference(spark):
     db = Vettore.new(spark)
     db.create_collection("h", 2, metric="hnsw")

@@ -158,6 +158,78 @@ def test_mutation_invalidates_semantically_equal_cached_persist(spark, tmp_path)
     PC.clear()
 
 
+def test_mutation_invalidates_derived_plan_cached_persist(spark, tmp_path):
+    """The DERIVED-plan staleness class (r8 advice, medium): module-level
+    operators key their persists on projections/repartitions of the df,
+    not the df itself — those recorded sources are never sameSemantics-
+    equal to the collection's df, yet stay sameSemantics-equal to their
+    own post-append rebuild, so hash-only eviction misses them. The
+    leaf-dir overlap rule must evict them on a store-backed mutation."""
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    c = Collection.create(spark, "rc10", 4, metric="l2").attach_store(
+        str(tmp_path / "store2")
+    )
+    c.put_many(_rows(3))
+
+    # what dedup/ann actually do: derive a projection FIRST, key on that
+    derived = c.df.select("id", "vector").repartition(2)
+
+    def build(src):
+        return src.select("id")
+
+    first = PC.cached_persist(derived, ("derived-ids",), build)
+    assert first.count() == 3
+    c.put_many(_rows(2, offset=200))  # append: derived plan hash unchanged
+    derived2 = c.df.select("id", "vector").repartition(2)
+    fresh = PC.cached_persist(derived2, ("derived-ids",), build)
+    assert fresh.count() == 5, (
+        "stale DERIVED persisted table served after store append"
+    )
+    PC.clear()
+
+
+def test_inmemory_mutation_keeps_unrelated_leaf_entries(spark, tmp_path):
+    """The other side of the leaf rule: an IN-MEMORY collection mutation
+    rebinds the plan (old derived entries become unreachable misses, not
+    stale hits), so it must NOT evict resident tables of unrelated
+    operators that merely read the same source parquet."""
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(str(i), [float(i)] * 4) for i in range(6)], "id string, vector array<double>"
+    ).write.parquet(src_path)
+    base = spark.read.parquet(src_path)
+
+    built = {"n": 0}
+
+    def build(src):
+        built["n"] += 1
+        return src.select("id")
+
+    t = PC.cached_persist(base, ("unrelated",), build)
+    assert t.count() == 6 and built["n"] == 1
+    c = Collection.create(spark, "rc11", 4, metric="l2")
+    c.put_many(
+        base.select(
+            "id",
+            F.col("id").alias("value"),
+            "vector",
+            F.lit(None).cast("array<array<double>>").alias("vectors"),
+            F.lit(None).cast("array<bigint>").alias("binary_vector"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+        )
+    )
+    c.put_many(_rows(2, offset=300))  # in-memory mutation over same parquet
+    again = PC.cached_persist(base, ("unrelated",), build)
+    assert built["n"] == 1, "in-memory mutation evicted an unrelated entry"
+    assert again.count() == 6
+    PC.clear()
+
+
 def test_spearman_all_null_group_keeps_its_row(spark):
     """A group whose every row is NULL-scored must surface as
     (group, n=0, NULL), not vanish (the zero-variance NULL contract)."""

@@ -234,13 +234,17 @@ def test_is_valid_vector(spark):
             ([1.0],),                      # wrong dims
             ([float("nan"), 1.0],),        # non-finite
             ([float("inf"), 1.0],),
+            ([float("-inf"), 1.0],),       # caught only by the array_min branch
             ([1e39, 1.0],),                # beyond f32::MAX
-            (None,),
+            ([-1e39, 1.0],),               # beyond -f32::MAX (array_min branch)
+            ([None, 1.0],),  # NULL element: array_min/max skip nulls — only
+            #                  the exists() guard can reject this row
+            (None,),                       # null array
         ],
         "a: array<double>",
     )
     got = [r[0] for r in df.select(K.is_valid_vector("a", 2).alias("ok")).collect()]
-    assert got == [True, False, False, False, False, False]
+    assert got == [True, False, False, False, False, False, False, False, False]
 
 
 def test_mean_vector(spark):

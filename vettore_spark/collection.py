@@ -176,6 +176,10 @@ class Collection:
             self._df = store.read(self.spark)
         self._store = store
         self._store_deleted = []
+        # the memoized tombstone table is keyed by overlay LENGTH; resetting
+        # the overlay without dropping it would let a future overlay that
+        # regrows to the cached length serve the OLD id set
+        self.__dict__.pop("_tomb_df_cache", None)
         self._invalidate_derived()
         return self
 
@@ -237,6 +241,7 @@ class Collection:
             self._store.overwrite(snap)
             snap.unpersist()
         self._store_deleted = []
+        self.__dict__.pop("_tomb_df_cache", None)  # length-keyed memo: see attach
         self._df = self._canonical_read()
         return self
 
@@ -799,11 +804,16 @@ class Collection:
         # for a store-backed collection the post-mutation read is
         # sameSemantics-EQUAL to the pre-mutation one (appends don't
         # change the plan), so without this hook cached_persist would
-        # silently keep serving the old rows
+        # silently keep serving the old rows. leaf_overlap extends the
+        # eviction to entries recording DERIVED plans (projections /
+        # repartitions of the df — they too stay sameSemantics-equal
+        # across the append); it is store-backed-only because an
+        # in-memory mutation REBINDS the plan, turning old derived
+        # entries into unreachable misses rather than stale hits
         try:
             from vettore_spark.plans.cache import invalidate_source
 
-            invalidate_source(self._df)
+            invalidate_source(self._df, leaf_overlap=self._store is not None)
         except Exception:  # noqa: BLE001 — cache cleanup must never fail a write
             pass
 

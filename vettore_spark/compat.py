@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from vettore_spark.collection import Collection
 from vettore_spark.functions import kernels as K
@@ -73,22 +74,45 @@ class Vettore:
         return rows[0] if rows else None
 
     def get_by_vector(self, coll: str, vector: list[float]):
-        """Scan-compare against the collection-normalized vector
-        (vettore.ex:508-524)."""
+        """Exact-match lookup against the collection-normalized vector
+        (vettore.ex:508-524). The legacy semantics are an f32 scan-compare;
+        the Spark shape is a pushed-down FILTER (both sides cast to
+        array<float>, compared JVM-side), not a driver collect of the
+        collection — only the <=1 matching row ever reaches the driver."""
         c = self._coll(coll)
         q = np.asarray(c._prepare_query(vector), dtype=np.float32)
-        for row in c.df.collect():
-            if row["vector"] is not None and np.array_equal(
-                np.asarray(row["vector"], dtype=np.float32), q
-            ):
-                return row
-        return None
+        lit_q = F.array(*[F.lit(float(x)).cast("float") for x in q])
+        rows = (
+            c.df.filter(F.col("vector").isNotNull())
+            .filter(F.col("vector").cast("array<float>") == lit_q)
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
 
-    def get_all(self, coll: str) -> list[tuple]:
-        """Legacy (id, vector, metadata) tuples."""
+    # get_all is the legacy bulk-export API; a driver collect is its
+    # CONTRACT, so it carries the same fail-fast cap pattern as
+    # ann.brute_force_topk's broadcast guard: past the cap the caller
+    # is pointed at the DataFrame path instead of silently OOMing the
+    # driver on a collection that outgrew the legacy shape.
+    _GET_ALL_MAX = 100_000
+
+    def get_all(self, coll: str, *, max_rows: int | None = None) -> list[tuple]:
+        """Legacy (id, vector, metadata) tuples (vettore.ex:526-560).
+        Driver-side by contract; fail-fast past `max_rows` (default
+        100k) — use `Collection.all()` (a DataFrame) for anything bigger."""
+        cap = self._GET_ALL_MAX if max_rows is None else max_rows
+        rows = self._coll(coll).df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"get_all would collect more than {cap} rows to the driver; "
+                "this legacy facade is for small collections — use "
+                "Collection.all() / .df (a DataFrame, no collect) or raise "
+                "max_rows explicitly"
+            )
         return [
             (r["id"], list(r["vector"]) if r["vector"] is not None else None, r["metadata"])
-            for r in self._coll(coll).df.collect()
+            for r in rows
         ]
 
     def similarity_search(self, coll: str, query: list[float], limit: int = 10) -> list[tuple]:

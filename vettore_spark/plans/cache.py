@@ -44,6 +44,25 @@ _PERSIST_CACHE: OrderedDict = OrderedDict()
 _PERSIST_CACHE_MAX = 64
 
 
+def _leaf_dirs(src: DataFrame) -> frozenset[str]:
+    """Normalized parent directories of every file the plan reads — the
+    leaf-scan fingerprint used for mutation eviction. Empty for in-memory
+    (createDataFrame) plans, which cannot go stale through a path append."""
+    try:
+        files = src.inputFiles()
+    except Exception:  # noqa: BLE001 — streaming/unanalyzable plan
+        return frozenset()
+    dirs = set()
+    for f in files:
+        d = f.rsplit("/", 1)[0] if "/" in f else f
+        if d.startswith("file://"):
+            d = d[len("file://"):] or "/"
+        elif d.startswith("file:"):
+            d = d[len("file:"):] or "/"
+        dirs.add(d)
+    return frozenset(dirs)
+
+
 def cached_persist(
     src: DataFrame, key_params: tuple, build: Callable[[DataFrame], DataFrame]
 ) -> DataFrame:
@@ -66,9 +85,13 @@ def cached_persist(
         key = None
     out = build(src).persist()
     if key is not None:
-        _PERSIST_CACHE[key] = (src, out)
+        # miss path only: one inputFiles() listing per BUILD (not per hit)
+        # records which directories the source plan reads, so a mutation of
+        # any of them can find this entry even though the recorded plan is
+        # a derived projection, not the mutated collection's df itself
+        _PERSIST_CACHE[key] = (src, out, _leaf_dirs(src))
         while len(_PERSIST_CACHE) > _PERSIST_CACHE_MAX:
-            _, (_, old) = _PERSIST_CACHE.popitem(last=False)
+            _, (_, old, _) = _PERSIST_CACHE.popitem(last=False)
             try:
                 old.unpersist()
             except Exception:  # noqa: BLE001 — session already gone
@@ -76,9 +99,9 @@ def cached_persist(
     return out
 
 
-def invalidate_source(src: DataFrame) -> int:
-    """Unpersist and drop every entry whose RECORDED source is semantically
-    equal to `src`; returns how many were dropped.
+def invalidate_source(src: DataFrame, *, leaf_overlap: bool = True) -> int:
+    """Unpersist and drop every entry that could serve pre-mutation rows
+    after `src`'s backing files changed; returns how many were dropped.
 
     The semantic-hash keying has one blind spot this hook exists for:
     appending files to a parquet path does NOT change the plan — a re-read
@@ -86,19 +109,37 @@ def invalidate_source(src: DataFrame) -> int:
     pre-append read, so a derived table persisted from the old rows would
     silently keep serving them. Mutation owners (Collection.put_many /
     delete rebind the canonical rows over the SAME store path) must call
-    this with the post-mutation DataFrame; the semantic equality that
-    causes the staleness is exactly what lets this call find and evict the
-    stale entries."""
+    this with the post-mutation DataFrame.
+
+    Two match rules, both required:
+    1. recorded source sameSemantics-equal to `src` (hash-prefiltered, so
+       the common case costs O(1) py4j round trips) — catches entries
+       keyed directly on the collection's df;
+    2. recorded source READS any directory `src` reads (leaf-dir overlap,
+       pure-Python set math against the dirs snapshotted at build time) —
+       catches entries whose recorded plan is a DERIVED projection /
+       repartition of the df (shingle tables, kNN edge persists): those
+       plans stay sameSemantics-equal across the append without ever
+       being equal to the df itself, the staleness class rule 1 alone
+       misses.
+
+    Pass `leaf_overlap=False` when the mutation REBINDS the plan instead
+    of changing files under a stable path (in-memory collections): there
+    rule 2's staleness class cannot occur — old derived entries become
+    unreachable misses, not stale hits — and evicting every entry that
+    shares a read-only source parquet would thrash unrelated operators'
+    resident tables."""
     try:
         h = src.semanticHash()
     except Exception:  # noqa: BLE001 — src unanalyzable: nothing to match
         return 0
+    src_dirs = _leaf_dirs(src) if leaf_overlap else frozenset()
     n = 0
     stale = []
-    # keys carry the recorded source's semanticHash as element 0, so one
-    # hash call prefilters the scan — the per-mutation cost is O(1) py4j
-    # round trips, not one sameSemantics per entry
-    for key, (recorded, out) in _PERSIST_CACHE.items():
+    for key, (recorded, out, dirs) in _PERSIST_CACHE.items():
+        if src_dirs and not src_dirs.isdisjoint(dirs):
+            stale.append((key, out))
+            continue
         if key[0] != h:
             continue
         try:
@@ -119,7 +160,7 @@ def invalidate_source(src: DataFrame) -> int:
 def clear() -> None:
     """Unpersist and drop every cached entry (test isolation helper)."""
     while _PERSIST_CACHE:
-        _, (_, old) = _PERSIST_CACHE.popitem(last=False)
+        _, (_, old, _) = _PERSIST_CACHE.popitem(last=False)
         try:
             old.unpersist()
         except Exception:  # noqa: BLE001

@@ -6341,8 +6341,20 @@ def _claim_scratch_dir(path: str) -> None:
                     "under a concurrent run — stop that process or use a "
                     "different sf_dir"
                 ) from None
-            try:  # stale lock: dead owner — reclaim and retry the claim
-                os.unlink(lock)
+            # stale lock: dead owner — reclaim ATOMICALLY by renaming it
+            # to a name only we know before deleting. Two processes that
+            # both read the dead PID would otherwise interleave unlink
+            # with the other's fresh O_EXCL create (B's unlink removing
+            # A's new lock -> both claim -> both rmtree); rename is the
+            # single winner-takes-all step — the loser's rename raises
+            # and it simply retries against the winner's fresh lock.
+            reclaim = f"{lock}.reclaim.{me}"
+            try:
+                os.rename(lock, reclaim)
+            except OSError:  # someone else won the reclaim (or re-created)
+                continue
+            try:
+                os.unlink(reclaim)
             except OSError:
                 pass
     raise RuntimeError(f"could not claim scratch lock {lock}")
