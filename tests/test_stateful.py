@@ -378,3 +378,56 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     ).collect():
         got[r["user_id"]] = r["stage"]  # memory sink appends in batch order
     assert got == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_streaming_horizon_dedup_state_expires_with_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-backed dedup: duplicates inside the
+    horizon are suppressed across micro-batches; once the watermark passes
+    a keeper's horizon the engine EVICTS its state and a later duplicate
+    is a new keeper — the time-bounded-state contract that distinguishes
+    this from streaming_exact_dedup's unbounded distinct-digest state."""
+    import os
+
+    from vettore_spark.streaming.stateful import streaming_horizon_dedup
+
+    src = tmp_path / "docs"
+    schema = "doc_id long, ts_sec long, text string"
+    t0 = 1_699_999_200  # hour-aligned anchor
+    batches = [
+        # batch 0: two keepers
+        [(0, t0, "alpha"), (1, t0 + 600, "beta")],
+        # batch 1: in-horizon duplicate of alpha (suppressed) + a row far
+        # enough ahead (3:00) to push the watermark past alpha's horizon
+        [(2, t0 + 1200, "alpha"), (3, t0 + 3 * 3600, "gamma")],
+        # batch 2: advances the commit cycle once more — state eviction
+        # (like late-event filtering, see tools/streambench.py) runs a
+        # batch behind the data that moved the watermark
+        [(6, t0 + 4 * 3600, "delta")],
+        # batch 3: alpha again, AFTER its state expired -> new keeper;
+        # an intra-batch re-duplicate right next to it stays suppressed
+        [(4, t0 + 4 * 3600 + 1800, "alpha"), (5, t0 + 4 * 3600 + 1860, "alpha")],
+    ]
+    for i, rows in enumerate(batches):
+        d = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        for f in os.listdir(d):
+            p = str(d / f)
+            os.utime(p, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
+    )
+    q = (
+        streaming_horizon_dedup(stream, horizon="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hdedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("select * from hdedup").collect()}
+    assert kept == {0, 1, 3, 4, 6}, kept
