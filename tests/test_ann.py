@@ -538,3 +538,44 @@ def test_blocked_knn_block_col_matches_per_cell_exact(spark, emb):
             for rnk, x in enumerate(nonself, start=1):
                 expected[(ids[j], rnk)] = ids[sel][x]
     assert got == expected
+
+
+def test_topk_per_query_exact_lexsort_parity_on_degenerate_ties():
+    """_topk_per_query must reproduce np.lexsort((ids, rank[:, j]))[:kk]
+    BIT-exactly on the inputs that stress its threshold selection: a
+    constant matrix (every value ties — the memory-blowup case the hot-
+    column trim bounds), tie-heavy small integers (the hamming regime),
+    duplicated rows under exclusion, and the small-n argpartition branch."""
+    import numpy as np
+
+    from vettore_spark.operators.ann import _topk_per_query
+
+    rng = np.random.default_rng(7)
+
+    def oracle(rankmat, ids, kk, exclude=None):
+        res = {}
+        for j in range(rankmat.shape[1]):
+            order = np.lexsort((ids, rankmat[:, j]))
+            if exclude is not None:
+                order = order[ids[order] != exclude[j]]
+            res[j] = list(ids[order[:kk]])
+        return res
+
+    def check(rankmat, ids, kk, exclude=None):
+        qc, rows, rk = _topk_per_query(rankmat, ids, kk, exclude_ids=exclude)
+        got = {}
+        for a, b in zip(qc, rows):
+            got.setdefault(a, []).append(ids[b])
+        want = oracle(rankmat, ids, kk, exclude)
+        for j in want:
+            assert got.get(j, []) == want[j], (j, got.get(j), want[j])
+
+    n = 3000  # > 2048: exercises the sampled-threshold branch
+    ids = np.array([f"x{i:04d}" for i in rng.permutation(n)], dtype=object)
+    check(np.zeros((n, 64)), ids, 10)                       # constant
+    check(np.zeros((n, 64)), ids, 10, exclude=ids[:64])     # + exclusion
+    check(rng.integers(0, 3, size=(n, 64)).astype(np.int64), ids, 7)
+    m = rng.standard_normal((n, 64))
+    m[1000:1050] = m[0]  # duplicated rows -> exact float ties
+    check(m, ids, 10, exclude=ids[:64])
+    check(np.zeros((500, 40)), ids[:500], 5)                # small-n branch

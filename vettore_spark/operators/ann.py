@@ -124,7 +124,6 @@ def _topk_per_query(
             if sample_rows is None:
                 part = np.argpartition(sub, need - 1, axis=0)[:need]
                 v = np.take_along_axis(sub, part, axis=0).max(axis=0)
-                le = sub <= v[None, :]
             else:
                 samp = sub[sample_rows]
                 q = min(
@@ -132,12 +131,36 @@ def _topk_per_query(
                     -(-len(sample_rows) * need // n) + 2,
                 )
                 v = np.partition(samp, q, axis=0)[q]
-                le = sub <= v[None, :]
-                short = np.nonzero(le.sum(axis=0) < need)[0]
-                for c in short:  # subsample undershot: exact repair, rare
-                    col = sub[:, c]
-                    vc = np.partition(col, need - 1)[need - 1]
-                    le[:, c] = col <= vc
+            le = sub <= v[None, :]
+            # exact per-column repair for the two threshold failure modes:
+            # SHORT (sampled v undershot `need` — recompute the exact
+            # order statistic) and HOT (boundary ties select far more than
+            # `need` — tie-heavy integer ranks, duplicate vectors, or a
+            # constant column would otherwise balloon the candidate set
+            # toward O(n) per column, the memory blowup the old per-column
+            # loop never had). Trimming ties to the smallest (id, row)
+            # keeps the selection EXACTLY the global (value, id, row)
+            # prefix of length `need`, so the downstream sort/exclusion
+            # semantics are unchanged.
+            cap = max(4 * need, 64)
+            counts = le.sum(axis=0)
+            for c in np.nonzero((counts < need) | (counts > cap))[0]:
+                col = sub[:, c]
+                vc = (
+                    np.partition(col, need - 1)[need - 1]
+                    if counts[c] < need
+                    else v[c]
+                )
+                lt_idx = np.nonzero(col < vc)[0]
+                eq_idx = np.nonzero(col == vc)[0]
+                take = need - len(lt_idx)
+                if 0 <= take < len(eq_idx):
+                    ord_eq = np.argsort(ids[eq_idx], kind="stable")
+                    eq_idx = eq_idx[ord_eq[:take]]
+                mask = np.zeros(n, dtype=bool)
+                mask[lt_idx] = True
+                mask[eq_idx] = True
+                le[:, c] = mask
         cc, rr = np.nonzero(le.T)  # per column: ascending original row idx
         vals = sub[rr, cc]
         # ONE ragged sort for the whole chunk: (column, value, id, row) —
