@@ -42,12 +42,23 @@ STAR_EDGES = [
 
 
 def test_pagerank_matches_exact_fixed_point_reference(spark):
+    """BOTH execution tiers (driver-side small-graph loop and the
+    distributed join+aggregate iteration) must equal the exact reference —
+    and therefore each other — bit for bit."""
     df = spark.createDataFrame(STAR_EDGES, ["src", "dst", "w"])
-    got = {
+    want = _py_pagerank(STAR_EDGES, iters=10)
+    got_driver = {
         r["node"]: r["rank_scaled"]
         for r in pagerank(df, weight_col="w", iters=10).collect()
     }
-    assert got == _py_pagerank(STAR_EDGES, iters=10)
+    got_dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            df, weight_col="w", iters=10, driver_max_edges=0
+        ).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_pagerank_hub_outranks_spokes(spark):
@@ -98,9 +109,12 @@ def test_textrank_deterministic_and_ordered(spark):
 
 
 def test_pagerank_iteration_plan_no_cartesian(spark):
+    # driver_max_edges=0 forces the DISTRIBUTED tier so this keeps
+    # pinning the iteration plan (the default would take the driver tier
+    # on a 10-edge graph and the assertion would be vacuous)
     df = spark.createDataFrame(STAR_EDGES, ["src", "dst", "w"])
     plan = (
-        pagerank(df, weight_col="w", iters=3, cut_every=0)
+        pagerank(df, weight_col="w", iters=3, cut_every=0, driver_max_edges=0)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
