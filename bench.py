@@ -564,6 +564,12 @@ def main() -> None:
         # overhead (validation aggregate, lineage cut) dominates both sides
         # and the ratio reads high (2.4-2.5 at sf0.01's 32k rows) without
         # saying anything about steady-state throughput.
+        # one untimed alternating pair first — the same warmup rule every
+        # query section follows (Benchee warmup: 2): the first put_many
+        # otherwise pays collection-creation + codegen cold costs and
+        # lands as a 1.3-1.5x tail sample that reads as ingest spread
+        emb.write.mode("overwrite").parquet(os.path.join(tmp, "raw"))
+        Collection.create(spark, "bench_ingest_warm", 64, metric="cosine").put_many(emb)
         raw_samples: list[float] = []
         put_samples: list[float] = []
         for i in range(5):
