@@ -412,6 +412,13 @@ def main() -> None:
             mutual_recall["blocked@bits8bands2"] = round(
                 len(got & exact_pairs) / len(exact_pairs), 3
             )
+            # the bench corpus is ISOTROPIC, so these numbers sit at the
+            # SimHash data floor by construction (p_bit^n_bits — 0.135 at
+            # 4 bits is the bound, third appearance of the jl/pca floor
+            # effect); the clustered-corpus curves real embedding data
+            # lives on (0.95 recall at 0.8% work, 0.99 at 1/32) are in
+            # SCALE.md r8/r9 — key the row so the record self-describes
+            mutual_recall["corpus"] = "isotropic-floor; clustered curves in SCALE.md"
     except Exception as e:  # noqa: BLE001
         print(f"bench mutual recall failed: {e}", file=sys.stderr)
 
