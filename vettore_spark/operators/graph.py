@@ -254,15 +254,21 @@ def textrank_keywords(
     k: int = 20,
     damping: float = 0.85,
     iters: int = 10,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Top-k corpus keywords by TextRank: weighted PageRank over the
     token-adjacency graph. The fixed-point rank (long) plus a token
-    tie-break make the top-k boundary engine-independent."""
+    tie-break make the top-k boundary engine-independent.
+    `driver_max_edges` passes through to pagerank's tier split (0 forces
+    the distributed iteration — the `textrank_distributed` gate query
+    keeps that path oracle-verified now that the default tier for small
+    corpora is the driver loop)."""
     ranks = pagerank(
         token_adjacency(docs, text_col=text_col),
         weight_col="w",
         damping=damping,
         iters=iters,
+        driver_max_edges=driver_max_edges,
     )
     return (
         ranks.select(F.col("node").alias("token"), "rank_scaled", "rank")

@@ -7958,6 +7958,21 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("token", "rank_scaled")
 
 
+def q_textrank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME TextRank computation FORCED onto pagerank's distributed
+    tier (driver_max_edges=0): the r9 tier split routes small graphs to
+    the exact driver-side loop, which is what the default-parameter gate
+    query now exercises — this twin keeps the distributed join+aggregate
+    iteration oracle-verified against the identical unrolled-CTE SQL.
+    Same oracle, two physical strategies — the zorder/bloom gate pattern
+    applied to the execution-tier split."""
+    from vettore_spark.operators.graph import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"), k=20, iters=10, driver_max_edges=0
+    ).select("token", "rank_scaled")
+
+
 def _sql_textrank(iters: int, k: int) -> str:
     """Unrolled fixed-point power-iteration oracle: it{i} CTEs mirror
     graph.pagerank exactly — same (r * w) // outweight floor division,
@@ -8249,6 +8264,11 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         q_streaming_dedup_keepers,
         SQL_STREAMING_DEDUP_KEEPERS,
     ),
+    # --- round-9 addition (tail: enters the gate window at the r10
+    # rotation; selfcheck-verified until then) --- the distributed
+    # pagerank tier's oracle gate, now that the default-parameter
+    # textrank_keywords takes the driver tier on gate-sized corpora
+    "textrank_distributed": (q_textrank_distributed, SQL_TEXTRANK_KEYWORDS),
 }
 
 # Round-9 gate window (per the round-8 verdict, rotated at round START):
