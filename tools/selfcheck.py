@@ -72,10 +72,19 @@ def main() -> int:
         print(msg, flush=True)
         lines.append(msg)
 
+    # SELFCHECK_PARTITIONS: partition-count sweep knob. The r8 cogroup
+    # key-type bug produced correct results at the gate's default
+    # partitioning (AQE coalesced the mixed-key shuffle into one
+    # partition) and silently emptied at higher counts — re-running the
+    # FULL oracle gate at a hostile partitioning is the cheapest detector
+    # for that whole class. `SELFCHECK_PARTITIONS=128 python
+    # tools/selfcheck.py` must be as green as the default run.
+    parts = os.environ.get("SELFCHECK_PARTITIONS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("selfcheck")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.default.parallelism", parts)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
