@@ -579,3 +579,27 @@ def test_topk_per_query_exact_lexsort_parity_on_degenerate_ties():
     m[1000:1050] = m[0]  # duplicated rows -> exact float ties
     check(m, ids, 10, exclude=ids[:64])
     check(np.zeros((500, 40)), ids[:500], 5)                # small-n branch
+
+    # NaN poisoning (unvalidated inputs): NaN candidates rank last — a
+    # column with >= kk finite rows is unaffected, a mostly-NaN column
+    # keeps its finite rows, an ALL-NaN column (incl. as the TRAILING
+    # column of a chunk — the empty-group indexing edge) returns empty
+    # instead of crashing. The lexsort oracle diverges only where NaN
+    # rows would have PADDED a short result, so compare finite prefixes.
+    mn = rng.standard_normal((n, 64))
+    mn[rng.choice(n, 200, replace=False), 5] = np.nan   # scattered NaN rows
+    mn[:, 63] = np.nan                                  # all-NaN last column
+    mn[: n - 4, 40] = np.nan                            # 4 finite rows only
+    qc, rows, rk = _topk_per_query(mn, ids, 10, exclude_ids=ids)
+    got = {}
+    for a, b in zip(qc, rows):
+        got.setdefault(a, []).append(ids[b])
+    assert 63 not in got  # all-NaN column: no candidates, no crash
+    fin40 = np.nonzero(mn[:, 40] == mn[:, 40])[0]
+    order40 = fin40[np.lexsort((ids[fin40], mn[fin40, 40]))]
+    want40 = [i for i in ids[order40] if i != ids[40]][:10]
+    assert got.get(40, []) == want40  # finite rows kept, NaNs dropped
+    for j in (0, 17, 62):  # fully finite columns: exact lexsort parity
+        order = np.lexsort((ids, mn[:, j]))
+        order = order[ids[order] != ids[j]][:10]
+        assert got.get(j, []) == list(ids[order]), j

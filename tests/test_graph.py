@@ -119,3 +119,30 @@ def test_pagerank_iteration_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_tiers_agree_on_degenerate_weights(spark):
+    """Zero out-weight (all-zero weights for a source), NULL weights, and
+    negative weights must neither crash the driver tier nor diverge from
+    the distributed tier: Spark's sum() skips the NULL contributions a
+    zero/NULL divisor produces, and its integral `div` truncates toward
+    zero where Python // floors."""
+    edges = [
+        ("a", "b", 2), ("b", "a", 2),
+        ("z", "a", 0), ("z", "b", 0),      # z's out-weight sums to 0
+        ("n", "a", None), ("n", "b", 3),   # NULL weight row
+        ("m", "a", -1), ("m", "b", 4),     # negative weight: div vs //
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got_driver = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight_col="w", iters=6).collect()
+    }
+    got_dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            df, weight_col="w", iters=6, driver_max_edges=0
+        ).collect()
+    }
+    assert got_driver == got_dist
+    assert set(got_driver) == {"a", "b", "z", "n", "m"}

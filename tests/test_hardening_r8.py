@@ -299,3 +299,39 @@ def test_minhash_bands_validation(spark):
         minhash_lsh_pairs(df, num_perm=8, bands=16).collect()
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs(df, num_perm=10, bands=4).collect()
+
+
+def test_scratch_lock_reclaims_dead_owner_and_refuses_live(tmp_path):
+    """_claim_scratch_dir: a dead owner's lock is reclaimed; a live
+    owner's lock fails loudly; our own lock passes through."""
+    import os
+
+    import pytest as _pytest
+
+    from vettore_spark.queries import _claim_scratch_dir
+
+    path = str(tmp_path / "scratch")
+    lock = path + ".lock"
+    # find a pid that is definitely not running (probe with signal 0)
+    dead = None
+    for cand in range(60000, 65000):
+        try:
+            os.kill(cand, 0)
+        except ProcessLookupError:
+            dead = cand
+            break
+        except PermissionError:
+            continue
+    assert dead is not None
+    with open(lock, "w") as fh:
+        fh.write(str(dead))
+    _claim_scratch_dir(path)  # reclaims the dead owner's lock
+    with open(lock) as fh:
+        assert int(fh.read()) == os.getpid()
+    _claim_scratch_dir(path)  # our own lock: re-entry passes
+    # live owner: PID 1 is always alive (init) and not us
+    with open(lock, "w") as fh:
+        fh.write("1")
+    with _pytest.raises(RuntimeError, match="live process"):
+        _claim_scratch_dir(path)
+    os.unlink(lock)

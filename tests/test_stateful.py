@@ -431,3 +431,18 @@ def test_streaming_horizon_dedup_state_expires_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["doc_id"] for r in spark.sql("select * from hdedup").collect()}
     assert kept == {0, 1, 3, 4, 6}, kept
+
+
+def test_streaming_horizon_dedup_rejects_batch_input(spark):
+    """No silent batch twin: horizon-restart semantics need the state
+    store, and a batch dropDuplicates would silently return different
+    keepers — the operator must refuse batch input loudly."""
+    import pytest as _pytest
+
+    from vettore_spark.streaming.stateful import streaming_horizon_dedup
+
+    df = spark.createDataFrame(
+        [(1, 1000, "a")], "doc_id long, ts_sec long, text string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
+    with _pytest.raises(ValueError, match="streaming"):
+        streaming_horizon_dedup(df, horizon="1 hour")

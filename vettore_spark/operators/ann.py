@@ -132,29 +132,36 @@ def _topk_per_query(
                 )
                 v = np.partition(samp, q, axis=0)[q]
             le = sub <= v[None, :]
-            # exact per-column repair for the two threshold failure modes:
-            # SHORT (sampled v undershot `need` — recompute the exact
-            # order statistic) and HOT (boundary ties select far more than
-            # `need` — tie-heavy integer ranks, duplicate vectors, or a
-            # constant column would otherwise balloon the candidate set
-            # toward O(n) per column, the memory blowup the old per-column
-            # loop never had). Trimming ties to the smallest (id, row)
-            # keeps the selection EXACTLY the global (value, id, row)
-            # prefix of length `need`, so the downstream sort/exclusion
-            # semantics are unchanged.
+            # exact per-column repair for every threshold failure mode:
+            # SHORT (sampled v undershot `need`), HOT (boundary ties or a
+            # sampled overshoot select far more than `need` — tie-heavy
+            # integer ranks, duplicate vectors, or a constant column would
+            # otherwise balloon the candidate set toward O(n) per column,
+            # the memory blowup the old per-column loop never had), and
+            # NaN-poisoned columns (NaN compares false to everything, so
+            # an unlucky threshold would drop the finite candidates too).
+            # The repair always recomputes the EXACT need-th order
+            # statistic — never trusts the sampled v — so count(col < vc)
+            # < need holds and the tie trim always applies: the selection
+            # is exactly the global (value, id, row) prefix of length
+            # `need`, and downstream sort/exclusion semantics are
+            # unchanged. (NaN rows sort last, same as np.lexsort; a
+            # column with fewer than `need` finite rows keeps all of its
+            # finite rows and returns a short result.)
             cap = max(4 * need, 64)
             counts = le.sum(axis=0)
             for c in np.nonzero((counts < need) | (counts > cap))[0]:
                 col = sub[:, c]
-                vc = (
-                    np.partition(col, need - 1)[need - 1]
-                    if counts[c] < need
-                    else v[c]
-                )
+                vc = np.partition(col, need - 1)[need - 1]
+                if isinstance(vc.item(), float) and vc != vc:
+                    # fewer than `need` finite values: every finite row
+                    # is a candidate (NaNs rank last, never in top-k)
+                    le[:, c] = col == col
+                    continue
                 lt_idx = np.nonzero(col < vc)[0]
                 eq_idx = np.nonzero(col == vc)[0]
                 take = need - len(lt_idx)
-                if 0 <= take < len(eq_idx):
+                if 0 < take < len(eq_idx):
                     ord_eq = np.argsort(ids[eq_idx], kind="stable")
                     eq_idx = eq_idx[ord_eq[:take]]
                 mask = np.zeros(n, dtype=bool)
@@ -168,12 +175,18 @@ def _topk_per_query(
         # lexsort((ids, rank[:, j])) including its positional tie-break
         order = np.lexsort((rr, ids[rr], vals, cc))
         cc_s, rr_s = cc[order], rr[order]
+        if len(cc_s) == 0:  # every column in the chunk was all-NaN
+            continue
         counts = np.bincount(cc_s, minlength=c1 - c0)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # a column with ZERO candidates (all-NaN ranks) makes its start
+        # index == len(cc_s); clip before indexing — the clipped value is
+        # never used (np.repeat skips count-0 groups)
+        starts_ix = np.minimum(starts, max(len(cc_s) - 1, 0))
         if exclude_ids is not None:
             keep = ids[rr_s] != exclude_ids[c0:c1][cc_s]
             ck = np.cumsum(keep)
-            grp_base = np.repeat(ck[starts] - keep[starts], counts)
+            grp_base = np.repeat(ck[starts_ix] - keep[starts_ix], counts)
             rank_in_grp = ck - grp_base  # 1-based among kept
             selm = keep & (rank_in_grp <= kk)
             out_k.append(rank_in_grp[selm].astype(np.int64))

@@ -133,7 +133,13 @@ def pagerank(
                 contrib, F.col("_src") == F.col("_n"), "left"
             ).withColumn("r", F.expr(r_expr))
         contrib = joined.groupBy(F.col("_dst").alias("_n")).agg(
-            F.sum(F.expr("(r * _w) div _ow")).alias("_m")
+            # _ow = 0 (a source whose weights sum to zero) must contribute
+            # NULL — which sum() skips — not raise: Spark 4's ANSI mode
+            # turns a bare `div 0` into DIVIDE_BY_ZERO mid-aggregation.
+            # The driver tier skips the same rows for the same reason.
+            F.sum(
+                F.expr("CASE WHEN _ow = 0 THEN NULL ELSE (r * _w) div _ow END")
+            ).alias("_m")
         )
         if cut_every and i % cut_every == 0 and i < iters:
             # EAGER: a lazy localCheckpoint barrier re-materializes at
@@ -176,21 +182,34 @@ def _pagerank_driver(
     distributed tail, so the two tiers are bit-identical end to end."""
     import pyspark.sql.types as T
 
+    def _div(a: int, b: int) -> int:
+        # Spark's integral `div` truncates toward ZERO; Python // floors.
+        # Positive operands agree, but a negative weight (or the negative
+        # mass it propagates into ranks) must not diverge between tiers.
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
     nodes = {r["_src"] for r in rows}
     m: dict | None = None
     for _ in range(iters):
         if m is None:
             r = {u: SCALE for u in nodes}
         else:
-            r = {u: base + (dn * m.get(u, 0)) // 100 for u in nodes}
+            r = {u: base + _div(dn * m.get(u, 0), 100) for u in nodes}
         m2: dict = {}
         for row in rows:
+            # NULL weight -> NULL product, zero out-weight -> NULL
+            # division: the distributed sum() SKIPS both, so the driver
+            # tier must too (not crash on them)
+            if row["_w"] is None or not row["_ow"]:
+                continue
             m2[row["_dst"]] = (
-                m2.get(row["_dst"], 0) + (r[row["_src"]] * row["_w"]) // row["_ow"]
+                m2.get(row["_dst"], 0)
+                + _div(r[row["_src"]] * row["_w"], row["_ow"])
             )
         m = m2
     final = [
-        (u, base + (dn * (m or {}).get(u, 0)) // 100)
+        (u, base + _div(dn * (m or {}).get(u, 0), 100))
         for u in sorted(nodes, key=str)
     ]
     out = spark.createDataFrame(

@@ -6353,6 +6353,25 @@ def _claim_scratch_dir(path: str) -> None:
                 os.rename(lock, reclaim)
             except OSError:  # someone else won the reclaim (or re-created)
                 continue
+            # verify we renamed the DEAD owner's lock, not a fresh one a
+            # faster reclaimer already replaced (rename does not check
+            # content): stealing a live lock would let two processes own
+            # the dir. Wrong pid -> put it back and fail LOUDLY.
+            try:
+                with open(reclaim) as fh:
+                    got = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                got = pid
+            if got != pid:
+                try:
+                    os.rename(reclaim, lock)
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"scratch dir {path} was re-claimed by live process "
+                    f"{got} during stale-lock reclaim; refusing to steal "
+                    "its lock — stop that process or use a different sf_dir"
+                ) from None
             try:
                 os.unlink(reclaim)
             except OSError:

@@ -188,16 +188,24 @@ def streaming_horizon_dedup(
     watermark eviction.
 
     Returns the surviving (id, ts, digest) rows in append mode."""
+    if not docs.isStreaming:
+        # no silent batch twin: horizon-RESTART semantics (a duplicate
+        # after its predecessor's horizon expires is a NEW keeper) need
+        # the state store — a batch dropDuplicates would return global
+        # first-wins with an ARBITRARY keeper and any batch-vs-replay
+        # parity check would silently disagree. Replay batch data through
+        # readStream + availableNow (tests/test_stateful.py shows the
+        # shape), or use exact-digest dedup for batch global first-wins.
+        raise ValueError(
+            "streaming_horizon_dedup requires a streaming DataFrame: "
+            "horizon-restart semantics are stateful — replay batch data "
+            "via readStream + trigger(availableNow=True), or use "
+            "operators.dedup exact-digest dedup for batch first-wins"
+        )
     hashed = docs.select(
         F.col(id_col), F.col(ts_col), F.md5(F.col(text_col)).alias("digest")
-    )
-    if docs.isStreaming:
-        hashed = hashed.withWatermark(ts_col, horizon)
-        return hashed.dropDuplicatesWithinWatermark(["digest"])
-    # batch twin: same keep-first-in-horizon semantics are not expressible
-    # as a single batch dropDuplicates (horizon restarts at each keeper);
-    # callers verifying parity should replay through availableNow instead
-    return hashed.dropDuplicates(["digest"])
+    ).withWatermark(ts_col, horizon)
+    return hashed.dropDuplicatesWithinWatermark(["digest"])
 
 
 def streaming_unit_dedup(
