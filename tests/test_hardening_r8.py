@@ -327,11 +327,19 @@ def test_scratch_lock_reclaims_dead_owner_and_refuses_live(tmp_path):
         fh.write(str(dead))
     _claim_scratch_dir(path)  # reclaims the dead owner's lock
     with open(lock) as fh:
-        assert int(fh.read()) == os.getpid()
+        assert int(fh.read().split()[0]) == os.getpid()
     _claim_scratch_dir(path)  # our own lock: re-entry passes
-    # live owner: PID 1 is always alive (init) and not us
+    # live owner: PID 1 is always alive (init) and not us — legacy
+    # pid-only format (no starttime) must be treated as live
     with open(lock, "w") as fh:
         fh.write("1")
     with _pytest.raises(RuntimeError, match="live process"):
         _claim_scratch_dir(path)
+    # pid-REUSE case: a live pid whose recorded starttime mismatches the
+    # current occupant is a STALE lock and must be reclaimed
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getppid()} 1")  # parent is alive; starttime 1 is not its
+    _claim_scratch_dir(path)
+    with open(lock) as fh:
+        assert int(fh.read().split()[0]) == os.getpid()
     os.unlink(lock)

@@ -12,6 +12,7 @@ cannot flip the order-insensitive value hash.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 from collections import OrderedDict
@@ -6296,6 +6297,45 @@ FROM z GROUP BY zcell ORDER BY zcell
 SQL_ZORDER_CLUSTER_PROFILE = _sql_zorder_profile()
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot) of `pid`, or None when
+    unavailable (non-Linux). A (pid, starttime) pair identifies a process
+    across PID REUSE — a bare pid does not: /tmp lockfiles outlive their
+    owners, and a later run's own short-lived Python workers can land on
+    the recorded pid, turning a stale lock into a phantom 'live owner'
+    (observed: a bench run failing 4 queries against locks from a
+    selfcheck that exited an hour earlier)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        # comm (field 2) may contain spaces/parens: split after the LAST
+        # ')' — starttime is overall field 22, i.e. index 19 past comm
+        return int(stat.rsplit(")", 1)[1].split()[19])
+    except Exception:  # noqa: BLE001 — no /proc or raced exit
+        return None
+
+
+_OWNED_SCRATCH_LOCKS: set = set()
+
+
+def _release_owned_scratch_locks() -> None:
+    """atexit: drop the locks this process claimed so the next run's
+    claim is an uncontested O_EXCL create instead of a dead-owner
+    reclaim (the scratch DIRS deliberately survive for reuse)."""
+    me = str(os.getpid())
+    for lock in list(_OWNED_SCRATCH_LOCKS):
+        try:
+            with open(lock) as fh:
+                if fh.read().split()[:1] == [me]:
+                    os.unlink(lock)
+        except OSError:
+            pass
+        _OWNED_SCRATCH_LOCKS.discard(lock)
+
+
+atexit.register(_release_owned_scratch_locks)
+
+
 def _claim_scratch_dir(path: str) -> None:
     """Claim exclusive ownership of a shared /tmp scratch dir before
     (re)creating it.
@@ -6305,24 +6345,33 @@ def _claim_scratch_dir(path: str) -> None:
     run's dir instead of leaking one per run), but that sharing means two
     LIVE processes on one host (driver gate + bench, say) could rmtree
     each other's store mid-query. Guard: an O_EXCL lockfile holding the
-    owner PID next to the dir. A live owner in another process -> fail
-    fast (loudly, instead of silently deleting its data); a dead owner's
-    lock is reclaimed; our own lock (re-entry after a memo-cache clear)
-    passes through."""
+    owner's (pid, starttime) next to the dir. A live owner in another
+    process -> fail fast (loudly, instead of silently deleting its data);
+    a dead owner's lock — including a pid REUSED by an unrelated process,
+    which the starttime disambiguates — is reclaimed atomically; our own
+    lock (re-entry after a memo-cache clear) passes through. Owned locks
+    are released at interpreter exit."""
     lock = path + ".lock"
     me = os.getpid()
+    my_token = f"{me} {_proc_start_ticks(me) or 0}"
+
+    def _read(p: str) -> tuple[str, int]:
+        try:
+            with open(p) as fh:
+                raw = fh.read().strip()
+            return raw, int(raw.split()[0] or "0")
+        except (OSError, ValueError, IndexError):
+            return "", 0
+
     for _ in range(8):  # bounded: each retry removes one stale lock
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(me).encode())
+            os.write(fd, my_token.encode())
             os.close(fd)
+            _OWNED_SCRATCH_LOCKS.add(lock)
             return
         except FileExistsError:
-            try:
-                with open(lock) as fh:
-                    pid = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
+            raw, pid = _read(lock)
             if pid == me:
                 return
             alive = False
@@ -6334,6 +6383,24 @@ def _claim_scratch_dir(path: str) -> None:
                     alive = False
                 except PermissionError:
                     alive = True
+            if alive:
+                # pid alive, but is it the RECORDED process? A lock that
+                # carries a starttime not matching the live pid's is a
+                # stale lock whose pid was reused — reclaim it. (Legacy
+                # pid-only locks cannot be disambiguated: treated live.)
+                parts = raw.split()
+                if len(parts) >= 2:
+                    try:
+                        rec_start = int(parts[1])
+                    except ValueError:
+                        rec_start = 0
+                    now_start = _proc_start_ticks(pid)
+                    if (
+                        rec_start
+                        and now_start is not None
+                        and now_start != rec_start
+                    ):
+                        alive = False  # same pid, different process
             if alive:
                 raise RuntimeError(
                     f"scratch dir {path} is owned by live process {pid} "
@@ -6356,21 +6423,18 @@ def _claim_scratch_dir(path: str) -> None:
             # verify we renamed the DEAD owner's lock, not a fresh one a
             # faster reclaimer already replaced (rename does not check
             # content): stealing a live lock would let two processes own
-            # the dir. Wrong pid -> put it back and fail LOUDLY.
-            try:
-                with open(reclaim) as fh:
-                    got = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                got = pid
-            if got != pid:
+            # the dir. Wrong content -> put it back and fail LOUDLY.
+            got_raw, got_pid = _read(reclaim)
+            if got_raw != raw:
                 try:
                     os.rename(reclaim, lock)
                 except OSError:
                     pass
                 raise RuntimeError(
                     f"scratch dir {path} was re-claimed by live process "
-                    f"{got} during stale-lock reclaim; refusing to steal "
-                    "its lock — stop that process or use a different sf_dir"
+                    f"{got_pid} during stale-lock reclaim; refusing to "
+                    "steal its lock — stop that process or use a "
+                    "different sf_dir"
                 ) from None
             try:
                 os.unlink(reclaim)
