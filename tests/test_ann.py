@@ -603,3 +603,15 @@ def test_topk_per_query_exact_lexsort_parity_on_degenerate_ties():
         order = np.lexsort((ids, mn[:, j]))
         order = order[ids[order] != ids[j]][:10]
         assert got.get(j, []) == list(ids[order]), j
+
+    # entirely-NaN matrices (both branch sizes) return EMPTY, not a
+    # concatenate crash; and the small-block (need >= n) path drops NaN
+    # rows exactly like the threshold path — same row, same verdict,
+    # regardless of block size
+    for nn in (500, 3000):
+        q0, r0, k0 = _topk_per_query(np.full((nn, 4), np.nan), ids[:nn], 10)
+        assert len(q0) == 0
+    small = np.array([[0.5], [np.nan], [0.2]])
+    sids = np.array(["a", "b", "c"], dtype=object)
+    qs_, rs_, ks_ = _topk_per_query(small, sids, 10)  # kk > n: small path
+    assert list(sids[rs_]) == ["c", "a"]  # NaN row excluded, finite ranked

@@ -336,10 +336,24 @@ def test_scratch_lock_reclaims_dead_owner_and_refuses_live(tmp_path):
     with _pytest.raises(RuntimeError, match="live process"):
         _claim_scratch_dir(path)
     # pid-REUSE case: a live pid whose recorded starttime mismatches the
-    # current occupant is a STALE lock and must be reclaimed
-    with open(lock, "w") as fh:
-        fh.write(f"{os.getppid()} 1")  # parent is alive; starttime 1 is not its
-    _claim_scratch_dir(path)
-    with open(lock) as fh:
-        assert int(fh.read().split()[0]) == os.getpid()
+    # current occupant is a STALE lock and must be reclaimed. Linux-only
+    # (needs /proc starttime); elsewhere the check degrades to
+    # conservative pid-only liveness and this sub-case does not apply.
+    from vettore_spark.queries import _proc_start_ticks
+
+    if _proc_start_ticks(os.getpid()) is not None:
+        with open(lock, "w") as fh:
+            fh.write(f"{os.getppid()} 1")  # parent alive; starttime 1 is not its
+        _claim_scratch_dir(path)
+        with open(lock) as fh:
+            assert int(fh.read().split()[0]) == os.getpid()
+        # SELF pid-reuse: we hold the pid recorded by a SIGKILLed prior
+        # owner — adoption must REWRITE the token (leaving the dead
+        # starttime would make every other process reclaim under us)
+        with open(lock, "w") as fh:
+            fh.write(f"{os.getpid()} 1")
+        _claim_scratch_dir(path)
+        with open(lock) as fh:
+            raw = fh.read().split()
+        assert raw[0] == str(os.getpid()) and raw[1] != "1"
     os.unlink(lock)

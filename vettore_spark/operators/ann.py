@@ -119,7 +119,11 @@ def _topk_per_query(
         c1 = min(nq, c0 + chunk)
         sub = rankmat[:, c0:c1]  # view — no copy of the block
         if need >= n:
-            le = np.ones(sub.shape, dtype=bool)
+            # every FINITE row is a candidate (x == x is False for NaN):
+            # the small-block path must drop NaN rows exactly like the
+            # threshold path below, or the same row would surface in
+            # small blocks and vanish in large ones
+            le = sub == sub
         else:
             if sample_rows is None:
                 part = np.argpartition(sub, need - 1, axis=0)[:need]
@@ -196,6 +200,8 @@ def _topk_per_query(
             out_k.append((pos[selm] + 1).astype(np.int64))
         out_q.append((cc_s[selm] + c0).astype(np.int64))
         out_r.append(rr_s[selm].astype(np.int64))
+    if not out_q:  # every chunk was all-NaN: empty result, not a crash
+        return empty, empty, empty
     return np.concatenate(out_q), np.concatenate(out_r), np.concatenate(out_k)
 
 

@@ -80,7 +80,11 @@ def pagerank(
     overhead — ~1 s to iterate a 31-node graph (measured, sf0.1 token
     adjacency). GraphX/Pregel local mode is the same tier split. Set
     driver_max_edges=0 to force the distributed path; 100k edge rows is
-    a few MB on the driver."""
+    a few MB on the driver. One documented tier asymmetry: the
+    distributed product (r * w) is LONG arithmetic — past the module
+    weight bound (see SCALE above) ANSI mode raises ARITHMETIC_OVERFLOW
+    loudly, while the driver tier's Python integers are unbounded; stay
+    inside the bound (or pre-divide weights) for tier-independent runs."""
     if iters < 1:
         raise ValueError("pagerank needs iters >= 1")
     dn = int(round(damping * 100))

@@ -6373,6 +6373,20 @@ def _claim_scratch_dir(path: str) -> None:
         except FileExistsError:
             raw, pid = _read(lock)
             if pid == me:
+                # we may BE the pid-reuser of a SIGKILLed prior owner's
+                # lock (no atexit ran): adopt it, but rewrite the token —
+                # leaving the dead owner's starttime in place would make
+                # every OTHER process see alive-pid-with-wrong-starttime,
+                # declare the lock stale, and rmtree the dir under us
+                if raw != my_token:
+                    tok_tmp = f"{lock}.tok.{me}"
+                    try:
+                        with open(tok_tmp, "w") as fh:
+                            fh.write(my_token)
+                        os.replace(tok_tmp, lock)
+                    except OSError:
+                        pass
+                _OWNED_SCRATCH_LOCKS.add(lock)
                 return
             alive = False
             if pid > 0:
@@ -6426,8 +6440,19 @@ def _claim_scratch_dir(path: str) -> None:
             # the dir. Wrong content -> put it back and fail LOUDLY.
             got_raw, got_pid = _read(reclaim)
             if got_raw != raw:
+                # restore WITHOUT clobbering: a third process may have
+                # O_EXCL-created a fresh lock in the window our rename
+                # left open — plain rename would silently replace it and
+                # mint two owners. link() fails if the lock exists; in
+                # that case the current holder keeps theirs and we only
+                # raise (the stolen claimant must re-run — loud beats
+                # mutual rmtree).
                 try:
-                    os.rename(reclaim, lock)
+                    os.link(reclaim, lock)
+                except OSError:
+                    pass
+                try:
+                    os.unlink(reclaim)
                 except OSError:
                     pass
                 raise RuntimeError(
