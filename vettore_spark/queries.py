@@ -3250,6 +3250,166 @@ ORDER BY doc_id
 """
 
 
+def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
+    """Shared availableNow-replay harness for the streaming oracle gates:
+    memory sink, bounded replay to completion, hard timeout (a hung source
+    must FAIL the gate, never hand back a partial table), finished table
+    returned as a plain DataFrame for the hash compare."""
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming gate did not finish within 300s")
+    return out.sparkSession.table(name)
+
+
+def q_streaming_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE's time-horizon dedup (streaming/stateful.py::
+    streaming_horizon_dedup -> dropDuplicatesWithinWatermark) driver-gated
+    via availableNow replay of the documents table with a synthesized
+    deterministic event time (epoch + doc_id seconds). The single-file
+    replay is one micro-batch, so every digest's state is live for the
+    whole run and the engine must emit EXACTLY one keeper row per distinct
+    digest — but WHICH row wins per digest is arrival-order-dependent
+    inside a batch (the state store keeps the first row it sees), so the
+    gate projects the deterministic part: the keeper digest set. That
+    hash-verifies the engine path end-to-end (watermark analysis, state
+    store puts, append emission); the horizon-RESTART semantics (a
+    duplicate arriving after its predecessor's horizon expired is a NEW
+    keeper) are multi-batch by nature and stay pinned in
+    tests/test_stateful.py::test_horizon_dedup_* with controlled batch
+    boundaries. At 100 TB this exact plan runs unbounded with state
+    bounded by TIME (the crawl re-fetch / retry-storm posture) instead of
+    key cardinality."""
+    from vettore_spark.streaming.stateful import streaming_horizon_dedup
+
+    path = _streaming_table_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        )
+    )
+    out = streaming_horizon_dedup(stream, horizon="1 hour")
+    got = _run_streaming_gate(out, "streaming_horizon_dedup_sink", "append")
+    return got.select("digest").orderBy("digest")
+
+
+SQL_STREAMING_HORIZON_DEDUP = """
+SELECT DISTINCT md5(text) AS digest
+FROM documents
+ORDER BY digest
+"""
+
+
+def q_streaming_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL conversion-funnel tracking (streaming/stateful.py::
+    streaming_funnel_stage, applyInPandasWithState with three-long state
+    per user) driver-gated: availableNow replay of the events table, one
+    emission per user carrying the final funnel stage (0..3). Stage N
+    counts only when its event STRICTLY follows the user's min stage-(N-1)
+    time; inside the single replay batch rows are processed in ts order,
+    which makes the stream bit-equal to the min-aggregate batch funnel
+    (the strict > rule resolves every view/click/purchase ts tie to 'skip'
+    in BOTH engines, so partition arrival order cannot leak in). Oracle =
+    the event_funnel CTE chain at per-user granularity. At 100 TB the
+    identical operator runs unbounded with O(1) state per user (three
+    longs) — no event history retained."""
+    from vettore_spark.streaming.stateful import streaming_funnel_stage
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _streaming_table_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_funnel_stage(stream)
+    got = _run_streaming_gate(out, "streaming_funnel_stage_sink", "append")
+    return got.select("user_id", "stage").orderBy("user_id")
+
+
+SQL_STREAMING_FUNNEL_STAGE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+ORDER BY u.user_id
+"""
+
+
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming KMV distinct-count sketch (streaming/stateful.py
+    ::streaming_kmv_distinct — bottom-k=128 md5-derived 60-bit hashes per
+    group held in GroupState) driver-gated: availableNow replay of the
+    events table, update-mode emission; the single replay batch makes the
+    final per-group emission the whole answer, and the estimator is
+    deterministic (same hash construction as operators/sketch.hash60), so
+    the oracle reproduces the estimate bit-for-bit — the kmv_distinct_daily
+    SQL sketch, re-keyed to (event_type, user_id). At 100 TB the identical
+    operator runs unbounded with O(k) state per group regardless of stream
+    length, emitting a running cardinality estimate every micro-batch."""
+    from vettore_spark.streaming.stateful import streaming_kmv_distinct
+
+    path = _streaming_table_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_kmv_distinct(stream, k=128)
+    got = _run_streaming_gate(out, "streaming_kmv_distinct_sink", "update")
+    return got.select("event_type", "n_sketch", "est_distinct").orderBy(
+        "event_type"
+    )
+
+
+SQL_STREAMING_KMV_DISTINCT = r"""
+WITH h AS (SELECT DISTINCT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
+       FROM h),
+agg AS (SELECT event_type, count(*) AS _n, max(h) AS _hk
+        FROM rk WHERE pos <= 128 GROUP BY event_type)
+SELECT event_type, CAST(_n AS INT) AS n_sketch,
+       round(CASE WHEN _n < 128 THEN CAST(_n AS DOUBLE)
+                  ELSE (127.0 * CAST(1152921504606846976 AS DOUBLE))
+                       / CAST(_hk AS DOUBLE) END, 3) AS est_distinct
+FROM agg
+ORDER BY event_type
+"""
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: per user, each event's value is
     z-scored against the 20 PRECEDING events (sample stddev, current row
@@ -8372,76 +8532,94 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
         q_streaming_dedup_keepers,
         SQL_STREAMING_DEDUP_KEEPERS,
     ),
-    # --- round-9 addition (tail: enters the gate window at the r10
-    # rotation; selfcheck-verified until then) --- the distributed
+    # --- round-9 addition (gated r10, slot 1) --- the distributed
     # pagerank tier's oracle gate, now that the default-parameter
     # textrank_keywords takes the driver tier on gate-sized corpora
     "textrank_distributed": (q_textrank_distributed, SQL_TEXTRANK_KEYWORDS),
+    # --- round-10 additions: the previously pytest-only stateful
+    # streaming operators, gated via availableNow replay (the
+    # streaming_events_hourly pattern) — engine dropDuplicatesWithinWatermark,
+    # applyInPandasWithState funnel, and the stateful KMV sketch
+    "streaming_horizon_dedup": (
+        q_streaming_horizon_dedup,
+        SQL_STREAMING_HORIZON_DEDUP,
+    ),
+    "streaming_funnel_stage": (
+        q_streaming_funnel_stage,
+        SQL_STREAMING_FUNNEL_STAGE,
+    ),
+    "streaming_kmv_distinct": (
+        q_streaming_kmv_distinct,
+        SQL_STREAMING_KMV_DISTINCT,
+    ),
 }
 
-# Round-9 gate window (per the round-8 verdict, rotated at round START):
-# slots 1-5 are the 5 round-8 additions that have never had a driver
-# CORRECTNESS row (judge-selfcheck-verified in r8; after this window the
-# cumulative driver-gated count is 180/180); slots 6-34 are the 29
-# queries whose latest driver green is r5 (TPC-H long tail, skew/salting,
-# quantized/JL/PQ search tiers, sampling); slots 35-50 are the 16 oldest
-# r6 greens ranked by first-green round (the r1/r2-era dedup, session,
-# BM25/RRF, as-of/range-join block) — 5+29+16 fills 50 exactly, and after
-# this gate no query's latest green is older than r6.
+# Round-10 gate window (per the round-9 verdict, rotated at round START):
+# slot 1 is textrank_distributed (added r9, judge-selfcheck-verified,
+# never driver-gated — after this window the cumulative driver-gated
+# count is the full registry); slots 2-31 are the 30 queries whose
+# latest driver green is r6 (ANN/IVF/PQ tiers, sketches, curation
+# pipelines, semantic dedup); slots 32-34 are the three round-10
+# streaming gates (previously pytest-only stateful operators, first
+# driver gating); slots 35-50 are the 16 oldest r7 greens ranked by
+# first-green round (the r1/r2-era flat/quantized/prefix search block,
+# media features, plus bitext_mining from r3) — 1+30+3+16 fills 50
+# exactly, and after this gate no query's latest green is older than r7.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-5: round-8 additions, first driver gating ---
-    "mutual_knn_blocked",
-    "mutual_knn_multiband",
-    "mutual_knn_cellblocked",
-    "streaming_events_hourly",
-    "streaming_dedup_keepers",
-    # --- slots 6-34: every query whose latest green is r5 ---
-    "c4_line_filter",
-    "event_funnel",
-    "events_skew_report",
-    "events_value_quantiles",
-    "hybrid_topk",
-    "jl_prefilter_topk",
-    "jl_projection",
-    "minhash_lsh_pairs",
-    "multi_query_quantized",
-    "pq_adc_topk",
-    "salted_event_rollup",
-    "salted_user_join",
-    "sq_int8_topk",
-    "tpch_q2_mincost",
-    "tpch_q5_local",
-    "tpch_q7_nations",
-    "tpch_q8_mktshare",
-    "tpch_q9_profit",
-    "tpch_q11_important",
-    "tpch_q12_lateship",
-    "tpch_q13_custdist",
-    "tpch_q15_topsupp",
-    "tpch_q16_suppcnt",
-    "tpch_q17_smallqty",
-    "tpch_q20_excess",
-    "tpch_q21_waiting",
-    "tpch_q22_noorders",
-    "user_retention",
-    "weighted_doc_sample",
-    # --- slots 35-50: the 16 oldest r6 greens (first green r1/r2) ---
-    "neardup_clusters",
-    "stratified_sample",
-    "hashed_embedding",
-    "events_sliding_window",
-    "events_anomaly",
-    "ngram_jaccard_pairs",
-    "embedding_neardup",
-    "user_sessions",
-    "bm25_topk",
-    "rrf_fusion",
-    "doc_chunks",
-    "decontaminate",
-    "pii_redact",
-    "repetition_filter",
-    "events_asof_join",
-    "events_range_join",
+    # --- slot 1: round-9 addition, first driver gating ---
+    "textrank_distributed",
+    # --- slots 2-31: every query whose latest green is r6 ---
+    "ann_brp_lsh_topk",
+    "ann_ivfpq_topk",
+    "bloom_join_prune",
+    "bm25_batch",
+    "calibrated_quality",
+    "cms_token_hitters",
+    "curation_pipeline",
+    "dedup_report",
+    "domain_mixture",
+    "dsir_weights",
+    "embedding_neardup_blocked",
+    "events_time_rollup",
+    "filtered_quantized_topk",
+    "hard_negatives",
+    "hnsw_multi_topk",
+    "ivf_delete_search",
+    "ivf_filtered_topk",
+    "kmv_distinct_daily",
+    "kmv_shingle_overlap",
+    "muvera_fde_retrieval",
+    "rerank_model_topk",
+    "retrieval_pipeline",
+    "semantic_dedup_pairs",
+    "semdedup_prune",
+    "substring_dedup",
+    "table_profile",
+    "temperature_mixture",
+    "textrank_keywords",
+    "token_budget_select",
+    "training_pipeline",
+    # --- slots 32-34: round-10 streaming gates, first driver gating ---
+    "streaming_horizon_dedup",
+    "streaming_funnel_stage",
+    "streaming_kmv_distinct",
+    # --- slots 35-50: the 16 oldest r7 greens (first green r1/r2/r3) ---
+    "flat_topk_cosine",
+    "flat_topk_dot",
+    "maxsim_label_topk",
+    "media_audio_features",
+    "media_frame_sample",
+    "multi_query_topk",
+    "packed_jaccard_topk",
+    "prefix_topk",
+    "similarity_score_mode",
+    "funnel_topk",
+    "hnsw_delete_search",
+    "media_image_features",
+    "media_image_resize",
+    "quantized_topk",
+    "train_shards",
+    "bitext_mining",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
