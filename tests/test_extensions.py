@@ -54,6 +54,11 @@ def test_compat_get_all_cap(spark):
     with pytest.raises(ValueError, match="Collection.all"):
         db.get_all("cap", max_rows=3)
     assert len(db.get_all("cap", max_rows=5)) == 5
+    # rerank collects ids + FULL VECTORS for the whole collection — the
+    # same legacy-collect class, so the same fail-fast cap (r9 verdict #4)
+    with pytest.raises(ValueError, match="mmr_rerank"):
+        db.rerank("cap", [1.0, 0.0], limit=2, max_rows=3)
+    assert len(db.rerank("cap", [1.0, 0.0], limit=2, max_rows=5)) == 2
     # get_by_vector must not collect the collection: it returns the one
     # matching row through a JVM-side filter (normalized-vector compare)
     assert db.get_by_vector("cap", [3.0, 0.0])["id"] == "3"

@@ -146,3 +146,32 @@ def test_pagerank_tiers_agree_on_degenerate_weights(spark):
     }
     assert got_driver == got_dist
     assert set(got_driver) == {"a", "b", "z", "n", "m"}
+
+
+def test_pagerank_tiers_agree_on_null_source(spark):
+    """NULL source ids are not nodes: before r10 the distributed tier's
+    node set (e.distinct()) emitted a base-rank row for NULL while the
+    driver tier (node set from the collected post-out-weight-join edges,
+    an inner equi-join NULL can never match) did not — same graph,
+    different rows depending on driver_max_edges. Both tiers must now
+    drop NULL-src edges up front and agree exactly."""
+    edges = [
+        ("a", "b", 1), ("b", "a", 1),
+        (None, "a", 5), (None, "b", 5),  # NULL src: not a node, no mass
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got_driver = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight_col="w", iters=4).collect()
+    }
+    got_dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            df, weight_col="w", iters=4, driver_max_edges=0
+        ).collect()
+    }
+    assert got_driver == got_dist
+    assert set(got_driver) == {"a", "b"}
+    # and NULL-src edges contribute no mass: ranks equal the 2-cycle's
+    ref = _py_pagerank([("a", "b", 1), ("b", "a", 1)], iters=4)
+    assert got_driver == ref

@@ -121,13 +121,34 @@ class Vettore:
         return [(r["id"], r["score"]) for r in rows]
 
     def rerank(
-        self, coll: str, query: list[float], *, alpha: float = 0.5, limit: int = 10
+        self,
+        coll: str,
+        query: list[float],
+        *,
+        alpha: float = 0.5,
+        limit: int = 10,
+        max_rows: int | None = None,
     ) -> list[tuple]:
-        """MMR over the whole collection (vettore.ex:592-618)."""
+        """MMR over the whole collection (vettore.ex:592-618). The greedy
+        MMR loop is driver-side by contract (SURVEY §2.10) and collects
+        ids PLUS full vectors — strictly more per row than `get_all` — so
+        it carries the SAME fail-fast cap (default 100k): past the cap
+        the legacy whole-collection shape would silently OOM the driver.
+        Production shape for big collections: `Collection.search(query,
+        limit=N)` for a bounded top-N, then `mmr_rerank` over that."""
         from vettore_spark.operators.rerank import mmr_rerank
 
         c = self._coll(coll)
         n = c.count()
+        cap = self._GET_ALL_MAX if max_rows is None else max_rows
+        if n > cap:
+            raise ValueError(
+                f"rerank would collect {n} rows (ids + full vectors) to "
+                f"the driver, more than the {cap}-row cap; this legacy "
+                "facade reranks the WHOLE collection — for big collections "
+                "use Collection.search(query, limit=N) and mmr_rerank over "
+                "the bounded top-N, or raise max_rows explicitly"
+            )
         top = c.search(query, limit=max(n, 1))
         return mmr_rerank(
             top, c.df, metric=c.config.metric, alpha=alpha, k=limit

@@ -95,9 +95,16 @@ def pagerank(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
+    # NULL source ids are not nodes: the out-weight join below is an
+    # inner equi-join on _src, so NULL-src edges can never contribute
+    # mass in EITHER tier — but before this filter the distributed
+    # tier's `nodes = e.distinct()` still emitted a base-rank row for
+    # the NULL node while the driver tier (whose node set comes from
+    # the collected post-join edges) did not. Dropping them up front
+    # makes the two tiers agree on the node set by construction.
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
-    )
+    ).filter(F.col("_src").isNotNull())
     ow = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
     # The weighted edge list is read by EVERY iteration (the canonical
     # PageRank persist, cf. the links table in Spark's own examples):

@@ -44,13 +44,38 @@ _PERSIST_CACHE: OrderedDict = OrderedDict()
 _PERSIST_CACHE_MAX = 64
 
 
+# Sentinel leaf fingerprint for plans whose file set could not be pinned
+# down at build time: a path-backed scan whose directory was EMPTY when
+# the entry was built (a store dir before its first append), or a plan
+# inputFiles() could not analyze. A literal frozenset() there would
+# PERMANENTLY escape rule-2 eviction — a derived table cached over an
+# empty collection would keep serving zero rows after a store append —
+# so these entries instead match EVERY leaf-overlap invalidation.
+_ANY_LEAF = "<unpinned-leaves>"
+
+
 def _leaf_dirs(src: DataFrame) -> frozenset[str]:
     """Normalized parent directories of every file the plan reads — the
-    leaf-scan fingerprint used for mutation eviction. Empty for in-memory
-    (createDataFrame) plans, which cannot go stale through a path append."""
+    leaf-scan fingerprint used for mutation eviction. Empty ONLY for
+    genuinely in-memory (createDataFrame / LogicalRDD) plans, which cannot
+    go stale through a path append; a file-relation plan that currently
+    reads zero files (empty source dir at build time) gets the _ANY_LEAF
+    sentinel instead, so it stays evictable."""
     try:
         files = src.inputFiles()
     except Exception:  # noqa: BLE001 — streaming/unanalyzable plan
+        return frozenset({_ANY_LEAF})
+    if not files:
+        # zero files is ambiguous: LocalRelation/LogicalRDD (safe to pin
+        # as never-stale) vs a file relation over a dir that was empty at
+        # build time (MUST stay evictable). The analyzed-plan tree names
+        # its leaves — file relations print as `Relation [cols] format`.
+        try:
+            tree = src._jdf.queryExecution().analyzed().toString()
+        except Exception:  # noqa: BLE001 — can't tell: stay evictable
+            return frozenset({_ANY_LEAF})
+        if "Relation [" in tree or "Relation[" in tree:
+            return frozenset({_ANY_LEAF})
         return frozenset()
     dirs = set()
     for f in files:
@@ -137,7 +162,10 @@ def invalidate_source(src: DataFrame, *, leaf_overlap: bool = True) -> int:
     n = 0
     stale = []
     for key, (recorded, out, dirs) in _PERSIST_CACHE.items():
-        if src_dirs and not src_dirs.isdisjoint(dirs):
+        if src_dirs and (_ANY_LEAF in dirs or not src_dirs.isdisjoint(dirs)):
+            # _ANY_LEAF: the entry's file set was unpinnable at build time
+            # (empty source dir / unanalyzable plan) — conservatively treat
+            # it as overlapping every path mutation rather than never
             stale.append((key, out))
             continue
         if key[0] != h:
