@@ -169,6 +169,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    # host load BEFORE Spark starts: this box is shared, and r8/r9 burned
+    # real effort forensically proving a +4.7 s "regression" was a
+    # contended run (~±5 s envelope, SCALE.md r9). Stamping the load makes
+    # a contended run machine-detectable in the record instead. The START
+    # sample is the signal — once the bench runs, the load is ours.
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        load_start = []
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -412,15 +421,56 @@ def main() -> None:
             mutual_recall["blocked@bits8bands2"] = round(
                 len(got & exact_pairs) / len(exact_pairs), 3
             )
-            # the bench corpus is ISOTROPIC, so these numbers sit at the
-            # SimHash data floor by construction (p_bit^n_bits — 0.135 at
-            # 4 bits is the bound, third appearance of the jl/pca floor
-            # effect); the clustered-corpus curves real embedding data
-            # lives on (0.95 recall at 0.8% work, 0.99 at 1/32) are in
-            # SCALE.md r8/r9 — key the row so the record self-describes
-            mutual_recall["corpus"] = "isotropic-floor; clustered curves in SCALE.md"
     except Exception as e:  # noqa: BLE001
         print(f"bench mutual recall failed: {e}", file=sys.stderr)
+
+    # the sf embeddings corpus is ISOTROPIC, so the rows above sit at the
+    # SimHash data floor by construction (p_bit^n_bits — 0.135 at 4 bits
+    # is the bound, third appearance of the jl/pca floor effect). The
+    # @clustered rows below measure the tier at its real operating point
+    # — a PLANTED-cluster corpus (32 clusters, n=4000, the SCALE.md r8/r9
+    # fixture shape, deterministic seed) — so the driver record carries
+    # both the floor and the regime real embedding corpora live in
+    # (r9 verdict #3). Note lives in mutual_pair_recall_note (its own
+    # key: the recall map stays all-float for consumers, r9 advice).
+    try:
+        import numpy as np
+
+        from vettore_spark.operators import ann as ANN
+
+        rng = np.random.RandomState(7)
+        n_clu, n_pts, dim = 32, 4000, 64
+        cents = rng.normal(size=(n_clu, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = rng.randint(0, n_clu, size=n_pts)
+        pts = cents[assign] + 0.01 * rng.normal(size=(n_pts, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        clu = spark.createDataFrame(
+            [
+                (int(i), int(assign[i]), [float(x) for x in pts[i]])
+                for i in range(n_pts)
+            ],
+            "vec_id long, label int, embedding array<float>",
+        ).persist()
+        clu.count()
+        mk = dict(k=3, metric="cosine", id_col="vec_id", vector_col="embedding")
+        exact_c = {
+            (r["src"], r["dst"])
+            for r in ANN.mutual_knn_pairs(clu, **mk).collect()
+        }
+        for label, kw in (
+            ("blocked@clustered", dict(n_bits=8, n_bands=2)),
+            ("cellblocked@clustered", dict(block_col="label")),
+        ):
+            edges = ANN.blocked_knn_topk(clu, **mk, **kw)
+            got = {
+                (r["src"], r["dst"])
+                for r in ANN.mutual_knn_pairs(clu, **mk, knn=edges).collect()
+            }
+            mutual_recall[label] = round(len(got & exact_c) / len(exact_c), 3)
+        clu.unpersist()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench clustered recall failed: {e}", file=sys.stderr)
 
     # MUVERA at bench scale (the one reference bench scenario —
     # search_modes_bench.exs MUVERA rows — that had no sf0.1 timing until
@@ -638,6 +688,25 @@ def main() -> None:
     # ingest, and only the 20 slowest queries — sized to survive the
     # capture window.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = []
+    host_load = {
+        "start": load_start,
+        "end": load_end,
+        # >4 runnable tasks on a box where nothing of ours had started yet
+        # = someone else's workload; timings carry the shared-VM envelope
+        "verdict": (
+            "contended" if load_start and load_start[0] > 4.0 else "solo"
+        ),
+    }
+    recall_note = (
+        "@clustered rows: planted 32-cluster n=4000 fixture (deterministic"
+        " seed) — the tier's operating point; unlabeled rows: the sf"
+        " embeddings corpus, ISOTROPIC, so they sit at the SimHash"
+        " p_bit^n_bits data floor by construction (curves in SCALE.md)"
+    )
     full = {
         "metric": "headline_queries_full",
         "value": total,
@@ -648,8 +717,10 @@ def main() -> None:
         "spread": spread,
         "overlap_at_10_vs_exact": overlap,
         "mutual_pair_recall": mutual_recall,
+        "mutual_pair_recall_note": recall_note,
         "muvera": muvera,
         "ingest": ingest,
+        "host_load": host_load,
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -679,6 +750,7 @@ def main() -> None:
         "mutual_pair_recall": mutual_recall,
         "muvera": muvera,
         "ingest": ingest,
+        "host_load": host_load,
         "sf": sf_val,
     }
     line = json.dumps(compact)
@@ -694,6 +766,11 @@ def main() -> None:
 
     print(
         f"persist-cache occupancy: {len(PC._PERSIST_CACHE)}/{PC._PERSIST_CACHE_MAX}",
+        file=sys.stderr,
+    )
+    print(
+        f"host load: start={load_start} end={load_end} -> "
+        f"{host_load['verdict']} run",
         file=sys.stderr,
     )
     print(line)
