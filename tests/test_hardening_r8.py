@@ -302,58 +302,69 @@ def test_minhash_bands_validation(spark):
 
 
 def test_scratch_lock_reclaims_dead_owner_and_refuses_live(tmp_path):
-    """_claim_scratch_dir: a dead owner's lock is reclaimed; a live
-    owner's lock fails loudly; our own lock passes through."""
+    """_claim_scratch_dir (flock protocol, r10): a dead owner's leftover
+    lockfile is claimable instantly (the kernel released its flock at
+    process death — no stale-lock state exists to reclaim); a LIVE
+    flock-holding process fails loudly; re-entry by the owning process
+    passes through the held-fd registry."""
     import os
+    import subprocess
+    import sys
+    import time
 
     import pytest as _pytest
 
+    from vettore_spark import queries as Q
     from vettore_spark.queries import _claim_scratch_dir
 
     path = str(tmp_path / "scratch")
     lock = path + ".lock"
-    # find a pid that is definitely not running (probe with signal 0)
-    dead = None
-    for cand in range(60000, 65000):
-        try:
-            os.kill(cand, 0)
-        except ProcessLookupError:
-            dead = cand
-            break
-        except PermissionError:
-            continue
-    assert dead is not None
+    # dead owner: a lockfile with a token but NO live flock (the process
+    # that wrote it exited — SIGKILL, OOM, clean exit, all identical
+    # under flock) must be claimable without any reclaim dance
     with open(lock, "w") as fh:
-        fh.write(str(dead))
-    _claim_scratch_dir(path)  # reclaims the dead owner's lock
+        fh.write("99999 1")
+    _claim_scratch_dir(path)
     with open(lock) as fh:
         assert int(fh.read().split()[0]) == os.getpid()
-    _claim_scratch_dir(path)  # our own lock: re-entry passes
-    # live owner: PID 1 is always alive (init) and not us — legacy
-    # pid-only format (no starttime) must be treated as live
-    with open(lock, "w") as fh:
-        fh.write("1")
-    with _pytest.raises(RuntimeError, match="live process"):
-        _claim_scratch_dir(path)
-    # pid-REUSE case: a live pid whose recorded starttime mismatches the
-    # current occupant is a STALE lock and must be reclaimed. Linux-only
-    # (needs /proc starttime); elsewhere the check degrades to
-    # conservative pid-only liveness and this sub-case does not apply.
-    from vettore_spark.queries import _proc_start_ticks
+    _claim_scratch_dir(path)  # re-entry: we hold the fd, passes through
 
-    if _proc_start_ticks(os.getpid()) is not None:
-        with open(lock, "w") as fh:
-            fh.write(f"{os.getppid()} 1")  # parent alive; starttime 1 is not its
-        _claim_scratch_dir(path)
-        with open(lock) as fh:
-            assert int(fh.read().split()[0]) == os.getpid()
-        # SELF pid-reuse: we hold the pid recorded by a SIGKILLed prior
-        # owner — adoption must REWRITE the token (leaving the dead
-        # starttime would make every other process reclaim under us)
-        with open(lock, "w") as fh:
-            fh.write(f"{os.getpid()} 1")
-        _claim_scratch_dir(path)
-        with open(lock) as fh:
-            raw = fh.read().split()
-        assert raw[0] == str(os.getpid()) and raw[1] != "1"
-    os.unlink(lock)
+    # live owner: a REAL process holding the flock (content is purely
+    # diagnostic — liveness comes from the kernel lock, so PID reuse and
+    # starttime forgery are structurally impossible)
+    other = str(tmp_path / "other")
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({other + '.lock'!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+            "os.write(fd, str(os.getpid()).encode())\n"
+            "print('held', flush=True)\n"
+            "time.sleep(30)\n",
+        ],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"held"
+        with _pytest.raises(RuntimeError, match="owned by live process"):
+            _claim_scratch_dir(other)
+    finally:
+        holder.kill()
+        holder.wait()
+    # after the holder dies the kernel releases its flock: claimable
+    deadline = time.time() + 10
+    while True:
+        try:
+            _claim_scratch_dir(other)
+            break
+        except RuntimeError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.05)
+    # release our own held fds so other tests in this process start clean
+    for lk in (lock, other + ".lock"):
+        fd = Q._OWNED_SCRATCH_FDS.pop(lk, None)
+        if fd is not None:
+            os.close(fd)

@@ -6475,22 +6475,23 @@ def _proc_start_ticks(pid: int) -> int | None:
         return None
 
 
-_OWNED_SCRATCH_LOCKS: set = set()
+_OWNED_SCRATCH_FDS: dict[str, int] = {}
 
 
 def _release_owned_scratch_locks() -> None:
-    """atexit: drop the locks this process claimed so the next run's
-    claim is an uncontested O_EXCL create instead of a dead-owner
-    reclaim (the scratch DIRS deliberately survive for reuse)."""
-    me = str(os.getpid())
-    for lock in list(_OWNED_SCRATCH_LOCKS):
+    """atexit: close the held lock fds so the kernel releases the flocks
+    (it would anyway at process death — this just makes a clean exit
+    release eagerly). The lock FILES are deliberately never unlinked:
+    unlink+flock is its own race (claimant B flocks the unlinked inode
+    while claimant C creates a fresh file at the path — two owners), and
+    a leftover 64-byte file next to a reusable scratch dir costs nothing.
+    The scratch DIRS survive for reuse by design."""
+    for lock, fd in list(_OWNED_SCRATCH_FDS.items()):
         try:
-            with open(lock) as fh:
-                if fh.read().split()[:1] == [me]:
-                    os.unlink(lock)
+            os.close(fd)
         except OSError:
             pass
-        _OWNED_SCRATCH_LOCKS.discard(lock)
+        _OWNED_SCRATCH_FDS.pop(lock, None)
 
 
 atexit.register(_release_owned_scratch_locks)
@@ -6504,128 +6505,56 @@ def _claim_scratch_dir(path: str) -> None:
     processes (reproducible path -> the next run reclaims the previous
     run's dir instead of leaking one per run), but that sharing means two
     LIVE processes on one host (driver gate + bench, say) could rmtree
-    each other's store mid-query. Guard: an O_EXCL lockfile holding the
-    owner's (pid, starttime) next to the dir. A live owner in another
-    process -> fail fast (loudly, instead of silently deleting its data);
-    a dead owner's lock — including a pid REUSED by an unrelated process,
-    which the starttime disambiguates — is reclaimed atomically; our own
-    lock (re-entry after a memo-cache clear) passes through. Owned locks
-    are released at interpreter exit."""
+    each other's store mid-query.
+
+    Guard: a kernel flock (LOCK_EX | LOCK_NB) on a lockfile next to the
+    dir, held for the life of the process. Three rounds of lockfile-dance
+    patches (r8 O_EXCL + dead-pid reclaim, r9 (pid, starttime) tokens +
+    atomic rename reclaim, r9-advice claim-verify handshake) each
+    narrowed a race the next review found another corner of — the
+    rename-based reclaim has an irreducible TOCTOU because POSIX rename
+    cannot be made conditional on file content. flock closes the class
+    structurally: the KERNEL serializes ownership, a dead owner's lock
+    (clean exit, SIGKILL, OOM) evaporates with its last fd so there is
+    no stale-lock state to reclaim, and PID reuse cannot forge liveness
+    because ownership was never keyed on pids. The (pid, starttime)
+    token is still written into the file — purely as a diagnostic for
+    the refusal message and post-mortems, never consulted for liveness.
+
+    A live owner in another process -> fail fast (loudly, instead of
+    silently deleting its data); re-entry by the owning process (memo
+    cache cleared mid-app) passes through via the held-fd registry —
+    flock from a SECOND fd of the same file would deadlock/refuse
+    against our own first fd, so re-entry must not re-open."""
+    import fcntl
+
     lock = path + ".lock"
+    if lock in _OWNED_SCRATCH_FDS:  # re-entry: we already hold the flock
+        return
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        try:
+            with open(lock) as fh:
+                owner = fh.read().strip() or "<unknown>"
+        except OSError:
+            owner = "<unknown>"
+        os.close(fd)
+        raise RuntimeError(
+            f"scratch dir {path} is owned by live process {owner} "
+            f"(flock on {lock}); refusing to delete it out from under a "
+            "concurrent run — stop that process or use a different sf_dir"
+        ) from None
+    # we hold the kernel lock; the token below is DIAGNOSTIC only
     me = os.getpid()
-    my_token = f"{me} {_proc_start_ticks(me) or 0}"
-
-    def _read(p: str) -> tuple[str, int]:
-        try:
-            with open(p) as fh:
-                raw = fh.read().strip()
-            return raw, int(raw.split()[0] or "0")
-        except (OSError, ValueError, IndexError):
-            return "", 0
-
-    for _ in range(8):  # bounded: each retry removes one stale lock
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, my_token.encode())
-            os.close(fd)
-            _OWNED_SCRATCH_LOCKS.add(lock)
-            return
-        except FileExistsError:
-            raw, pid = _read(lock)
-            if pid == me:
-                # we may BE the pid-reuser of a SIGKILLed prior owner's
-                # lock (no atexit ran): adopt it, but rewrite the token —
-                # leaving the dead owner's starttime in place would make
-                # every OTHER process see alive-pid-with-wrong-starttime,
-                # declare the lock stale, and rmtree the dir under us
-                if raw != my_token:
-                    tok_tmp = f"{lock}.tok.{me}"
-                    try:
-                        with open(tok_tmp, "w") as fh:
-                            fh.write(my_token)
-                        os.replace(tok_tmp, lock)
-                    except OSError:
-                        pass
-                _OWNED_SCRATCH_LOCKS.add(lock)
-                return
-            alive = False
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True
-            if alive:
-                # pid alive, but is it the RECORDED process? A lock that
-                # carries a starttime not matching the live pid's is a
-                # stale lock whose pid was reused — reclaim it. (Legacy
-                # pid-only locks cannot be disambiguated: treated live.)
-                parts = raw.split()
-                if len(parts) >= 2:
-                    try:
-                        rec_start = int(parts[1])
-                    except ValueError:
-                        rec_start = 0
-                    now_start = _proc_start_ticks(pid)
-                    if (
-                        rec_start
-                        and now_start is not None
-                        and now_start != rec_start
-                    ):
-                        alive = False  # same pid, different process
-            if alive:
-                raise RuntimeError(
-                    f"scratch dir {path} is owned by live process {pid} "
-                    f"(lockfile {lock}); refusing to delete it out from "
-                    "under a concurrent run — stop that process or use a "
-                    "different sf_dir"
-                ) from None
-            # stale lock: dead owner — reclaim ATOMICALLY by renaming it
-            # to a name only we know before deleting. Two processes that
-            # both read the dead PID would otherwise interleave unlink
-            # with the other's fresh O_EXCL create (B's unlink removing
-            # A's new lock -> both claim -> both rmtree); rename is the
-            # single winner-takes-all step — the loser's rename raises
-            # and it simply retries against the winner's fresh lock.
-            reclaim = f"{lock}.reclaim.{me}"
-            try:
-                os.rename(lock, reclaim)
-            except OSError:  # someone else won the reclaim (or re-created)
-                continue
-            # verify we renamed the DEAD owner's lock, not a fresh one a
-            # faster reclaimer already replaced (rename does not check
-            # content): stealing a live lock would let two processes own
-            # the dir. Wrong content -> put it back and fail LOUDLY.
-            got_raw, got_pid = _read(reclaim)
-            if got_raw != raw:
-                # restore WITHOUT clobbering: a third process may have
-                # O_EXCL-created a fresh lock in the window our rename
-                # left open — plain rename would silently replace it and
-                # mint two owners. link() fails if the lock exists; in
-                # that case the current holder keeps theirs and we only
-                # raise (the stolen claimant must re-run — loud beats
-                # mutual rmtree).
-                try:
-                    os.link(reclaim, lock)
-                except OSError:
-                    pass
-                try:
-                    os.unlink(reclaim)
-                except OSError:
-                    pass
-                raise RuntimeError(
-                    f"scratch dir {path} was re-claimed by live process "
-                    f"{got_pid} during stale-lock reclaim; refusing to "
-                    "steal its lock — stop that process or use a "
-                    "different sf_dir"
-                ) from None
-            try:
-                os.unlink(reclaim)
-            except OSError:
-                pass
-    raise RuntimeError(f"could not claim scratch lock {lock}")
+    token = f"{me} {_proc_start_ticks(me) or 0}"
+    try:
+        os.ftruncate(fd, 0)
+        os.write(fd, token.encode())
+    except OSError:
+        pass
+    _OWNED_SCRATCH_FDS[lock] = fd  # fd stays open: closing drops the flock
 
 
 _ZORDER_Q6_CACHE: dict = {}
