@@ -196,6 +196,71 @@ def main() -> int:
             f"| {time.time() - t0:.2f} |"
         )
 
+    # --- MUVERA FDE: candidate-depth sweep (r9 verdict #7) ----------------
+    # recall@5 of the FDE-candidates -> exact-MaxSim-rerank two-stage flow
+    # vs the exact full-corpus MaxSim, swept over the stage-1 candidate
+    # count to locate the knee between the long-flat cand20=0.6 floor and
+    # the cand100=1.0 ceiling — the evidence behind default_candidates'
+    # max(100, ...) choice. Same doc construction as bench.py's muvera
+    # block: 8-token multi-vector groups of the embeddings table.
+    import numpy as np
+
+    from vettore_spark.encodings import muvera as MU
+    from vettore_spark.operators import multivector as MV
+    from vettore_spark.operators import search as SRCH
+
+    cfg = MU.MuveraConfig(
+        dimension=64, num_repetitions=2, num_simhash_projections=3,
+        seed=42, projection_dimension=32,
+    )
+    docs_mv = (
+        emb.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("embedding").alias("vectors"))
+        .persist()
+    )
+    n_docs = docs_mv.count()
+    qtok = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    qf = [
+        float(x) for x in MU.encode_query(np.array(qtok, dtype=np.float32), cfg)
+    ]
+    fdes = (
+        docs_mv.withColumn("fde", MU.fde_column("vectors", cfg, "document"))
+        .select("doc_id", "fde")
+        .persist()
+    )
+    fdes.count()
+    exact5 = {
+        r["doc_id"]
+        for r in MV.maxsim_topk(
+            docs_mv, qtok, metric="cosine", k=5,
+            id_col="doc_id", vectors_col="vectors", vector_col=None,
+        ).collect()
+    }
+    print(f"\nMUVERA FDE two-stage (recall@5 vs exact MaxSim, {n_docs} docs)\n")
+    print("| candidates | recall@5 | sec |\n| --- | --- | --- |")
+    for cand in (20, 40, 60, 80, 100):
+        t0 = time.time()
+        cset = SRCH.flat_topk(
+            fdes, qf, metric="inner_product", k=cand,
+            id_col="doc_id", vector_col="fde",
+        ).select("doc_id")
+        pruned = docs_mv.join(F.broadcast(cset), "doc_id", "left_semi")
+        got = {
+            r["doc_id"]
+            for r in MV.maxsim_topk(
+                pruned, qtok, metric="cosine", k=5,
+                id_col="doc_id", vectors_col="vectors", vector_col=None,
+            ).collect()
+        }
+        rec = len(exact5 & got) / max(len(exact5), 1)
+        print(f"| {cand} | {rec:.3f} | {time.time() - t0:.2f} |")
+    fdes.unpersist()
+    docs_mv.unpersist()
+
     spark.stop()
     return 0
 
