@@ -3410,6 +3410,137 @@ ORDER BY event_type
 """
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the batch reader's exact ts
+    conventions (UTC pinned before the cast; nanos-long branch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _streaming_table_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def q_streaming_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL running top-k per key (streaming/stateful.py::
+    streaming_topk_per_key — state is exactly the k best (id, value)
+    pairs per key) driver-gated: availableNow replay of the events
+    table, update-mode emission; the single replay batch makes the final
+    per-key emission the whole answer, and the keep rule (descending
+    value, ascending id — the batch operators' tie-break) is pure
+    ordering over parquet doubles, so a plain window oracle reproduces
+    it exactly. At 100 TB the identical operator runs unbounded with
+    O(k) state per key, emitting the live leaderboard every micro-batch
+    — the alert/dashboard shape a global sort can never serve."""
+    from vettore_spark.streaming.stateful import streaming_topk_per_key
+
+    out = streaming_topk_per_key(
+        _events_stream(spark, sf_dir), k=3
+    )
+    got = _run_streaming_gate(out, "streaming_topk_per_key_sink", "update")
+    return got.select("user_id", "rank", "event_id", "value").orderBy(
+        "user_id", "rank"
+    )
+
+
+SQL_STREAMING_TOPK_PER_KEY = """
+SELECT user_id, CAST(rank AS INT) AS rank, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE's gap-based session windows (streaming/stateful.py::
+    streaming_session_counts -> F.session_window, 30-minute inactivity
+    gap) driver-gated via availableNow replay in complete mode (append
+    would hold back every session the final watermark has not passed —
+    the bounded replay must emit ALL sessions). Oracle = lag-based
+    sessionization with the session_window boundary rule: a gap of
+    EXACTLY the window size starts a NEW session (the engine's window is
+    [ts, ts+gap), end-exclusive), and session_end = last event + gap.
+    Timestamps are rendered at full microsecond precision on both sides.
+    At 100 TB the identical plan runs unbounded in append mode with
+    watermark-bounded state — complete mode here is the replay harness,
+    not the production shape."""
+    from vettore_spark.streaming.stateful import streaming_session_counts
+
+    out = streaming_session_counts(
+        _events_stream(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+    )
+    name = "streaming_session_counts_sink"
+    got = _run_streaming_gate(out, name, "complete")
+    return got.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+SQL_STREAMING_SESSION_COUNTS = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events),
+s AS (
+  SELECT *, sum(CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+         AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_streaming_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STATEFUL histogram quantile sketch (streaming/stateful.py::
+    streaming_histogram_quantiles — one counter per occupied bucket per
+    group held in GroupState, interpolation in the SAME IEEE operation
+    order as the batch operator) driver-gated: availableNow replay of
+    the events table, update-mode emission; the final per-group emission
+    equals the batch histogram_quantiles bit-for-bit, so the oracle is
+    SQL_EVENTS_QUANTILE_SKETCH's construction VERBATIM. At 100 TB the
+    identical operator runs unbounded with state bounded by the value
+    RANGE / bucket width (not rows or stream length), emitting running
+    p50/p90/p99 every micro-batch."""
+    from vettore_spark.streaming.stateful import streaming_histogram_quantiles
+
+    out = streaming_histogram_quantiles(
+        _events_stream(spark, sf_dir),
+        quantiles=[0.5, 0.9, 0.99],
+        bucket_width=1.0,
+    )
+    got = _run_streaming_gate(
+        out, "streaming_histogram_quantiles_sink", "update"
+    )
+    return got.select("event_type", "q", "est").orderBy("event_type", "q")
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: per user, each event's value is
     z-scored against the 20 PRECEDING events (sample stddev, current row
@@ -8480,6 +8611,28 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "streaming_kmv_distinct": (
         q_streaming_kmv_distinct,
         SQL_STREAMING_KMV_DISTINCT,
+    ),
+    # --- round-10 tail additions (enter the gate window at the r11
+    # rotation; selfcheck-verified until then): the remaining stateful
+    # streaming operators with hash-stable oracles — running top-k
+    # leaderboard, engine session windows, histogram quantile sketch.
+    # (streaming_zscore_anomaly stays pytest-only BY DESIGN: its Welford
+    # running moments accumulate in a different floating-point order
+    # than any SQL window aggregate, so a cross-engine value hash would
+    # flake at the ULP level; streaming_simhash_candidates' capped
+    # bucket state is arrival-order-dependent past the cap — both are
+    # multi-batch-pinned in tests/test_stateful.py instead.)
+    "streaming_topk_per_key": (
+        q_streaming_topk_per_key,
+        SQL_STREAMING_TOPK_PER_KEY,
+    ),
+    "streaming_session_counts": (
+        q_streaming_session_counts,
+        SQL_STREAMING_SESSION_COUNTS,
+    ),
+    "streaming_histogram_quantiles": (
+        q_streaming_histogram_quantiles,
+        SQL_EVENTS_QUANTILE_SKETCH,
     ),
 }
 
