@@ -446,3 +446,87 @@ def test_streaming_horizon_dedup_rejects_batch_input(spark):
     ).withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
     with _pytest.raises(ValueError, match="streaming"):
         streaming_horizon_dedup(df, horizon="1 hour")
+
+
+def test_groupstate_survives_query_restart(spark, tmp_path):
+    """RESTART RECOVERY of applyInPandasWithState state (r10): the 100 TB
+    posture claims these operators run unbounded — which requires the
+    Arrow-serialized GroupState to survive a query restart via the state
+    store, not just live across micro-batches of one run. Two separate
+    writeStream RUNS share one checkpoint + file sink: a duplicate whose
+    keeper was recorded by run 1 must be suppressed by run 2 (state
+    restored), while a new document still emits (the restarted query is
+    live, not replaying old output)."""
+    import os
+
+    from vettore_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id long, text string"
+
+    def run(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            streaming_exact_dedup(stream, id_col="doc_id", text_col="text")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run("b1", [(1, "alpha"), (3, "beta")])
+    # restart: doc 2 duplicates run 1's digest (suppress — proves the
+    # state store restored run 1's GroupState), doc 4 is new (emit)
+    run("b2", [(2, "alpha"), (4, "gamma")])
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {1, 3, 4}, kept
+
+
+def test_engine_dedup_state_survives_query_restart(spark, tmp_path):
+    """Same restart-recovery proof for the ENGINE's state store path
+    (dropDuplicatesWithinWatermark): a duplicate arriving in a second
+    RUN, within the horizon of its run-1 predecessor, is suppressed —
+    the watermark and the dedup state both came back from the
+    checkpoint."""
+    from vettore_spark.streaming.stateful import streaming_horizon_dedup
+
+    src = tmp_path / "hdocs"
+    ckpt = str(tmp_path / "hckpt")
+    sink = str(tmp_path / "hsink")
+    schema = "doc_id long, ts_sec long, text string"
+    t0 = 1_700_000_000
+
+    def run(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(src) + "/*")
+            .withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
+        )
+        q = (
+            streaming_horizon_dedup(stream, horizon="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run("b1", [(1, t0, "alpha"), (2, t0 + 60, "beta")])
+    # restart: doc 3 duplicates alpha 10 minutes after its keeper (inside
+    # the 1-hour horizon recorded by run 1 — suppress), doc 4 is new
+    run("b2", [(3, t0 + 600, "alpha"), (4, t0 + 600, "gamma")])
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {1, 2, 4}, kept
