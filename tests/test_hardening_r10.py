@@ -50,6 +50,13 @@ def test_inmemory_build_still_pins_as_never_stale(spark, tmp_path):
     built = PC.cached_persist(mem, ("r10-mem",), lambda s: s.select("id"))
     assert built.count() == 2
 
+    # the OTHER in-memory leaf shape: an inline VALUES table analyzes to
+    # LocalRelation — whose toString CONTAINS the substring "Relation ["
+    # that marks file relations; the classifier must not be fooled
+    vals = spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")
+    built2 = PC.cached_persist(vals, ("r10-values",), lambda s: s.select("id"))
+    assert built2.count() == 2
+
     d = str(tmp_path / "otherstore")
     spark.range(3).select("id").write.parquet(d)
     other = spark.read.parquet(d)

@@ -78,6 +78,7 @@ def main() -> int:
     # 1) distributed-tier growth at 1x/16x/64x
     print("\n-- distributed tier (driver_max_edges=0, iters=10, cut_every=6)")
     results: dict[int, float] = {}
+    e64 = None
     for k in (1, 16, 64):
         e = scaled(k)
         n = e.count()
@@ -86,11 +87,13 @@ def main() -> int:
         print(f"k={k:3d}  edges={n:8d}  {dt:6.2f}s", flush=True)
         if k != 64:
             e.unpersist()
+        else:
+            e64 = e  # reused by section 2 — do NOT rebuild (a second
+            # persisted 64x copy would sit in storage through every
+            # later timing)
     print(f"ratio 64x/1x = {results[64] / results[1]:.2f}x", flush=True)
 
     # 2) durable-cut overhead at the top scale
-    e64 = scaled(64)
-    e64.count()
     t_cut = timed(e64, driver_max_edges=0, cut_every=6)
     t_nocut = timed(e64, driver_max_edges=0, cut_every=0)
     print(

@@ -74,7 +74,13 @@ def _leaf_dirs(src: DataFrame) -> frozenset[str]:
             tree = src._jdf.queryExecution().analyzed().toString()
         except Exception:  # noqa: BLE001 — can't tell: stay evictable
             return frozenset({_ANY_LEAF})
-        if "Relation [" in tree or "Relation[" in tree:
+        # file relations print as `Relation [cols] format`; the leading
+        # word-boundary guard matters because "LocalRelation [...]" (an
+        # inline VALUES table — genuinely in-memory) CONTAINS the bare
+        # substring "Relation [" and must not be tagged evict-always
+        import re
+
+        if re.search(r"(?<![A-Za-z])Relation ?\[", tree):
             return frozenset({_ANY_LEAF})
         return frozenset()
     dirs = set()

@@ -15,6 +15,7 @@ from __future__ import annotations
 import atexit
 import hashlib
 import os
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 
@@ -3166,42 +3167,14 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the identical plan runs unbounded (kafka/file source, real
     watermark, append sink); availableNow is Spark's bounded-replay mode
     of the same engine path — one plan, two run modes."""
-    # the batch reader's (_events_ts) exact conventions, applied HERE and
-    # not inherited by side effect: UTC session zone pinned BEFORE the
-    # NTZ->instant cast (a fresh session in a non-UTC zone would otherwise
-    # shift every window against the DuckDB oracle — and the r9 gate may
-    # run this query before any batch events query has pinned the zone),
-    # and the nanos-LONG branch for Spark versions that need
-    # legacy.parquet.nanosAsLong
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = _streaming_table_dir(spark, sf_dir, "events")
-    schema = spark.read.parquet(path).schema
     from vettore_spark.streaming.ingest import windowed_event_counts
 
-    stream = spark.readStream.schema(schema).parquet(path)
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_event_counts(
-        stream, window="1 hour", watermark="2 hours",
+        _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours",
         ts_col="ts", key_col="event_type",
     )
-    name = "streaming_events_hourly_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):  # False = still running: a hung
-        q.stop()  # source must FAIL the gate, not hand back a partial table
-        raise TimeoutError("streaming gate did not finish within 300s")
-    return spark.table(name).select(
+    got = _run_streaming_gate(agg, "streaming_events_hourly_sink", "complete")
+    return got.select(
         F.col("event_type"),
         F.col("window_start").alias("hour"),
         F.col("n"),
@@ -3228,18 +3201,8 @@ def q_streaming_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     out = streaming_exact_dedup(stream, id_col="doc_id", text_col="text")
-    name = "streaming_dedup_keepers_sink"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):  # False = still running: a hung
-        q.stop()  # source must FAIL the gate, not hand back a partial table
-        raise TimeoutError("streaming gate did not finish within 300s")
-    return spark.table(name).select("doc_id", "digest").orderBy("doc_id")
+    got = _run_streaming_gate(out, "streaming_dedup_keepers_sink", "append")
+    return got.select("doc_id", "digest").orderBy("doc_id")
 
 
 SQL_STREAMING_DEDUP_KEEPERS = """
@@ -3324,18 +3287,7 @@ def q_streaming_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs) — no event history retained."""
     from vettore_spark.streaming.stateful import streaming_funnel_stage
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = _streaming_table_dir(spark, sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    out = streaming_funnel_stage(stream)
+    out = streaming_funnel_stage(_events_stream(spark, sf_dir))
     got = _run_streaming_gate(out, "streaming_funnel_stage_sink", "append")
     return got.select("user_id", "stage").orderBy("user_id")
 
@@ -3382,10 +3334,10 @@ def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, emitting a running cardinality estimate every micro-batch."""
     from vettore_spark.streaming.stateful import streaming_kmv_distinct
 
-    path = _streaming_table_dir(spark, sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
-    out = streaming_kmv_distinct(stream, k=128)
+    # _events_stream rather than a bare schema read: on nanos-timestamp
+    # parquet the schema read itself needs the nanosAsLong conf, which
+    # must be applied HERE, not inherited from whichever gate ran first
+    out = streaming_kmv_distinct(_events_stream(spark, sf_dir), k=128)
     got = _run_streaming_gate(out, "streaming_kmv_distinct_sink", "update")
     return got.select("event_type", "n_sketch", "est_distinct").orderBy(
         "event_type"
@@ -6607,6 +6559,7 @@ def _proc_start_ticks(pid: int) -> int | None:
 
 
 _OWNED_SCRATCH_FDS: dict[str, int] = {}
+_SCRATCH_CLAIM_MUTEX = threading.Lock()
 
 
 def _release_owned_scratch_locks() -> None:
@@ -6660,32 +6613,70 @@ def _claim_scratch_dir(path: str) -> None:
     import fcntl
 
     lock = path + ".lock"
-    if lock in _OWNED_SCRATCH_FDS:  # re-entry: we already hold the flock
-        return
-    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    # the registry check and the flock must be atomic WITHIN the process:
+    # two threads racing the same path would otherwise both pass the
+    # registry check, and the loser's LOCK_NB flock would refuse against
+    # our OWN first fd — a hard error naming our own pid
+    with _SCRATCH_CLAIM_MUTEX:
+        if lock in _OWNED_SCRATCH_FDS:  # re-entry: we already hold the flock
+            return
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            try:
+                with open(lock) as fh:
+                    owner = fh.read().strip() or "<unknown>"
+            except OSError:
+                owner = "<unknown>"
+            os.close(fd)
+            raise RuntimeError(
+                f"scratch dir {path} is owned by live process {owner} "
+                f"(flock on {lock}); refusing to delete it out from under "
+                "a concurrent run — stop that process or use a different "
+                "sf_dir"
+            ) from None
+        # migration guard: a process still running the PRE-flock protocol
+        # owns the dir by token only and never holds the flock, so our
+        # flock succeeding does not prove the dir is free. A recorded
+        # (pid, starttime) naming a LIVE process that is not us means a
+        # legacy owner is mid-run — back off instead of rmtree'ing under
+        # it. Dead pids and starttime mismatches (PID reuse) pass.
+        me = os.getpid()
         try:
             with open(lock) as fh:
-                owner = fh.read().strip() or "<unknown>"
+                parts = fh.read().split()
+            old_pid = int(parts[0]) if parts else 0
+            old_start = int(parts[1]) if len(parts) > 1 else 0
+        except (OSError, ValueError):
+            old_pid, old_start = 0, 0
+        if old_pid and old_pid != me:
+            alive = True
+            try:
+                os.kill(old_pid, 0)
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                pass
+            now_start = _proc_start_ticks(old_pid) if alive else None
+            if alive and old_start and now_start is not None:
+                alive = now_start == old_start
+            if alive:
+                os.close(fd)
+                raise RuntimeError(
+                    f"scratch dir {path} carries a live legacy-protocol "
+                    f"owner token (pid {old_pid}, lockfile {lock}); "
+                    "refusing to delete it out from under a concurrent "
+                    "run — stop that process or use a different sf_dir"
+                ) from None
+        # we hold the kernel lock; the token below is DIAGNOSTIC only
+        token = f"{me} {_proc_start_ticks(me) or 0}"
+        try:
+            os.ftruncate(fd, 0)
+            os.write(fd, token.encode())
         except OSError:
-            owner = "<unknown>"
-        os.close(fd)
-        raise RuntimeError(
-            f"scratch dir {path} is owned by live process {owner} "
-            f"(flock on {lock}); refusing to delete it out from under a "
-            "concurrent run — stop that process or use a different sf_dir"
-        ) from None
-    # we hold the kernel lock; the token below is DIAGNOSTIC only
-    me = os.getpid()
-    token = f"{me} {_proc_start_ticks(me) or 0}"
-    try:
-        os.ftruncate(fd, 0)
-        os.write(fd, token.encode())
-    except OSError:
-        pass
-    _OWNED_SCRATCH_FDS[lock] = fd  # fd stays open: closing drops the flock
+            pass
+        _OWNED_SCRATCH_FDS[lock] = fd  # fd stays open: close drops the flock
 
 
 _ZORDER_Q6_CACHE: dict = {}
