@@ -530,3 +530,44 @@ def test_engine_dedup_state_survives_query_restart(spark, tmp_path):
     run("b2", [(3, t0 + 600, "alpha"), (4, t0 + 600, "gamma")])
     kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     assert kept == {1, 2, 4}, kept
+
+
+def test_funnel_same_ts_ties_skip_in_any_order(spark):
+    """The r10 driver gate's oracle-equivalence claim: a stage-N event at
+    EXACTLY the user's stage-(N-1) time never advances the funnel (strict
+    >), and because both processing orders of the tie produce 'skip'
+    (click-before-view: t1 unset; click-after-view: ts > t1 false),
+    intra-batch arrival order cannot leak into the output. Pinned by
+    running the same tied rows in both physical orders."""
+    from vettore_spark.streaming.stateful import streaming_funnel_stage
+
+    schema = "user_id long, ts long, event_type string"
+    tied = [
+        (1, 10, "view"), (1, 10, "click"),         # tie: click never counts
+        (2, 10, "view"), (2, 11, "click"), (2, 11, "purchase"),
+        # u2's purchase ties its qualifying click -> stays stage 2
+    ]
+    for name, rows in (("fwd", tied), ("rev", list(reversed(tied)))):
+        df = spark.createDataFrame(rows, schema)
+        # one-batch availableNow replay through the real engine; the
+        # coalesce(1) write preserves row order, so the reversed variant
+        # genuinely presents the ties in the opposite processing order
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"funnel_tie_{name}_")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            streaming_funnel_stage(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"funnel_tie_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r["user_id"]: r["stage"]
+            for r in spark.sql(f"select * from funnel_tie_{name}").collect()
+        }
+        assert got == {1: 1, 2: 2}, (name, got)
