@@ -207,6 +207,84 @@ def stateful_dedup_run(spark, base):
     }
 
 
+def sketch_state_bounded_run(spark, base):
+    """streaming_kmv_distinct across 3 RESTARTED runs (shared checkpoint,
+    one new file per run — the production stop/start cadence): the
+    engine-reported state row count must stay == number of GROUPS (2)
+    while the distinct-key count grows 350 -> 700 -> 1050, and the final
+    running estimate must equal the batch kmv_estimate over the same
+    rows bit-for-bit (same md5-derived hash construction)."""
+    from vettore_spark.operators import sketch as SK
+    from vettore_spark.streaming.stateful import streaming_kmv_distinct
+
+    src = os.path.join(base, "kmv_src")
+    os.makedirs(src)
+    t0 = 1_700_200_000
+    batches = [
+        [("click", u) for u in range(i * 200, (i + 1) * 200)]
+        + [("view", u) for u in range(i * 150, (i + 1) * 150)]
+        for i in range(3)
+    ]
+    schema = "event_type string, user_id long"
+    state_trajectory = []
+    final_rows = None
+    for i, rows in enumerate(batches):
+        _write_batch(
+            spark, os.path.join(src, f"f{i}.parquet"), t0 + i, rows, schema
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        emitted: list = []
+
+        def _sink(batch_df, _epoch, _out=emitted):
+            # memory sinks cannot recover from a checkpoint across runs;
+            # foreachBatch can, and the per-batch collect is <= 2 rows
+            _out.extend(batch_df.collect())
+
+        q = (
+            streaming_kmv_distinct(stream, k=128)
+            .writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt_kmv"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("kmv run did not finish in 300s")
+        state_rows = None
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                state_rows = op.get("numRowsTotal", state_rows)
+        state_trajectory.append(state_rows)
+        final_rows = {
+            r["event_type"]: (r["n_sketch"], r["est_distinct"])
+            for r in emitted
+        }
+    assert state_trajectory == [2, 2, 2], (
+        f"state rows {state_trajectory}: O(groups) state violated"
+    )
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, schema)
+    sk = SK.kmv_sketch(
+        batch_df, "user_id", k=128, group_by=["event_type"]
+    )
+    batch_est = {
+        r["event_type"]: r["est_distinct"]
+        for r in SK.kmv_estimate(sk, k=128, group_by=["event_type"]).collect()
+    }
+    for g, (_, est) in final_rows.items():
+        assert est == batch_est[g], (
+            f"{g}: stream {est} != batch {batch_est[g]}"
+        )
+    return {
+        "distinct_keys": {"click": 600, "view": 450},
+        "state_rows_per_run": state_trajectory,
+        "final_estimates": {g: v[1] for g, v in final_rows.items()},
+        "batch_parity": "bit-exact",
+        "runs": 3,
+    }
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -222,6 +300,7 @@ def main() -> None:
         res = {
             "windowed_append": windowed_append_run(spark, base),
             "stateful_dedup": stateful_dedup_run(spark, base),
+            "sketch_state_bounded": sketch_state_bounded_run(spark, base),
         }
         print(json.dumps(res))
     finally:
