@@ -3493,6 +3493,103 @@ def q_streaming_histogram_quantiles(
     return got.select("event_type", "q", "est").orderBy("event_type", "q")
 
 
+def q_streaming_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL unit-level (Lee et al. 2021) streaming dedup
+    (streaming/stateful.py::streaming_unit_dedup — one marker row of
+    GroupState per distinct 20-token window) driver-gated: availableNow
+    replay of the documents table; the intra-batch keep rule is the
+    batch operator's (lexicographically-lowest (doc_id, unit_idx) per
+    unit digest), so the single-batch replay reproduces the
+    paragraph_dedup oracle's unit construction with a WHERE rn = 1 tail.
+    At 100 TB the identical operator dedups an unbounded ingest stream
+    at paragraph granularity with state bounded by distinct-unit count,
+    the md5 key-space shuffling uniformly across executors."""
+    from vettore_spark.streaming.stateful import streaming_unit_dedup
+
+    path = _streaming_table_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_unit_dedup(stream, window=20)
+    got = _run_streaming_gate(out, "streaming_unit_dedup_sink", "append")
+    return got.select("doc_id", "unit_idx", "unit").orderBy(
+        "doc_id", "unit_idx"
+    )
+
+
+SQL_STREAMING_UNIT_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+units AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS unit_idx,
+         array_to_string(t[(CAST(u.i AS INTEGER) * 20 + 1):(CAST(u.i AS INTEGER) * 20 + 20)], ' ') AS unit
+  FROM toks,
+       UNNEST(range(0, GREATEST(1, CAST(ceil(len(t) / 20.0) AS BIGINT)))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, unit_idx, unit,
+         row_number() OVER (PARTITION BY md5(unit)
+                            ORDER BY doc_id, unit_idx) AS rn
+  FROM units
+)
+SELECT doc_id, unit_idx, unit
+FROM marked WHERE rn = 1
+ORDER BY doc_id, unit_idx
+"""
+
+
+def q_streaming_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL running embedding-distribution stats (streaming/
+    stateful.py::streaming_moment_stats — per-group fixed-point sums
+    sfx_i = Σ floor(x_i·2^24 + 0.5), qfx_i = Σ floor(x_i²·2^24 + 0.5)
+    held in GroupState; integer addition is order-free, so the sums are
+    engine-independent) driver-gated via availableNow replay of the
+    embeddings table. The emission formula (m_i = sfx_i/n/s, mean_norm =
+    √Σm_i², var_trace = Σ(q_i − m_i²)) divides identical integers, and
+    the gate rounds at 5 dp so the one remaining order-sensitive step —
+    the 64-term float sum — hashes identically across engines (the
+    embedding_drift_by_label precedent). At 100 TB this is the
+    continuous drift monitor: O(2·dim) longs of state per group, running
+    centroid-magnitude/scatter emitted every micro-batch."""
+    from vettore_spark.streaming.stateful import streaming_moment_stats
+
+    path = _streaming_table_dir(spark, sf_dir, "embeddings")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_moment_stats(stream, dim=64)
+    got = _run_streaming_gate(out, "streaming_moment_stats_sink", "update")
+    return got.select(
+        "label",
+        "n",
+        F.round("mean_norm", 5).alias("mean_norm"),
+        F.round("var_trace", 5).alias("var_trace"),
+    ).orderBy("label")
+
+
+SQL_STREAMING_MOMENT_STATS = """
+WITH u AS (
+  SELECT label, i - 1 AS i, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) t(i)),
+fx AS (
+  SELECT label, i,
+         CAST(sum(CAST(floor(x * 16777216.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfx,
+         CAST(sum(CAST(floor(x * x * 16777216.0 + 0.5) AS BIGINT)) AS BIGINT) AS qfx,
+         count(*) AS n
+  FROM u GROUP BY label, i),
+terms AS (
+  SELECT label, n,
+         CAST(sfx AS DOUBLE) / n / 16777216.0 AS m_i,
+         CAST(qfx AS DOUBLE) / n / 16777216.0 AS q_i
+  FROM fx)
+SELECT label, max(n) AS n,
+       round(sqrt(sum(m_i * m_i)), 5) AS mean_norm,
+       round(sum(q_i - m_i * m_i), 5) AS var_trace
+FROM terms
+GROUP BY label
+ORDER BY label
+"""
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: per user, each event's value is
     z-scored against the 20 PRECEDING events (sample stddev, current row
@@ -8624,6 +8721,14 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "streaming_histogram_quantiles": (
         q_streaming_histogram_quantiles,
         SQL_EVENTS_QUANTILE_SKETCH,
+    ),
+    "streaming_unit_dedup": (
+        q_streaming_unit_dedup,
+        SQL_STREAMING_UNIT_DEDUP,
+    ),
+    "streaming_moment_stats": (
+        q_streaming_moment_stats,
+        SQL_STREAMING_MOMENT_STATS,
     ),
 }
 
