@@ -8732,72 +8732,71 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-10 gate window (per the round-9 verdict, rotated at round START):
-# slot 1 is textrank_distributed (added r9, judge-selfcheck-verified,
-# never driver-gated — after this window the cumulative driver-gated
-# count is the full registry); slots 2-31 are the 30 queries whose
-# latest driver green is r6 (ANN/IVF/PQ tiers, sketches, curation
-# pipelines, semantic dedup); slots 32-34 are the three round-10
-# streaming gates (previously pytest-only stateful operators, first
-# driver gating); slots 35-50 are the 16 oldest r7 greens ranked by
-# first-green round (the r1/r2-era flat/quantized/prefix search block,
-# media features, plus bitext_mining from r3) — 1+30+3+16 fills 50
-# exactly, and after this gate no query's latest green is older than r7.
+# Round-11 gate window (per the round-10 verdict, rotated at round START):
+# slots 1-5 are the five round-10 tail streaming additions — the ONLY
+# registry queries never driver-gated (judge-selfcheck-verified r10);
+# after this window the cumulative driver-gated count is the full
+# registry, 189/189. Slots 6-39 are all 34 queries whose latest driver
+# green is r7 (the oldest surviving greens: sketch rollups, HNSW/IVF
+# incremental mutation, PCA/covariance stats, media hash pairs, TPC-H
+# bloom). Slots 40-50 are the 11 oldest r8 greens ranked by first-green
+# round then name (all first-green r1: the original ANN/dedup/text
+# block). 5+34+11 fills 50 exactly; after this gate no query's latest
+# green is older than r8.
 _GATE_WINDOW: list[str] = [
-    # --- slot 1: round-9 addition, first driver gating ---
-    "textrank_distributed",
-    # --- slots 2-31: every query whose latest green is r6 ---
-    "ann_brp_lsh_topk",
-    "ann_ivfpq_topk",
-    "bloom_join_prune",
-    "bm25_batch",
-    "calibrated_quality",
-    "cms_token_hitters",
-    "curation_pipeline",
-    "dedup_report",
-    "domain_mixture",
-    "dsir_weights",
-    "embedding_neardup_blocked",
-    "events_time_rollup",
-    "filtered_quantized_topk",
-    "hard_negatives",
-    "hnsw_multi_topk",
-    "ivf_delete_search",
-    "ivf_filtered_topk",
-    "kmv_distinct_daily",
-    "kmv_shingle_overlap",
-    "muvera_fde_retrieval",
-    "rerank_model_topk",
-    "retrieval_pipeline",
-    "semantic_dedup_pairs",
-    "semdedup_prune",
-    "substring_dedup",
-    "table_profile",
-    "temperature_mixture",
-    "textrank_keywords",
-    "token_budget_select",
-    "training_pipeline",
-    # --- slots 32-34: round-10 streaming gates, first driver gating ---
-    "streaming_horizon_dedup",
-    "streaming_funnel_stage",
-    "streaming_kmv_distinct",
-    # --- slots 35-50: the 16 oldest r7 greens (first green r1/r2/r3) ---
-    "flat_topk_cosine",
-    "flat_topk_dot",
-    "maxsim_label_topk",
-    "media_audio_features",
-    "media_frame_sample",
-    "multi_query_topk",
-    "packed_jaccard_topk",
-    "prefix_topk",
-    "similarity_score_mode",
-    "funnel_topk",
-    "hnsw_delete_search",
-    "media_image_features",
-    "media_image_resize",
-    "quantized_topk",
-    "train_shards",
-    "bitext_mining",
+    # --- slots 1-5: round-10 tail streaming gates, first driver gating ---
+    "streaming_topk_per_key",
+    "streaming_session_counts",
+    "streaming_histogram_quantiles",
+    "streaming_unit_dedup",
+    "streaming_moment_stats",
+    # --- slots 6-39: every query whose latest green is r7 ---
+    "approx_event_rollup",
+    "bpe_pair_stats",
+    "charlm_quality",
+    "corpus_diversity",
+    "corpus_stats",
+    "embedding_covariance",
+    "embedding_drift_by_label",
+    "embedding_outliers",
+    "event_window_dedup",
+    "events_json_props",
+    "events_quantile_sketch",
+    "fuzzy_value_pairs",
+    "hnsw_batch_insert_search",
+    "hnsw_insert_search",
+    "ivf_health_report",
+    "ivf_insert_search",
+    "ivf_range_search",
+    "kmv_weekly_rollup",
+    "label_dispersion",
+    "leakage_safe_split",
+    "media_ahash_pairs",
+    "mlm_masking",
+    "multi_query_range",
+    "pca_prefilter_topk",
+    "quality_deciles",
+    "range_search_cosine",
+    "sequence_packing",
+    "store_attached_topk",
+    "table_profile_sketch",
+    "text_embed",
+    "tpch_q17_bloom",
+    "uniform_negatives",
+    "user_event_features",
+    "zorder_cluster_profile",
+    # --- slots 40-50: the 11 oldest r8 greens (first green r1) ---
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "doc_fingerprint",
+    "events_hourly",
+    "knn_graph",
+    "lang_id",
+    "mean_vector_by_label",
+    "mmr_rerank",
+    "normalize_stats",
+    "quality_score",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
