@@ -68,19 +68,21 @@ def _leaf_dirs(src: DataFrame) -> frozenset[str]:
     if not files:
         # zero files is ambiguous: LocalRelation/LogicalRDD (safe to pin
         # as never-stale) vs a file relation over a dir that was empty at
-        # build time (MUST stay evictable). The analyzed-plan tree names
-        # its leaves — file relations print as `Relation [cols] format`.
+        # build time (MUST stay evictable). Polarity matters: pin as
+        # never-stale ONLY when every analyzed-plan leaf is a KNOWN
+        # in-memory node; any other zero-file plan — v1 `Relation`, DSv2
+        # `RelationV2`, `HiveTableRelation`, whatever a future source
+        # prints as — defaults to the evict-always sentinel. A false
+        # sentinel merely costs a rebuild; a false pin would reopen the
+        # serve-stale-rows-after-append hole silently for every non-v1
+        # read path added later.
+        _INMEM_LEAVES = {"LocalRelation", "LogicalRDD", "OneRowRelation", "Range"}
         try:
-            tree = src._jdf.queryExecution().analyzed().toString()
+            leaves = src._jdf.queryExecution().analyzed().collectLeaves()
+            for i in range(leaves.size()):
+                if leaves.apply(i).nodeName() not in _INMEM_LEAVES:
+                    return frozenset({_ANY_LEAF})
         except Exception:  # noqa: BLE001 — can't tell: stay evictable
-            return frozenset({_ANY_LEAF})
-        # file relations print as `Relation [cols] format`; the leading
-        # word-boundary guard matters because "LocalRelation [...]" (an
-        # inline VALUES table — genuinely in-memory) CONTAINS the bare
-        # substring "Relation [" and must not be tagged evict-always
-        import re
-
-        if re.search(r"(?<![A-Za-z])Relation ?\[", tree):
             return frozenset({_ANY_LEAF})
         return frozenset()
     dirs = set()

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,13 +93,24 @@ def streaming_session_counts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Gap-based session aggregation with the built-in session_window.
-    Works on both streaming (with watermark-bounded state) and batch frames."""
+    Works on both streaming (with watermark-bounded state) and batch frames.
+
+    sum_value accumulates in DECIMAL(18,6) (the approx_rollup pattern):
+    decimal addition is order-free, so the per-session sum is bit-exact
+    regardless of merge order inside the session-window state store — and
+    a cross-engine oracle reproduces it exactly instead of leaning on a
+    round() over an order-sensitive double fold."""
     src = events
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             key_col,
             F.col("w.start").alias("session_start"),
@@ -285,6 +297,27 @@ def streaming_unit_dedup(
     )
 
 
+_POP16 = None
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized 64-bit popcount for NumPy < 2.0 (no np.bitwise_count):
+    four gathers into a 65,536-entry 16-bit lookup table."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
+
 def streaming_simhash_candidates(
     docs: DataFrame,
     *,
@@ -293,6 +326,7 @@ def streaming_simhash_candidates(
     max_hamming: int = 3,
     block_bits: int = 16,
     max_bucket: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate pairs across micro-batches: the
     streaming twin of dedup.simhash_pairs. Each document is posted to its
@@ -309,6 +343,16 @@ def streaming_simhash_candidates(
     State per bucket is capped at `max_bucket` members (the batch op's
     hot-bucket guard): beyond it, new members are verified against the
     resident list but not added — bounded state at any stream length.
+
+    `hash_fn` passes through to simhash64 (default xxhash64; pass
+    text.poly_hash62 for the SQL-reproducible fingerprint a DuckDB oracle
+    can recompute bit-for-bit — the driver-gate path).
+
+    Verification is NumPy-vectorized while the bucket is under its cap
+    (XOR outer product + table popcount — identical pair set to the
+    sequential scan because below the cap every arrival joins the
+    residents); the sequential order-dependent scan runs only for the
+    rare hot bucket at its cap, preserving the exact cap semantics.
     """
     from pyspark.sql import types as T
 
@@ -318,7 +362,7 @@ def streaming_simhash_candidates(
     n_blocks = 64 // block_bits
     mask = (1 << block_bits) - 1
 
-    sig = simhash64(tokens(text_col))
+    sig = simhash64(tokens(text_col), hash_fn=hash_fn)
     parts = []
     for b in range(n_blocks):
         parts.append(
@@ -364,19 +408,50 @@ def streaming_simhash_candidates(
                 sorted(zip(pdf[id_col].tolist(), pdf["_sig"].tolist()))
             )
         out_a, out_b, out_h = [], [], []
-        for rid, rsig in rows:
-            for mid, msig in zip(ids, sigs):
-                if mid == rid:
-                    continue
-                h = bin((int(rsig) ^ int(msig)) & U64).count("1")
-                if h <= max_hamming:
-                    a, bb = (rid, mid) if rid < mid else (mid, rid)
-                    out_a.append(a)
-                    out_b.append(bb)
-                    out_h.append(h)
-            if len(ids) < max_bucket:
-                ids.append(rid)
-                sigs.append(int(rsig))
+        if len(ids) + len(rows) <= max_bucket:
+            # Fast path: the bucket stays under its cap for the whole
+            # batch, so every arrival both verifies AND joins the
+            # residents — the emitted pair set is exactly (residents x
+            # arrivals) + (arrival pairs), order-free. One XOR outer
+            # product + table popcount instead of a Python double loop.
+            a_ids = [r[0] for r in rows]
+            a_sig = np.array([r[1] for r in rows], dtype=np.int64).astype(
+                np.uint64
+            )
+            r_sig = np.array(sigs, dtype=np.int64).astype(np.uint64)
+            pairs = []  # (id_i, id_j, hamming)
+            if len(r_sig) and len(a_sig):
+                hm = _popcount64(r_sig[:, None] ^ a_sig[None, :])
+                for i, j in zip(*np.nonzero(hm <= max_hamming)):
+                    if ids[i] != a_ids[j]:
+                        pairs.append((ids[i], a_ids[j], int(hm[i, j])))
+            if len(a_sig) > 1:
+                hm = _popcount64(a_sig[:, None] ^ a_sig[None, :])
+                ii, jj = np.nonzero(np.triu(hm <= max_hamming, k=1))
+                for i, j in zip(ii, jj):
+                    if a_ids[i] != a_ids[j]:
+                        pairs.append((a_ids[i], a_ids[j], int(hm[i, j])))
+            for x, y, h in pairs:
+                a, bb = (x, y) if x < y else (y, x)
+                out_a.append(a)
+                out_b.append(bb)
+                out_h.append(h)
+            ids.extend(a_ids)
+            sigs.extend(int(s) for s in a_sig.astype(np.int64))
+        else:
+            for rid, rsig in rows:
+                for mid, msig in zip(ids, sigs):
+                    if mid == rid:
+                        continue
+                    h = bin((int(rsig) ^ int(msig)) & U64).count("1")
+                    if h <= max_hamming:
+                        a, bb = (rid, mid) if rid < mid else (mid, rid)
+                        out_a.append(a)
+                        out_b.append(bb)
+                        out_h.append(h)
+                if len(ids) < max_bucket:
+                    ids.append(rid)
+                    sigs.append(int(rsig))
         state.update((ids, sigs))
         if out_a:
             yield pd.DataFrame(
