@@ -119,3 +119,22 @@ def test_stale_starttime_mismatch_passes(tmp_path):
         _release(path)
         child.kill()
         child.wait()
+
+
+def test_kmv_shingle_overlap_sketch_only_tier(spark):
+    """r10 verdict watch item 2 (tier dispatch): exact=False must ship
+    the sketch-only production plan — same sketch estimates as the
+    calibration-tier run, no full-outer distinct-set join anywhere in
+    the plan, and no exact_* columns in the output."""
+    from vettore_spark.queries import q_kmv_shingle_overlap
+
+    sf = "/root/testdata/sf0.001"
+    full = q_kmv_shingle_overlap(spark, sf).collect()[0]
+    sk = q_kmv_shingle_overlap(spark, sf, exact=False)
+    assert sk.columns == ["jaccard", "est_union", "est_intersection"]
+    plan = sk._jdf.queryExecution().optimizedPlan().toString()
+    assert "FullOuter" not in plan, "sketch tier still carries the exact join"
+    row = sk.collect()[0]
+    assert (row["jaccard"], row["est_union"], row["est_intersection"]) == (
+        full["jaccard"], full["est_union"], full["est_intersection"]
+    ), "sketch estimates diverge between tiers"

@@ -261,6 +261,77 @@ def main() -> int:
     fdes.unpersist()
     docs_mv.unpersist()
 
+    # --- MUVERA FDE on the CLUSTERED corpus (r10 verdict #7) --------------
+    # The sweep above runs on the sf embeddings corpus, which is ISOTROPIC
+    # — FDE inner products sit near the jl/pca data floor, so the knee
+    # closes late (80->100). Real embedding corpora are clustered; this
+    # sweep reruns the identical two-stage flow on the planted 32-cluster
+    # fixture (bench.py's @clustered shape: seed 7, n=4000, dim=64, 1%
+    # noise) to measure the separation-strong regime, where the FDE proxy
+    # should recover the exact top-5 at LOW candidate depths.
+    rng = np.random.RandomState(7)
+    n_clu, n_pts, dim = 32, 4000, 64
+    cents = rng.normal(size=(n_clu, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # cluster-COHERENT docs: assign per 8-token DOC, not per token — a doc
+    # whose tokens span random clusters is isotropic again at the MaxSim
+    # level, which is precisely the regime the main sweep already measures
+    doc_assign = rng.randint(0, n_clu, size=n_pts // 8)
+    assign = np.repeat(doc_assign, 8)
+    pts = cents[assign] + 0.01 * rng.normal(size=(n_pts, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    clu = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n_pts)],
+        "vec_id long, embedding array<float>",
+    )
+    docs_c = (
+        clu.withColumn("doc_id", (F.col("vec_id") / 8).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("embedding").alias("vectors"))
+        .persist()
+    )
+    n_docs_c = docs_c.count()
+    qtok_c = [[float(x) for x in pts[i]] for i in (0, 1)]
+    qf_c = [
+        float(x) for x in MU.encode_query(np.array(qtok_c, dtype=np.float32), cfg)
+    ]
+    fdes_c = (
+        docs_c.withColumn("fde", MU.fde_column("vectors", cfg, "document"))
+        .select("doc_id", "fde")
+        .persist()
+    )
+    fdes_c.count()
+    exact5_c = {
+        r["doc_id"]
+        for r in MV.maxsim_topk(
+            docs_c, qtok_c, metric="cosine", k=5,
+            id_col="doc_id", vectors_col="vectors", vector_col=None,
+        ).collect()
+    }
+    print(
+        f"\nMUVERA FDE two-stage @clustered (recall@5 vs exact MaxSim, "
+        f"{n_docs_c} docs, 32 planted clusters)\n"
+    )
+    print("| candidates | recall@5 | sec |\n| --- | --- | --- |")
+    for cand in (5, 10, 20, 40, 60, 80, 100):
+        t0 = time.time()
+        cset = SRCH.flat_topk(
+            fdes_c, qf_c, metric="inner_product", k=cand,
+            id_col="doc_id", vector_col="fde",
+        ).select("doc_id")
+        pruned = docs_c.join(F.broadcast(cset), "doc_id", "left_semi")
+        got = {
+            r["doc_id"]
+            for r in MV.maxsim_topk(
+                pruned, qtok_c, metric="cosine", k=5,
+                id_col="doc_id", vectors_col="vectors", vector_col=None,
+            ).collect()
+        }
+        rec = len(exact5_c & got) / max(len(exact5_c), 1)
+        print(f"| {cand} | {rec:.3f} | {time.time() - t0:.2f} |")
+    fdes_c.unpersist()
+    docs_c.unpersist()
+
     spark.stop()
     return 0
 

@@ -16,6 +16,7 @@ import atexit
 import hashlib
 import os
 import threading
+import time
 from collections import OrderedDict
 from collections.abc import Callable
 
@@ -3213,11 +3214,20 @@ ORDER BY doc_id
 """
 
 
+# One-time replay wall-time per streaming gate (sink name minus "_sink").
+# The gated query memoizes the finished memory-sink table, so the bench's
+# per-query rows time a table read while the actual replay cost lands in
+# warmup — this map carries the REAL cost into the bench record (r10
+# verdict watch item 1: "record each gate's replay wall-time once").
+STREAMING_REPLAY_SECONDS: dict[str, float] = {}
+
+
 def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
     """Shared availableNow-replay harness for the streaming oracle gates:
     memory sink, bounded replay to completion, hard timeout (a hung source
     must FAIL the gate, never hand back a partial table), finished table
     returned as a plain DataFrame for the hash compare."""
+    t0 = time.monotonic()
     q = (
         out.writeStream.outputMode(mode)
         .format("memory")
@@ -3228,6 +3238,9 @@ def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("streaming gate did not finish within 300s")
+    STREAMING_REPLAY_SECONDS[name.removesuffix("_sink")] = round(
+        time.monotonic() - t0, 3
+    )
     return out.sparkSession.table(name)
 
 
@@ -8304,14 +8317,22 @@ ORDER BY day
 """
 
 
-def q_kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmv_shingle_overlap(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Corpus-similarity via sketch SET OPERATIONS: split the corpus into
     halves (doc_id parity), sketch each half's word-3-gram shingle set
     (k=256), and estimate Jaccard / union / intersection from the merged
-    sketch — next to the exact set arithmetic for calibration. At 100 TB
-    the exact side is a full distinct-shingle shuffle per corpus; the
-    sketch side ships 256 longs per corpus and answers any pairwise
-    overlap question between N corpora without re-reading them."""
+    sketch — next to the exact set arithmetic for calibration.
+
+    TIER DISPATCH (r10 verdict watch item 2): the exact side is a
+    CALIBRATION tier — a full-outer join of the two distinct-shingle
+    sets, i.e. a full distinct-shingle shuffle per corpus. It rides
+    inside the gated query (exact=True, the default) so the driver's
+    hash compare covers both tiers at gate scale; the PRODUCTION plan at
+    100 TB passes exact=False and ships ONLY the sketch side — 256 longs
+    per corpus answer any pairwise overlap question between N corpora
+    without re-reading them, with no distinct shuffle anywhere."""
     from vettore_spark.operators import sketch as SK
 
     docs = _t(spark, sf_dir, "documents")
@@ -8324,6 +8345,8 @@ def q_kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = SK.kmv_sketch(sh.filter(F.col("half") == 0), "s", k=256)
     b = SK.kmv_sketch(sh.filter(F.col("half") == 1), "s", k=256)
     est = SK.kmv_overlap(a, b, k=256)
+    if not exact:
+        return est.select("jaccard", "est_union", "est_intersection")
     sa = sh.filter(F.col("half") == 0).select("s").distinct()
     sb = sh.filter(F.col("half") == 1).select("s").distinct()
     exact = (
