@@ -700,6 +700,18 @@ def main() -> None:
         "verdict": (
             "contended" if load_start and load_start[0] > 4.0 else "solo"
         ),
+        # mid-run stall detector: samples >= 3x their query's own min are
+        # hypervisor stalls / GC pauses, invisible to the start-load stamp
+        # (a 0.2 s query reading 4.5 s once is a stalled SAMPLE, not a
+        # regression). High counts mean per-query medians carry stall
+        # pollution and round-over-round deltas need the spread block.
+        "stalled_samples": sum(
+            1
+            for s in all_samples.values()
+            for x in s
+            if x >= 3.0 * max(min(s), 1e-9) and x >= 0.5
+        ),
+        "n_samples": sum(len(s) for s in all_samples.values()),
     }
     recall_note = (
         "@clustered rows: planted 32-cluster n=4000 fixture (deterministic"

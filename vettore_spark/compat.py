@@ -136,35 +136,34 @@ class Vettore:
         the legacy whole-collection shape would silently OOM the driver.
         Production shape for big collections: `Collection.search(query,
         limit=N)` for a bounded top-N, then `mmr_rerank` over that."""
-        from vettore_spark.operators.rerank import mmr_rerank_rows
+        from vettore_spark.operators.rerank import mmr_rerank
 
         c = self._coll(coll)
         cap = self._GET_ALL_MAX if max_rows is None else max_rows
         # Single-snapshot pool (r10 advice): searching with limit=cap+1 and
-        # failing when cap+1 rows come back derives the pool AND the cap
-        # check from ONE collect — a separate count() first was a TOCTOU
-        # (rows inserted between the count and the search were silently
-        # excluded from the MMR pool, and a shrink wasted cap headroom).
+        # letting mmr_rerank's max_rows check fire when cap+1 rows come
+        # back derives the pool AND the cap check from ONE collect — a
+        # separate count() first was a TOCTOU (rows inserted between the
+        # count and the search were silently excluded from the MMR pool,
+        # and a shrink wasted cap headroom). The hydrate/sort/greedy logic
+        # lives ONLY in mmr_rerank — this facade adds just the cap policy
+        # and the facade-specific error text.
         top = c.search(query, limit=cap + 1)
-        hydrated = top.select("id", "score").join(
-            c.df.select("id", "vector"), on="id", how="inner"
-        ).collect()
-        if len(hydrated) > cap:
+        try:
+            return mmr_rerank(
+                top, c.df, metric=c.config.metric, alpha=alpha, k=limit,
+                max_rows=cap,
+            )
+        except ValueError as e:
+            if "max_rows" not in str(e):
+                raise
             raise ValueError(
                 f"rerank would collect more than {cap} rows (ids + full "
                 "vectors) to the driver; this legacy facade reranks the "
                 "WHOLE collection — for big collections use "
                 "Collection.search(query, limit=N) and mmr_rerank over "
                 "the bounded top-N, or raise max_rows explicitly"
-            )
-        initial = sorted(
-            ((r["id"], float(r["score"])) for r in hydrated),
-            key=lambda t: -t[1],
-        )
-        id_vectors = {r["id"]: list(r["vector"]) for r in hydrated}
-        return mmr_rerank_rows(
-            initial, id_vectors, metric=c.config.metric, alpha=alpha, k=limit
-        )
+            ) from e
 
     def delete(self, coll: str, id_: str) -> "Vettore":
         self._coll(coll).delete(id_)

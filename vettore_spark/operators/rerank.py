@@ -87,13 +87,25 @@ def mmr_rerank(
     id_col: str = "id",
     vector_col: str = "vector",
     score_col: str = "score",
+    max_rows: int | None = None,
 ) -> list[tuple[str, float]]:
     """DataFrame wrapper: collect the (small) candidate set + vectors to the
-    driver and run the greedy loop."""
+    driver and run the greedy loop. `max_rows` is a fail-fast cap on the
+    collected pool (ids + full vectors per row): callers whose candidate
+    set is not already bounded (the compat whole-collection facade) pass
+    it so an oversized pool raises instead of silently OOMing the driver.
+    The cap is checked on the SAME collect that builds the pool — a
+    single snapshot, no separate count() TOCTOU."""
     cand = results.select(id_col, score_col)
     hydrated = cand.join(
         coll.select(id_col, vector_col), on=id_col, how="inner"
     ).collect()
+    if max_rows is not None and len(hydrated) > max_rows:
+        raise ValueError(
+            f"mmr_rerank pool exceeds max_rows={max_rows} (ids + full "
+            "vectors collected to the driver); bound the candidate set "
+            "first or raise max_rows explicitly"
+        )
     initial = [(r[id_col], float(r[score_col])) for r in hydrated]
     initial.sort(key=lambda t: -t[1])
     id_vectors = {r[id_col]: list(r[vector_col]) for r in hydrated}
