@@ -771,14 +771,34 @@ def main() -> None:
         "host_load": host_load,
         "sf": sf_val,
     }
+    # Size the final line for the driver's ~2000-byte stdout capture window
+    # (with headroom for the trailing newline and partial-line cut). The
+    # trim order protects the NEW signal: the per-gate replay map survives
+    # every stage except the last-resort one — bench_full.json always has
+    # the untrimmed record.
+    _LINE_MAX = 1800
     line = json.dumps(compact)
-    if len(line) > 1900:  # keep the final line inside the capture window
+    if len(line) > _LINE_MAX:  # stage 1: slowest-queries block 20 -> 10
         compact["queries"] = dict(list(slowest.items())[:10])
         line = json.dumps(compact)
-    if len(line) > 1900:  # still over: drop spread to its 5 widest rows
+    if len(line) > _LINE_MAX:  # stage 2: spread to its 5 widest rows
         compact["spread"] = dict(list(spread.items())[:5])
         line = json.dumps(compact)
-    if len(line) > 1900:  # still over: collapse replay map to its total
+    if len(line) > _LINE_MAX:  # stage 3: muvera/overlap to their verdict keys
+        compact["muvera"] = {
+            k: muvera[k]
+            for k in ("default_candidates", "recall_at_5_default")
+            if k in muvera
+        }
+        compact["overlap_at_10_vs_exact"] = {
+            k: v for k, v in sorted(overlap.items(), key=lambda kv: kv[1])[:4]
+        }
+        line = json.dumps(compact)
+    if len(line) > _LINE_MAX:  # stage 4: spread to its 3 widest, queries to 6
+        compact["spread"] = dict(list(spread.items())[:3])
+        compact["queries"] = dict(list(slowest.items())[:6])
+        line = json.dumps(compact)
+    if len(line) > _LINE_MAX:  # last resort: collapse replay map to its total
         compact["streaming_replay_sec"] = {
             "total": round(sum(Q.STREAMING_REPLAY_SECONDS.values()), 3)
         }
