@@ -402,6 +402,97 @@ def funnel_state_recovery_run(spark, base):
     }
 
 
+def histogram_state_recovery_run(spark, base):
+    """streaming_histogram_quantiles across 3 RESTARTED runs — the third
+    custom-state SHAPE under the restart protocol: KMV holds a mergeable
+    sketch row (r10), the funnel holds a fixed multi-field struct (r11),
+    the histogram holds a GROWABLE map (parallel bucket/count long
+    arrays). Shared checkpoint, one new file per run; each run's values
+    occupy NEW buckets, so the recovered map must both grow (new
+    counters) and keep old counters intact (the final interpolation
+    mixes counts from all three runs). Engine state rows must stay == 2
+    (one map per GROUP) while occupied buckets grow 10 -> 20 -> 30, and
+    the final per-group estimates must equal the batch
+    histogram_quantiles over the union bit-for-bit."""
+    from vettore_spark.operators import sketch as SK
+    from vettore_spark.streaming.stateful import streaming_histogram_quantiles
+
+    src = os.path.join(base, "hist_src")
+    os.makedirs(src)
+    t0 = 1_700_400_000
+    # run i contributes 150 click + 90 view values landing in buckets
+    # [10i, 10i+10) — deterministic, spanning 10 fresh buckets per run
+    batches = [
+        [("click", 10.0 * i + (j % 100) * 0.1) for j in range(150)]
+        + [("view", 10.0 * i + (j % 50) * 0.2) for j in range(90)]
+        for i in range(3)
+    ]
+    schema = "event_type string, value double"
+    state_trajectory = []
+    final_rows: dict[tuple, float] = {}
+    for i, rows in enumerate(batches):
+        _write_batch(
+            spark, os.path.join(src, f"f{i}.parquet"), t0 + i, rows, schema
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        emitted: list = []
+
+        def _sink(batch_df, _epoch, _out=emitted):
+            _out.extend(batch_df.collect())
+
+        q = (
+            streaming_histogram_quantiles(
+                stream, quantiles=[0.5, 0.9, 0.99], bucket_width=1.0
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt_hist"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("histogram run did not finish in 300s")
+        state_rows = None
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                state_rows = op.get("numRowsTotal", state_rows)
+        state_trajectory.append(state_rows)
+        for r in emitted:
+            final_rows[(r["event_type"], r["q"])] = r["est"]
+    assert state_trajectory == [2, 2, 2], (
+        f"state rows {state_trajectory}: O(groups) map state violated"
+    )
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, schema)
+    batch_est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in SK.histogram_quantiles(
+            batch_df, "value", [0.5, 0.9, 0.99],
+            bucket_width=1.0, group_by=["event_type"],
+        ).collect()
+    }
+    assert final_rows == batch_est, (
+        f"stream/batch divergence: "
+        f"{ {k: (final_rows.get(k), batch_est.get(k)) for k in sorted(set(final_rows) | set(batch_est)) if final_rows.get(k) != batch_est.get(k)} }"
+    )
+    # the final estimates can only be right if counters from ALL THREE
+    # runs survived both restores: p50 of the union sits in run-1 bucket
+    # territory, p99 in run-2's
+    assert 10.0 <= final_rows[("click", 0.5)] < 20.0, final_rows
+    assert 20.0 <= final_rows[("click", 0.99)] < 30.0, final_rows
+    return {
+        "groups": 2,
+        "state_rows_per_run": state_trajectory,
+        "occupied_buckets_final": 30,
+        "final_estimates": {
+            f"{g}@{q}": est for (g, q), est in sorted(final_rows.items())
+        },
+        "batch_parity": "bit-exact",
+        "runs": 3,
+    }
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -419,6 +510,7 @@ def main() -> None:
             "stateful_dedup": stateful_dedup_run(spark, base),
             "sketch_state_bounded": sketch_state_bounded_run(spark, base),
             "funnel_state_recovery": funnel_state_recovery_run(spark, base),
+            "histogram_state_recovery": histogram_state_recovery_run(spark, base),
         }
         print(json.dumps(res))
     finally:
