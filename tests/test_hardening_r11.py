@@ -138,3 +138,142 @@ def test_kmv_shingle_overlap_sketch_only_tier(spark):
     assert (row["jaccard"], row["est_union"], row["est_intersection"]) == (
         full["jaccard"], full["est_union"], full["est_intersection"]
     ), "sketch estimates diverge between tiers"
+
+
+def test_sq_null_vector_cannot_poison_candidates(spark):
+    """r11 review: a null/length-mismatched vector propagates null
+    through the zip_with encode fold to _d2, and Spark's default asc is
+    NULLS FIRST — without the isNotNull filter one malformed row filled
+    the candidate set ahead of every real distance."""
+    from vettore_spark.operators.sq import sq_topk
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    rows = [(str(i), [float(i), float(i)]) for i in range(8)]
+    rows.append(("bad-null", None))
+    rows.append(("bad-short", [1.0]))
+    df = spark.createDataFrame(rows, "id string, vector array<double>")
+    got = sq_topk(
+        df, [0.0, 0.0], [0.0, 0.0], [7.0, 7.0], k=3, candidates=3
+    ).collect()
+    ids = [r["id"] for r in got]
+    assert ids == ["0", "1", "2"], ids
+    PC.clear()
+
+
+def test_hnsw_cache_key_includes_ef_search(spark):
+    """r11 review: the pickled graphs embed params.ef_search as the
+    search default, but the persist-cache key omitted it — the second
+    builder with a wider beam silently got the first's cache hit and
+    searched with the narrow beam."""
+    from vettore_spark.operators.hnsw import HnswParams, build_graph_shards
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    df = spark.createDataFrame(
+        [(str(i), [float(i), 0.0]) for i in range(20)],
+        "id string, vector array<double>",
+    )
+    a = build_graph_shards(df, metric="l2", params=HnswParams(ef_search=16))
+    b = build_graph_shards(df, metric="l2", params=HnswParams(ef_search=256))
+    assert a is not b, "different ef_search must not share a cache entry"
+    import pickle
+
+    ef_a = pickle.loads(bytes(a.collect()[0]["shard"])).params.ef_search
+    ef_b = pickle.loads(bytes(b.collect()[0]["shard"])).params.ef_search
+    assert (ef_a, ef_b) == (16, 256), (ef_a, ef_b)
+    PC.clear()
+
+
+def test_hnsw_search_default_id_type_stringifies_long_ids(spark):
+    """r11 review: the public default id_type=StringType used to emit the
+    graphs' NATIVE ids into a string-declared Arrow field — long ids
+    crashed mid-job ('Expected bytes, got int'). The default now coerces
+    to str; an explicit id_type still emits native."""
+    from pyspark.sql import types as T
+
+    from vettore_spark.operators.hnsw import (
+        HnswParams, build_graph_shards, search_graph_shards,
+    )
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "id long, vector array<double>",
+    )
+    shards = build_graph_shards(df, metric="l2", params=HnswParams())
+    got = search_graph_shards(shards, [("q", [0.0, 0.0])], metric="l2", k=3)
+    assert [r["id"] for r in got.collect()] == ["0", "1", "2"]
+    native = search_graph_shards(
+        shards, [("q", [0.0, 0.0])], metric="l2", k=3, id_type=T.LongType()
+    )
+    assert [r["id"] for r in native.collect()] == [0, 1, 2]
+    PC.clear()
+
+
+def test_hnsw_insert_verify_target_raises_on_stale_list(spark):
+    """r11 review: the lazy single-row insert silently LOSES the vector
+    when a caller-supplied shard_ids list routes to a shard absent from
+    the table; verify_target=True opts into the siblings' presence check."""
+    import pytest as _pytest
+
+    from vettore_spark.operators.hnsw import (
+        HnswParams, build_graph_shards, fnv1a64, insert_into_graph_shards,
+    )
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    df = spark.createDataFrame(
+        [(str(i), [float(i), 0.0]) for i in range(10)],
+        "id string, vector array<double>",
+    )
+    shards = build_graph_shards(df, metric="l2", params=HnswParams())
+    real = sorted(r["shard_id"] for r in shards.select("shard_id").collect())
+    # a fake list routing our id to a shard id NOT in the table
+    fake = [max(real) + 1 + i for i in range(4)]
+    assert fnv1a64(b"new") % len(fake) is not None  # routing is defined
+    with _pytest.raises(ValueError, match="stale"):
+        insert_into_graph_shards(
+            shards, "new", [1.0, 1.0], shard_ids=fake, verify_target=True
+        )
+    # valid list + verify_target passes and the insert lands
+    patched = insert_into_graph_shards(
+        shards, "new", [99.0, 0.0], shard_ids=real, verify_target=True
+    )
+    import pickle
+
+    found = any(
+        "new" in pickle.loads(bytes(r["shard"])).ext_ids
+        for r in patched.collect()
+    )
+    assert found, "insert lost despite valid shard_ids"
+    PC.clear()
+
+
+def test_pq_margin_prune_superset_under_either_rounding():
+    """r11 review: the local PQ prune used np.round (half-to-even) keys
+    while the global merge ranks with Spark's decimal HALF_UP — the two
+    can disagree at .5 boundaries, cutting a globally-best row at the
+    local stage. The margin prune must keep a superset of the top-k under
+    ANY rounding rule that quantizes to the margin digit."""
+    import numpy as np
+
+    from vettore_spark.operators.pq import _margin_prune
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n, k = 50, 5
+        # distances clustered near .5 boundaries of the 5th digit
+        base = rng.integers(0, 40, size=n) * 1e-5
+        d = base + rng.choice([0.0, 0.5e-5, 0.49999e-5, 0.50001e-5], size=n)
+        sel = set(_margin_prune(d, k, 1e-5).tolist())
+        for rounder in (
+            lambda x: np.round(x, 5),                       # half-to-even
+            lambda x: np.floor(x * 1e5 + 0.5) / 1e5,        # HALF_UP-ish
+        ):
+            key = rounder(d)
+            order = np.lexsort((np.arange(n), key))[:k]
+            assert set(order.tolist()) <= sel, (
+                "margin prune cut a row the rounded ranking keeps"
+            )

@@ -333,8 +333,12 @@ def build_graph_shards(
 
     return cached_persist(
         src,
-        ("hnsw_shards", m, p.m, p.m0, p.ef_construction, p.max_level,
-         id_col, vector_col, num_partitions),
+        # EVERY params field is in the key (the cached_persist contract):
+        # the pickled graphs embed ef_search as the search-time default,
+        # so omitting it would silently serve a cache hit built with the
+        # FIRST caller's beam width to a caller who asked for a wider one
+        ("hnsw_shards", m, p.m, p.m0, p.ef_construction, p.ef_search,
+         p.max_level, id_col, vector_col, num_partitions),
         build,
     )
 
@@ -360,7 +364,8 @@ def delete_from_graph_shards(shards: DataFrame, external_id) -> DataFrame:
 
 
 def insert_into_graph_shards(
-    shards: DataFrame, external_id, vector, *, shard_ids: list[int] | None = None
+    shards: DataFrame, external_id, vector, *,
+    shard_ids: list[int] | None = None, verify_target: bool = False,
 ) -> DataFrame:
     """Incremental index maintenance for put: insert the new vector into
     exactly ONE shard's graph (HnswGraph.insert — the reference's
@@ -377,14 +382,18 @@ def insert_into_graph_shards(
     Pass `shard_ids` (the known shard-id list, e.g. collected once at
     build time) to avoid the routing collect — without it every insert
     launches a Spark job, which on a lazily-checkpointed patch chain
-    forces materialization before the put returns. When you do pass it,
-    it MUST be the current table's exact shard-id set: the lazy patch
-    cannot verify membership without the job this parameter exists to
-    avoid, so an id routed to a shard absent from the table is silently
-    LOST (note build_graph_shards emits no row for an empty partition —
-    range(num_partitions) is NOT a valid list; the batched
-    insert_many_into_graph_shards and the DataFrame variant both verify
-    and raise on stale lists)."""
+    forces materialization before the put returns; with shard_ids omitted
+    the list comes from the CURRENT table, so the routed target is
+    present by construction. When you DO pass it, it MUST be the current
+    table's exact shard-id set: the lazy patch cannot verify membership
+    without the job this parameter exists to avoid, so an id routed to a
+    shard absent from the table is silently LOST (note build_graph_shards
+    emits no row for an empty partition — range(num_partitions) is NOT a
+    valid list; the batched insert_many_into_graph_shards and the
+    DataFrame variant both verify and raise on stale lists). Callers who
+    hold a long-lived list and prefer safety over laziness pass
+    `verify_target=True` to run the siblings' amortized presence check —
+    one tiny filtered distinct-collect — before the lazy patch is built."""
     import pickle
 
     sids = (
@@ -395,6 +404,20 @@ def insert_into_graph_shards(
     if not sids:
         raise ValueError("cannot insert into an empty shard table")
     target = sids[fnv1a64(str(external_id).encode()) % len(sids)]
+    if verify_target and shard_ids is not None:
+        present = (
+            shards.filter(F.col("shard_id") == int(target))
+            .select("shard_id")
+            .limit(1)
+            .collect()
+        )
+        if not present:
+            raise ValueError(
+                f"shard_ids is stale: routed target shard {target} is not "
+                "in the shard table — collect the id list from the CURRENT "
+                "table (build_graph_shards emits no row for an empty "
+                "partition, so range(num_partitions) is NOT a valid list)"
+            )
     vec = np.asarray(vector, dtype=np.float64)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -657,13 +680,23 @@ def search_graph_shards(
     """Batch search over an existing graph-shard table (built by
     `build_graph_shards`, possibly patched by `delete_from_graph_shards`):
     answer every query against each shard, merge with a global per-query
-    (rank, id) top-k window. `ef_search` overrides the build-time beam."""
+    (rank, id) top-k window. `ef_search` overrides the build-time beam.
+
+    `id_type` declares the emitted id column's Spark type and should match
+    the collection's native id type (Collection passes its own schema
+    type). When omitted the declared type is StringType and the graphs'
+    external ids are COERCED to str on emission — without the coercion a
+    graph built over long ids would hit an Arrow type error mid-job
+    ('Expected bytes, got int') under the string default. Callers joining
+    the results back against a non-string id column must pass the real
+    type."""
     import pickle
 
     from vettore_spark.functions import kernels as K
     from vettore_spark.operators.search import score_columns
 
     m = K.canonical_metric(metric)
+    stringify = id_type is None
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.StringType()),
@@ -688,7 +721,7 @@ def search_graph_shards(
                 for qid, qv in qlist:
                     for eid, raw in g.search(qv, k):
                         out_q.append(qid)
-                        out_i.append(eid)
+                        out_i.append(str(eid) if stringify else eid)
                         out_r.append(raw)
                 yield pd.DataFrame(
                     {"query_id": out_q, id_col: out_i, "_raw": out_r}

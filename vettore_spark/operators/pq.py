@@ -76,6 +76,20 @@ def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+def _margin_prune(d: np.ndarray, kk: int, margin: float) -> np.ndarray:
+    """Indices of every row whose raw distance is within `margin` of the
+    kk-th smallest — a SUPERSET of any top-kk ranking that rounds the key
+    to the digit `margin` covers, regardless of the engine's rounding
+    rule (NumPy half-to-even vs Spark decimal HALF_UP can only reorder
+    keys closer than one rounded unit). O(n) via partition instead of a
+    full sort; the global `_rank_merge` applies the authoritative rounded
+    order + id tie-break to the union of these supersets."""
+    if len(d) <= kk:
+        return np.arange(len(d))
+    kth = np.partition(d, kk - 1)[kk - 1]
+    return np.flatnonzero(d <= kth + margin)
+
+
 def _rank_merge(local: DataFrame, *, k: int, query_id_col: str, id_col: str,
                 round_digits: int | None) -> DataFrame:
     """Global per-query top-k merge of per-partition candidates, ranked by
@@ -158,15 +172,19 @@ def pq_encode(
     vector_col: str = "embedding",
 ) -> DataFrame:
     """Encode every row to its (id, codes array<int>) PQ representation —
-    the persisted compressed index. One Arrow pass, no shuffle."""
-    spark = coll.sparkSession
-    bc = spark.sparkContext.broadcast(codebooks)
+    the persisted compressed index. One Arrow pass, no shuffle.
+
+    The codebooks ride the task closure (m*n_codes*dsub floats, ~131 KB
+    at the defaults) rather than an explicit SparkContext broadcast: a
+    per-call broadcast is never destroyed — the returned DataFrame is
+    lazy, so there is no safe point to destroy it — and accumulates dead
+    blocks on driver and executors for the application lifetime (the
+    hnsw.py:449 lesson)."""
 
     @F.pandas_udf("array<int>")
     def codes_of(vs: pd.Series) -> pd.Series:
-        books = bc.value
         mat = _matrix(vs)
-        codes = _encode_batch(mat, books)
+        codes = _encode_batch(mat, codebooks)
         return pd.Series(list(codes))
 
     return coll.select(id_col, codes_of(F.col(vector_col)).alias("codes"))
@@ -192,14 +210,20 @@ def pq_adc_topk(
 
     With `round_digits`, the rank order uses the ROUNDED distance (ties
     then broken by id) so orderings are reproducible across engines
-    regardless of float summation order."""
+    regardless of float summation order. The local per-partition prune
+    keeps a margin-widened SUPERSET of the top-k (every row within
+    10^-round_digits of the kth raw distance): NumPy's round is
+    half-to-even on binary doubles while Spark's is decimal HALF_UP, so
+    pruning on the locally-rounded key could cut a row the global
+    rounded ranking would keep — the margin makes the local stage
+    rounding-agnostic and the global `_rank_merge` the single authority
+    on order."""
     spark = codes_df.sparkSession
     qrows = _collect_queries(
         queries, query_id_col, query_vec_col, max_broadcast_queries
     )
     qids = [r[query_id_col] for r in qrows]
     qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
-    bc = spark.sparkContext.broadcast((qids, qmat, codebooks))
 
     out_schema = T.StructType(
         [
@@ -212,14 +236,28 @@ def pq_adc_topk(
         return spark.createDataFrame([], out_schema).withColumn(
             "rank", F.lit(1).cast("int")
         )
+    # margin for the local prune: one unit in the rounded digit covers the
+    # worst half-to-even vs HALF_UP disagreement on any pair of keys
+    margin = 10.0 ** -round_digits if round_digits is not None else 0.0
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_l, qmat_l, books = bc.value
-        m, n_codes, dsub = books.shape
-        nq = len(qids_l)
-        # LUT per query: lut[j, s, c] = ||q_j_sub_s - books[s, c]||^2
-        diff = qmat_l.reshape(nq, m, 1, dsub) - books[None, :, :, :]
-        lut = (diff * diff).sum(axis=3)  # nq x m x n_codes
+        m, n_codes, dsub = codebooks.shape
+        nq = len(qids)
+        # LUT per query: lut[j, s, c] = ||q_j_sub_s - books[s, c]||^2.
+        # Built per (query-chunk, subspace) so the transient diff tensor is
+        # chunk x n_codes x dsub (~67 MB at the 4096 chunk) instead of the
+        # nq x m x n_codes x dsub monolith (~8.6 GB at the broadcast cap —
+        # an executor OOM, not a scale path). Identical elementwise
+        # arithmetic and summation axis, so the LUT is bit-equal.
+        lut = np.empty((nq, m, n_codes), dtype=np.float64)
+        for q0 in range(0, nq, 4096):
+            q1 = min(q0 + 4096, nq)
+            for s in range(m):
+                diff = (
+                    qmat[q0:q1, s * dsub : (s + 1) * dsub].reshape(-1, 1, dsub)
+                    - codebooks[s][None, :, :]
+                )
+                lut[q0:q1, s, :] = (diff * diff).sum(axis=2)
         subs = np.arange(m)
         for pdf in it:
             if len(pdf) == 0:
@@ -231,14 +269,13 @@ def pq_adc_topk(
             for j in range(nq):
                 d2 = lut[j][subs[None, :], codes].sum(axis=1)
                 d = np.sqrt(np.maximum(d2, 0.0))
-                key = np.round(d, round_digits) if round_digits is not None else d
-                idx = np.lexsort((ids, key))[:kk]
+                sel = _margin_prune(d, kk, margin)
                 out.append(
                     pd.DataFrame(
                         {
-                            query_id_col: [qids_l[j]] * len(idx),
-                            id_col: ids[idx],
-                            "distance": d[idx],
+                            query_id_col: [qids[j]] * len(sel),
+                            id_col: ids[sel],
+                            "distance": d[sel],
                         }
                     )
                 )
@@ -287,10 +324,9 @@ def ivfpq_encode(
     centroid (L2, ties to lowest cell), codes = PQ codes of the residual.
     One Arrow pass, no shuffle; at scale this table is written partitioned
     by cell so probes become partition-pruned scans (the
-    CellPartitionedStore layout in sources/store.py)."""
-    spark = coll.sparkSession
-    bc = spark.sparkContext.broadcast((coarse, codebooks))
-
+    CellPartitionedStore layout in sources/store.py). Coarse centroids +
+    codebooks ride the task closure (small, and a per-call broadcast is
+    never destroyable under a lazy return — see pq_encode)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, coll.schema[id_col].dataType),
@@ -300,14 +336,13 @@ def ivfpq_encode(
     )
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        coarse_l, books_l = bc.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
             mat = _matrix(pdf[vector_col])
-            d2 = _sq_dists(mat, coarse_l)
+            d2 = _sq_dists(mat, coarse)
             cells = np.argmin(d2, axis=1)
-            codes = _encode_batch(mat - coarse_l[cells], books_l)
+            codes = _encode_batch(mat - coarse[cells], codebooks)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -361,7 +396,6 @@ def ivfpq_topk(
     # deterministic probe selection: (d2, cell) ascending
     qd2 = _sq_dists(qmat, coarse)
     probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
-    bc = spark.sparkContext.broadcast((qids, qmat, probes, coarse, codebooks))
 
     out_schema = T.StructType(
         [
@@ -370,11 +404,28 @@ def ivfpq_topk(
             T.StructField("distance", T.DoubleType()),
         ]
     )
+    margin = 10.0 ** -round_digits if round_digits is not None else 0.0
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_l, qmat_l, probes_l, coarse_l, books_l = bc.value
-        m, n_codes, dsub = books_l.shape
+        m, n_codes, dsub = codebooks.shape
         subs = np.arange(m)
+        # per-(query, probed-cell) LUT memo: the LUT depends only on
+        # (query, cell), so rebuilding it inside the Arrow-batch loop paid
+        # the m x n_codes x dsub construction once per BATCH instead of
+        # once per task. Bounded so a cap-sized query set cannot hold
+        # nq x n_probe tables (~16 KB each) in memory forever.
+        lut_memo: dict = {}
+
+        def get_lut(j: int, cell: int) -> np.ndarray:
+            got = lut_memo.get((j, cell))
+            if got is None:
+                resid_q = qmat[j] - coarse[cell]
+                diff = resid_q.reshape(m, 1, dsub) - codebooks
+                got = (diff * diff).sum(axis=2)  # m x n_codes
+                if len(lut_memo) < 8192:
+                    lut_memo[(j, cell)] = got
+            return got
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -382,29 +433,22 @@ def ivfpq_topk(
             cells = pdf["cell"].to_numpy()
             codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
             out = []
-            for j, qid in enumerate(qids_l):
-                for cell in probes_l[j]:
+            for j, qid in enumerate(qids):
+                for cell in probes[j]:
                     mask = cells == cell
                     if not mask.any():
                         continue
-                    resid_q = qmat_l[j] - coarse_l[cell]
-                    diff = resid_q.reshape(m, 1, dsub) - books_l
-                    lut = (diff * diff).sum(axis=2)  # m x n_codes
+                    lut = get_lut(j, int(cell))
                     d2 = lut[subs[None, :], codes[mask]].sum(axis=1)
                     d = np.sqrt(np.maximum(d2, 0.0))
-                    key = (
-                        np.round(d, round_digits)
-                        if round_digits is not None
-                        else d
-                    )
                     sel_ids = ids[mask]
-                    idx = np.lexsort((sel_ids, key))[: min(k, mask.sum())]
+                    sel = _margin_prune(d, min(k, int(mask.sum())), margin)
                     out.append(
                         pd.DataFrame(
                             {
-                                query_id_col: [qid] * len(idx),
-                                id_col: sel_ids[idx],
-                                "distance": d[idx],
+                                query_id_col: [qid] * len(sel),
+                                id_col: sel_ids[sel],
+                                "distance": d[sel],
                             }
                         )
                     )

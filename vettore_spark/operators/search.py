@@ -37,8 +37,14 @@ def _ordered_topk(scored: DataFrame, k: int, *, id_col: str) -> DataFrame:
     """Deterministic (rank, id) order + LIMIT k -> TakeOrderedAndProject.
 
     Ties broken by id ascending, matching the reference heap order
-    (flat.rs:27-46)."""
-    return scored.orderBy(F.col("_rank").asc(), F.col(id_col).asc()).limit(k)
+    (flat.rs:27-46). Rank keys sort NULLS LAST (here and in every merge
+    window below): Collection validates vectors at ingest, but a direct
+    operator caller with a malformed row would otherwise see its
+    null-ranked garbage FIRST under Spark's default asc — crowding out
+    every real result instead of none."""
+    return scored.orderBy(
+        F.col("_rank").asc_nulls_last(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def score_columns(
@@ -146,7 +152,7 @@ def flat_range(
         scored = scored.filter(F.col("distance") <= F.lit(float(max_distance)))
     else:
         scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
-    out = scored.orderBy(F.col("_rank").asc(), F.col(id_col).asc())
+    out = scored.orderBy(F.col("_rank").asc_nulls_last(), F.col(id_col).asc())
     if limit is not None:
         out = out.limit(limit)
     return out.drop("_rank")
@@ -453,7 +459,9 @@ def multi_query_quantized(
             F.broadcast(qbits.select(query_id_col, "_qb"))
         )
         raw1 = K.packed_hamming(F.col(binary_col), F.col("_qb"), dims)
-        w1 = Window.partitionBy(query_id_col).orderBy(raw1.asc(), F.col(id_col).asc())
+        w1 = Window.partitionBy(query_id_col).orderBy(
+            raw1.asc_nulls_last(), F.col(id_col).asc()
+        )
         cand = (
             ham.withColumn("_rn", F.row_number().over(w1))
             .filter(F.col("_rn") <= c)
@@ -476,7 +484,7 @@ def multi_query_quantized(
     )
     rank, score, dist = score_columns(metric, F.col("_raw"), score_mode)
     w2 = Window.partitionBy(query_id_col).orderBy(
-        F.col("_rank").asc(), F.col(id_col).asc()
+        F.col("_rank").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         staged2.select(
@@ -527,7 +535,9 @@ def multi_query_topk(
         score.alias("score"),
         dist.alias("distance"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("_rank").asc(), F.col(id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_rank").asc_nulls_last(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

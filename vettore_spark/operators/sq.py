@@ -66,14 +66,23 @@ def sq_encode(
 ) -> Column:
     """Encode a vector column to array<double> of integral codes 0..255.
     (Kept as doubles: the distance kernel consumes them directly and the
-    integral values are exact in f64; a writer would cast to tinyint.)"""
+    integral values are exact in f64; a writer would cast to tinyint.)
+
+    A vector whose length differs from the trained dims encodes to NULL,
+    never to a partial code array: zip_with pads the short side with
+    nulls and least/greatest SKIP nulls, so without the size guard a
+    truncated vector would silently encode its missing dimensions as
+    code 0 — an accidentally competitive (often winning) candidate."""
     scales = sq_params(mins, maxs)
     mins_lit = F.array(*[F.lit(float(m)) for m in mins])
     scales_lit = F.array(*[F.lit(float(s)) for s in scales])
-    return F.zip_with(
+    encoded = F.zip_with(
         F.zip_with(vec.cast("array<double>"), mins_lit, lambda x, m: x - m),
         scales_lit,
         lambda d, s: F.when(s > 0, _clamp_code(d / s)).otherwise(F.lit(0.0)),
+    )
+    return F.when(F.size(vec) == F.lit(len(mins)), encoded).otherwise(
+        F.lit(None).cast("array<double>")
     )
 
 
@@ -113,22 +122,42 @@ def sq_topk(
     d2 = Σ_i ((code_i − qcode_i)·scale_i)², accumulated left-to-right in dim
     order (F.aggregate fold) — the de-quantized L2 approximation. The L2
     candidate proxy is exact-order for l2 collections and rank-preserving
-    for unit-norm cosine collections (monotone d² = 2 − 2·cos)."""
+    for unit-norm cosine collections (monotone d² = 2 − 2·cos).
+
+    The code table is derived ONCE per (collection, mins, maxs) and kept
+    resident via the plans/cache registry (the pq_search pattern): the
+    per-dim zip_with encode chain is the expensive part of the scan, and
+    re-evaluating it from full vectors on every search made each call
+    cost MORE than an exact scan — the opposite of the module's contract.
+    Searches re-scan the persisted codes and pay only the distance fold;
+    mutation owners invalidate through plans.cache like every derived
+    index."""
+    from vettore_spark.plans.cache import cached_persist
+
     scales = sq_params(mins, maxs)
     qc = sq_encode_query(query, mins, maxs)
-    codes = sq_encode(F.col(vector_col), mins, maxs)
+    codes_df = cached_persist(
+        coll,
+        ("sq_codes", id_col, vector_col, tuple(mins), tuple(maxs)),
+        lambda s: s.select(
+            F.col(id_col),
+            sq_encode(F.col(vector_col), mins, maxs).alias("_codes"),
+            F.monotonically_increasing_id().alias("_pin"),
+        ),
+    )
     qc_lit = F.array(*[F.lit(v) for v in qc])
     sc_lit = F.array(*[F.lit(float(s)) for s in scales])
-    diff = F.zip_with(codes, qc_lit, lambda a, b: a - b)
+    diff = F.zip_with(F.col("_codes"), qc_lit, lambda a, b: a - b)
     terms = F.zip_with(diff, sc_lit, lambda d, s: (d * s) * (d * s))
     d2 = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-    staged = coll.select(
-        F.col(id_col),
-        d2.alias("_d2"),
-        F.monotonically_increasing_id().alias("_pin"),
-    )
+    staged = codes_df.select(F.col(id_col), d2.alias("_d2"))
     cand = (
-        staged.orderBy(F.col("_d2").asc(), F.col(id_col).asc())
+        # a null/length-mismatched vector propagates null through the
+        # zip_with fold to _d2; Spark's default asc is NULLS FIRST, so
+        # without the filter one malformed row would outrank every real
+        # candidate and silently poison the candidate set
+        staged.filter(F.col("_d2").isNotNull())
+        .orderBy(F.col("_d2").asc(), F.col(id_col).asc())
         .limit(candidates)
         .select(id_col)
     )
