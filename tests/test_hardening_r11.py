@@ -12,6 +12,7 @@ import subprocess
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_empty_dir_v2_scan_stays_evictable(spark, tmp_path):
@@ -277,3 +278,125 @@ def test_pq_margin_prune_superset_under_either_rounding():
             assert set(order.tolist()) <= sel, (
                 "margin prune cut a row the rounded ranking keeps"
             )
+
+
+def test_self_knn_exclude_self_duplicate_ids(spark):
+    """r11 review: exclude_self used a k+1-then-filter shortcut; with a
+    duplicated query id the filter removes EVERY same-id row, leaving the
+    block's local stage under-provisioned (only k-1 non-self survivors).
+    The local stage now excludes INSIDE the kernel cut (exclude_ids
+    provisions kk + max-dup-count), so each block contributes a full k
+    non-self candidates per query column. NOTE the FINAL output for a
+    duplicated query id is unchanged either way — the merge window pools
+    both duplicate queries' candidates under one query_id and duplicate
+    rows refill the cut — so this pins the well-defined merged contract:
+    k rows, nearest non-self ids, no same-id row anywhere."""
+    from vettore_spark.operators.ann import self_knn_topk
+
+    rows = [
+        ("X", [1.0, 0.0]),
+        ("X", [0.999, 0.001]),
+        ("a", [0.99, 0.01]),
+        ("b", [0.98, 0.02]),
+        ("c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id string, embedding array<double>")
+    got = self_knn_topk(
+        df, k=2, metric="cosine", id_col="id", vector_col="embedding",
+        query_blocks=1, data_blocks=1, exclude_self=True,
+    )
+    out = got.collect()
+    assert all(r["query_id"] != r["id"] for r in out), out
+    x_rows = sorted(
+        (r["rank"], r["id"]) for r in out if r["query_id"] == "X"
+    )
+    # two pooled duplicate queries, k=2: the nearest non-X id fills both
+    # slots (duplicate candidate rows are the defined pooling semantics)
+    assert x_rows == [(1, "a"), (2, "a")], x_rows
+    # the non-duplicated queries see exact non-self neighbors as before
+    a_rows = sorted(
+        (r["rank"], r["id"]) for r in out if r["query_id"] == "a"
+    )
+    assert a_rows[0][1] == "X", a_rows
+
+
+def test_blocked_knn_ragged_table_fails_fast(spark):
+    """r11 review: the dims guard probed only the FIRST row; a ragged
+    table passed it and then threw deep in the stage (ANSI element_at)
+    or silently zeroed sign bits. Min-over-table catches it at call
+    time, and an all-NULL vector column errors instead of TypeError."""
+    from vettore_spark.operators.ann import blocked_knn_topk
+
+    ragged = spark.createDataFrame(
+        [(1, [float(i) for i in range(16)]), (2, [1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="minimum vector dimensionality"):
+        blocked_knn_topk(ragged, k=1, n_bits=4, n_bands=2)
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="minimum vector dimensionality"):
+        blocked_knn_topk(nulls, k=1, n_bits=4, n_bands=2)
+
+
+def test_ivf_centroid_cache_sees_inplace_retrain(spark, tmp_path):
+    """r11 review: the driver codebook cache keyed on semanticHash alone —
+    overwriting the centroids path with re-trained centroids left the
+    hash unchanged and served the STALE codebook forever. The file-list
+    key component turns the overwrite into a miss."""
+    from vettore_spark.operators.ann import _ivf_centroids_cached
+
+    path = str(tmp_path / "cents")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    c1 = spark.read.parquet(path)
+    _, cmat1, _ = _ivf_centroids_cached(spark, c1, "cell_id", "centroid")
+    spark.createDataFrame(
+        [(0, [0.6, 0.8]), (1, [0.8, -0.6])],
+        "cell_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    c2 = spark.read.parquet(path)
+    assert c1.semanticHash() == c2.semanticHash()  # the blind spot is real
+    _, cmat2, _ = _ivf_centroids_cached(spark, c2, "cell_id", "centroid")
+    import numpy as np
+
+    assert not np.allclose(cmat1, cmat2), (
+        "re-trained centroids served from the stale codebook cache"
+    )
+
+
+def test_simhash_pairs_block_cap_drops_hot_bucket(spark):
+    """r11 review: simhash_pairs had no bucket-size cap — a cluster
+    sharing a slice key (e.g. all NULL-text docs at _sh=0) emits
+    O(pop^2) join rows. The cap drops over-populated buckets before the
+    self-join; default None preserves the exact pair set."""
+    from vettore_spark.operators.dedup import simhash_pairs
+    from vettore_spark.plans import cache as PC
+
+    PC.clear()
+    # 6 identical docs -> one hot bucket per slice; 2 distinct docs
+    rows = [(i, "the same boilerplate text here") for i in range(6)]
+    rows += [(10, "completely different words one"), (11, "another unrelated doc two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = simhash_pairs(df, id_col="doc_id", text_col="text").count()
+    assert uncapped >= 15  # the 6-clone cluster alone is C(6,2)
+    capped = simhash_pairs(
+        df, id_col="doc_id", text_col="text", max_block_size=4
+    ).count()
+    assert capped < uncapped, "cap did not drop the hot bucket"
+    PC.clear()
+
+
+def test_minhash_bands_zero_raises_value_error(spark):
+    """r11 review: bands=0 hit the rows-per-band division before the
+    validation and surfaced as ZeroDivisionError."""
+    from vettore_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bands must be in"):
+        minhash_lsh_pairs(df, id_col="doc_id", text_col="text", bands=0)

@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -563,10 +564,15 @@ def self_knn_topk(
         ids = rpdf[id_col].to_numpy()
         m = _matrix(rpdf[vector_col])
         score, dist, rank = _score_block(m, qmat, metric)
-        # with exclude_self the (x, x) edge is dropped AFTER this block-local
-        # cut, so keep one extra candidate per block to preserve exactness
-        kk = min(k + 1 if exclude_self else k, len(ids))
-        qc, rows, _ = _topk_per_query(rank, ids, kk)
+        # exclude_self drops same-id rows INSIDE the kernel cut
+        # (exclude_ids provisions kk + max-duplicate-count candidates), not
+        # via a k+1-then-filter shortcut: with duplicate ids the filter
+        # removes EVERY same-id row, so a single spare slot under-provisions
+        # the block and the true k-th neighbor can be cut before the merge
+        kk = min(k, len(ids))
+        qc, rows, _ = _topk_per_query(
+            rank, ids, kk, exclude_ids=qids if exclude_self else None
+        )
         return pd.DataFrame(
             {
                 "query_id": qids[qc],
@@ -648,20 +654,38 @@ def cosine_neardup_blocked(
     )
 
 
-# driver-resident IVF codebooks, keyed by (applicationId, centroid plan hash)
-_IVF_CENT_CACHE: dict = {}
+# driver-resident IVF codebooks, keyed by (applicationId, centroid plan
+# hash, backing files). Bounded: evicted entries release their broadcast.
+_IVF_CENT_CACHE: OrderedDict = OrderedDict()
+_IVF_CENT_CACHE_MAX = 64
 
 
 def _ivf_centroids_cached(spark, centroids, centroid_id_col, centroid_vec_col):
-    """Collected (cids, cmat, broadcast) codebook, memoized per (app, plan).
-    The centroid matrix is tiny, but computing it runs a Spark job; repeated
-    query batches over the same index skip it (reference residency model:
-    the codebook is built once with the inverted file)."""
+    """Collected (cids, cmat, broadcast) codebook, memoized per (app, plan,
+    files). The centroid matrix is tiny, but computing it runs a Spark job;
+    repeated query batches over the same index skip it (reference residency
+    model: the codebook is built once with the inverted file).
+
+    The FILE LIST is part of the key: re-training centroids in place (the
+    ivf_delete maintenance contract) overwrites the same path, which leaves
+    semanticHash unchanged — the plans/cache append blind spot — but
+    rewrites the part filenames, so the file-list component turns the
+    overwrite into a cache miss instead of a forever-stale codebook.
+    In-memory centroid frames list no files and key on the plan alone
+    (they cannot be mutated under a stable plan)."""
     try:
-        cent_key = (spark.sparkContext.applicationId, centroids.semanticHash())
+        files = tuple(sorted(centroids.inputFiles()))
+    except Exception:  # noqa: BLE001 — unanalyzable plan: no file component
+        files = ()
+    try:
+        cent_key = (
+            spark.sparkContext.applicationId, centroids.semanticHash(), files
+        )
     except Exception:  # noqa: BLE001
-        cent_key = (spark.sparkContext.applicationId, id(centroids))
+        cent_key = (spark.sparkContext.applicationId, id(centroids), files)
     hit = _IVF_CENT_CACHE.get(cent_key)
+    if hit is not None:
+        _IVF_CENT_CACHE.move_to_end(cent_key)
     if hit is None:
         cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
         # columns pre-sorted by centroid id: stable argsort over columns then
@@ -675,6 +699,14 @@ def _ivf_centroids_cached(spark, centroids, centroid_id_col, centroid_vec_col):
         )
         hit = (cids, cmat, spark.sparkContext.broadcast((cids, cmat)))
         _IVF_CENT_CACHE[cent_key] = hit
+        while len(_IVF_CENT_CACHE) > _IVF_CENT_CACHE_MAX:
+            _, (_, _, old_bc) = _IVF_CENT_CACHE.popitem(last=False)
+            try:
+                # unpersist, not destroy: a memoized plan built against the
+                # evicted broadcast re-fetches lazily from the driver value
+                old_bc.unpersist(False)
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
     return hit
 
 
@@ -886,6 +918,19 @@ def _ivf_probe_scored(
     # collection, so a literal-array cross of queries x codebook + windowed
     # top-n_probe avoids spinning a Python worker on the query path. The
     # codebook enters the plan as a literal (it is already driver-resident).
+    # Fail fast past ~256k literal components (the max_broadcast_queries
+    # discipline): every component is a Catalyst expression node, and a
+    # 1024-cell x 768-dim codebook would hand the analyzer ~800k nodes —
+    # minutes of planning or a driver OOM dressed as a query.
+    n_lit = int(cmat.shape[0]) * int(cmat.shape[1]) if cmat.size else 0
+    if n_lit > 262_144:
+        raise ValueError(
+            f"codebook too large for the literal probe plan: n_cells x dims "
+            f"= {cmat.shape[0]} x {cmat.shape[1]} = {n_lit} > 262144 "
+            "expression nodes; use fewer/narrower centroids, or probe via "
+            "an Arrow-batched kernel (the pq.py pattern) for codebooks "
+            "this size"
+        )
     cent_lit = F.array(
         *[
             F.struct(
@@ -1172,13 +1217,23 @@ def blocked_knn_topk(
             raise ValueError(f"n_bits must be in [1, 20], got {n_bits}")
         if n_bands < 1:
             raise ValueError(f"n_bands must be >= 1, got {n_bands}")
-        probe = coll.select(F.size(F.col(vector_col)).alias("d")).first()
-        if probe is not None and probe["d"] < n_bands * n_bits:
+        # min over the WHOLE table, not first() (the embedding_neardup_banded
+        # rule): a ragged table whose first row is long enough would pass a
+        # head probe and then either throw deep in the stage (ANSI
+        # element_at) or silently hash missing dims to the 0 bit, collapsing
+        # bands into mega-blocks. A NULL min (null/empty vectors) fails the
+        # same check instead of raising TypeError on None comparison.
+        probe = coll.agg(
+            F.min(F.size(F.col(vector_col))).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        min_d = probe["d"]
+        if probe["n"] > 0 and (min_d is None or min_d < n_bands * n_bits):
             raise ValueError(
-                f"n_bands * n_bits = {n_bands * n_bits} exceeds the vector "
-                f"dimensionality {probe['d']}: bands past the end would "
+                f"n_bands * n_bits = {n_bands * n_bits} exceeds the minimum "
+                f"vector dimensionality {min_d}: bands past the end would "
                 "silently collapse into one full-corpus block — lower "
-                "n_bands or n_bits"
+                "n_bands or n_bits (or drop null/short vectors first)"
             )
         parts = []
         for b in range(n_bands):

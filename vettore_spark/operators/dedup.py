@@ -248,11 +248,9 @@ def _shingle_base(
     - Persisted with reuse (_cached_persist) because every pair operator
       consumes it at least twice (signatures/postings + verification) and
       repeated invocations over the same source must share one copy."""
-    spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    src = df.select(F.col(id_col), F.col(text_col))
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    from vettore_spark.plans.spread import spread_narrow
+
+    src = spread_narrow(df, [id_col, text_col])
 
     def build(s: DataFrame) -> DataFrame:
         return s.select(
@@ -592,6 +590,13 @@ def minhash_lsh_pairs(
     Buckets larger than `max_bucket_size` are dropped — at web scale those
     are boilerplate clusters that must be handled by exact-hash dedup first.
     """
+    if bands < 1 or bands > num_perm:
+        # same contract _sig_and_bands enforces, validated BEFORE the
+        # rows-per-band division below — bands=0 used to surface as a bare
+        # ZeroDivisionError instead of this argument error
+        raise ValueError(
+            f"bands must be in [1, num_perm={num_perm}], got {bands}"
+        )
     rows_per_band = num_perm // bands
     # one shingle pass, persisted: consumed by banding AND by candidate
     # verification — without the persist the whole tokenize+shingle+hash
@@ -636,11 +641,10 @@ def minhash_lsh_pairs(
     return verified
 
 
-_BIT_MASKS = None
-
-
 def _bit_masks() -> Column:
-    """Literal array of the 64 single-bit long masks (bit 63 = LONG_MIN)."""
+    """Literal array of the 64 single-bit long masks (bit 63 = LONG_MIN).
+    Column expressions are cheap to rebuild and not safely shareable
+    across sessions, so this is deliberately NOT memoized."""
     from pyspark.sql.functions import array, lit
 
     vals = [1 << b for b in range(63)] + [-(2**63)]
@@ -690,6 +694,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     block_bits: int = 16,
     hash_fn=None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: block on `block_bits`-bit slices of the
     simhash, verify by full 64-bit Hamming distance.
@@ -702,16 +707,23 @@ def simhash_pairs(
     clustered bit flips, not certain). Both regimes are deterministic,
     so an external oracle reproduces the candidate set either way — the
     gated config (max_hamming=8 over 4 slices) runs the approximate
-    regime on both engines identically."""
+    regime on both engines identically.
+
+    `max_block_size` drops (slice, key) buckets whose population exceeds
+    the cap BEFORE the self-join — the hot-key escape hatch every sibling
+    candidate generator carries (minhash_lsh_pairs, embedding_neardup_*):
+    one over-populated bucket (a boilerplate cluster sharing a slice, or
+    the all-NULL-text cluster — NULL/empty docs all hash to _sh = 0 and
+    would pair with each other at hamming 0) emits O(pop^2) join rows
+    with nothing downstream to stop it. Mandatory at corpus scale; the
+    None default preserves the exact pair set for bounded inputs."""
     if block_bits < 1 or 64 % block_bits != 0:
         raise ValueError(
             f"block_bits must divide 64, got {block_bits}"
         )
-    spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    src = df.select(F.col(id_col), F.col(text_col))
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    from vettore_spark.plans.spread import spread_narrow
+
+    src = spread_narrow(df, [id_col, text_col])
 
     def build(s: DataFrame) -> DataFrame:
         # Two pinned projections instead of one simhash64 expression: stage 1
@@ -778,6 +790,17 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select(id_col, "_sh", F.col("b.slice").alias("slice"), F.col("b.key").alias("key"))
+    if max_block_size is not None:
+        # count-first population filter (map-side partial counts over the
+        # tiny (slice, key) key space), semi-joined back BEFORE the
+        # quadratic self-join — AQE broadcasts the kept-bucket list
+        keep = (
+            blocks.groupBy("slice", "key")
+            .agg(F.count(F.lit(1)).alias("_pop"))
+            .filter(F.col("_pop") <= max_block_size)
+            .select("slice", "key")
+        )
+        blocks = blocks.join(keep, ["slice", "key"], "left_semi")
     a, b = blocks.alias("a"), blocks.alias("b")
     # verify (map-side bit_count) BEFORE the dedup shuffle: a pair appears in
     # up to 64/block_bits slices, so distinct-ing raw candidates would
