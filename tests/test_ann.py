@@ -221,7 +221,10 @@ def test_snapshot_persists_ivf_index(spark, tmp_path):
     no retrain on restart."""
     from vettore_spark import Collection
 
-    c = Collection.create(spark, "snapivf", 4, metric="l2")
+    # cosine: ivf_search now rejects non-cosine collections (its probe/
+    # score path is a cosine kernel — the r11 metric guard); this test's
+    # subject is snapshot persistence of the IVF state, metric-agnostic
+    c = Collection.create(spark, "snapivf", 4, metric="cosine")
     c.put_many(
         [{"id": f"v{i}", "vector": [float(i % 5), float(i % 3), 1.0, 0.0]}
          for i in range(40)]

@@ -400,3 +400,91 @@ def test_minhash_bands_zero_raises_value_error(spark):
     )
     with pytest.raises(ValueError, match="bands must be in"):
         minhash_lsh_pairs(df, id_col="doc_id", text_col="text", bands=0)
+
+
+def test_cosine_unnormalized_collection_true_scores(spark):
+    """r11 review: a cosine collection with normalize='none' (the
+    reference whitelist allows it) used the pre-normalized dot shortcut —
+    scores were unclamped dot products mislabeled as cosine (search of
+    [3,4] against itself scored 25.0). The facades now pass
+    pre_normalized=(normalize=='l2') so the true-cosine kernel runs; the
+    reference's distances.rs::cosine computes true cosine regardless of
+    stored normalization."""
+    from vettore_spark.collection import Collection
+
+    c = Collection.create(
+        spark, "r11cos", 2, metric="cosine", normalize="none"
+    ).put_many([
+        {"id": "a", "vector": [3.0, 4.0]},
+        {"id": "b", "vector": [40.0, -30.0]},
+    ])
+    rows = {r["id"]: r for r in c.search([3.0, 4.0], limit=2).collect()}
+    assert abs(rows["a"]["score"] - 1.0) < 1e-9, rows["a"]
+    assert abs(rows["a"]["distance"]) < 1e-9
+    assert abs(rows["b"]["score"]) < 1e-9  # orthogonal, whatever the norms
+
+
+def test_ivf_search_rejects_non_cosine(spark):
+    """r11 review: ivf_search's probe/score path is cosine end to end but
+    never checked the collection metric — an l2 collection silently got
+    cosine-ranked results. Now it fails fast like pq/sq_search."""
+    from vettore_spark.collection import Collection
+
+    c = Collection.create(spark, "r11ivf", 2, metric="l2").put_many(
+        [{"id": str(i), "vector": [float(i), 0.0]} for i in range(4)]
+    )
+    with pytest.raises(ValueError, match="cosine collections only"):
+        c.ivf_search([1.0, 0.0])
+
+
+def test_put_many_empty_batch_is_noop(spark):
+    """r11 review: put_many([]) set _maybe_nonempty=True, making a
+    still-empty collection refuse attach_store and pay the clash join on
+    every future batch."""
+    from vettore_spark.collection import Collection
+
+    c = Collection.create(spark, "r11empty", 2)
+    c.put_many([])
+    assert c._maybe_nonempty is False
+    assert c.count() == 0
+    c.put_many([{"id": "a", "vector": [1.0, 0.0]}])
+    assert c.count() == 1
+
+
+def test_store_delete_absent_id_is_noop(spark, tmp_path):
+    """r11 review: store-backed delete of an ABSENT id appended to the
+    tombstone overlay anyway, permanently blocking that id's insertion
+    until compact_store() — diverging from the in-memory no-op."""
+    from vettore_spark.collection import Collection
+    from vettore_spark.sources.store import ParquetStore
+
+    c = Collection.create(spark, "r11tomb", 2)
+    c.attach_store(ParquetStore(str(tmp_path / "st")))
+    c.put_many([{"id": "a", "vector": [1.0, 0.0]}])
+    c.delete("never-existed")
+    assert c._store_deleted == [], "no-op delete grew the overlay"
+    # the id remains insertable (no tombstone-clash refusal)
+    c.put_many([{"id": "never-existed", "vector": [0.0, 1.0]}])
+    assert c.count() == 2
+    # a REAL delete still tombstones, exact count maintained without rescan
+    c.delete("a")
+    assert c._store_deleted == ["a"]
+    assert c._row_count == 1
+
+
+def test_csv_snapshot_roundtrips_embedded_newline(spark, tmp_path):
+    """r11 review: CSV snapshots quote embedded newlines on write but
+    were read without multiLine, so a valid snapshot misparsed and was
+    rejected by its own integrity check."""
+    from vettore_spark.collection import Collection
+
+    c = Collection.create(spark, "r11csv", 2).put_many(
+        [{"id": "a", "value": "line1\nline2", "vector": [1.0, 0.0]}]
+    )
+    path = str(tmp_path / "snap_csv")
+    c.snapshot(path, format="csv")
+    out = Collection.load_snapshot(spark, path)
+    [row] = out.all().collect()
+    assert row["value"] == "line1\nline2"
+    # the integrity check just proved the count — the O(1) counter is warm
+    assert out._row_count == 1

@@ -243,6 +243,14 @@ class Collection:
         self._store_deleted = []
         self.__dict__.pop("_tomb_df_cache", None)  # length-keyed memo: see attach
         self._df = self._canonical_read()
+        # the swap DELETED the old parquet files: resident index state
+        # (patched HNSW shards, IVF inverted file, PQ codes) and module
+        # persist-cache entries hold LINEAGE over those paths — logically
+        # still correct, but any recompute (LRU eviction, executor loss,
+        # lazy durable_cut not yet materialized) would read deleted files
+        # and die with FileNotFoundException. Invalidate; indexes rebuild
+        # lazily from the compacted canonical rows.
+        self._invalidate_derived()
         return self
 
     def _check_open(self) -> None:
@@ -357,6 +365,13 @@ class Collection:
             raise ValueError("duplicate id within batch")
         if checks["clash"]:
             raise ValueError("duplicate id: already exists in collection")
+        if not checks["n_batch"]:
+            # empty batch: a no-op — do NOT stack a union/lineage node,
+            # bump the mutation counters, invalidate resident indexes, or
+            # set _maybe_nonempty (which would make a still-empty
+            # collection refuse attach_store and pay the clash join on
+            # every future put_many)
+            return self
 
         # insert-time normalization of both vector and multi-vectors
         norm = cfg.normalize
@@ -470,9 +485,11 @@ class Collection:
                 # reliable checkpoint: canonical rows survive executor loss
                 self._df = self._df.checkpoint(eager=False)
                 depth = 0
-            elif sc.master.startswith("local"):
-                # single-JVM: executor loss == driver loss, local blocks
-                # are as durable as the process — safe to cut here
+            elif sc.master == "local" or sc.master.startswith("local["):
+                # single-JVM ONLY ('local' / 'local[n]' — NOT
+                # 'local-cluster[...]', whose executors are separate JVMs
+                # that can die independently): executor loss == driver
+                # loss, local blocks are as durable as the process
                 self._df = self._df.localCheckpoint(eager=False)
                 depth = 0
             # else: cluster without a checkpoint dir — route the
@@ -731,18 +748,34 @@ class Collection:
         tombstone), PQ (code-table tombstone)."""
         self._check_open()
         # delta unknown without a lookup (the id may be absent — filter
-        # no-ops); invalidate, count() re-derives and re-caches
+        # no-ops); invalidate, count() re-derives and re-caches. The
+        # store path DOES run a lookup below and restores the exact count.
+        prev_count = self._row_count
         self._row_count = None
         resident = self.__dict__.pop("_hnsw_shards", None)
         ivf_resident = self.__dict__.pop("_ivf_state", None)
         pq_resident = self.__dict__.pop("_pq_indexes", None)
         sq_resident = self.__dict__.pop("_sq_params", None)
         if self._store is not None:
-            # record in the overlay FIRST: the canonical read applies it
-            # as an anti-filter, so a later store re-read (next put_many)
-            # cannot resurrect the deleted row
-            self._store_deleted.append(str(id_))
-            self._df = self._canonical_read()
+            # only tombstone ids that EXIST (one LIMIT-1 lookup against the
+            # overlay-filtered view): deleting an absent id must be the
+            # same no-op as the in-memory path — an unconditional append
+            # would permanently block re-inserting that id until
+            # compact_store() (put_many's tombstone-clash refusal) and
+            # grow the overlay anti-filter on every repeated no-op delete
+            exists = (
+                self._df.filter(F.col("id") == str(id_)).limit(1).count() > 0
+            )
+            if exists:
+                # record in the overlay FIRST: the canonical read applies
+                # it as an anti-filter, so a later store re-read (next
+                # put_many) cannot resurrect the deleted row
+                self._store_deleted.append(str(id_))
+                self._df = self._canonical_read()
+                if prev_count is not None:
+                    self._row_count = prev_count - 1  # ids unique: exact
+            else:
+                self._row_count = prev_count  # proven no-op
         else:
             self._df = self._df.filter(F.col("id") != id_)
             # a delete stacks a filter node exactly like a put stacks a
@@ -837,6 +870,18 @@ class Collection:
 
     # -- search (delegates to operators) ------------------------------------
 
+    @property
+    def _pre_normalized(self) -> bool:
+        """True only when stored vectors are unit-norm (normalize='l2'):
+        the cosine==dot shortcut every facade passes to its kernel is
+        valid EXACTLY then. A cosine collection created with
+        normalize='none'/'zscore'/'minmax' (the reference's whitelist
+        allows it) must use the true-cosine kernel — the reference's
+        distances.rs::cosine computes true cosine regardless of stored
+        normalization, and the dot shortcut would return unclamped dot
+        products mislabeled as cosine scores."""
+        return self.config.normalize == "l2"
+
     def prepare_query(self, query: list[float]) -> list[float]:
         """Public Q10 surface (vettore.ex:314): validate + apply the
         collection normalize to a raw query vector."""
@@ -893,6 +938,7 @@ class Collection:
             metric=self.config.metric,
             k=limit,
             score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
             extra_cols=["value"],
         )
 
@@ -916,6 +962,7 @@ class Collection:
             min_score=min_score,
             limit=limit,
             score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
             extra_cols=["value"],
         )
 
@@ -951,6 +998,7 @@ class Collection:
             metric=self.config.metric,
             k=limit,
             score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
         )
 
     def range_search_many(
@@ -986,6 +1034,7 @@ class Collection:
             max_distance=max_distance,
             min_score=min_score,
             score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
         )
 
     def quantized_search(self, query: list[float], *, limit: int = 10,
@@ -996,6 +1045,7 @@ class Collection:
         return S.quantized_search(
             self._where(where), q, dims=self.config.dimensions, metric=self.config.metric,
             k=limit, candidates=candidates, score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
         )
 
     def funnel_search(self, query: list[float], *, stages: list[int] | None = None,
@@ -1008,6 +1058,7 @@ class Collection:
             self._where(where), q, dims=self.config.dimensions, stages=stages,
             metric=self.config.metric, k=limit, candidates=candidates,
             score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
         )
 
     def pq_search(self, query: list[float], *, limit: int = 10,
@@ -1051,7 +1102,7 @@ class Collection:
 
         return S.flat_topk(
             pruned, q, metric=self.config.metric, k=limit,
-            score_mode=self.config.score,
+            score_mode=self.config.score, pre_normalized=self._pre_normalized,
         )
 
     def hnsw_search(self, query: list[float], *, limit: int = 10,
@@ -1128,6 +1179,17 @@ class Collection:
         from vettore_spark.operators.mllib_lsh import kmeans_centroids
 
         self._check_open()
+        # the IVF probe/score path is a COSINE kernel end to end
+        # (ann.ivf_topk / _ivf_probe_scored); serving it for an l2/dot
+        # collection would silently return cosine-ranked results that
+        # disagree with search() — fail fast like pq_search/sq_search do
+        if self.config.metric != "cosine":
+            raise ValueError(
+                f"ivf_search supports cosine collections only, not "
+                f"{self.config.metric!r}: the cell assignment and "
+                "within-cell scoring are cosine kernels — use search() / "
+                "pq_search (l2) for other metrics"
+            )
         q = self._prepare_query(query)
         key = (n_cells,)
         cache = self.__dict__.setdefault("_ivf_state", {})
@@ -1181,6 +1243,7 @@ class Collection:
             self._where(where), q, mins, maxs, k=limit, candidates=candidates,
             id_col="id", vector_col="vector",
             metric=self.config.metric, score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
         )
 
     def hybrid_search(self, query: list[float], *, generators: list[str] | None = None,
@@ -1196,6 +1259,7 @@ class Collection:
             metric=self.config.metric, k=limit, candidates=candidates,
             rerank=rerank, rerank_query_vectors=rerank_query_vectors,
             score_mode=self.config.score,
+            pre_normalized=self._pre_normalized,
         )
 
     def multi_vector_search(self, query_vectors: list[list[float]], *,
@@ -1208,11 +1272,15 @@ class Collection:
         from vettore_spark.operators import multivector as MV
 
         self._check_open()
-        for q in query_vectors:
-            if len(q) != self.config.dimensions:
-                raise ValueError("query dimension mismatch")
+        # every token vector goes through the SAME validate+normalize path
+        # as single-vector queries (finiteness check + collection
+        # normalize): stored vectors were normalized at ingest, so raw
+        # query tokens would scale MaxSim scores by each token's norm on
+        # dot-product collections, and a NaN element would silently yield
+        # NaN scores instead of the facade's finiteness error
+        qs = [self._prepare_query(q) for q in query_vectors]
         return MV.maxsim_topk(
-            self._where(where), query_vectors, metric=metric or self.config.metric,
+            self._where(where), qs, metric=metric or self.config.metric,
             k=limit, extra_cols=["value"],
         )
 
@@ -1390,7 +1458,14 @@ class Collection:
         elif fmt == "json":
             df = spark.read.schema(EMBEDDING_SCHEMA).json(data)
         elif fmt == "csv":
-            flat = spark.read.option("header", "true").csv(data)
+            # multiLine: the writer quotes embedded newlines (Spark's
+            # default quoting), so the reader must parse quoted multi-line
+            # records — without it a value containing '\n' splits into two
+            # malformed rows and the integrity check below rejects a
+            # perfectly valid snapshot
+            flat = spark.read.option("header", "true").option(
+                "multiLine", "true"
+            ).csv(data)
             df = flat.select(
                 F.col("id"),
                 F.col("value"),
@@ -1428,6 +1503,11 @@ class Collection:
         if n_bad:
             raise ValueError("snapshot contains invalid vectors")
         out = cls(spark, cfg, df.select(*EMBEDDING_SCHEMA.fieldNames()))
+        if want_count is not None:
+            # the integrity check just PROVED the exact row count — seed
+            # the O(1) counter so the first count() after a restart is a
+            # driver lookup, not a rescan of what was verified moments ago
+            out._row_count = int(want_count)
         # restore persisted HNSW shard tables (snapshot include_indexes=True)
         # — searches start warm, no graph rebuild on restart
         # verify each index dir against the row counts recorded at snapshot

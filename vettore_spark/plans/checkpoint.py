@@ -100,7 +100,10 @@ def durable_cut(df: DataFrame, *, eager: bool = False) -> DataFrame:
         # so there is no window to persist/unpersist around; the write
         # recomputes once — acceptable for cuts that may never be used
         return df.checkpoint(eager=False)
-    if sc.master.startswith("local"):
+    if sc.master == "local" or sc.master.startswith("local["):
+        # single-JVM only — 'local-cluster[...]' runs separate executor
+        # JVMs whose loss orphans localCheckpoint blocks, so it falls
+        # through to the warned fallback below like any other cluster
         return df.localCheckpoint(eager=eager)
     if not _warned:
         warnings.warn(
