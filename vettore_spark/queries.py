@@ -3155,6 +3155,60 @@ def _streaming_table_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
     return path
 
 
+def _streaming_table_dir_multi(
+    spark: SparkSession, sf_dir: str, table: str, key_col: str, n_files: int = 4
+) -> str:
+    """Multi-micro-batch stream source (r11 verdict #5): the table split
+    into `n_files` CONTIGUOUS ascending `key_col`-range parquet files with
+    strictly ascending modification times, so a readStream with
+    `maxFilesPerTrigger=1` under trigger(availableNow=True) replays them
+    as `n_files` ORDERED micro-batches — Spark's FileStreamSource admits
+    files oldest-mtime-first (latestFirst=false default), and the 2-second
+    mtime spacing makes that order unambiguous. This drives the GroupState
+    gates through real cross-batch state transitions (state load → merge →
+    re-store per batch) instead of the single-batch replay whose state
+    never round-trips the store. repartitionByRange guarantees file i's
+    keys all sort before file i+1's, which the first-wins dedup gate's
+    oracle equality depends on; for the order-free sketch gates any split
+    would do and the same splitter is reused. Scratch lifecycle is the
+    `_streaming_table_dir` pattern (flock claim, per-app memo)."""
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, table, "multi", n_files)
+    path = _STREAM_SRC_CACHE.get(key)
+    if path is None:
+        digest = hashlib.md5(
+            f"streammulti:{table}:{n_files}:{sf_dir}".encode()
+        ).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"vettore_streamN_{table}_{digest}"
+        )
+        _claim_scratch_dir(path)
+        shutil.rmtree(path, ignore_errors=True)
+        build = path + "_build"
+        shutil.rmtree(build, ignore_errors=True)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        df.repartitionByRange(n_files, F.col(key_col)).write.mode(
+            "overwrite"
+        ).parquet(build)
+        os.makedirs(path)
+        parts = sorted(
+            f
+            for f in os.listdir(build)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = time.time() - 3600.0
+        for i, f in enumerate(parts):
+            dst = os.path.join(path, f"{i:03d}.parquet")
+            os.rename(os.path.join(build, f), dst)
+            os.utime(dst, (base + 2.0 * i, base + 2.0 * i))
+        shutil.rmtree(build, ignore_errors=True)
+        _STREAM_SRC_CACHE[key] = path
+    return path
+
+
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hourly event rollup run as an ACTUAL Structured Streaming query
     (streaming/ingest.py::windowed_event_counts — event-time tumbling
@@ -3341,22 +3395,45 @@ ORDER BY u.user_id
 def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL streaming KMV distinct-count sketch (streaming/stateful.py
     ::streaming_kmv_distinct — bottom-k=128 md5-derived 60-bit hashes per
-    group held in GroupState) driver-gated: availableNow replay of the
-    events table, update-mode emission; the single replay batch makes the
-    final per-group emission the whole answer, and the estimator is
-    deterministic (same hash construction as operators/sketch.hash60), so
-    the oracle reproduces the estimate bit-for-bit — the kmv_distinct_daily
-    SQL sketch, re-keyed to (event_type, user_id). At 100 TB the identical
+    group held in GroupState) driver-gated under MULTI-MICRO-BATCH replay
+    (r11 verdict #5): the events table split into 4 user_id-range files,
+    maxFilesPerTrigger=1, so the bottom-k set round-trips the state store
+    between batches (load → union → re-truncate → re-store). Update mode
+    emits one running estimate per (group, batch); the gate projects the
+    FINAL emission per group via plain max — BOTH emitted fields are
+    nondecreasing across a group's emissions (n_sketch grows to k and
+    stays; pre-saturation est = n_sketch, post-saturation est =
+    (k-1)·2^60/h_k with h_k the kth-smallest hash, nonincreasing as new
+    hashes arrive; at the transition est jumps from <= k-1 to >= k-1), so
+    max of each equals the final row. The oracle is unchanged: the
+    bottom-k set is a set union, order- and split-invariant, identical
+    hash construction to operators/sketch.hash60 — the kmv_distinct_daily
+    SQL sketch re-keyed to (event_type, user_id). At 100 TB the identical
     operator runs unbounded with O(k) state per group regardless of stream
     length, emitting a running cardinality estimate every micro-batch."""
     from vettore_spark.streaming.stateful import streaming_kmv_distinct
 
-    # _events_stream rather than a bare schema read: on nanos-timestamp
-    # parquet the schema read itself needs the nanosAsLong conf, which
-    # must be applied HERE, not inherited from whichever gate ran first
-    out = streaming_kmv_distinct(_events_stream(spark, sf_dir), k=128)
+    # _events_stream's conf/ts handling inlined over the MULTI source:
+    # on nanos-timestamp parquet the schema read itself needs the
+    # nanosAsLong conf, which must be applied HERE, not inherited from
+    # whichever gate ran first (the kmv operator never touches ts, so
+    # only the conf matters — the split files carry the raw long column)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _streaming_table_dir_multi(spark, sf_dir, "events", "user_id")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_kmv_distinct(stream, k=128)
     got = _run_streaming_gate(out, "streaming_kmv_distinct_sink", "update")
-    return got.select("event_type", "n_sketch", "est_distinct").orderBy(
+    fin = got.groupBy("event_type").agg(
+        F.max("n_sketch").alias("n_sketch"),
+        F.max("est_distinct").alias("est_distinct"),
+    )
+    return fin.select("event_type", "n_sketch", "est_distinct").orderBy(
         "event_type"
     )
 
@@ -3516,19 +3593,29 @@ def q_streaming_histogram_quantiles(
 def q_streaming_unit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL unit-level (Lee et al. 2021) streaming dedup
     (streaming/stateful.py::streaming_unit_dedup — one marker row of
-    GroupState per distinct 20-token window) driver-gated: availableNow
-    replay of the documents table; the intra-batch keep rule is the
-    batch operator's (lexicographically-lowest (doc_id, unit_idx) per
-    unit digest), so the single-batch replay reproduces the
-    paragraph_dedup oracle's unit construction with a WHERE rn = 1 tail.
+    GroupState per distinct 20-token window) driver-gated under
+    MULTI-MICRO-BATCH replay (r11 verdict #5): the documents table is
+    split into 4 contiguous ascending-doc_id files replayed
+    oldest-first with maxFilesPerTrigger=1, so the gate exercises real
+    cross-batch state transitions — a digest seen in batch 0 must
+    suppress its re-occurrences in batches 1-3 through the state store,
+    not intra-batch dedup. The oracle is UNCHANGED: cross-batch
+    first-wins + ascending contiguous doc_id ranges + the batch
+    operator's intra-batch keep rule (lexicographically-lowest
+    (doc_id, unit_idx)) compose to exactly the global minimum per
+    digest — any later-batch occurrence has a strictly higher doc_id.
     At 100 TB the identical operator dedups an unbounded ingest stream
     at paragraph granularity with state bounded by distinct-unit count,
     the md5 key-space shuffling uniformly across executors."""
     from vettore_spark.streaming.stateful import streaming_unit_dedup
 
-    path = _streaming_table_dir(spark, sf_dir, "documents")
+    path = _streaming_table_dir_multi(spark, sf_dir, "documents", "doc_id")
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
     out = streaming_unit_dedup(stream, window=20)
     got = _run_streaming_gate(out, "streaming_unit_dedup_sink", "append")
     return got.select("doc_id", "unit_idx", "unit").orderBy(
@@ -3575,15 +3662,34 @@ def q_streaming_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta at a few ULPs, ~1e-11 away from any 5-dp boundary in practice;
     the embedding_drift_by_label precedent). At 100 TB this is the
     continuous drift monitor: O(2·dim) longs of state per group, running
-    centroid-magnitude/scatter emitted every micro-batch."""
+    centroid-magnitude/scatter emitted every micro-batch.
+
+    r12: MULTI-MICRO-BATCH replay (r11 verdict #5) — the embeddings
+    table split into 4 vec_id-range files, maxFilesPerTrigger=1, so the
+    integer state round-trips the store between batches. Update mode
+    now emits one running row per (group, batch); the gate projects the
+    FINAL emission per group via max_by on n, which is strictly
+    increasing across a group's emissions (a group is only invoked for
+    batches containing its rows, each adding >= 1). The oracle — the
+    full-stream fixed-point sums — is unchanged: integer addition is
+    order-free, so the final state is split-invariant."""
     from vettore_spark.streaming.stateful import streaming_moment_stats
 
-    path = _streaming_table_dir(spark, sf_dir, "embeddings")
+    path = _streaming_table_dir_multi(spark, sf_dir, "embeddings", "vec_id")
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
     out = streaming_moment_stats(stream, dim=64)
     got = _run_streaming_gate(out, "streaming_moment_stats_sink", "update")
-    return got.select(
+    fin = got.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.max_by("mean_norm", "n").alias("mean_norm"),
+        F.max_by("var_trace", "n").alias("var_trace"),
+    )
+    return fin.select(
         "label",
         "n",
         F.round("mean_norm", 5).alias("mean_norm"),
@@ -8903,75 +9009,72 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-11 gate window (per the round-10 verdict, rotated at round START):
-# slots 1-5 are the five round-10 tail streaming additions — the ONLY
-# registry queries never driver-gated (judge-selfcheck-verified r10);
-# after this window the cumulative driver-gated count is the full
-# registry, 189 pre-round queries + the 2 round-11 twin gates = 191/191.
-# Slots 6-7 are the round-11 deterministic-projection twins for the two
-# by-design-ungated streaming operators (added at round START, before
-# any driver run — the rotate-at-START rule holds). Slots 8-41 are all
-# 34 queries whose latest driver green is r7 (the oldest surviving
-# greens: sketch rollups, HNSW/IVF incremental mutation, PCA/covariance
-# stats, media hash pairs, TPC-H bloom). Slots 42-50 are the 9 oldest
-# r8 greens ranked by first-green round then name (all first-green r1:
-# the original ANN/dedup/text block). 5+2+34+9 fills 50 exactly; after
-# this gate no query's latest green is older than r8.
+# Round-12 gate window (per the round-11 verdict, rotated at round START):
+# slots 1-3 are the three order-free GroupState gates REWORKED this round
+# to MULTI-MICRO-BATCH replay (r11 verdict #5: 4 range-split files,
+# maxFilesPerTrigger=1, same oracles) — re-gated first so the driver
+# signal covers real cross-batch state transitions, not single-batch
+# replay. Slots 4-44 are ALL 41 queries whose latest driver green is r8
+# (the oldest surviving greens: the flat-metric family, TPC-H core,
+# paragraph/cross-corpus dedup, mutual-kNN, retrieval eval — r11 verdict
+# #2's explicit list). Slots 45-50 are the 6 oldest r9 greens ranked by
+# first-green round then name (all first-green r1: the original
+# ANN/dedup/streaming-adjacent block). 3+41+6 fills 50 exactly; after
+# this gate no query's latest green is older than r9.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-5: round-10 tail streaming gates, first driver gating ---
-    "streaming_topk_per_key",
-    "streaming_session_counts",
-    "streaming_histogram_quantiles",
+    # --- slots 1-3: multi-micro-batch streaming re-gates (r11 verdict #5) ---
     "streaming_unit_dedup",
     "streaming_moment_stats",
-    # --- slots 6-7: round-11 twin gates for the by-design-ungated pair ---
-    "streaming_zscore_flag_counts",
-    "streaming_simhash_pairs",
-    # --- slots 8-41: every query whose latest green is r7 ---
-    "approx_event_rollup",
-    "bpe_pair_stats",
-    "charlm_quality",
-    "corpus_diversity",
-    "corpus_stats",
-    "embedding_covariance",
-    "embedding_drift_by_label",
-    "embedding_outliers",
-    "event_window_dedup",
-    "events_json_props",
-    "events_quantile_sketch",
-    "fuzzy_value_pairs",
-    "hnsw_batch_insert_search",
-    "hnsw_insert_search",
-    "ivf_health_report",
-    "ivf_insert_search",
-    "ivf_range_search",
-    "kmv_weekly_rollup",
-    "label_dispersion",
-    "leakage_safe_split",
-    "media_ahash_pairs",
-    "mlm_masking",
-    "multi_query_range",
-    "pca_prefilter_topk",
-    "quality_deciles",
-    "range_search_cosine",
-    "sequence_packing",
-    "store_attached_topk",
-    "table_profile_sketch",
-    "text_embed",
-    "tpch_q17_bloom",
-    "uniform_negatives",
-    "user_event_features",
-    "zorder_cluster_profile",
-    # --- slots 42-50: the 9 oldest r8 greens (first green r1) ---
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "dedup_exact",
-    "doc_fingerprint",
-    "events_hourly",
-    "knn_graph",
-    "lang_id",
-    "mean_vector_by_label",
-    "mmr_rerank",
+    "streaming_kmv_distinct",
+    # --- slots 4-44: every query whose latest green is r8 ---
+    "flat_topk_l2",
+    "filtered_topk",
+    "flat_topk_manhattan",
+    "flat_topk_chebyshev",
+    "flat_topk_jaccard",
+    "flat_topk_hamming",
+    "normalize_stats",
+    "signbit_popcount",
+    "hnsw_topk",
+    "simhash_pairs",
+    "quality_score",
+    "text_stats",
+    "tfidf_top_terms",
+    "dedup_keep_best",
+    "tpch_q1_pricing",
+    "tpch_q6_revenue",
+    "tpch_q14_promo",
+    "supplier_nation_revenue",
+    "customers_without_big_orders",
+    "lineitem_rollup",
+    "shipmode_priority",
+    "orders_above_cust_avg",
+    "top_orders_join",
+    "customer_top_orders_window",
+    "region_revenue",
+    "paragraph_dedup",
+    "paragraph_dedup_doc",
+    "cross_corpus_dedup",
+    "minhash_dedup_against",
+    "text_normalize",
+    "blocklist_filter",
+    "tpch_q3_topk",
+    "tpch_q4_exists",
+    "tpch_q10_returns",
+    "tpch_q18_volume",
+    "tpch_q19_bands",
+    "mutual_knn_pairs",
+    "retrieval_eval",
+    "score_agreement",
+    "tpch_q6_zorder",
+    "zca_whiten_stats",
+    # --- slots 45-50: the 6 oldest r9 greens (first green r1) ---
+    "embedding_neardup",
+    "events_anomaly",
+    "events_sliding_window",
+    "hashed_embedding",
+    "hybrid_topk",
+    "minhash_lsh_pairs",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
