@@ -138,3 +138,102 @@ def test_compact_store_recompute_after_eviction(spark, tmp_path):
     }
     assert got_ivf and "v0" not in got_ivf
     assert c.count() == 31
+
+
+def test_simhash_atcap_vectorized_matches_sequential_semantics(spark, tmp_path):
+    """r12: the at-cap hot-bucket path was a Python double loop (O(rows x
+    cap) interpreter work per hot bucket — the replay-scaling bottleneck);
+    it is now vectorized in closed form (residents x arrivals +
+    added-prefix x strictly-later arrivals). The emitted (doc_a, doc_b,
+    hamming, block) multiset must equal an independent Python reference
+    implementing the ORIGINAL sequential rule verbatim — arrival j
+    verifies against the current resident list, then joins it only while
+    the bucket is under max_bucket — across micro-batches that land
+    under-cap, straddling the cap (partial add), and at-cap (no add)."""
+    from vettore_spark.operators.dedup import simhash64, tokens
+    from vettore_spark.streaming.stateful import streaming_simhash_candidates
+
+    words = [f"tok{i}" for i in range(40)]
+
+    def doc(i: int, change: int) -> tuple[int, str]:
+        return (i, " ".join(
+            w if j != change else f"CHANGED{i}" for j, w in enumerate(words)
+        ))
+
+    # a DUPLICATE FAMILY (identical text, the realistic hot-bucket shape:
+    # every member lands in the same bucket in all 4 blocks) plus a few
+    # near variants. batch 1: 4 docs (under cap 5) / batch 2: 5 docs
+    # (4+5 > 5: partial add, add_n=1) / batch 3: 3 docs (cap full,
+    # add_n=0 — arrivals verify against frozen residents, never join)
+    batches = [
+        [doc(i, -1) for i in range(4)],
+        [doc(i, -1) for i in range(4, 8)] + [doc(8, 3)],
+        [doc(9, -1), doc(10, 5), doc(11, -1)],
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "cap"
+    import time as _t
+
+    base_t = _t.time() - 600
+    for bi, rows in enumerate(batches):
+        d = src / f"b{bi}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (base_t + 10 * bi, base_t + 10 * bi))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    MAXB, MAXH = 5, 8
+    q = (
+        streaming_simhash_candidates(stream, max_hamming=MAXH, max_bucket=MAXB)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("shcap")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"], r["block"])
+        for r in spark.sql("select * from shcap").collect()
+    )
+
+    # independent reference: same sigs (batch kernel), sequential rule
+    all_rows = [r for b in batches for r in b]
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in spark.createDataFrame(all_rows, schema)
+        .select("doc_id", simhash64(tokens("text")).alias("sig"))
+        .collect()
+    }
+    want = []
+    # buckets are (blk, bval): process per bucket in batch order
+    ref_state: dict = {}
+    for rows in batches:
+        per_bucket: dict = {}
+        for i, _ in rows:
+            for blk in range(4):
+                bval = (sig[i] >> (blk * 16)) & 0xFFFF
+                per_bucket.setdefault((blk, bval), []).append((i, sig[i]))
+        for key, brows in per_bucket.items():
+            ids_, sigs_ = ref_state.setdefault(key, ([], []))
+            for rid, rsig in sorted(brows):
+                for mid, msig in zip(ids_, sigs_):
+                    if mid == rid:
+                        continue
+                    h = bin((rsig ^ msig) & ((1 << 64) - 1)).count("1")
+                    if h <= MAXH:
+                        a, b = (rid, mid) if rid < mid else (mid, rid)
+                        want.append((a, b, h, key[0]))
+                if len(ids_) < MAXB:
+                    ids_.append(rid)
+                    sigs_.append(rsig)
+    assert got == sorted(want)
+    assert any(len(v[0]) == MAXB for v in ref_state.values()), (
+        "fixture never drove a bucket to its cap — the at-cap path was "
+        "not exercised"
+    )

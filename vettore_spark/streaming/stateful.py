@@ -393,8 +393,6 @@ def streaming_simhash_candidates(
             T.StructField("sigs", T.ArrayType(T.LongType())),
         ]
     )
-    U64 = (1 << 64) - 1
-
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -439,19 +437,45 @@ def streaming_simhash_candidates(
             ids.extend(a_ids)
             sigs.extend(int(s) for s in a_sig.astype(np.int64))
         else:
-            for rid, rsig in rows:
-                for mid, msig in zip(ids, sigs):
-                    if mid == rid:
-                        continue
-                    h = bin((int(rsig) ^ int(msig)) & U64).count("1")
-                    if h <= max_hamming:
-                        a, bb = (rid, mid) if rid < mid else (mid, rid)
-                        out_a.append(a)
-                        out_b.append(bb)
-                        out_h.append(h)
-                if len(ids) < max_bucket:
-                    ids.append(rid)
-                    sigs.append(int(rsig))
+            # At-cap path, vectorized with EXACTLY the sequential-scan
+            # semantics (r12: the Python double loop was O(rows x cap)
+            # interpreter work per hot bucket — the replay-scaling
+            # bottleneck at 16x corpus). In the sequential scan, arrival
+            # j is verified against (a) every ORIGINAL resident and (b)
+            # every EARLIER arrival that joined the residents — and only
+            # the first (max_bucket - len(ids)) arrivals join. Both pair
+            # families are closed-form: residents x all arrivals, plus
+            # added-prefix x strictly-later arrivals (upper triangle).
+            a_ids = [r[0] for r in rows]
+            a_sig = np.array([r[1] for r in rows], dtype=np.int64).astype(
+                np.uint64
+            )
+            r_sig = np.array(sigs, dtype=np.int64).astype(np.uint64)
+            pairs = []
+            if len(r_sig) and len(a_sig):
+                hm = _popcount64(r_sig[:, None] ^ a_sig[None, :])
+                for i, j in zip(*np.nonzero(hm <= max_hamming)):
+                    if ids[i] != a_ids[j]:
+                        pairs.append((ids[i], a_ids[j], int(hm[i, j])))
+            add_n = max(0, max_bucket - len(ids))
+            if add_n and len(a_sig) > 1:
+                p_sig = a_sig[:add_n]
+                hm = _popcount64(p_sig[:, None] ^ a_sig[None, :])
+                keep = hm <= max_hamming
+                # prefix member i is resident only for arrivals j > i
+                keep &= np.arange(len(a_sig))[None, :] > np.arange(
+                    len(p_sig)
+                )[:, None]
+                for i, j in zip(*np.nonzero(keep)):
+                    if a_ids[i] != a_ids[j]:
+                        pairs.append((a_ids[i], a_ids[j], int(hm[i, j])))
+            for x, y, h in pairs:
+                a, bb = (x, y) if x < y else (y, x)
+                out_a.append(a)
+                out_b.append(bb)
+                out_h.append(h)
+            ids.extend(a_ids[:add_n])
+            sigs.extend(int(s) for s in a_sig[:add_n].astype(np.int64))
         state.update((ids, sigs))
         if out_a:
             yield pd.DataFrame(
