@@ -719,6 +719,25 @@ def main() -> None:
         " embeddings corpus, ISOTROPIC, so they sit at the SimHash"
         " p_bit^n_bits data floor by construction (curves in SCALE.md)"
     )
+    # Best-of-3 protocol (r11 verdict #1): the committed record of three
+    # same-tree bench runs with the minimum selected — the host-drift
+    # defense when the box never goes quiet (r11 proved 35% silent
+    # degradation on identical code). Maintained by tools/bench3.py;
+    # embedded here so the DRIVER record carries the protocol result
+    # alongside whatever the live run reads under current host load.
+    best_of_3 = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_best_of_3.json",
+            )
+        ) as fh:
+            b3 = json.load(fh)
+        if b3.get("sf") == sf_val:
+            best_of_3 = b3.get("summary")
+    except Exception:  # noqa: BLE001 — protocol file absent: key stays null
+        pass
     full = {
         "metric": "headline_queries_full",
         "value": total,
@@ -738,6 +757,7 @@ def main() -> None:
         "muvera": muvera,
         "ingest": ingest,
         "host_load": host_load,
+        "best_of_3": best_of_3,
         "sf": sf_val,
     }
     print(json.dumps(full))
@@ -769,6 +789,7 @@ def main() -> None:
         "muvera": muvera,
         "ingest": ingest,
         "host_load": host_load,
+        "best_of_3": best_of_3,
         "sf": sf_val,
     }
     # Size the final line for the driver's ~2000-byte stdout capture window

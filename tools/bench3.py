@@ -1,0 +1,116 @@
+"""Best-of-3 bench protocol (r11 verdict #1).
+
+Two committed rounds of driver bench records were host-contended, and
+r11 proved the shared box silently degrades identical code by up to 35%
+(SCALE.md:1538). The defense when the host never goes quiet: run the
+full bench THREE times on the same tree, keep every run's summary, and
+select the MINIMUM-headline run — host contention only ever ADDS time,
+so the minimum is the least-polluted estimate of the tree's true cost.
+The protocol is valid when the selected run has stalled_samples == 0
+(no mid-run hypervisor stalls polluted even the winner); the record
+says so either way.
+
+Writes bench_best_of_3.json at the repo root; bench.py embeds its
+"summary" block into every subsequent bench record (driver-visible),
+keyed to the same sf.
+
+Usage:
+  python tools/bench3.py                      # execute 3 sequential runs
+  python tools/bench3.py out1 out2 [out3...]  # assemble from saved
+                                              # bench stdout files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _summary_from_stdout(text: str) -> dict:
+    # bench.py prints the FULL record first, then the compact line; both
+    # are JSON lines — take the first parseable one (full detail).
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric", "").startswith("headline_queries"):
+            return {
+                "value": d["value"],
+                "full_registry_rest_sec": d.get("full_registry_rest_sec"),
+                "n_failed": d.get("n_failed", len(
+                    [v for v in d.get("queries", {}).values() if v < 0]
+                )),
+                "host_load": d.get("host_load"),
+                "sf": d.get("sf"),
+            }
+    raise ValueError("no bench JSON line found")
+
+
+def main() -> int:
+    runs: list[dict] = []
+    if len(sys.argv) > 1:
+        for p in sys.argv[1:]:
+            with open(p) as fh:
+                s = _summary_from_stdout(fh.read())
+            s["source"] = os.path.basename(p)
+            runs.append(s)
+    else:
+        for i in range(3):
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                capture_output=True, text=True, cwd=ROOT,
+            )
+            if r.returncode != 0:
+                print(r.stderr[-2000:], file=sys.stderr)
+                return 1
+            s = _summary_from_stdout(r.stdout)
+            s["source"] = f"run{i + 1}"
+            runs.append(s)
+            print(
+                f"# run {i + 1}: {s['value']} s "
+                f"(stalled {s['host_load']['stalled_samples']}, "
+                f"{time.time() - t0:.0f} s wall)",
+                file=sys.stderr,
+            )
+    if len({s["sf"] for s in runs}) != 1:
+        raise ValueError("runs span multiple scale factors")
+    best = min(runs, key=lambda s: s["value"])
+    rec = {
+        "protocol": (
+            "min of N full bench runs on one tree; contention only adds "
+            "time, so the minimum is the least-polluted estimate. Valid "
+            "when the selected run has stalled_samples == 0."
+        ),
+        "sf": best["sf"],
+        "n_runs": len(runs),
+        "runs": [
+            {k: s[k] for k in ("source", "value", "host_load")} for s in runs
+        ],
+        "summary": {
+            "min_value": best["value"],
+            "min_source": best["source"],
+            "min_stalled_samples": best["host_load"]["stalled_samples"],
+            "min_host_verdict": best["host_load"]["verdict"],
+            "all_values": sorted(s["value"] for s in runs),
+            "valid": best["host_load"]["stalled_samples"] == 0,
+        },
+    }
+    out = os.path.join(ROOT, "bench_best_of_3.json")
+    with open(out, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps(rec["summary"]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
