@@ -237,3 +237,64 @@ def test_simhash_atcap_vectorized_matches_sequential_semantics(spark, tmp_path):
         "fixture never drove a bucket to its cap — the at-cap path was "
         "not exercised"
     )
+
+
+def test_histogram_quantiles_ignore_nonfinite(spark, tmp_path):
+    """r12 review: histogram_quantiles had no finiteness guard — a NULL
+    value floored to a NULL bucket that sorts FIRST under the cumulative
+    window (shifting every estimate), a NaN cast to long landed in bucket
+    0, and the STREAMING twin crashed outright (math.floor(nan) raises).
+    Both now ignore non-finite values; estimates over a poisoned column
+    equal those over the clean column, batch and stream."""
+    import math
+
+    from vettore_spark.operators import sketch as SK
+    from vettore_spark.streaming.stateful import streaming_histogram_quantiles
+
+    clean = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0), ("b", 5.0)]
+    dirty = clean + [
+        ("a", None), ("a", float("nan")), ("a", float("inf")),
+        ("b", float("-inf")), ("b", None),
+    ]
+    schema = "g string, v double"
+    want = {
+        (r["g"], r["q"]): r["est"]
+        for r in SK.histogram_quantiles(
+            spark.createDataFrame(clean, schema), "v", [0.5, 0.9],
+            bucket_width=1.0, group_by=["g"],
+        ).collect()
+    }
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in SK.histogram_quantiles(
+            spark.createDataFrame(dirty, schema), "v", [0.5, 0.9],
+            bucket_width=1.0, group_by=["g"],
+        ).collect()
+    }
+    assert got == want and want
+
+    # streaming twin: poisoned rows must not kill the query, and the
+    # final emission must match the clean batch estimates
+    src = tmp_path / "hq"
+    spark.createDataFrame(dirty, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_histogram_quantiles(
+            stream, quantiles=[0.5, 0.9], bucket_width=1.0,
+            group_col="g", value_col="v",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hq_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        (r["g"], r["q"]): r["est"]
+        for r in spark.sql("select * from hq_stream").collect()
+    }
+    assert {k: round(v, 4) for k, v in got_s.items()} == {
+        k: round(v, 4) for k, v in want.items()
+    }
+    assert all(math.isfinite(v) for v in got_s.values())

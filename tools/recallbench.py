@@ -330,6 +330,55 @@ def main() -> int:
         rec = len(exact5_c & got) / max(len(exact5_c), 1)
         print(f"| {cand} | {rec:.3f} | {time.time() - t0:.2f} |")
     fdes_c.unpersist()
+
+    # --- MUVERA count-sketch final projection sweep (r11 verdict #6) ------
+    # Both knee sweeps above run WITHOUT final_projection_dimension; the E1
+    # config key is implemented and unit-tested but its recall cost was
+    # unmeasured. The FDE here is 512-dim (2 reps x 8 partitions x 32
+    # proj); the sweep reruns the identical clustered two-stage flow with
+    # the count-sketch compressing it to 256 (1/2) and 128 (1/4), at the
+    # candidate depths bracketing the uncompressed knee.
+    print(
+        "\nMUVERA final-projection sweep @clustered "
+        "(512-dim FDE count-sketched; recall@5 vs exact MaxSim)\n"
+    )
+    print(
+        "| final_dim | candidates | recall@5 | sec |\n"
+        "| --- | --- | --- | --- |"
+    )
+    for fdim in (256, 128):
+        cfg_f = MU.MuveraConfig(
+            dimension=64, num_repetitions=2, num_simhash_projections=3,
+            seed=42, projection_dimension=32,
+            final_projection_dimension=fdim,
+        )
+        qf_f = [
+            float(x)
+            for x in MU.encode_query(np.array(qtok_c, dtype=np.float32), cfg_f)
+        ]
+        fdes_f = (
+            docs_c.withColumn("fde", MU.fde_column("vectors", cfg_f, "document"))
+            .select("doc_id", "fde")
+            .persist()
+        )
+        fdes_f.count()
+        for cand in (5, 10, 20, 40, 100):
+            t0 = time.time()
+            cset = SRCH.flat_topk(
+                fdes_f, qf_f, metric="inner_product", k=cand,
+                id_col="doc_id", vector_col="fde",
+            ).select("doc_id")
+            pruned = docs_c.join(F.broadcast(cset), "doc_id", "left_semi")
+            got = {
+                r["doc_id"]
+                for r in MV.maxsim_topk(
+                    pruned, qtok_c, metric="cosine", k=5,
+                    id_col="doc_id", vectors_col="vectors", vector_col=None,
+                ).collect()
+            }
+            rec = len(exact5_c & got) / max(len(exact5_c), 1)
+            print(f"| {fdim} | {cand} | {rec:.3f} | {time.time() - t0:.2f} |")
+        fdes_f.unpersist()
     docs_c.unpersist()
 
     spark.stop()

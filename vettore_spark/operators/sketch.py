@@ -310,12 +310,18 @@ def histogram_quantiles(
         raise ValueError("bucket_width must be positive")
     gb = list(group_by or [])
     w = float(bucket_width)
+    # quantiles are over FINITE values only (r12): a NULL value floors to
+    # a NULL bucket that sorts FIRST under the cumulative window (shifting
+    # every estimate), and a NaN/inf double cast to long lands in bucket 0
+    # / long-max — all three silently distort every quantile of the group.
+    # The streaming twin drops the same rows (np.isfinite), keeping
+    # batch/stream parity.
+    v = F.col(value_col).cast("double")
     hist = (
-        df.select(
+        df.filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf")))
+        .select(
             *gb,
-            F.floor(F.col(value_col).cast("double") / F.lit(w))
-            .cast("long")
-            .alias("_b"),
+            F.floor(v / F.lit(w)).cast("long").alias("_b"),
         )
         .groupBy(*gb, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))

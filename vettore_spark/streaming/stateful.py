@@ -753,10 +753,17 @@ def streaming_histogram_quantiles(
             hist = {}
         for pdf in pdfs:
             vc = pdf[value_col].astype("float64")
+            # finite values only (r12, batch parity): a NULL arrives as
+            # NaN here and math.floor(nan) raises — one poisoned row
+            # would kill the whole streaming query; inf overflows the
+            # bucket index. The batch twin filters the same rows.
+            vc = vc[np.isfinite(vc)]
             for b, c in vc.map(lambda v: math.floor(v / w)).value_counts().items():
                 hist[int(b)] = hist.get(int(b), 0) + int(c)
         items = sorted(hist.items())
         state.update(([b for b, _ in items], [c for _, c in items]))
+        if not items:  # a batch of only non-finite values: nothing to
+            return     # estimate yet — emit no row, keep (empty) state
         n = float(sum(hist.values()))
         ests = []
         for q in qs:
