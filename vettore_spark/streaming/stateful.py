@@ -343,6 +343,13 @@ def streaming_simhash_candidates(
     State per bucket is capped at `max_bucket` members (the batch op's
     hot-bucket guard): beyond it, new members are verified against the
     resident list but not added — bounded state at any stream length.
+    Tuning on a hot-bucket-bound corpus (measured, SCALE.md r12): shrink
+    `max_bucket` FIRST — cap 1024 vs 4096 saved 46% of replay wall for a
+    7.6% pair-recall cost on the sf0.1 corpus (late family members still
+    verify against the frozen residents, so most pairs survive). Do NOT
+    widen `block_bits` for recall reasons: 32-bit blocks collapsed pair
+    recall to 3% at max_hamming=8 (a near-dup almost never keeps a full
+    32-bit block intact).
 
     `hash_fn` passes through to simhash64 (default xxhash64; pass
     text.poly_hash62 for the SQL-reproducible fingerprint a DuckDB oracle
