@@ -298,3 +298,42 @@ def test_histogram_quantiles_ignore_nonfinite(spark, tmp_path):
         k: round(v, 4) for k, v in want.items()
     }
     assert all(math.isfinite(v) for v in got_s.values())
+
+
+def test_nan_weight_rows_lose_not_win(spark):
+    """r12 review: Spark orders NaN GREATER than every double, so (a)
+    weighted_sample's `w > 0` filter PASSED a NaN weight and its NaN
+    ranking key sorted FIRST under desc — guaranteed selection for a
+    malformed row; (b) select_token_budget's NaN weight group ranked
+    first and absorbed the budget. Both now exclude NaN like NULL (the
+    malformed-rows-lose contract from the r11 search rank-key fix)."""
+    import math
+
+    from vettore_spark.operators.sampling import weighted_sample
+    from vettore_spark.operators.selection import select_token_budget
+
+    rows = [
+        ("a", 5.0), ("b", 1.0), ("c", float("nan")), ("d", None), ("e", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "id string, w double")
+    got = {r["id"] for r in weighted_sample(df, 2, weight_col="w", key_col="id").collect()}
+    assert "c" not in got and "d" not in got
+    assert len(got) == 2 and got <= {"a", "b", "e"}
+
+    wrows = [
+        ("a", 2.0, 10), ("b", 1.0, 10), ("c", float("nan"), 10**6), ("d", None, 5),
+    ]
+    wdf = spark.createDataFrame(wrows, "doc_id string, dsir_per_token double, n_tokens long")
+    sel = {
+        r["doc_id"]: r["selected"]
+        for r in select_token_budget(
+            wdf, 15, weight_col="dsir_per_token", tokens_col="n_tokens"
+        ).collect()
+    }
+    # NaN (million tokens) must not absorb the budget; a then b fit in 15
+    assert sel == {"a": True, "b": False, "c": False, "d": False} or sel == {
+        "a": True, "b": True, "c": False, "d": False
+    }
+    # exact: a (10) fits, b would make 20 > 15 -> False
+    assert sel["a"] is True and sel["b"] is False
+    assert sel["c"] is False and sel["d"] is False

@@ -199,8 +199,14 @@ def weighted_sample(
     no RNG state; identical across runs, partitionings, and retries, and
     reproducible in ANSI SQL (the oracle covers it).
 
-    Rows with weight <= 0 or NULL never qualify. Output: the input
-    columns plus `sample_key` (the ranking key, 8 dp)."""
+    Rows with weight <= 0, NULL, or NaN never qualify. Output: the input
+    columns plus `sample_key` (the ranking key, 8 dp).
+
+    The NaN guard is load-bearing (r12): Spark orders NaN GREATER than
+    every number, so `NaN > 0` passes the filter and log(u)/NaN = NaN
+    then sorts FIRST under desc — a NaN-weight row would be GUARANTEED
+    selection instead of excluded (the malformed-rows-win class the r11
+    rank-key fix closed for search)."""
     if k < 1:
         raise ValueError("weighted_sample needs k >= 1")
     from vettore_spark.operators.sketch import hash60, _DOMAIN
@@ -209,7 +215,7 @@ def weighted_sample(
     u = (hash60(key_col, salt=salt).cast("double") + F.lit(0.5)) / F.lit(_DOMAIN)
     key = F.log(u) / w
     return (
-        df.filter(w > 0)
+        df.filter((w > 0) & ~F.isnan(w))
         .withColumn("sample_key", F.round(key, 8))
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(k)

@@ -337,11 +337,14 @@ def select_token_budget(
        bounded by group size, never by corpus size.
     selected = group_prefix + within_group_prefix <= budget.
 
-    Returns every input row + `selected` boolean. Rows with a NULL weight
-    cannot be ranked, so they come back selected=false (the left join with
-    the group aggregate never matches a NULL key; coalesce flags them
-    instead of dropping them, honoring the every-input-row contract)."""
-    grp = weights.filter(F.col(weight_col).isNotNull()).groupBy(weight_col).agg(
+    Returns every input row + `selected` boolean. Rows with a NULL or NaN
+    weight cannot be ranked, so they come back selected=false (NULL never
+    matches the left join; NaN is excluded from the group aggregate
+    because Spark sorts NaN GREATER than every number — an unguarded NaN
+    group would rank FIRST and absorb the budget; its join rows then
+    coalesce to false like NULL's)."""
+    wcol = F.col(weight_col)
+    grp = weights.filter(wcol.isNotNull() & ~F.isnan(wcol)).groupBy(weight_col).agg(
         F.sum(tokens_col).cast("long").alias("_gt")
     )
     w_grp = (
