@@ -337,3 +337,25 @@ def test_nan_weight_rows_lose_not_win(spark):
     # exact: a (10) fits, b would make 20 > 15 -> False
     assert sel["a"] is True and sel["b"] is False
     assert sel["c"] is False and sel["d"] is False
+
+
+def test_hashed_features_multibyte_fails_loud_and_zero_norm_safe(spark):
+    """r12 review: hashed_token_features counts CHARACTERS for its
+    reduceat segmentation but hashes BYTES — one multi-byte glyph
+    desynchronized every later token's hash silently (documented ASCII
+    assumption, previously unenforced). It now fails loudly. And a
+    document whose every hit slot cancels to 0.0 normalized 0/0 into NaN
+    weights — the zero vector now stays zero (the K15 rule)."""
+    from vettore_spark.operators.text import hashed_token_features
+
+    bad = spark.createDataFrame(
+        [(1, "hello wörld")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="single-byte"):
+        hashed_token_features(bad, dim=8).collect()
+
+    ok = spark.createDataFrame(
+        [(1, "plain ascii text")], "doc_id long, text string"
+    )
+    rows = hashed_token_features(ok, dim=8).collect()
+    assert rows and all(r["w"] == r["w"] for r in rows)  # no NaN

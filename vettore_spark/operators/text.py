@@ -215,6 +215,16 @@ def hashed_token_features(
                 ).astype(np.int64)
                 ends = np.cumsum(lens)
                 starts = ends - lens
+                # the single-byte assumption is load-bearing: lens counts
+                # CHARACTERS while chars are BYTES, so one multi-byte
+                # glyph desynchronizes every later token's reduceat
+                # segment — fail loudly instead of hashing garbage (r12)
+                if len(chars) != int(ends[-1]):
+                    raise ValueError(
+                        "hashed_token_features assumes single-byte (ASCII)"
+                        " text; input contains multi-byte characters —"
+                        " transliterate or strip them upstream"
+                    )
                 # exponent of 31 for each char = distance from its token's end
                 pos = np.arange(len(chars)) - np.repeat(starts, lens)
                 exp = np.repeat(lens, lens) - 1 - pos
@@ -224,6 +234,10 @@ def hashed_token_features(
                 np.add.at(acc, (doc_of_tok, idx), sgn)
                 hit[doc_of_tok, idx] = True
             norm = np.sqrt((acc * acc).sum(axis=1))
+            # a document whose every hit slot cancelled to 0.0 has norm 0;
+            # 0/0 would emit NaN weights — keep the zero vector instead
+            # (the K15 normalize-zero rule: zero stays zero) (r12)
+            norm = np.where(norm == 0.0, 1.0, norm)
             di, si = np.nonzero(hit)
             yield pd.DataFrame(
                 {
