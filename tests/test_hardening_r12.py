@@ -359,3 +359,19 @@ def test_hashed_features_multibyte_fails_loud_and_zero_norm_safe(spark):
     )
     rows = hashed_token_features(ok, dim=8).collect()
     assert rows and all(r["w"] == r["w"] for r in rows)  # no NaN
+
+
+def test_keep_best_per_cluster_nan_quality_loses(spark):
+    """r12 review: a NaN quality member won the canonical slot (Spark
+    sorts NaN greater than every double under desc). NaN now sorts with
+    NULL — after every real score."""
+    from vettore_spark.operators.pipeline import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "doc_id long, component long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, None)], "doc_id long, quality double"
+    )
+    [row] = keep_best_per_cluster(clusters, quality).collect()
+    assert row["keep_doc_id"] == 1 and row["quality"] == 0.5

@@ -302,8 +302,15 @@ def keep_best_per_cluster(
             "cluster_size",
             F.count("*").over(Window.partitionBy(cluster_col)).cast("long"),
         )
+    # NaN -> NULL in the sort key: Spark orders NaN GREATER than every
+    # number, so a NaN-quality member would WIN the canonical slot under
+    # desc; NULLs sort last under desc, so both malformed shapes now lose
+    # to any real score (the r12 NaN-weights-lose contract)
+    qkey = F.when(F.isnan(F.col(quality_col)), F.lit(None)).otherwise(
+        F.col(quality_col)
+    )
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
+        qkey.desc(), F.col(id_col).asc()
     )
     return (
         j.withColumn("_rn", F.row_number().over(w))
