@@ -339,20 +339,23 @@ def test_nan_weight_rows_lose_not_win(spark):
     assert sel["c"] is False and sel["d"] is False
 
 
-def test_hashed_features_multibyte_fails_loud_and_zero_norm_safe(spark):
-    """r12 review: hashed_token_features counts CHARACTERS for its
-    reduceat segmentation but hashes BYTES — one multi-byte glyph
-    desynchronized every later token's hash silently (documented ASCII
-    assumption, previously unenforced). It now fails loudly. And a
-    document whose every hit slot cancels to 0.0 normalized 0/0 into NaN
-    weights — the zero vector now stays zero (the K15 rule)."""
+def test_hashed_features_multibyte_ok_and_zero_norm_safe(spark):
+    """r12 review found hashed_token_features counted CHARACTERS for its
+    reduceat segmentation while hashing BYTES — one multi-byte glyph
+    desynchronized every later token's hash silently, and r12 made it
+    fail loudly. r13 fixes it properly: segments are BYTE lengths, so
+    multi-byte text hashes correctly (full parity pinned in
+    test_hardening_r13.py). Here: multi-byte input is accepted and
+    produces finite weights. And a document whose every hit slot cancels
+    to 0.0 normalized 0/0 into NaN weights — the zero vector now stays
+    zero (the K15 rule)."""
     from vettore_spark.operators.text import hashed_token_features
 
-    bad = spark.createDataFrame(
+    multibyte = spark.createDataFrame(
         [(1, "hello wörld")], "doc_id long, text string"
     )
-    with pytest.raises(Exception, match="single-byte"):
-        hashed_token_features(bad, dim=8).collect()
+    rows = hashed_token_features(multibyte, dim=8).collect()
+    assert rows and all(r["w"] == r["w"] for r in rows)  # no NaN
 
     ok = spark.createDataFrame(
         [(1, "plain ascii text")], "doc_id long, text string"

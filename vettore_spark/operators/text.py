@@ -158,7 +158,7 @@ def hashed_token_features(
 ) -> DataFrame:
     """Feature-hashing text embedding (the hashing trick): each token hashes
     to a slot `h % dim` with sign from `(h / dim) % 2` (polynomial 31-hash
-    of the token's character codes mod 2147483647); slot values are summed
+    of the token's UTF-8 BYTES mod 2147483647); slot values are summed
     per document and L2-normalized. Returns the sparse relational form
     (id, idx, w). Slots that were hit but cancelled to 0.0 are kept; docs
     with no tokens produce no rows.
@@ -170,8 +170,15 @@ def hashed_token_features(
     vectorizes the polynomial hash as a power-table dot product segmented
     with add.reduceat, so per-row cost is a handful of array ops. Rounding
     stays Spark-side (F.round, HALF_UP) so oracle semantics are unchanged.
-    Assumes single-byte (ASCII) text: the hash consumes character codes,
-    mirroring `ascii(ch)` in the SQL oracle.
+
+    UTF-8 correct (r13): the hash consumes each token's UTF-8 bytes, and
+    segment lengths are BYTE lengths, so the byte stream and the reduceat
+    segments agree by construction for any input — ASCII or multi-byte.
+    (r12 had fail-fasted on multi-byte text because segments counted
+    characters while the stream carried bytes.) The SQL oracle mirrors the
+    byte stream by expanding each character's codepoint into its UTF-8
+    bytes arithmetically (ascii(ch) -> 1-4 bytes), verified byte-equal to
+    Python's str.encode("utf-8").
 
     Use `hashed_embedding` for the dense array<float> form consumed by the
     search operators."""
@@ -202,8 +209,12 @@ def hashed_token_features(
             if n_toks.sum() > 0:
                 flat = [t for lst in tok_lists for t in lst]
                 doc_of_tok = np.repeat(np.arange(n_docs), n_toks)
+                # BYTE lengths (not character counts), so lens always
+                # partitions the UTF-8 byte stream below exactly (r13)
                 lens = np.fromiter(
-                    (len(t) for t in flat), dtype=np.int64, count=len(flat)
+                    (len(t.encode("utf-8")) for t in flat),
+                    dtype=np.int64,
+                    count=len(flat),
                 )
                 if lens.max() >= len(pow31):
                     pow31 = np.array(
@@ -215,17 +226,11 @@ def hashed_token_features(
                 ).astype(np.int64)
                 ends = np.cumsum(lens)
                 starts = ends - lens
-                # the single-byte assumption is load-bearing: lens counts
-                # CHARACTERS while chars are BYTES, so one multi-byte
-                # glyph desynchronizes every later token's reduceat
-                # segment — fail loudly instead of hashing garbage (r12)
-                if len(chars) != int(ends[-1]):
-                    raise ValueError(
-                        "hashed_token_features assumes single-byte (ASCII)"
-                        " text; input contains multi-byte characters —"
-                        " transliterate or strip them upstream"
-                    )
-                # exponent of 31 for each char = distance from its token's end
+                # invariant: UTF-8 encoding is per-character context-free,
+                # so the concatenation's bytes equal the per-token byte
+                # lengths summed — guaranteed, but cheap to assert
+                assert len(chars) == int(ends[-1])
+                # exponent of 31 for each byte = distance from its token's end
                 pos = np.arange(len(chars)) - np.repeat(starts, lens)
                 exp = np.repeat(lens, lens) - 1 - pos
                 h = np.add.reduceat(chars * pow31[exp], starts) % P

@@ -3904,23 +3904,69 @@ GROUP BY 1, 2
 """
 
 
+# Deterministic multi-byte augmentation so the gate corpus CONTAINS UTF-8
+# text (2-, 3-, and 4-byte sequences): the r13 hashed_token_features fix
+# hashes UTF-8 bytes end-to-end, and this gate proves it on non-ASCII input.
+# Mirrored verbatim in the oracle's src CTE (1-indexed pick by doc_id % 7).
+_UTF8_SUFFIXES = [
+    "café",        # 2-byte é
+    "naïve",       # 2-byte ï
+    "日本語テスト",  # 3-byte CJK
+    "Grüße",       # 2-byte ü, ß
+    "señal",       # 2-byte ñ
+    "🎉emoji",     # 4-byte astral-plane
+    "résumé",      # 2-byte é ×2
+]
+
+
 def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text -> embedding via the hashing trick, in sparse relational form.
-    The polynomial token hash is reproduced exactly by the DuckDB oracle, so
-    the whole pipeline (tokenize -> hash -> signed sum -> L2 normalize) is
-    cross-engine verified."""
-    return TX.hashed_token_features(
-        _t(spark, sf_dir, "documents"), dim=32
+    The polynomial UTF-8-byte token hash is reproduced exactly by the DuckDB
+    oracle (codepoint -> UTF-8 byte expansion), so the whole pipeline
+    (tokenize -> byte-hash -> signed sum -> L2 normalize) is cross-engine
+    verified — on a corpus deterministically augmented with 2/3/4-byte
+    UTF-8 tokens, exercising the r13 multi-byte path."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _UTF8_SUFFIXES]),
+                (F.col("doc_id") % 7 + 1).cast("int"),
+            ),
+        ),
     )
+    return TX.hashed_token_features(docs, dim=32)
 
 
-SQL_HASHED_EMBEDDING = r"""
-WITH t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+_UTF8_SUFFIX_SQL = "[" + ", ".join(f"'{s}'" for s in _UTF8_SUFFIXES) + "]"
+
+# UTF-8 byte expansion of a codepoint list, arithmetically (RFC 3629):
+# 1 byte < 0x80, 2 bytes < 0x800, 3 bytes < 0x10000, else 4. Verified
+# byte-equal to Python str.encode("utf-8") in tests/test_hardening_r13.py.
+_UTF8_BYTES_OF_TOK = r"""
+flatten(list_transform(
+  list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT),
+  cp -> CASE
+    WHEN cp < 128 THEN [cp]
+    WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+    WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+    ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+  END))
+"""
+
+SQL_HASHED_EMBEDDING = rf"""
+WITH src AS (
+  SELECT doc_id,
+         concat(text, ' ', ({_UTF8_SUFFIX_SQL})[(doc_id % 7 + 1)::INT]) AS text
   FROM documents),
+t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM src),
 h AS (
   SELECT doc_id,
-         list_reduce(list_transform(string_split(tok, ''), x -> ascii(x)::BIGINT),
+         list_reduce({_UTF8_BYTES_OF_TOK},
                      (a, b) -> (a * 31 + b) % 2147483647) AS hv
   FROM t WHERE tok <> ''),
 f AS (
