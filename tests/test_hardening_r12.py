@@ -196,7 +196,9 @@ def test_simhash_atcap_vectorized_matches_sequential_semantics(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 120s")
     got = sorted(
         (r["doc_a"], r["doc_b"], r["hamming"], r["block"])
         for r in spark.sql("select * from shcap").collect()
@@ -289,7 +291,9 @@ def test_histogram_quantiles_ignore_nonfinite(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 120s")
     got_s = {
         (r["g"], r["q"]): r["est"]
         for r in spark.sql("select * from hq_stream").collect()

@@ -96,13 +96,18 @@ def main() -> int:
         "runs": [
             {k: s[k] for k in ("source", "value", "host_load")} for s in runs
         ],
+        # host_load is populated via .get, so a record missing the
+        # instrumentation is representable (None) — treat it as an
+        # INVALID protocol run instead of crashing assembly (ADVICE r12)
         "summary": {
             "min_value": best["value"],
             "min_source": best["source"],
-            "min_stalled_samples": best["host_load"]["stalled_samples"],
-            "min_host_verdict": best["host_load"]["verdict"],
+            "min_stalled_samples": (best.get("host_load") or {}).get(
+                "stalled_samples"
+            ),
+            "min_host_verdict": (best.get("host_load") or {}).get("verdict"),
             "all_values": sorted(s["value"] for s in runs),
-            "valid": best["host_load"]["stalled_samples"] == 0,
+            "valid": (best.get("host_load") or {}).get("stalled_samples") == 0,
         },
     }
     out = os.path.join(ROOT, "bench_best_of_3.json")

@@ -3175,11 +3175,18 @@ def _streaming_table_dir_multi(
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir, table, "multi", n_files)
+    # key_col is part of the identity: two gates splitting the same table
+    # by different key columns must not share a split (the range order is
+    # the first-wins oracle contract) — in-process memo AND cross-process
+    # scratch path both carry it (ADVICE r12)
+    key = (
+        spark.sparkContext.applicationId, sf_dir, table, "multi",
+        key_col, n_files,
+    )
     path = _STREAM_SRC_CACHE.get(key)
     if path is None:
         digest = hashlib.md5(
-            f"streammulti:{table}:{n_files}:{sf_dir}".encode()
+            f"streammulti:{table}:{key_col}:{n_files}:{sf_dir}".encode()
         ).hexdigest()[:12]
         path = os.path.join(
             tempfile.gettempdir(), f"vettore_streamN_{table}_{digest}"
