@@ -128,6 +128,188 @@ def test_duckdb_utf8_byte_expansion_matches_python_encode():
         assert list(got) == list(tok.encode("utf-8")), tok
 
 
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_ts_split_contiguous_ordered_and_distinct_from_userid_split(
+    spark,
+):
+    """The funnel/topk gates split events by TS (the funnel's order-
+    freedom argument needs ts-ascending batches); the split must be 4
+    contiguous ascending ts-range files with strictly ascending mtimes,
+    and must NOT share a scratch dir with the kmv gate's user_id split
+    of the same table (the r12-advice cache-identity fix)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vettore_spark import queries as Q
+
+    ts_path = Q._streaming_table_dir_multi(spark, SF, "events", "ts")
+    uid_path = Q._streaming_table_dir_multi(spark, SF, "events", "user_id")
+    assert ts_path != uid_path
+
+    files = sorted(f for f in os.listdir(ts_path) if f.endswith(".parquet"))
+    assert len(files) == 4, files
+    mtimes = [os.path.getmtime(os.path.join(ts_path, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    prev_max = None
+    n_total = 0
+    for f in files:
+        lo, hi, n = (
+            spark.read.parquet(os.path.join(ts_path, f))
+            .agg(F.min("ts"), F.max("ts"), F.count("*"))
+            .first()
+        )
+        n_total += n
+        if n == 0:
+            continue
+        if prev_max is not None:
+            assert lo >= prev_max, (f, lo, prev_max)
+        prev_max = hi
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    want = spark.read.parquet(os.path.join(SF, "events.parquet")).count()
+    assert n_total == want, "split lost or duplicated rows"
+
+
+def test_funnel_gate_replays_multiple_microbatches(spark):
+    """Append mode emits one row per (user, touching batch): more sink
+    rows than users proves the replay really ran multiple micro-batches
+    (equality would mean maxFilesPerTrigger was ignored and the gate
+    silently degraded to single-batch replay)."""
+    from vettore_spark import queries as Q
+
+    Q.q_streaming_funnel_stage(spark, SF).count()
+    raw = spark.table("streaming_funnel_stage_sink")
+    users = raw.select("user_id").distinct().count()
+    assert users > 0
+    assert raw.count() > users, (
+        "one emission per user — replay collapsed to a single batch"
+    )
+
+
+def test_topk_gate_replays_multiple_microbatches_and_projection(spark):
+    """Update mode re-emits each touched user's leaderboard per batch:
+    more sink rows than final (user, rank) slots proves multi-batch
+    replay; and the max_by(struct(value, -id)) projection must equal the
+    plain batch top-k (the slot-monotonicity argument, checked
+    directly)."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark import queries as Q
+
+    got = Q.q_streaming_topk_per_key(spark, SF)
+    final_rows = got.count()
+    raw = spark.table("streaming_topk_per_key_sink")
+    assert raw.count() > final_rows, (
+        "one emission per slot — replay collapsed to a single batch"
+    )
+    # projection equals the batch window top-k on the same (converted) ts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    want = (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_horizon_gate_crossbatch_suppression(spark):
+    """Gate-level invariant at sf0.001: exactly one keeper per distinct
+    digest under the 4-batch doc_id-range replay (the 9999-hour horizon
+    dominates the synthesized ts span, so no state can expire
+    mid-replay)."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark import queries as Q
+
+    got = Q.q_streaming_horizon_dedup(spark, SF)
+    n_keepers = got.count()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_digests = docs.select(F.md5("text")).distinct().count()
+    assert n_keepers == n_digests
+
+
+def test_horizon_dedup_crossbatch_duplicate_suppressed_4_batches(
+    spark, tmp_path
+):
+    """Synthetic 4-file mtime-spaced source with a duplicate text in
+    batch 0 and batch 2 (sf0.001 documents are all-distinct, so the
+    corpus cannot exercise this): with a horizon dominating the ts span,
+    the batch-2 duplicate MUST be suppressed through the state store —
+    and the query must really have run 4 micro-batches
+    (maxFilesPerTrigger honored)."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from vettore_spark.streaming.stateful import streaming_horizon_dedup
+
+    src = tmp_path / "hsrc"
+    os.makedirs(src)
+    batches = [
+        [(0, "alpha text"), (1, "beta text")],
+        [(2, "gamma text")],
+        [(3, "alpha text"), (4, "delta text")],  # dup of batch-0 doc 0
+        [(5, "epsilon text")],
+    ]
+    base_t = _t.time() - 600
+    for bi, rows in enumerate(batches):
+        build = tmp_path / f"b{bi}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(build))
+        part = next(
+            f for f in os.listdir(build)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = src / f"{bi:03d}.parquet"
+        os.rename(build / part, dst)
+        os.utime(dst, (base_t + 2.0 * bi, base_t + 2.0 * bi))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        )
+    )
+    out = streaming_horizon_dedup(stream, horizon="9999 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("r13_horizon_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 120s")
+    data_batches = [
+        p for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+    ]
+    assert len(data_batches) == 4, (
+        f"{len(data_batches)} data micro-batches — maxFilesPerTrigger ignored"
+    )
+    keepers = spark.sql(
+        "select doc_id, digest from r13_horizon_sink"
+    ).collect()
+    ids = sorted(r["doc_id"] for r in keepers)
+    # doc 3 (the cross-batch duplicate) must NOT be a keeper
+    assert ids == [0, 1, 2, 4, 5], ids
+
+
 def test_hashed_embedding_gate_parity_on_multibyte_corpus(spark, tmp_path):
     """Driver-gate contract in miniature: q_hashed_embedding (Spark) vs
     SQL_HASHED_EMBEDDING (DuckDB) agree row-for-row on a corpus whose every

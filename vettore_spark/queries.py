@@ -3312,33 +3312,37 @@ def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
 def q_streaming_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENGINE's time-horizon dedup (streaming/stateful.py::
     streaming_horizon_dedup -> dropDuplicatesWithinWatermark) driver-gated
-    via availableNow replay of the documents table with a synthesized
-    deterministic event time (epoch + doc_id seconds). The single-file
-    replay is one micro-batch, so every digest's state is live for the
-    whole run and the engine must emit EXACTLY one keeper row per distinct
-    digest — but WHICH row wins per digest is arrival-order-dependent
-    inside a batch (the state store keeps the first row it sees), so the
-    gate projects the deterministic part: the keeper digest set. That
-    hash-verifies the engine path end-to-end (watermark analysis, state
-    store puts, append emission); the horizon-RESTART semantics (a
-    duplicate arriving after its predecessor's horizon expired is a NEW
-    keeper) are multi-batch by nature and stay pinned in
-    tests/test_stateful.py::test_horizon_dedup_* with controlled batch
-    boundaries. At 100 TB this exact plan runs unbounded with state
+    under MULTI-MICRO-BATCH replay (r12 verdict #6): the documents table
+    split into 4 contiguous ascending doc_id-range files with a
+    synthesized deterministic event time (epoch + doc_id seconds),
+    maxFilesPerTrigger=1 — a digest seen in batch 0 must suppress its
+    re-occurrences in batches 1-3 THROUGH the state store, not intra-batch
+    dedup. Order-freedom argument for the unchanged oracle: the horizon
+    (9999 hours) strictly dominates the synthesized ts span (doc_id
+    seconds — doc_id stays far below 3.6e7 at every tested sf), so the
+    advancing watermark can never evict a digest's state mid-replay and
+    the keeper multiset is EXACTLY one row per distinct digest regardless
+    of the split. WHICH row wins per digest remains arrival-order-
+    dependent, so the gate still projects the digest set; horizon-RESTART
+    semantics (a duplicate after its predecessor's horizon expired is a
+    NEW keeper) need controlled expiry and stay pinned in
+    tests/test_stateful.py + tests/test_hardening_r13.py with explicit
+    batch boundaries. At 100 TB this exact plan runs unbounded with state
     bounded by TIME (the crawl re-fetch / retry-storm posture) instead of
     key cardinality."""
     from vettore_spark.streaming.stateful import streaming_horizon_dedup
 
-    path = _streaming_table_dir(spark, sf_dir, "documents")
+    path = _streaming_table_dir_multi(spark, sf_dir, "documents", "doc_id")
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
         .parquet(path)
         .withColumn(
             "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
         )
     )
-    out = streaming_horizon_dedup(stream, horizon="1 hour")
+    out = streaming_horizon_dedup(stream, horizon="9999 hours")
     got = _run_streaming_gate(out, "streaming_horizon_dedup_sink", "append")
     return got.select("digest").orderBy("digest")
 
@@ -3353,21 +3357,29 @@ ORDER BY digest
 def q_streaming_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL conversion-funnel tracking (streaming/stateful.py::
     streaming_funnel_stage, applyInPandasWithState with three-long state
-    per user) driver-gated: availableNow replay of the events table, one
-    emission per user carrying the final funnel stage (0..3). Stage N
-    counts only when its event STRICTLY follows the user's min stage-(N-1)
-    time; inside the single replay batch rows are processed in ts order,
-    which makes the stream bit-equal to the min-aggregate batch funnel
-    (the strict > rule resolves every view/click/purchase ts tie to 'skip'
-    in BOTH engines, so partition arrival order cannot leak in). Oracle =
-    the event_funnel CTE chain at per-user granularity. At 100 TB the
-    identical operator runs unbounded with O(1) state per user (three
-    longs) — no event history retained."""
+    per user) driver-gated under MULTI-MICRO-BATCH replay (r12 verdict
+    #6): the events table split into 4 contiguous ascending TS-range
+    files, maxFilesPerTrigger=1, so each user's (t1,t2,t3) state
+    round-trips the store across batches. Order-freedom argument for the
+    unchanged oracle: global processing is ts-ascending — the ranges
+    ascend across files, the operator sorts each batch by ts, and equal
+    ts values colocate under repartitionByRange — and the incremental
+    fold over ts-ordered events equals the batch min-aggregate funnel
+    exactly (t1 ends as the global min view ts; every click processed
+    after t1 with ts > t1 min-reduces to the global min click > t1, and
+    likewise purchases; ts ties resolve to 'skip' in BOTH engines via
+    the strict > rule). Append mode emits one row per (user, touching
+    batch); stage is NONDECREASING across a user's emissions (state only
+    ever accumulates), so the final funnel position is plain max(stage).
+    Oracle = the event_funnel CTE chain at per-user granularity. At
+    100 TB the identical operator runs unbounded with O(1) state per
+    user (three longs) — no event history retained."""
     from vettore_spark.streaming.stateful import streaming_funnel_stage
 
-    out = streaming_funnel_stage(_events_stream(spark, sf_dir))
+    out = streaming_funnel_stage(_events_stream_multi(spark, sf_dir, "ts"))
     got = _run_streaming_gate(out, "streaming_funnel_stage_sink", "append")
-    return got.select("user_id", "stage").orderBy("user_id")
+    fin = got.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    return fin.select("user_id", "stage").orderBy("user_id")
 
 
 SQL_STREAMING_FUNNEL_STAGE = """
@@ -3478,26 +3490,67 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _events_stream_multi(
+    spark: SparkSession, sf_dir: str, key_col: str
+) -> DataFrame:
+    """_events_stream over the 4-file multi-micro-batch range split (r12
+    verdict #6): same ts conventions as the single-file source, plus
+    maxFilesPerTrigger=1 so trigger(availableNow) replays the files as 4
+    ordered micro-batches (oldest-mtime-first)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = _streaming_table_dir_multi(spark, sf_dir, "events", key_col)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def q_streaming_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL running top-k per key (streaming/stateful.py::
     streaming_topk_per_key — state is exactly the k best (id, value)
-    pairs per key) driver-gated: availableNow replay of the events
-    table, update-mode emission; the single replay batch makes the final
-    per-key emission the whole answer, and the keep rule (descending
-    value, ascending id — the batch operators' tie-break) is pure
-    ordering over parquet doubles, so a plain window oracle reproduces
-    it exactly. At 100 TB the identical operator runs unbounded with
-    O(k) state per key, emitting the live leaderboard every micro-batch
-    — the alert/dashboard shape a global sort can never serve."""
+    pairs per key) driver-gated under MULTI-MICRO-BATCH replay (r12
+    verdict #6): the events table split into 4 TS-range files,
+    maxFilesPerTrigger=1, so per-user leaderboards merge across batches
+    through the state store (load -> union -> re-sort -> truncate ->
+    re-store). The FINAL state is arrival-order-FREE outright: the top-k
+    of a union under (value desc, id asc) is split-invariant. Update
+    mode emits each touched user's current leaderboard once per batch;
+    the final occupant of each (user, rank) slot is recovered with
+    max_by over struct(value, -event_id), because per slot the emitted
+    (value, id) sequence is MONOTONE in exactly that ordering — each
+    emission's list is the top-k of a growing set, so slot r's occupant
+    (the r-th order statistic) only ever improves: value rises, or at
+    equal value the id falls. The keep rule is pure ordering over
+    parquet doubles, so the plain window oracle is unchanged. At 100 TB
+    the identical operator runs unbounded with O(k) state per key,
+    emitting the live leaderboard every micro-batch — the
+    alert/dashboard shape a global sort can never serve."""
     from vettore_spark.streaming.stateful import streaming_topk_per_key
 
     out = streaming_topk_per_key(
-        _events_stream(spark, sf_dir), k=3
+        _events_stream_multi(spark, sf_dir, "ts"), k=3
     )
     got = _run_streaming_gate(out, "streaming_topk_per_key_sink", "update")
-    return got.select("user_id", "rank", "event_id", "value").orderBy(
-        "user_id", "rank"
+    fin = got.groupBy("user_id", "rank").agg(
+        F.expr(
+            "max_by(named_struct('event_id', event_id, 'value', value),"
+            " named_struct('v', value, 'nid', -event_id))"
+        ).alias("s")
     )
+    return fin.select(
+        "user_id",
+        "rank",
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.value").alias("value"),
+    ).orderBy("user_id", "rank")
 
 
 SQL_STREAMING_TOPK_PER_KEY = """
@@ -9062,72 +9115,71 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-12 gate window (per the round-11 verdict, rotated at round START):
-# slots 1-3 are the three order-free GroupState gates REWORKED this round
-# to MULTI-MICRO-BATCH replay (r11 verdict #5: 4 range-split files,
-# maxFilesPerTrigger=1, same oracles) — re-gated first so the driver
-# signal covers real cross-batch state transitions, not single-batch
-# replay. Slots 4-44 are ALL 41 queries whose latest driver green is r8
-# (the oldest surviving greens: the flat-metric family, TPC-H core,
-# paragraph/cross-corpus dedup, mutual-kNN, retrieval eval — r11 verdict
-# #2's explicit list). Slots 45-50 are the 6 oldest r9 greens ranked by
-# first-green round then name (all first-green r1: the original
-# ANN/dedup/streaming-adjacent block). 3+41+6 fills 50 exactly; after
-# this gate no query's latest green is older than r9.
+# Round-13 gate window (per the round-12 verdict, rotated at round START):
+# slots 1-3 are the three remaining order-free availableNow gates
+# CONVERTED this round to multi-micro-batch replay (r12 verdict #6:
+# 4 range-split files, maxFilesPerTrigger=1, unchanged oracles) —
+# re-gated first so the driver signal covers their cross-batch state
+# transitions. Slots 4-47 are ALL 44 queries whose latest driver green
+# is r9 (the oldest surviving greens: TPC-H breadth, the temporal
+# asof/range/sessions block, PQ/SQ/JL tiers, bm25/rrf retrieval, the
+# curation filters — r12 verdict #4's explicit list). Slots 48-50 are
+# the 3 alphabetically-first r10 greens. 3+44+3 fills 50 exactly;
+# after this gate no query's latest green is older than r10.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-3: multi-micro-batch streaming re-gates (r11 verdict #5) ---
-    "streaming_unit_dedup",
-    "streaming_moment_stats",
-    "streaming_kmv_distinct",
-    # --- slots 4-44: every query whose latest green is r8 ---
-    "flat_topk_l2",
-    "filtered_topk",
-    "flat_topk_manhattan",
-    "flat_topk_chebyshev",
-    "flat_topk_jaccard",
-    "flat_topk_hamming",
-    "normalize_stats",
-    "signbit_popcount",
-    "hnsw_topk",
-    "simhash_pairs",
-    "quality_score",
-    "text_stats",
-    "tfidf_top_terms",
-    "dedup_keep_best",
-    "tpch_q1_pricing",
-    "tpch_q6_revenue",
-    "tpch_q14_promo",
-    "supplier_nation_revenue",
-    "customers_without_big_orders",
-    "lineitem_rollup",
-    "shipmode_priority",
-    "orders_above_cust_avg",
-    "top_orders_join",
-    "customer_top_orders_window",
-    "region_revenue",
-    "paragraph_dedup",
-    "paragraph_dedup_doc",
-    "cross_corpus_dedup",
-    "minhash_dedup_against",
-    "text_normalize",
-    "blocklist_filter",
-    "tpch_q3_topk",
-    "tpch_q4_exists",
-    "tpch_q10_returns",
-    "tpch_q18_volume",
-    "tpch_q19_bands",
-    "mutual_knn_pairs",
-    "retrieval_eval",
-    "score_agreement",
-    "tpch_q6_zorder",
-    "zca_whiten_stats",
-    # --- slots 45-50: the 6 oldest r9 greens (first green r1) ---
-    "embedding_neardup",
-    "events_anomaly",
-    "events_sliding_window",
-    "hashed_embedding",
-    "hybrid_topk",
-    "minhash_lsh_pairs",
+    # --- slots 1-3: multi-micro-batch streaming conversions (r12 verdict #6) ---
+    "streaming_horizon_dedup",
+    "streaming_funnel_stage",
+    "streaming_topk_per_key",
+    # --- slots 4-47: every query whose latest green is r9 ---
+    "bm25_topk",
+    "c4_line_filter",
+    "decontaminate",
+    "doc_chunks",
+    "event_funnel",
+    "events_asof_join",
+    "events_range_join",
+    "events_skew_report",
+    "events_value_quantiles",
+    "jl_prefilter_topk",
+    "jl_projection",
+    "multi_query_quantized",
+    "mutual_knn_blocked",
+    "mutual_knn_cellblocked",
+    "mutual_knn_multiband",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "pii_redact",
+    "pq_adc_topk",
+    "repetition_filter",
+    "rrf_fusion",
+    "salted_event_rollup",
+    "salted_user_join",
+    "sq_int8_topk",
+    "stratified_sample",
+    "streaming_dedup_keepers",
+    "streaming_events_hourly",
+    "tpch_q11_important",
+    "tpch_q12_lateship",
+    "tpch_q13_custdist",
+    "tpch_q15_topsupp",
+    "tpch_q16_suppcnt",
+    "tpch_q17_smallqty",
+    "tpch_q20_excess",
+    "tpch_q21_waiting",
+    "tpch_q22_noorders",
+    "tpch_q2_mincost",
+    "tpch_q5_local",
+    "tpch_q7_nations",
+    "tpch_q8_mktshare",
+    "tpch_q9_profit",
+    "user_retention",
+    "user_sessions",
+    "weighted_doc_sample",
+    # --- slots 48-50: oldest r10 greens (alphabetical) ---
+    "ann_brp_lsh_topk",
+    "ann_ivfpq_topk",
+    "bitext_mining",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
