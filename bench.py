@@ -165,6 +165,75 @@ HEADLINE = [
 ]
 
 
+def compact_bench_line(
+    compact: dict,
+    *,
+    slowest: dict,
+    spread: dict,
+    overlap: dict,
+    muvera: dict,
+    line_max: int = 1800,
+) -> str:
+    """Size the final stdout line for the driver's ~2000-byte capture
+    window. The trim cascade shrinks the per-query / spread / overlap /
+    muvera / recall / ingest / best_of_3 blocks progressively; the
+    per-gate `streaming_replay_sec` map is load-bearing driver signal
+    (r12 verdict #3 — the r12 record lost it to the old last-resort
+    collapse) and now survives EVERY stage, including the final one.
+    bench_full.json always has the untrimmed record."""
+    line = json.dumps(compact)
+    if len(line) > line_max:  # stage 1: slowest-queries block 20 -> 10
+        compact["queries"] = dict(list(slowest.items())[:10])
+        line = json.dumps(compact)
+    if len(line) > line_max:  # stage 2: spread to its 5 widest rows
+        compact["spread"] = dict(list(spread.items())[:5])
+        line = json.dumps(compact)
+    if len(line) > line_max:  # stage 3: muvera/overlap to their verdict keys
+        compact["muvera"] = {
+            k: muvera[k]
+            for k in ("default_candidates", "recall_at_5_default")
+            if k in muvera
+        }
+        compact["overlap_at_10_vs_exact"] = {
+            k: v for k, v in sorted(overlap.items(), key=lambda kv: kv[1])[:4]
+        }
+        line = json.dumps(compact)
+    if len(line) > line_max:  # stage 4: spread to its 3 widest, queries to 6
+        compact["spread"] = dict(list(spread.items())[:3])
+        compact["queries"] = dict(list(slowest.items())[:6])
+        line = json.dumps(compact)
+    if len(line) > line_max:  # stage 5: every secondary block to its verdict
+        compact["queries"] = dict(list(slowest.items())[:3])
+        compact["spread"] = dict(list(spread.items())[:1])
+        compact["overlap_at_10_vs_exact"] = {
+            k: v for k, v in sorted(overlap.items(), key=lambda kv: kv[1])[:2]
+        }
+        mr = compact.get("mutual_pair_recall")
+        if isinstance(mr, dict):
+            compact["mutual_pair_recall"] = dict(
+                sorted(mr.items(), key=lambda kv: kv[1])[:2]
+            )
+        ing = compact.get("ingest")
+        if isinstance(ing, dict):
+            compact["ingest"] = {
+                k: ing[k] for k in ("rows_per_sec",) if k in ing
+            }
+        b3 = compact.get("best_of_3")
+        if isinstance(b3, dict):
+            compact["best_of_3"] = {
+                k: b3[k]
+                for k in ("min_value", "min_stalled_samples", "valid")
+                if k in b3
+            }
+        line = json.dumps(compact)
+    if len(line) > line_max:  # stage 6: drop everything secondary entirely
+        for k in ("queries", "spread", "overlap_at_10_vs_exact",
+                  "mutual_pair_recall", "muvera", "ingest"):
+            compact.pop(k, None)
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -792,38 +861,13 @@ def main() -> None:
         "best_of_3": best_of_3,
         "sf": sf_val,
     }
-    # Size the final line for the driver's ~2000-byte stdout capture window
-    # (with headroom for the trailing newline and partial-line cut). The
-    # trim order protects the NEW signal: the per-gate replay map survives
-    # every stage except the last-resort one — bench_full.json always has
-    # the untrimmed record.
-    _LINE_MAX = 1800
-    line = json.dumps(compact)
-    if len(line) > _LINE_MAX:  # stage 1: slowest-queries block 20 -> 10
-        compact["queries"] = dict(list(slowest.items())[:10])
-        line = json.dumps(compact)
-    if len(line) > _LINE_MAX:  # stage 2: spread to its 5 widest rows
-        compact["spread"] = dict(list(spread.items())[:5])
-        line = json.dumps(compact)
-    if len(line) > _LINE_MAX:  # stage 3: muvera/overlap to their verdict keys
-        compact["muvera"] = {
-            k: muvera[k]
-            for k in ("default_candidates", "recall_at_5_default")
-            if k in muvera
-        }
-        compact["overlap_at_10_vs_exact"] = {
-            k: v for k, v in sorted(overlap.items(), key=lambda kv: kv[1])[:4]
-        }
-        line = json.dumps(compact)
-    if len(line) > _LINE_MAX:  # stage 4: spread to its 3 widest, queries to 6
-        compact["spread"] = dict(list(spread.items())[:3])
-        compact["queries"] = dict(list(slowest.items())[:6])
-        line = json.dumps(compact)
-    if len(line) > _LINE_MAX:  # last resort: collapse replay map to its total
-        compact["streaming_replay_sec"] = {
-            "total": round(sum(Q.STREAMING_REPLAY_SECONDS.values()), 3)
-        }
-        line = json.dumps(compact)
+    line = compact_bench_line(
+        compact,
+        slowest=slowest,
+        spread=spread,
+        overlap=overlap,
+        muvera=muvera,
+    )
     # diagnostic for run-to-run variance: if the derived-index registry is
     # at capacity, LRU eviction mid-bench silently re-derives a family
     from vettore_spark.plans import cache as PC

@@ -310,6 +310,71 @@ def test_horizon_dedup_crossbatch_duplicate_suppressed_4_batches(
     assert ids == [0, 1, 2, 4, 5], ids
 
 
+def test_bench_compact_line_preserves_pergate_replay_map():
+    """r12 verdict #3: the committed BENCH_r12 record collapsed the
+    per-gate streaming_replay_sec map to {"total": ...} because the old
+    trim cascade's last resort sacrificed it. The cascade must now keep
+    ALL per-gate entries at every stage while still fitting the driver's
+    capture window — pinned against a deliberately bloated record that
+    forces every trim stage to fire."""
+    import json
+
+    from bench import compact_bench_line
+
+    gates = {
+        f"streaming_{name}": round(2.0 + i, 3)
+        for i, name in enumerate(
+            "events_hourly dedup_keepers horizon_dedup funnel_stage "
+            "topk_per_key session_counts histogram_quantiles unit_dedup "
+            "moment_stats kmv_distinct zscore_flag_counts simhash_pairs"
+            .split()
+        )
+    }
+    slowest = {f"some_very_long_query_name_number_{i:03d}": 9.999 - i * 0.01
+               for i in range(20)}
+    spread = {f"spread_query_name_number_{i:03d}": [0.5, 9.5]
+              for i in range(12)}
+    overlap = {f"overlap_tier_name_{i}": 0.9 for i in range(8)}
+    muvera = {"default_candidates": 20, "recall_at_5_default": 1.0,
+              "sweep": {f"c{i}": 0.9 for i in range(20)}}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 55.5,
+        "unit": "sec",
+        "queries": dict(slowest),
+        "n_queries": 191,
+        "n_headline": 30,
+        "full_registry_rest_sec": 30.1,
+        "n_failed": 0,
+        "streaming_replay_sec": dict(gates),
+        "spread": dict(spread),
+        "overlap_at_10_vs_exact": dict(overlap),
+        "mutual_pair_recall": {f"recall_tier_{i}": 0.95 for i in range(8)},
+        "muvera": dict(muvera),
+        "ingest": {"rows_per_sec": 99000, "put_raw_ratio": 1.05,
+                   "spread_sec": 3.1, "detail": "x" * 200},
+        "host_load": {"start": [0.2, 0.3, 0.4], "end": [0.5, 0.6, 0.7],
+                      "verdict": "solo", "stalled_samples": 0,
+                      "n_samples": 590},
+        "best_of_3": {"min_value": 51.074, "min_source": "run3",
+                      "min_stalled_samples": 0, "min_host_verdict": "solo",
+                      "all_values": [51.0, 61.8, 90.3], "valid": True},
+        "sf": 0.1,
+    }
+    line = compact_bench_line(
+        compact, slowest=slowest, spread=spread, overlap=overlap,
+        muvera=muvera,
+    )
+    assert len(line) <= 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["streaming_replay_sec"] == gates, (
+        "per-gate replay map must survive the full trim cascade"
+    )
+    # and the headline value + host verdict survive too
+    assert parsed["value"] == 55.5
+    assert parsed["host_load"]["stalled_samples"] == 0
+
+
 def test_hashed_embedding_gate_parity_on_multibyte_corpus(spark, tmp_path):
     """Driver-gate contract in miniature: q_hashed_embedding (Spark) vs
     SQL_HASHED_EMBEDDING (DuckDB) agree row-for-row on a corpus whose every
