@@ -310,6 +310,218 @@ def test_horizon_dedup_crossbatch_duplicate_suppressed_4_batches(
     assert ids == [0, 1, 2, 4, 5], ids
 
 
+BAD = [float("nan"), float("inf"), float("-inf"), None]
+BAD_IDS = ["nan", "inf", "-inf", "null"]
+
+
+@pytest.mark.parametrize("bad", BAD, ids=BAD_IDS)
+def test_nanpolicy_flat_topk_malformed_vector_never_wins(spark, bad):
+    """NANPOLICY: a vector with a non-finite/NULL element must never take
+    a top-k slot ahead of a real vector, for similarity AND distance
+    metrics. (Before r13, Spark's least/greatest NaN-largest ordering
+    made K.cosine CLAMP a NaN ratio to a perfect 1.0 — the malformed row
+    won rank 1.)"""
+    from vettore_spark.operators.search import flat_topk
+
+    rows = [(i, [1.0 - 0.01 * i, 0.1 * i, 0.5, 0.25]) for i in range(8)]
+    rows.append((99, [bad, 1.0, 1.0, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, vector array<double>")
+    q = [1.0, 0.0, 0.5, 0.25]
+    for metric, pre in [("cosine", False), ("dot", True), ("l2", True)]:
+        top = flat_topk(
+            emb, q, metric=metric, k=5, id_col="vec_id",
+            vector_col="vector", pre_normalized=pre,
+        ).collect()
+        ids = [r["vec_id"] for r in top]
+        assert 99 not in ids, (metric, bad, ids)
+        assert len(ids) == 5, (metric, bad)
+
+
+@pytest.mark.parametrize("bad", BAD[:3], ids=BAD_IDS[:3])
+def test_nanpolicy_cosine_kernel_nulls_nonfinite(spark, bad):
+    """K.cosine yields NULL (not a clamped score) for non-finite input,
+    and stays exact for clean input."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark.functions import kernels as K
+
+    df = spark.createDataFrame(
+        [(1, [bad, 0.0]), (2, [3.0, 4.0]), (3, [0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            K.cosine(F.col("v"), F.array(F.lit(3.0), F.lit(4.0))).alias("c"),
+        ).collect()
+    }
+    assert got[1] is None, (bad, got[1])
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == 0.0  # zero vector rule unchanged
+
+
+@pytest.mark.parametrize("bad", BAD, ids=BAD_IDS)
+def test_nanpolicy_retrieval_metrics_ignore_malformed_rel(spark, bad):
+    """NANPOLICY: a non-finite relevance label is ignored — it must not
+    crash the ANSI long cast, poison the query's nDCG to NaN, or rank
+    first in the ideal-DCG window."""
+    from vettore_spark.operators.eval_metrics import retrieval_metrics
+
+    runs = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0), (1, 12, bad)],
+        "query_id long, doc_id long, rel double",
+    )
+    clean = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    got = retrieval_metrics(runs, qrels, k=3).collect()
+    want = retrieval_metrics(runs, clean, k=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want], bad
+    for r in got:
+        for v in r:
+            assert v is None or v == v, (bad, r)  # no NaN in output
+
+
+@pytest.mark.parametrize("bad", BAD, ids=BAD_IDS)
+def test_nanpolicy_streaming_topk_drops_malformed_values(spark, tmp_path, bad):
+    """NANPOLICY: a non-finite leaderboard value is dropped on arrival —
+    it must not hold rank 1 forever (inf), scramble the Python sort
+    (NaN), or crash the state encoder (NULL)."""
+    import os
+
+    from vettore_spark.streaming.stateful import streaming_topk_per_key
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, 100, 5.0), (1, 101, bad), (1, 102, 7.0), (1, 103, 6.0)],
+        "user_id long, event_id long, value double",
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_topk_per_key(stream, k=2)
+    tag = "null" if bad is None else ("nan" if bad != bad else
+                                      ("inf" if bad > 0 else "ninf"))
+    name = f"r13_topk_sink_{tag}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 120s")
+    got = sorted(
+        (r["rank"], r["event_id"], r["value"])
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert got == [(1, 102, 7.0), (2, 103, 6.0)], (bad, got)
+
+
+def test_nanpolicy_streaming_zscore_survives_poison_value(spark, tmp_path):
+    """NANPOLICY: a NaN value must not permanently NaN the key's Welford
+    state (which would silently disable anomaly detection for the key's
+    entire future)."""
+    from vettore_spark.streaming.stateful import streaming_zscore_anomaly
+
+    rows = []
+    # 15 calm events, then a NaN, then a wild outlier that MUST still flag
+    for i in range(15):
+        rows.append(("a", i, 1700000000 + i, 10.0 + 0.1 * (i % 3)))
+    rows.append(("a", 50, 1700000050, float("nan")))
+    rows.append(("a", 60, 1700000060, 1000.0))
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "event_type string, event_id long, ts long, value double"
+    ).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_zscore_anomaly(stream, threshold=2.5, min_history=10)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("r13_zscore_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 120s")
+    got = {
+        r["event_id"]: (r["z"], r["is_anomaly"])
+        for r in spark.sql("select * from r13_zscore_sink").collect()
+    }
+    z_nan, flag_nan = got[50]
+    assert z_nan == 0.0 and flag_nan is False  # malformed row never flags
+    z_out, flag_out = got[60]
+    assert flag_out is True and z_out == z_out, (
+        "outlier AFTER the poison row must still be detected"
+    )
+
+
+@pytest.mark.parametrize("bad", BAD[:3], ids=BAD_IDS[:3])
+def test_nanpolicy_semdedup_malformed_never_prunes(spark, bad):
+    """NANPOLICY: a malformed vector must never be scored similar to
+    anything (its cosine is NULL) — it cannot prune real rows and ranks
+    last in its cluster."""
+    from vettore_spark.operators.selection import semdedup_prune
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.99, 0.141]),   # near-dup of 1 -> pruned
+            (3, 0, [bad, 0.0]),      # malformed
+        ],
+        "id long, cluster long, vector array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster long, centroid array<double>"
+    )
+    out = {
+        r["id"]: (r["kept"], r["cos_centroid"])
+        for r in semdedup_prune(
+            emb, cent, threshold=0.95, id_col="id", vector_col="vector",
+            cluster_col="cluster", centroid_col="centroid",
+        ).collect()
+    }
+    assert out[1][0] is True
+    assert out[2][0] is False  # the real near-dup is pruned by row 1
+    kept3, cos3 = out[3]
+    assert cos3 is None, (bad, cos3)
+    assert kept3 is True  # malformed is not a near-dup of anything
+
+
+def test_nanpolicy_cross_encoder_nan_score_ranks_last(spark):
+    """NANPOLICY: a NaN model score ranks LAST in the rerank window (desc
+    NULLS LAST via the nan->null sort key), not first."""
+    import pandas as pd
+
+    from vettore_spark.encodings.encoders import rerank_with_model
+
+    cands = spark.createDataFrame(
+        [(1, "q", 10, "good"), (1, "q", 11, "bad"), (1, "q", 12, "ok")],
+        "query_id long, query_text string, doc_id long, text string",
+    )
+
+    def fake(qs: pd.Series, ds: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float("nan") if d == "bad" else (1.0 if d == "good" else 0.5)
+             for d in ds]
+        )
+
+    got = rerank_with_model(cands, score_fn=fake, k=3).orderBy(
+        "rank"
+    ).collect()
+    assert [r["doc_id"] for r in got] == [10, 12, 11]
+
+
 def test_bench_compact_line_preserves_pergate_replay_map():
     """r12 verdict #3: the committed BENCH_r12 record collapsed the
     per-gate streaming_replay_sec map to {"total": ...} because the old

@@ -188,9 +188,14 @@ def rerank_with_model(
     scored = candidates.select(
         query_id_col, query_text_col, id_col, text_col
     ).mapInPandas(run, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc(F.round("model_score", 6)), F.col(id_col)
-    )
+    # NaN stance (NANPOLICY.md): the model fn is a pluggable external
+    # scorer — a NaN score (diverged model, overflowed logit) must rank
+    # LAST, not first (Spark desc puts NaN above every real score; NULL
+    # sorts last under desc). The emitted model_score keeps the raw NaN
+    # so the caller can see the failure.
+    skey = F.round("model_score", 6)
+    skey = F.when(F.isnan(skey), F.lit(None).cast("double")).otherwise(skey)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(skey), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

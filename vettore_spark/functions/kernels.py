@@ -105,9 +105,18 @@ def l2(a: Column | str, b: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     """True cosine similarity: f64 dot/(|a||b|), zero vector -> 0.0,
-    clamped to [-1, 1] (distances.rs:160-177).
+    clamped to [-1, 1] (distances.rs:160-177). A non-finite input
+    (NaN/±inf element) yields NULL, never a score: Spark's least/greatest
+    order NaN ABOVE every double, so the plain clamp would turn a
+    malformed vector's NaN ratio into a PERFECT 1.0 similarity — the
+    malformed-rows-win class (NANPOLICY.md). NULL loses under every
+    NULLS-LAST rank key and fails every `>= threshold` filter.
 
-    Single pass: one aggregate accumulating (dot, |a|^2, |b|^2).
+    Single pass: one aggregate accumulating (dot, |a|^2, |b|^2), with the
+    ratio/clamp in the aggregate's FINISH lambda — the struct is a bound
+    lambda variable there, so the fold runs once; referencing the
+    aggregate from outside (the previous shape) re-inlined the whole
+    CodegenFallback fold per reference (~4x) after CollapseProject.
     """
     pairs = F.zip_with(
         _dbl(a), _dbl(b), lambda x, y: F.struct(x.alias("x"), y.alias("y"))
@@ -115,7 +124,17 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     init = F.struct(
         F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
     )
-    acc = F.aggregate(
+
+    def fin(s: Column) -> Column:
+        denom = F.sqrt(s["na"]) * F.sqrt(s["nb"])
+        r = s["d"] / denom
+        return (
+            F.when(denom == 0.0, F.lit(0.0))
+            .when(F.isnan(r), F.lit(None).cast("double"))
+            .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), r)))
+        )
+
+    return F.aggregate(
         pairs,
         init,
         lambda s, p: F.struct(
@@ -123,10 +142,7 @@ def cosine(a: Column | str, b: Column | str) -> Column:
             (s["na"] + p["x"] * p["x"]).alias("na"),
             (s["nb"] + p["y"] * p["y"]).alias("nb"),
         ),
-    )
-    denom = F.sqrt(acc["na"]) * F.sqrt(acc["nb"])
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), acc["d"] / denom))
+        fin,
     )
 
 
@@ -219,9 +235,28 @@ def raw_metric(
 # ---------------------------------------------------------------------------
 
 
+def _finite_or_null(raw: Column) -> Column:
+    """NaN/±inf -> NULL rail shared by the K12-K14 value mappers
+    (NANPOLICY.md): Spark's total ordering puts NaN ABOVE every double
+    and comparisons follow it, so a NaN raw metric would WIN a desc
+    similarity sort and PASS a `>= threshold` cut, and a +inf dot
+    product would rank FIRST (rank = -raw = -inf). NULL instead: loses
+    under every NULLS-LAST rank key (asc default puts NULL first —
+    hence the explicit asc_nulls_last everywhere), sorts last under
+    desc (Spark desc default is NULLS LAST), and fails every
+    threshold comparison. Callers pass a MATERIALIZED raw column
+    (`_staged_raw`), so the extra references are cheap scalar reads,
+    not re-inlined kernel folds."""
+    return F.when(
+        F.isnan(raw) | (F.abs(raw) == float("inf")), F.lit(None).cast("double")
+    ).otherwise(raw)
+
+
 def rank_value(metric: str, raw: Column) -> Column:
-    """Ascending rank order key (distances.rs:113-119)."""
+    """Ascending rank order key (distances.rs:113-119). Non-finite raw
+    -> NULL rank (loses under NULLS-LAST ordering)."""
     m = canonical_metric(metric)
+    raw = _finite_or_null(raw)
     if m == "cosine":
         return 1.0 - raw
     if m == "inner_product":
@@ -230,8 +265,10 @@ def rank_value(metric: str, raw: Column) -> Column:
 
 
 def similarity_value(metric: str, raw: Column) -> Column:
-    """Higher-is-better similarity (distances.rs:122-128)."""
+    """Higher-is-better similarity (distances.rs:122-128). Non-finite
+    raw -> NULL similarity (fails every >= min_score cut)."""
     m = canonical_metric(metric)
+    raw = _finite_or_null(raw)
     if m in ("cosine", "inner_product"):
         return raw
     if m == "negative_inner_product":
@@ -243,11 +280,13 @@ def result_values(metric: str, raw: Column, score_mode: str = "raw") -> tuple[Co
     """(score, distance) columns per metric x score-mode
     (lib/vettore_distance.ex:525-547). distance may be NULL only never here —
     every metric in the table yields a distance; MaxSim results carry NULL
-    distance at the operator layer.
+    distance at the operator layer. Non-finite raw -> NULL score AND
+    distance (the row is reportable but never ranked or thresholded in).
     """
     m = canonical_metric(metric)
     if score_mode not in ("raw", "similarity"):
         raise ValueError(f"unknown score mode: {score_mode!r}")
+    raw = _finite_or_null(raw)
     if m == "negative_inner_product":
         return -raw, raw + 0.0
     if m in SIMILARITY_METRICS:

@@ -53,6 +53,17 @@ def retrieval_metrics(
     """
     q, d, r = query_id_col, id_col, rank_col
     run_k = runs.filter(F.col(r) <= k).select(q, d, r)
+    # NaN stance (NANPOLICY.md): a non-finite relevance label is IGNORED
+    # (treated as unlabeled), never scored — Spark's total ordering would
+    # otherwise let `NaN > 0` pass the positive filter, rank the NaN row
+    # FIRST in the ideal-DCG desc window (2^NaN poisons the whole query's
+    # nDCG to NaN), and under ANSI mode the long cast on a NaN double
+    # ABORTS the job outright: one malformed label row killing a 100 TB
+    # eval run.
+    rel = F.col(rel_col).cast("double")
+    qrels = qrels.filter(
+        rel.isNull() | (~F.isnan(rel) & (F.abs(rel) != float("inf")))
+    )
     labeled = run_k.join(
         qrels.select(q, d, F.col(rel_col).cast("long").alias("_rel")),
         [q, d],

@@ -24,6 +24,7 @@ verification and under continuous micro-batches in production.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -46,7 +47,17 @@ def streaming_topk_per_key(
     Emits, per micro-batch and key, the current top-k (id, value) pairs in
     descending value order (ties by id ascending — the same deterministic
     tie-break as the batch top-k operators). State: the top-k pairs only.
+
+    NaN stance (NANPOLICY.md): non-finite values (NaN/±inf/NULL) are
+    DROPPED on arrival, never stored — a NaN key in the Python sort is
+    ill-defined (comparisons all false: arrival position decides), a +inf
+    value would hold rank 1 forever, and the batch window-oracle twin
+    (value DESC under Spark/DuckDB's NaN-largest total ordering) would
+    crown the malformed row. A leaderboard slot is a keeper slot;
+    malformed rows lose.
     """
+    import numpy as np
+
     out_schema = (
         f"{key_col} long, rank integer, {id_col} long, {value_col} double"
     )
@@ -61,7 +72,11 @@ def streaming_topk_per_key(
         else:
             pairs = []
         for pdf in pdfs:
-            pairs.extend(zip(pdf[id_col].tolist(), pdf[value_col].tolist()))
+            vv = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = np.isfinite(vv)
+            pairs.extend(
+                zip(pdf[id_col].to_numpy()[ok].tolist(), vv[ok].tolist())
+            )
         # descending value, ascending id, bounded to k
         pairs.sort(key=lambda p: (-p[1], p[0]))
         pairs = pairs[:k]
@@ -541,7 +556,15 @@ def streaming_zscore_anomaly(
         ids, vals, zs, flags = [], [], [], []
         for _, r in rows.iterrows():
             v = float(r[value_col])
-            if n >= min_history and m2 > 0.0:
+            # NaN stance (NANPOLICY.md): a non-finite value scores z=0 /
+            # unflagged AND is excluded from the Welford fold — folding
+            # it in would set mean/m2 to NaN PERMANENTLY, silently
+            # disabling the detector for the key's entire future (every
+            # later z = NaN, abs(NaN) > t = False): one poisoned row
+            # ending anomaly detection is the histogram-sketch crash
+            # class (r12) in slow motion.
+            finite = math.isfinite(v)
+            if finite and n >= min_history and m2 > 0.0:
                 std = (m2 / (n - 1)) ** 0.5
                 z = (v - mean) / std if std > 0 else 0.0
             else:
@@ -550,6 +573,8 @@ def streaming_zscore_anomaly(
             vals.append(v)
             zs.append(z)
             flags.append(abs(z) > threshold)
+            if not finite:
+                continue
             # Welford update AFTER scoring
             n += 1
             d = v - mean
