@@ -522,6 +522,29 @@ def test_nanpolicy_cross_encoder_nan_score_ranks_last(spark):
     assert [r["doc_id"] for r in got] == [10, 12, 11]
 
 
+@pytest.mark.parametrize("bad", BAD[:3], ids=BAD_IDS[:3])
+def test_nanpolicy_token_budget_nonfinite_counts_dont_abort(spark, bad):
+    """ANSI-cast abort class (found via the eval_metrics rel-cast crash):
+    a NaN/±inf token COUNT previously rode the group sum into a long
+    cast, which under ANSI mode aborts the whole job. Non-finite counts
+    now contribute 0 tokens; selection for the rest proceeds."""
+    from vettore_spark.operators.selection import select_token_budget
+
+    wdf = spark.createDataFrame(
+        [(1, 0.9, 10.0), (2, 0.8, bad), (3, 0.7, 5.0)],
+        "doc_id long, w double, n_tokens double",
+    )
+    sel = {
+        r["doc_id"]: r["selected"]
+        for r in select_token_budget(
+            wdf, 15, weight_col="w", tokens_col="n_tokens"
+        ).collect()
+    }
+    # doc1 (10) fits; doc2 counts 0 tokens (selected rides its position);
+    # doc3 (5) still fits within 15
+    assert sel[1] is True and sel[3] is True
+
+
 def test_bench_compact_line_preserves_pergate_replay_map():
     """r12 verdict #3: the committed BENCH_r12 record collapsed the
     per-gate streaming_replay_sec map to {"total": ...} because the old

@@ -344,8 +344,17 @@ def select_token_budget(
     group would rank FIRST and absorb the budget; its join rows then
     coalesce to false like NULL's)."""
     wcol = F.col(weight_col)
+    # token counts ride through a double sum into a long cast; a NaN/±inf
+    # token count would make the group sum non-finite and, under ANSI
+    # mode, ABORT the whole job at the cast (the eval_metrics rel-cast
+    # class, NANPOLICY.md). Non-finite counts contribute 0 tokens — the
+    # row still gets its selected flag from its group's budget position.
+    tcol = F.col(tokens_col).cast("double")
+    tok_ok = F.when(
+        F.isnan(tcol) | (F.abs(tcol) == float("inf")), F.lit(0.0)
+    ).otherwise(tcol)
     grp = weights.filter(wcol.isNotNull() & ~F.isnan(wcol)).groupBy(weight_col).agg(
-        F.sum(tokens_col).cast("long").alias("_gt")
+        F.sum(tok_ok).cast("long").alias("_gt")
     )
     w_grp = (
         Window.orderBy(F.desc(weight_col))
@@ -362,7 +371,11 @@ def select_token_budget(
     )
     return (
         weights.join(F.broadcast(grp_cum), on=weight_col, how="left")
-        .withColumn("_wg_cum", F.sum(tokens_col).over(w_in))
+        # same non-finite guard as the group aggregate: a NaN count in
+        # the running within-group sum would NaN every later row's
+        # cumulative total (`NaN <= budget` is false under Spark's total
+        # order — silently deselecting the rest of the group)
+        .withColumn("_wg_cum", F.sum(tok_ok).over(w_in))
         .withColumn(
             "selected",
             F.coalesce(
