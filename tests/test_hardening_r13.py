@@ -545,6 +545,52 @@ def test_nanpolicy_token_budget_nonfinite_counts_dont_abort(spark, bad):
     assert sel[1] is True and sel[3] is True
 
 
+def test_cosine_fold_appears_once_in_optimized_plan(spark):
+    """The r13 cosine rework computes ratio/clamp in the aggregate's
+    FINISH lambda, so the CodegenFallback fold appears exactly once in
+    the optimized plan. The old shape referenced the folded struct from
+    outside the aggregate (~4x after CollapseProject inlining — shown by
+    the contrast expression below), and HOFs get no codegen
+    subexpression elimination, so every printed copy runs."""
+    from pyspark.sql import functions as F
+
+    from vettore_spark.functions import kernels as K
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    q = F.array(F.lit(1.0), F.lit(0.0))
+
+    out = df.select(K.cosine(F.col("v"), q).alias("c"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan
+
+    # contrast: the pre-r13 shape (acc referenced from outside) inlines
+    # the fold once per reference — this is the regression this test
+    # guards against
+    pairs = F.zip_with(
+        F.col("v"), q, lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+    )
+    init = F.struct(
+        F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+    )
+    acc = F.aggregate(
+        pairs,
+        init,
+        lambda s, p: F.struct(
+            (s["d"] + p["x"] * p["y"]).alias("d"),
+            (s["na"] + p["x"] * p["x"]).alias("na"),
+            (s["nb"] + p["y"] * p["y"]).alias("nb"),
+        ),
+    )
+    denom = F.sqrt(acc["na"]) * F.sqrt(acc["nb"])
+    old = df.select(
+        F.when(denom == 0.0, F.lit(0.0))
+        .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), acc["d"] / denom)))
+        .alias("c")
+    )
+    old_plan = old._jdf.queryExecution().optimizedPlan().toString()
+    assert old_plan.count("aggregate(") > 1, old_plan
+
+
 def test_bench_compact_line_preserves_pergate_replay_map():
     """r12 verdict #3: the committed BENCH_r12 record collapsed the
     per-gate streaming_replay_sec map to {"total": ...} because the old
