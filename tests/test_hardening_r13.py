@@ -545,6 +545,57 @@ def test_nanpolicy_token_budget_nonfinite_counts_dont_abort(spark, bad):
     assert sel[1] is True and sel[3] is True
 
 
+def test_quality_score_empty_text_does_not_abort(spark):
+    """ANSI divide-by-zero class: Spark 4 default ANSI mode aborts EVERY
+    division by zero (doubles included — 1.0/0.0 RAISES, it is not IEEE
+    infinity), so an empty document's punct/chars ratio previously
+    killed the whole quality-scoring job. Empty text now yields a NULL
+    punct_ratio and finite remaining signals."""
+    from vettore_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "real text with several words here ok fine yes")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in quality_score(df).collect()}
+    assert got[1]["punct_ratio"] is None
+    assert got[2]["punct_ratio"] is not None
+    for k, v in got[2].items():
+        if isinstance(v, float):
+            assert v == v, (k, v)  # no NaN on the real doc
+
+
+def test_empty_input_operators_return_empty_not_crash(spark):
+    """Degenerate-input sweep: representative operators over EMPTY frames
+    return empty/zero results instead of crashing (the one crasher found
+    — quality_score — is pinned above)."""
+    from vettore_spark.operators import dedup as D
+    from vettore_spark.operators import search as S
+    from vettore_spark.operators import text as TX
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    )
+    assert (
+        S.flat_topk(
+            empty_emb, [1.0, 0.0], metric="cosine", k=5, id_col="vec_id",
+            vector_col="embedding", pre_normalized=False,
+        ).count()
+        == 0
+    )
+    assert TX.hashed_token_features(empty_docs, dim=8).count() == 0
+    assert (
+        TX.hashed_token_features(
+            spark.createDataFrame([(1, None)], "doc_id long, text string"),
+            dim=8,
+        ).count()
+        == 0
+    )
+    assert D.minhash_lsh_pairs(empty_docs).count() == 0
+    assert D.simhash_pairs(empty_docs).count() == 0
+
+
 def test_cosine_fold_appears_once_in_optimized_plan(spark):
     """The r13 cosine rework computes ratio/clamp in the aggregate's
     FINISH lambda, so the CodegenFallback fold appears exactly once in

@@ -71,7 +71,15 @@ def quality_score(
     chars = F.length(F.col(text_col)).cast("double")
     ttr = F.size(F.array_distinct(t)).cast("double") / n
     len_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
-    punct_ratio = F.round(punct / chars, 5)
+    # ANSI divide-by-zero rail (NANPOLICY.md): Spark 4's default ANSI
+    # mode aborts EVERY division by zero, doubles included — an empty
+    # document (chars = 0) previously killed the whole job here. The
+    # ratio is undefined on empty text; NULL says so. (n is never 0:
+    # the tokenizer yields [""] for empty text, so the /n ratios are
+    # safe by construction.)
+    punct_ratio = F.round(
+        F.when(chars > 0, punct / chars), 5
+    )
     stop_ratio = F.round(stop / n, 5)
     composite = F.round(
         (len_ok + F.least(stop / n * 5, F.lit(1.0)) + ttr) / 3.0, 5
