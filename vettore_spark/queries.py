@@ -9115,71 +9115,77 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-13 gate window (per the round-12 verdict, rotated at round START):
-# slots 1-3 are the three remaining order-free availableNow gates
-# CONVERTED this round to multi-micro-batch replay (r12 verdict #6:
-# 4 range-split files, maxFilesPerTrigger=1, unchanged oracles) —
-# re-gated first so the driver signal covers their cross-batch state
-# transitions. Slots 4-47 are ALL 44 queries whose latest driver green
-# is r9 (the oldest surviving greens: TPC-H breadth, the temporal
-# asof/range/sessions block, PQ/SQ/JL tiers, bm25/rrf retrieval, the
-# curation filters — r12 verdict #4's explicit list). Slots 48-50 are
-# the 3 alphabetically-first r10 greens. 3+44+3 fills 50 exactly;
-# after this gate no query's latest green is older than r10.
+# Round-14 gate window (per the round-13 verdict, rotated at round START):
+# slots 1-3 are the r13-CHANGED queries whose driver gate predates the
+# change (r13 verdict #1's explicit adds): `hashed_embedding` (UTF-8
+# oracle rewrite, last gated r12 on the old oracle) and
+# `retrieval_eval` / `quality_score` (NaN/ANSI rails, last gated r12).
+# Slots 4-47 are ALL 44 queries whose latest driver green is r10 (the
+# oldest surviving greens — the protocol block, which already contains
+# the rest of the r13 cosine-path family: flat_topk_cosine,
+# prefix_topk, quantized_topk, funnel_topk, semdedup_prune,
+# similarity_score_mode, maxsim_label_topk, muvera_fde_retrieval, and
+# the NaN-railed rerank_model_topk / token_budget_select). Slots 48-50
+# are three targeted r11 greens: `range_search_cosine` (the remaining
+# un-re-gated cosine-kernel-path query), `ann_ivf_topk` (representative
+# for the r14 ivf_assign finiteness rail, verdict #4a), and
+# `streaming_simhash_pairs` (watch item #1 — the doubled headline row).
+# 3+44+3 fills 50 exactly; after this gate no query's latest green is
+# older than r11 and no r13/r14-changed query's gate trails its change.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-3: multi-micro-batch streaming conversions (r12 verdict #6) ---
-    "streaming_horizon_dedup",
-    "streaming_funnel_stage",
-    "streaming_topk_per_key",
-    # --- slots 4-47: every query whose latest green is r9 ---
-    "bm25_topk",
-    "c4_line_filter",
-    "decontaminate",
-    "doc_chunks",
-    "event_funnel",
-    "events_asof_join",
-    "events_range_join",
-    "events_skew_report",
-    "events_value_quantiles",
-    "jl_prefilter_topk",
-    "jl_projection",
-    "multi_query_quantized",
-    "mutual_knn_blocked",
-    "mutual_knn_cellblocked",
-    "mutual_knn_multiband",
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "pii_redact",
-    "pq_adc_topk",
-    "repetition_filter",
-    "rrf_fusion",
-    "salted_event_rollup",
-    "salted_user_join",
-    "sq_int8_topk",
-    "stratified_sample",
-    "streaming_dedup_keepers",
-    "streaming_events_hourly",
-    "tpch_q11_important",
-    "tpch_q12_lateship",
-    "tpch_q13_custdist",
-    "tpch_q15_topsupp",
-    "tpch_q16_suppcnt",
-    "tpch_q17_smallqty",
-    "tpch_q20_excess",
-    "tpch_q21_waiting",
-    "tpch_q22_noorders",
-    "tpch_q2_mincost",
-    "tpch_q5_local",
-    "tpch_q7_nations",
-    "tpch_q8_mktshare",
-    "tpch_q9_profit",
-    "user_retention",
-    "user_sessions",
-    "weighted_doc_sample",
-    # --- slots 48-50: oldest r10 greens (alphabetical) ---
-    "ann_brp_lsh_topk",
-    "ann_ivfpq_topk",
-    "bitext_mining",
+    # --- slots 1-3: r13-changed, gate trailed the change (r13 verdict #1) ---
+    "hashed_embedding",
+    "retrieval_eval",
+    "quality_score",
+    # --- slots 4-47: every query whose latest green is r10 ---
+    "bloom_join_prune",
+    "bm25_batch",
+    "calibrated_quality",
+    "cms_token_hitters",
+    "curation_pipeline",
+    "dedup_report",
+    "domain_mixture",
+    "dsir_weights",
+    "embedding_neardup_blocked",
+    "events_time_rollup",
+    "filtered_quantized_topk",
+    "flat_topk_cosine",
+    "flat_topk_dot",
+    "funnel_topk",
+    "hard_negatives",
+    "hnsw_delete_search",
+    "hnsw_multi_topk",
+    "ivf_delete_search",
+    "ivf_filtered_topk",
+    "kmv_distinct_daily",
+    "kmv_shingle_overlap",
+    "maxsim_label_topk",
+    "media_audio_features",
+    "media_frame_sample",
+    "media_image_features",
+    "media_image_resize",
+    "multi_query_topk",
+    "muvera_fde_retrieval",
+    "packed_jaccard_topk",
+    "prefix_topk",
+    "quantized_topk",
+    "rerank_model_topk",
+    "retrieval_pipeline",
+    "semantic_dedup_pairs",
+    "semdedup_prune",
+    "similarity_score_mode",
+    "substring_dedup",
+    "table_profile",
+    "temperature_mixture",
+    "textrank_distributed",
+    "textrank_keywords",
+    "token_budget_select",
+    "train_shards",
+    "training_pipeline",
+    # --- slots 48-50: targeted r11 greens (cosine path / IVF rail / watch item) ---
+    "range_search_cosine",
+    "ann_ivf_topk",
+    "streaming_simhash_pairs",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
