@@ -1,0 +1,387 @@
+"""Round-14 hardening pins.
+
+1. Tokenizer parity (ADVICE r13): hashed_token_features splits on the
+   UNICODE whitespace set (pandas str.split = Python str.split); the
+   DuckDB oracle's explicit RE2 class names the same set (RE2's \\s is
+   ASCII-only). Pinned exhaustively over the BMP prefix that contains
+   every Python whitespace char, and end-to-end on a corpus carrying
+   NBSP / IDEOGRAPHIC SPACE / NEL / FS-GS-RS-US separators.
+2. rerank_with_model non-finite rail (ADVICE r13): +inf (overflowed
+   logit) must rank LAST, not first — r13 guarded only NaN.
+3. MaxSim staged-raw plan shape (ADVICE r13): the per-pair kernel fold
+   appears ONCE per query vector in the optimized plan (was 3x: the K13
+   value mapper's three references to `raw` re-inlined the whole
+   CodegenFallback fold), and a malformed doc token still never wins.
+4. IVF finiteness rail (r13 verdict #4a): non-finite vectors quarantine
+   to _cell = NULL (never probed, never returned), ivf_health surfaces
+   them as a NULL-cell row, ivf_insert fail-fasts.
+5. BM25 degenerate-corpus rail (r13 verdict #4b): an all-empty corpus
+   returns empty (never NaN scores, never an ANSI divide abort).
+6. bench3 --extend provenance (ADVICE r13): a commitless prior record
+   is refused instead of silently blended.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# 1. tokenizer parity: Python whitespace == the oracle's RE2 class
+# ---------------------------------------------------------------------------
+
+
+def test_py_ws_class_matches_python_isspace_exhaustively():
+    """The oracle's explicit RE2 whitespace class matches str.isspace for
+    EVERY codepoint up to U+3100 (the range containing all 29 Python
+    whitespace chars) plus astral samples — so pandas str.split() and the
+    DuckDB split agree on any input, not just the chars we thought of."""
+    import duckdb
+
+    from vettore_spark.queries import _PY_WS_CLASS
+
+    chars = [chr(cp) for cp in range(1, 0x3101)]
+    chars += [chr(0x10000), chr(0x1F600), chr(0x10FFFF)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS c", [chars])
+    got = dict(
+        con.execute(
+            f"SELECT c, regexp_matches(c, '{_PY_WS_CLASS}') FROM t"
+        ).fetchall()
+    )
+    mismatches = [
+        hex(ord(c)) for c in chars if got[c] != c.isspace()
+    ]
+    assert mismatches == []
+
+
+def test_hashed_embedding_gate_parity_on_unicode_whitespace_corpus(
+    spark, tmp_path
+):
+    """Driver-gate contract in miniature, on the corpus the r13 parity test
+    had to EXCLUDE (exotic whitespace): NBSP, IDEOGRAPHIC SPACE, NEL,
+    THIN SPACE, and the \\x1c-\\x1f separators — all token boundaries for
+    pandas str.split, now also for the oracle's explicit class."""
+    import duckdb
+
+    from vettore_spark import queries as Q
+
+    docs = [
+        (0, "edge nbsp token"),
+        (1, "日本　語 split"),
+        (2, "nel\x85sep and thin"),
+        (3, "fs\x1cgs\x1drs\x1eus\x1f end"),
+        (4, " leading and trailing　"),
+        (5, "wörld 🎉 mixed widths"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["doc_id"], r["idx"]): r["w"]
+        for r in Q.q_hashed_embedding(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(Q.SQL_HASHED_EMBEDDING).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+# ---------------------------------------------------------------------------
+# 2. rerank_with_model: ±inf ranks last (not just NaN)
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_model_inf_score_ranks_last(spark):
+    """An overflowed logit produces +inf, not NaN: under desc it outranked
+    every real score in r13. The shared kernel rail NULLs it (ranks last);
+    the emitted model_score keeps the raw non-finite value."""
+    from vettore_spark.encodings.encoders import rerank_with_model
+
+    docs = [
+        ("q1", "q", 1, "a"),
+        ("q1", "q", 2, "b"),
+        ("q1", "q", 3, "c"),
+        ("q1", "q", 4, "d"),
+    ]
+    cand = spark.createDataFrame(
+        docs, "query_id string, query_text string, doc_id long, text string"
+    )
+    scores = {1: float("inf"), 2: 0.7, 3: float("nan"), 4: float("-inf")}
+
+    def fn(q: pd.Series, t: pd.Series) -> np.ndarray:
+        return np.array([scores[i] for i in range(1, len(q) + 1)])
+
+    # the fake scorer above keys on POSITION; pin one batch so position
+    # == doc_id order
+    rows = rerank_with_model(
+        cand.coalesce(1).sortWithinPartitions("doc_id"),
+        score_fn=fn,
+        k=4,
+    ).collect()
+    by_rank = {r["rank"]: r for r in sorted(rows, key=lambda r: r["rank"])}
+    # the single finite score wins; non-finite (inf, nan, -inf) follow
+    # in id order (NULL sort key -> id tiebreak)
+    assert by_rank[1]["doc_id"] == 2
+    assert [by_rank[i]["doc_id"] for i in (2, 3, 4)] == [1, 3, 4]
+    # the failure stays visible: +inf survives the Arrow boundary as-is;
+    # NaN crosses it as NULL (pandas NaN == Arrow null) — either way the
+    # caller can distinguish a failed score from a real one
+    assert math.isinf(by_rank[2]["model_score"])
+    assert by_rank[3]["model_score"] is None or math.isnan(
+        by_rank[3]["model_score"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MaxSim: staged raw fold (plan pin) + malformed token never wins
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_fold_staged_once_in_optimized_plan(spark):
+    """The per-pair kernel fold must appear exactly once per query vector
+    in the optimized plan: the K13 mapper's 3 references to `raw` used to
+    re-inline the whole CodegenFallback aggregate (the r13 cosine class)."""
+    import re
+
+    from vettore_spark.operators import multivector as MV
+
+    df = spark.createDataFrame(
+        [(1, [[0.1] * 8, [0.2] * 8])],
+        "id long, vectors array<array<double>>",
+    )
+    qvs = [[0.1] * 8, [0.5] * 8]
+    for metric in ("l2", "cosine"):
+        out = df.select(
+            MV.maxsim_score(
+                F.col("vectors").cast("array<array<double>>"),
+                qvs,
+                metric=metric,
+            ).alias("s")
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        n_folds = len(re.findall(r"aggregate\(", plan))
+        assert n_folds == len(qvs), (metric, n_folds)
+
+
+@pytest.mark.parametrize("bad", [float("nan"), float("inf")])
+def test_maxsim_malformed_doc_token_never_wins(spark, bad):
+    """A malformed token vector inside a doc's token list must not lift the
+    doc's MaxSim score: its per-pair similarity rails to NULL and
+    array_max skips NULLs (an all-malformed doc totals NULL, never top)."""
+    from vettore_spark.operators import multivector as MV
+
+    good = [0.9] * 4
+    rows = [
+        (1, [[0.9] * 4, [0.5] * 4]),           # clean doc, near-perfect
+        (2, [[bad] + [0.9] * 3, [0.1] * 4]),    # poisoned first token
+        (3, [[bad] * 4]),                        # all tokens malformed
+    ]
+    df = spark.createDataFrame(rows, "id long, vectors array<array<double>>")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id",
+            MV.maxsim_score(
+                F.col("vectors").cast("array<array<double>>"),
+                [good],
+                metric="cosine",
+            ).alias("s"),
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1.0, abs=1e-9)
+    # poisoned doc falls back to its best CLEAN token, never the NaN pair
+    assert out[2] == pytest.approx(
+        np.dot(good, [0.1] * 4)
+        / (np.linalg.norm(good) * np.linalg.norm([0.1] * 4)),
+        abs=1e-9,
+    )
+    assert out[3] is None
+
+
+# ---------------------------------------------------------------------------
+# 4. IVF finiteness rail
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ivf_fixture(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 8)) * 4.0
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + rng.standard_normal(8) * 0.2
+        rows.append((i, v.astype(float).tolist()))
+    rows.append((900, [float("nan")] + [1.0] * 7))
+    rows.append((901, [float("inf")] + [1.0] * 7))
+    coll = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, centers[j].astype(float).tolist()) for j in range(4)],
+        "centroid_id long, centroid array<double>",
+    )
+    return coll, cents
+
+
+def test_ivf_assign_quarantines_nonfinite_vectors(spark, ivf_fixture):
+    """numpy argmin propagates NaN (first NaN wins the cell): a non-finite
+    vector must get _cell = NULL, never a real cell."""
+    from vettore_spark.operators import ann as ANN
+
+    coll, cents = ivf_fixture
+    assigned = ANN.ivf_assign(
+        coll, centroids=cents, id_col="vec_id", vector_col="embedding"
+    )
+    cells = {r["vec_id"]: r["_cell"] for r in assigned.collect()}
+    assert cells[900] is None
+    assert cells[901] is None
+    assert all(
+        c is not None for i, c in cells.items() if i not in (900, 901)
+    )
+
+
+def test_ivf_topk_never_returns_quarantined_rows(spark, ivf_fixture):
+    """The probe equi-join never matches a NULL cell, so a malformed row
+    can never appear in any search result."""
+    from vettore_spark.operators import ann as ANN
+
+    coll, cents = ivf_fixture
+    qs = coll.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = ANN.ivf_topk(
+        coll, qs, centroids=cents, n_probe=4, k=80,
+        id_col="vec_id", vector_col="embedding",
+    ).collect()
+    returned = {r["vec_id"] for r in out}
+    assert 900 not in returned and 901 not in returned
+    assert len(out) > 0
+
+
+def test_ivf_health_surfaces_quarantined_rows(spark, ivf_fixture):
+    """Quarantined rows stay VISIBLE: the health report carries a NULL-cell
+    row with the quarantine count and NULL distance stats, and clean-cell
+    populations still sum with it to the corpus."""
+    from vettore_spark.operators import ann as ANN
+
+    coll, cents = ivf_fixture
+    rows = ANN.ivf_health(
+        coll, centroids=cents, id_col="vec_id", vector_col="embedding"
+    ).collect()
+    null_rows = [r for r in rows if r["cell"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["n_rows"] == 2
+    assert null_rows[0]["mean_dist"] is None
+    assert null_rows[0]["max_dist"] is None
+    assert sum(r["n_rows"] for r in rows) == coll.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_ivf_insert_failfasts_on_nonfinite_vector(spark, ivf_fixture):
+    from vettore_spark.operators import ann as ANN
+
+    coll, cents = ivf_fixture
+    assigned = ANN.ivf_assign(
+        coll, centroids=cents, id_col="vec_id", vector_col="embedding"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        ANN.ivf_insert(
+            assigned, 999, [float("nan")] + [1.0] * 7, centroids=cents,
+            id_col="vec_id", vector_col="embedding",
+        )
+
+
+# ---------------------------------------------------------------------------
+# 5. BM25 degenerate corpus
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_degenerate_corpora_return_empty_not_abort(spark):
+    """Degenerate corpora (all-empty text, all-NULL text) must return
+    empty — never NaN scores, never an ANSI divide abort — regardless of
+    whether the matched-terms filter is pushed below the score
+    projection (the NULL-guarded avgdl makes the expression total)."""
+    from vettore_spark.operators import retrieval as R
+
+    for texts in (["", "", ""], [None, None, None], ["", None, ""]):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        assert R.bm25_topk(df, ["hello", "world"], k=3).collect() == []
+
+        qs = spark.createDataFrame(
+            [("q1", ["hello"])], "query_id string, terms array<string>"
+        )
+        assert (
+            R.bm25_batch_topk(df, qs, query_terms_col="terms", k=3).collect()
+            == []
+        )
+
+
+def test_bm25_values_unchanged_by_avgdl_guard(spark):
+    """The rail must not move any surviving row's score: mixed corpus
+    scores match the hand-computed Robertson/Lucene formula."""
+    from vettore_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "hello hello")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in R.bm25_topk(df, ["hello"], k=3).collect()}
+    # N=3, df=2; the tokenizer yields [""] for empty text so the empty
+    # doc's dl is 1 -> avgdl = (2+1+2)/3 = 5/3 over the full corpus
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (5 / 3)))
+
+    assert rows[0] == pytest.approx(round(score(1, 2), 5), abs=1e-9)
+    assert rows[2] == pytest.approx(round(score(2, 2), 5), abs=1e-9)
+    assert 1 not in rows
+
+
+# ---------------------------------------------------------------------------
+# 6. bench3 --extend provenance
+# ---------------------------------------------------------------------------
+
+
+def test_bench3_extend_refuses_commitless_record(tmp_path, monkeypatch):
+    """A prior record with no commit field has unknown provenance — the
+    protocol must refuse to blend it with new same-tree runs."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench3_under_test",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench3.py"),
+    )
+    bench3 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench3)
+
+    rec = {
+        "sf": 0.1,
+        "runs": [{"source": "run1", "value": 50.0, "host_load": {}}],
+    }
+    (tmp_path / "bench_best_of_3.json").write_text(json.dumps(rec))
+    monkeypatch.setattr(bench3, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["bench3.py", "--extend", "1"])
+    with pytest.raises(SystemExit, match="no commit"):
+        bench3.main()

@@ -80,7 +80,16 @@ def main() -> int:
         with open(os.path.join(ROOT, "bench_best_of_3.json")) as fh:
             prev = json.load(fh)
         prev_commit = prev.get("commit")
-        if prev_commit and _head_commit() and prev_commit != _head_commit():
+        if not prev_commit:
+            # A record that predates the commit field has unknown
+            # provenance — extending it could blend stale runs from a
+            # different tree into the protocol record (ADVICE r13).
+            raise SystemExit(
+                "bench_best_of_3.json carries no commit field, so its "
+                "tree is unknown; run the full protocol (no --extend) "
+                "to establish provenance"
+            )
+        if _head_commit() and prev_commit != _head_commit():
             raise SystemExit(
                 "bench_best_of_3.json was recorded on a different tree "
                 f"({prev_commit[:12]}); re-run the full protocol instead"

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from vettore_spark.functions.kernels import _finite_or_null
 from vettore_spark.sources.multimodal import _spread
 
 
@@ -188,13 +189,14 @@ def rerank_with_model(
     scored = candidates.select(
         query_id_col, query_text_col, id_col, text_col
     ).mapInPandas(run, out_schema)
-    # NaN stance (NANPOLICY.md): the model fn is a pluggable external
-    # scorer — a NaN score (diverged model, overflowed logit) must rank
-    # LAST, not first (Spark desc puts NaN above every real score; NULL
-    # sorts last under desc). The emitted model_score keeps the raw NaN
-    # so the caller can see the failure.
-    skey = F.round("model_score", 6)
-    skey = F.when(F.isnan(skey), F.lit(None).cast("double")).otherwise(skey)
+    # Non-finite stance (NANPOLICY.md): the model fn is a pluggable
+    # external scorer — a NaN score (diverged model) OR a ±inf score
+    # (overflowed logit: overflow produces inf, not NaN) must rank LAST,
+    # not first (Spark desc puts NaN above every real score, and +inf
+    # above every finite one; NULL sorts last under desc). The shared
+    # kernels rail nulls both. The emitted model_score keeps the raw
+    # non-finite value so the caller can see the failure.
+    skey = _finite_or_null(F.round("model_score", 6))
     w = Window.partitionBy(query_id_col).orderBy(F.desc(skey), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -244,9 +244,12 @@ def _finite_or_null(raw: Column) -> Column:
     under every NULLS-LAST rank key (asc default puts NULL first —
     hence the explicit asc_nulls_last everywhere), sorts last under
     desc (Spark desc default is NULLS LAST), and fails every
-    threshold comparison. Callers pass a MATERIALIZED raw column
-    (`_staged_raw`), so the extra references are cheap scalar reads,
-    not re-inlined kernel folds."""
+    threshold comparison. Callers MUST pass a MATERIALIZED raw value —
+    a `_staged_raw` column, or (inside a higher-order function) the
+    bound element of a dedicated raw-staging `F.transform`, as MaxSim
+    does (multivector.py) — so the extra references are cheap scalar
+    reads, not re-inlined kernel folds (the ~3-4x CodegenFallback
+    re-inline class the r13 cosine rewrite fixed)."""
     return F.when(
         F.isnan(raw) | (F.abs(raw) == float("inf")), F.lit(None).cast("double")
     ).otherwise(raw)

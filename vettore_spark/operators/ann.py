@@ -728,9 +728,22 @@ def _ivf_assign_cached(
     @F.pandas_udf("long")
     def nearest_cell(vs: pd.Series) -> pd.Series:
         ids, mat = bc.value
-        m = _l2norm_rows(_matrix(vs))
+        raw = _matrix(vs)
+        # Finiteness rail (NANPOLICY.md): np.argmin PROPAGATES NaN —
+        # the first NaN distance would win the row's cell, silently
+        # corrupting the index for raw-table callers that bypass
+        # Collection validation. A non-finite vector gets _cell = NULL
+        # instead: quarantined (the probe's equi-join never matches
+        # NULL, so the row can never be returned by a search) but
+        # visible (ivf_health_report surfaces a NULL-cell row).
+        finite = np.isfinite(raw).all(axis=1)
+        m = _l2norm_rows(np.where(finite[:, None], raw, 0.0))
         d = 1.0 - m @ mat.T
-        return pd.Series(ids[np.argmin(d, axis=1)])
+        out = pd.Series(
+            pd.array(ids[np.argmin(d, axis=1)], dtype="Int64")
+        )
+        out[~finite] = pd.NA
+        return out
 
     try:
         cent_key = centroids.semanticHash()
@@ -778,6 +791,10 @@ def ivf_insert(
         spark, centroids, centroid_id_col, centroid_vec_col
     )
     v = np.asarray(list(vector), dtype=np.float64)
+    # Single user-supplied vector: fail fast instead of quarantining
+    # (NANPOLICY.md — argmin would otherwise pick an arbitrary cell).
+    if not np.isfinite(v).all():
+        raise ValueError("ivf_insert: vector contains non-finite values")
     n = _l2norm_rows(v.reshape(1, -1))[0]
     cell = int(cids[int(np.argmin(1.0 - n @ cmat.T))])
     fields = [
@@ -1070,12 +1087,21 @@ def ivf_health(
         )
         return pd.Series(1.0 - np.clip(sims, -1.0, 1.0))
 
+    # LEFT join: quarantined rows (_cell = NULL, the non-finite-vector
+    # rail in _ivf_assign_cached) must stay VISIBLE in the health report
+    # — they surface as a NULL-cell row with NULL distance stats, the
+    # operator's signal that malformed vectors entered the corpus. The
+    # pandas UDF is extracted and run over every row regardless of the
+    # F.when mask, so feed it a never-NULL centroid (the row's own
+    # vector as placeholder) and mask its OUTPUT to NULL instead.
+    vec = F.col(vector_col).cast("array<double>")
     per_cell = (
-        assigned.join(F.broadcast(cent), on="_cell")
+        assigned.join(F.broadcast(cent), on="_cell", how="left")
         .select(
             F.col("_cell").alias("cell"),
-            cos_dist(
-                F.col(vector_col).cast("array<double>"), F.col("_cv")
+            F.when(
+                F.col("_cv").isNotNull(),
+                cos_dist(vec, F.coalesce(F.col("_cv"), vec)),
             ).alias("_d"),
         )
         .groupBy("cell")

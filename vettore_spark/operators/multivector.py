@@ -44,8 +44,16 @@ def maxsim_score(
     total = F.lit(0.0)
     for q in query_vectors:
         qlit = F.array(*[F.lit(float(x)) for x in q])
+        # Stage the per-pair kernel fold in its OWN transform so the
+        # K13 value mapper's multiple references to `raw`
+        # (_finite_or_null reads it 3x, distance metrics a 4th time)
+        # read a materialized array element instead of re-inlining the
+        # whole CodegenFallback fold per reference — the same re-inline
+        # class the r13 cosine finish-lambda rewrite fixed (~4x). Plan
+        # shape pinned in tests/test_hardening_r14.py.
+        raws = F.transform(dv, lambda d: _pair_raw(m, d, qlit))
         best = F.array_max(
-            F.transform(dv, lambda d: K.similarity_value(m, _pair_raw(m, d, qlit)))
+            F.transform(raws, lambda r: K.similarity_value(m, r))
         )
         total = total + best
     return F.when(

@@ -91,7 +91,17 @@ def bm25_scores(
         ],
     )
     joined = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("_sdl").cast("double") / F.col("_n").cast("double")
+    # Degenerate-corpus rail (NANPOLICY.md): every row that can survive
+    # the n_matched_terms filter has tf >= 1, hence _sdl >= 1 — but
+    # whether the filter is evaluated BELOW this projection is a plan
+    # choice, and under Spark 4 ANSI a dl/avgdl with avgdl == 0 (all
+    # documents empty) would abort the job. NULL-guard avgdl so the
+    # score expression is total: NULL propagates (never aborts, never
+    # ranks) and no surviving row's value changes.
+    avgdl = F.when(
+        F.col("_sdl") > 0,
+        F.col("_sdl").cast("double") / F.col("_n").cast("double"),
+    )
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl
     )
@@ -226,7 +236,9 @@ def bm25_batch_topk(
         .crossJoin(F.broadcast(stats))
     )
     n_d = F.col("_n").cast("double")
-    avgdl = F.col("_sdl").cast("double") / n_d
+    # Same degenerate-corpus rail as bm25_scores: joined rows imply
+    # _sdl >= 1, but guard anyway so the expression is ANSI-total.
+    avgdl = F.when(F.col("_sdl") > 0, F.col("_sdl").cast("double") / n_d)
     dfi = F.col("_df").cast("double")
     tf_d = F.col("_tf").cast("double")
     idf = F.log(F.lit(1.0) + (n_d - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))

@@ -179,6 +179,13 @@ def hashed_token_features(
     with add.reduceat, so per-row cost is a handful of array ops. Rounding
     stays Spark-side (F.round, HALF_UP) so oracle semantics are unchanged.
 
+    Tokenizer contract (r14): tokens come from pandas ``str.split()`` =
+    Python ``str.split`` = split on the UNICODE whitespace set (NBSP,
+    IDEOGRAPHIC SPACE, NEL, the U+2000 block, ... — not just ASCII
+    ``\\s``), empties dropped. The DuckDB oracle mirrors this with an
+    explicit RE2 class naming Python's whitespace set (RE2's ``\\s`` is
+    ASCII-only), pinned cross-engine in tests/test_hardening_r14.py.
+
     UTF-8 correct (r13): the hash consumes each token's UTF-8 bytes, and
     segment lengths are BYTE lengths, so the byte stream and the reduceat
     segments agree by construction for any input — ASCII or multi-byte.

@@ -4002,6 +4002,17 @@ def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UTF8_SUFFIX_SQL = "[" + ", ".join(f"'{s}'" for s in _UTF8_SUFFIXES) + "]"
 
+# hashed_token_features tokenizes with pandas str.split() = Python
+# str.split = the UNICODE whitespace set; RE2's \s is ASCII-only
+# ([\t\n\f\r ]), so the oracle must name Python's set explicitly
+# (U+0009-000D, U+001C-001F, space, NEL, NBSP, OGHAM, the U+2000 block,
+# LS/PS, NNBSP, MMSP, IDEOGRAPHIC SPACE). Exhaustively verified equal
+# to `str.isspace` over the whole BMP+SMP in tests/test_hardening_r14.py.
+_PY_WS_CLASS = (
+    r"[\t\n\x0B\x0C\r\x1C-\x1F \x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
 # UTF-8 byte expansion of a codepoint list, arithmetically (RFC 3629):
 # 1 byte < 0x80, 2 bytes < 0x800, 3 bytes < 0x10000, else 4. Verified
 # byte-equal to Python str.encode("utf-8") in tests/test_hardening_r13.py.
@@ -4022,7 +4033,7 @@ WITH src AS (
          concat(text, ' ', ({_UTF8_SUFFIX_SQL})[(doc_id % 7 + 1)::INT]) AS text
   FROM documents),
 t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{_PY_WS_CLASS}')) AS tok
   FROM src),
 h AS (
   SELECT doc_id,
@@ -9127,8 +9138,10 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
 # similarity_score_mode, maxsim_label_topk, muvera_fde_retrieval, and
 # the NaN-railed rerank_model_topk / token_budget_select). Slots 48-50
 # are three targeted r11 greens: `range_search_cosine` (the remaining
-# un-re-gated cosine-kernel-path query), `ann_ivf_topk` (representative
-# for the r14 ivf_assign finiteness rail, verdict #4a), and
+# un-re-gated cosine-kernel-path query), `ivf_health_report` (the r14
+# ivf_assign finiteness rail + the health report's quarantine-visible
+# left join, verdict #4a — the assignment/topk path is already covered
+# in-window by ivf_delete_search and ivf_filtered_topk), and
 # `streaming_simhash_pairs` (watch item #1 — the doubled headline row).
 # 3+44+3 fills 50 exactly; after this gate no query's latest green is
 # older than r11 and no r13/r14-changed query's gate trails its change.
@@ -9184,7 +9197,7 @@ _GATE_WINDOW: list[str] = [
     "training_pipeline",
     # --- slots 48-50: targeted r11 greens (cosine path / IVF rail / watch item) ---
     "range_search_cosine",
-    "ann_ivf_topk",
+    "ivf_health_report",
     "streaming_simhash_pairs",
 ]
 
