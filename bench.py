@@ -858,7 +858,20 @@ def main() -> None:
         "muvera": muvera,
         "ingest": ingest,
         "host_load": host_load,
-        "best_of_3": best_of_3,
+        # the compact line carries the protocol VERDICT keys only; the
+        # selected run's full per-query audit maps (min_queries /
+        # min_streaming_replay_sec, r14) live in bench_best_of_3.json
+        # and the full record above — several KB that would instantly
+        # blow the driver's capture window here
+        "best_of_3": (
+            {
+                k: v
+                for k, v in best_of_3.items()
+                if k not in ("min_queries", "min_streaming_replay_sec")
+            }
+            if isinstance(best_of_3, dict)
+            else best_of_3
+        ),
         "sf": sf_val,
     }
     line = compact_bench_line(

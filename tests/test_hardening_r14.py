@@ -385,3 +385,47 @@ def test_bench3_extend_refuses_commitless_record(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["bench3.py", "--extend", "1"])
     with pytest.raises(SystemExit, match="no commit"):
         bench3.main()
+
+
+def test_bench3_record_retains_min_runs_per_query_map(tmp_path, monkeypatch):
+    """The protocol record must carry the SELECTED run's full per-query and
+    per-gate replay maps (r13 verdict #2: the minimum run had no per-query
+    rows, so a 2.4x single-query headline jump could not be audited)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench3_under_test2",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench3.py"),
+    )
+    bench3 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench3)
+
+    def fake_stdout(value, q):
+        return json.dumps(
+            {
+                "metric": "headline_queries_full",
+                "value": value,
+                "queries": q,
+                "streaming_replay_sec": {"g1": value / 10},
+                "host_load": {"stalled_samples": 0, "verdict": "quiet"},
+                "sf": 0.1,
+                "n_failed": 0,
+            }
+        )
+
+    f1 = tmp_path / "out1"
+    f2 = tmp_path / "out2"
+    f1.write_text(fake_stdout(60.0, {"qa": 30.0, "qb": 30.0}))
+    f2.write_text(fake_stdout(50.0, {"qa": 25.0, "qb": 25.0}))
+    monkeypatch.setattr(bench3, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["bench3.py", str(f1), str(f2)])
+    assert bench3.main() == 0
+    rec = json.loads((tmp_path / "bench_best_of_3.json").read_text())
+    assert rec["summary"]["min_value"] == 50.0
+    assert rec["summary"]["min_queries"] == {"qa": 25.0, "qb": 25.0}
+    assert rec["summary"]["min_streaming_replay_sec"] == {"g1": 5.0}
+    # the per-run array stays lean (no per-query maps per run)
+    assert all("queries" not in r for r in rec["runs"])

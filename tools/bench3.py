@@ -51,6 +51,12 @@ def _summary_from_stdout(text: str) -> dict:
                 )),
                 "host_load": d.get("host_load"),
                 "sf": d.get("sf"),
+                # retained so the SELECTED run's per-query rows and
+                # per-gate replay costs are auditable (r13 verdict #2:
+                # the minimum run carried no per-query map, so a 2.4x
+                # single-query jump could not be ruled host noise)
+                "queries": d.get("queries"),
+                "streaming_replay_sec": d.get("streaming_replay_sec"),
             }
     raise ValueError("no bench JSON line found")
 
@@ -94,8 +100,27 @@ def main() -> int:
                 "bench_best_of_3.json was recorded on a different tree "
                 f"({prev_commit[:12]}); re-run the full protocol instead"
             )
+        prev_summary = prev.get("summary", {})
         runs.extend(
-            {**r, "sf": prev["sf"]} for r in prev["runs"]
+            {
+                **r,
+                "sf": prev["sf"],
+                # the prior record keeps per-query maps only for its
+                # minimum run — reattach so a still-winning old minimum
+                # keeps its audit trail through the extension (a non-min
+                # old run can never become the minimum later)
+                **(
+                    {
+                        "queries": prev_summary.get("min_queries"),
+                        "streaming_replay_sec": prev_summary.get(
+                            "min_streaming_replay_sec"
+                        ),
+                    }
+                    if r.get("source") == prev_summary.get("min_source")
+                    else {}
+                ),
+            }
+            for r in prev["runs"]
         )
         args = []
     if args:
@@ -151,6 +176,9 @@ def main() -> int:
             "min_host_verdict": (best.get("host_load") or {}).get("verdict"),
             "all_values": sorted(s["value"] for s in runs),
             "valid": (best.get("host_load") or {}).get("stalled_samples") == 0,
+            # full audit trail of the SELECTED run (r13 verdict #2)
+            "min_queries": best.get("queries"),
+            "min_streaming_replay_sec": best.get("streaming_replay_sec"),
         },
     }
     out = os.path.join(ROOT, "bench_best_of_3.json")
