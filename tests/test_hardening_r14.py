@@ -410,6 +410,7 @@ def test_bench3_record_retains_min_runs_per_query_map(tmp_path, monkeypatch):
                 "value": value,
                 "queries": q,
                 "streaming_replay_sec": {"g1": value / 10},
+                "ingest": {"put_many_rps": value * 1000},
                 "host_load": {"stalled_samples": 0, "verdict": "quiet"},
                 "sf": 0.1,
                 "n_failed": 0,
@@ -427,5 +428,6 @@ def test_bench3_record_retains_min_runs_per_query_map(tmp_path, monkeypatch):
     assert rec["summary"]["min_value"] == 50.0
     assert rec["summary"]["min_queries"] == {"qa": 25.0, "qb": 25.0}
     assert rec["summary"]["min_streaming_replay_sec"] == {"g1": 5.0}
+    assert rec["summary"]["min_ingest"] == {"put_many_rps": 50000.0}
     # the per-run array stays lean (no per-query maps per run)
     assert all("queries" not in r for r in rec["runs"])

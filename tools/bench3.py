@@ -57,6 +57,10 @@ def _summary_from_stdout(text: str) -> dict:
                 # single-query jump could not be ruled host noise)
                 "queries": d.get("queries"),
                 "streaming_replay_sec": d.get("streaming_replay_sec"),
+                # ingest/lookup micro-bench rows ride the same protocol
+                # (r13 verdict #5: the committed live-run rows spread
+                # 8.5x on host noise alone)
+                "ingest": d.get("ingest"),
             }
     raise ValueError("no bench JSON line found")
 
@@ -115,6 +119,7 @@ def main() -> int:
                         "streaming_replay_sec": prev_summary.get(
                             "min_streaming_replay_sec"
                         ),
+                        "ingest": prev_summary.get("min_ingest"),
                     }
                     if r.get("source") == prev_summary.get("min_source")
                     else {}
@@ -179,6 +184,7 @@ def main() -> int:
             # full audit trail of the SELECTED run (r13 verdict #2)
             "min_queries": best.get("queries"),
             "min_streaming_replay_sec": best.get("streaming_replay_sec"),
+            "min_ingest": best.get("ingest"),
         },
     }
     out = os.path.join(ROOT, "bench_best_of_3.json")

@@ -58,9 +58,16 @@ QUERIES = [
     # blocked kNN
     "mutual_knn_blocked",
     "embedding_neardup_blocked",
-    # streaming replay (timed call includes the availableNow replay)
+    # streaming replay (timed call includes the availableNow replay;
+    # r14 adds the five replay-heavy gates the r13 verdict named —
+    # their state-volume scaling was unmeasured)
     "streaming_kmv_distinct",
     "streaming_unit_dedup",
+    "streaming_moment_stats",
+    "streaming_simhash_pairs",
+    "streaming_horizon_dedup",
+    "streaming_funnel_stage",
+    "streaming_topk_per_key",
     # TPC-H joins
     "tpch_q3_topk",
     "tpch_q9_profit",

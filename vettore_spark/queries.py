@@ -3147,11 +3147,23 @@ def _streaming_table_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path)
         src = os.path.join(sf_dir, f"{table}.parquet")
-        dst = os.path.join(path, f"{table}.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+
+        def _link(s: str, d: str) -> None:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy(s, d)
+
+        if os.path.isdir(src):
+            # Spark-written table (a directory of part files, e.g. the
+            # sf1.0 sweep corpus): link every data file — the single
+            # availableNow batch reads them all identically (r14)
+            for i, f in enumerate(sorted(os.listdir(src))):
+                if f.endswith(".parquet") and not f.startswith("."):
+                    _link(os.path.join(src, f),
+                          os.path.join(path, f"{i:03d}.parquet"))
+        else:
+            _link(src, os.path.join(path, f"{table}.parquet"))
         _STREAM_SRC_CACHE[key] = path
     return path
 
