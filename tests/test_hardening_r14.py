@@ -102,6 +102,48 @@ def test_hashed_embedding_gate_parity_on_unicode_whitespace_corpus(
         assert got[k] == pytest.approx(want[k], abs=1e-9), k
 
 
+def test_java_ws_split_class_matches_spark_split(spark):
+    """The F.split-based tokenizers (dedup/text/retrieval) split with
+    Java's \\s = [ \\t\\n\\x0B\\f\\r]; RE2's \\s omits \\x0B, so every
+    oracle now names Java's class explicitly. Pin engine equality on
+    strings carrying the divergent chars (VT splits, NEL/NBSP/IDEOGRAPHIC
+    SPACE do NOT — Java and RE2 agree those are not \\s)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        "a\x0bb c",              # VT: Java splits, bare RE2 \s would not
+        "a\x85b \xa0c",          # NEL/NBSP: neither engine splits
+        "日本　語 split",          # ideographic space: neither splits
+        "  lead trail  ",
+        "one\ttab\nnl\fff\rcr",
+    ]
+    got = spark.createDataFrame([(t,) for t in cases], "t string").select(
+        F.split(F.trim(F.col("t")), r"\s+").alias("s")
+    ).collect()
+    con = duckdb.connect()
+    for row, t in zip(got, cases):
+        want = con.execute(
+            r"SELECT regexp_split_to_array(trim(?), '[ \t\n\x0B\f\r]+')",
+            [t],
+        ).fetchone()[0]
+        assert list(row["s"]) == list(want), repr(t)
+
+
+def test_no_bare_re2_s_left_in_oracle_sql():
+    """Regression guard: a new oracle written with bare '\\s+' would
+    silently reintroduce the Java-vs-RE2 \\x0B divergence."""
+    from vettore_spark import queries as Q
+
+    offenders = [
+        n
+        for n, sql in Q.oracle_sql().items()
+        if sql and (r"'\s+'" in sql or r"\s]" in sql)
+    ]
+    assert offenders == []
+
+
 # ---------------------------------------------------------------------------
 # 2. rerank_with_model: ±inf ranks last (not just NaN)
 # ---------------------------------------------------------------------------

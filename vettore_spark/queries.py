@@ -885,7 +885,7 @@ def _sql_ngram_pairs(threshold: float, max_df: int | None = None) -> str:
         else "WHERE a.doc_id < b.doc_id"
     )
     return rf"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -939,7 +939,7 @@ def _sql_cc_block(src: str, threshold: float) -> str:
     and the training-pipeline oracle — one definition so the two cannot
     diverge. The enclosing query must open with WITH RECURSIVE."""
     return rf"""
-toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM {src}),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM {src}),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -1499,7 +1499,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_STATS = r"""
 WITH toks AS (SELECT doc_id, length(text) AS n_chars,
-                     regexp_split_to_array(trim(text), '\s+') AS t, text
+                     regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t, text
               FROM documents)
 SELECT doc_id,
        n_chars::BIGINT AS n_chars,
@@ -1507,7 +1507,7 @@ SELECT doc_id,
        len(list_distinct(t))::BIGINT AS n_distinct_tokens,
        round(len(list_distinct(t)) * 1.0 / len(t), 5) AS ttr,
        round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 5) AS avg_token_len,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]'))::BIGINT AS n_bpe_tokens
 FROM toks
 """
 
@@ -1530,7 +1530,7 @@ def _sql_lang_id() -> str:
     ) + " END"
     return rf"""
 WITH toks AS (SELECT doc_id,
-                     list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS t
+                     list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'), x -> lower(x)) AS t
               FROM documents),
 scored AS (SELECT doc_id,
        {score_cols}
@@ -1549,7 +1549,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOP_TERMS = r"""
 WITH toks AS (SELECT doc_id, lower(t.term) AS term
               FROM documents,
-                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t(term)),
+                   unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t(term)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
@@ -1610,7 +1610,7 @@ def _sql_bm25(terms: list[str], k: int, k1: float, b: float) -> str:
 WITH base AS (
   SELECT doc_id, len(t)::BIGINT AS dl,
          {tf_cols}
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)),
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents)),
 stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl, {df_cols} FROM base),
 scored AS (
   SELECT doc_id, round({parts}, 5) AS bm25,
@@ -1654,7 +1654,7 @@ def _sql_bm25_batch() -> str:
     k1, b = _BM25_K1, _BM25_B
     return rf"""
 WITH toks AS (SELECT doc_id,
-                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
                                     x -> lower(x)) AS t
               FROM documents),
 tf AS (SELECT doc_id, u.term AS term, count(*)::BIGINT AS tf
@@ -1730,7 +1730,7 @@ def _sql_retrieval_eval() -> str:
     k1, b = _BM25_K1, _BM25_B
     return rf"""
 WITH toks AS (SELECT doc_id,
-                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
                                     x -> lower(x)) AS t
               FROM documents),
 tf AS (SELECT doc_id, u.term AS term, count(*)::BIGINT AS tf
@@ -1828,8 +1828,8 @@ def q_score_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCORE_AGREEMENT = r"""
 WITH s AS (
   SELECT lang,
-         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS x,
-         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE AS y
+         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))::DOUBLE AS x,
+         len(list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')))::DOUBLE AS y
   FROM documents),
 r AS (
   SELECT lang,
@@ -2081,7 +2081,7 @@ cpairs AS (
   JOIN bnd b2 ON a.band = b2.band AND a.key = b2.key
   WHERE a.vec_id < b2.vec_id AND list_dot_product(a.v, b2.v) >= 0.35
   GROUP BY 1, 2),
-toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -2208,7 +2208,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CORPUS_STATS = r"""
-WITH s AS (SELECT lang, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+WITH s AS (SELECT lang, len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))::BIGINT AS n
            FROM documents)
 SELECT lang, count(*)::BIGINT AS n_docs,
        round(avg(n), 5) AS avg_tokens,
@@ -2346,7 +2346,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_CHUNKS = r"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 -- the range bound must exceed max_chunks = (max_tokens-1)//24 + 1; 4096
 -- covers docs up to ~98k tokens (testdata max is ~110) — the WHERE clause
 -- is the real cap, the range is just the generator
@@ -2375,7 +2375,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DECONTAMINATE = r"""
-WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, source,
               unnest(list_transform(range(1, len(t) - 6),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
@@ -2453,7 +2453,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_REPETITION_FILTER = r"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 g AS (SELECT doc_id, t,
              CASE WHEN len(t) >= 3
                   THEN list_transform(range(1, len(t) - 1),
@@ -2555,8 +2555,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_FINGERPRINT = r"""
 SELECT doc_id,
-       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
-                               '\s+', ' ', 'g'))) AS fp
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w \t\n\x0B\f\r]', '', 'g'),
+                               '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -2874,7 +2874,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH_PAIRS = r"""
 WITH t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents),
 h AS (
   SELECT doc_id,
@@ -2969,14 +2969,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUALITY_SCORE = r"""
 WITH toks AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
   FROM documents),
 parts AS (
   SELECT doc_id,
          len(t) * 1.0 AS n,
          len(list_filter(list_transform(t, x -> lower(x)),
              x -> list_contains(['the','and','of','to','is','in','that','it'], x))) * 1.0 AS stop,
-         len(regexp_extract_all(text, '[^\w\s]')) * 1.0 AS punct,
+         len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]')) * 1.0 AS punct,
          length(text) * 1.0 AS chars,
          len(list_distinct(t)) * 1.0 / len(t) AS ttr
   FROM toks)
@@ -3058,7 +3058,7 @@ def _sql_training_pipeline() -> str:
 
     return rf"""
 WITH RECURSIVE
-toksq AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+toksq AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 parts AS (
   SELECT doc_id,
          len(t) * 1.0 AS n,
@@ -4073,6 +4073,13 @@ _PY_WS_CLASS = (
     r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
 )
 
+# Every F.split-based tokenizer in the package splits with Java's \s =
+# [ \t\n\x0B\f\r]; RE2's \s omits \x0B (vertical tab), so all oracle
+# SQL in this file names Java's class LITERALLY ('[ \t\n\x0B\f\r]+',
+# and the Java-\s-complement in negated classes) instead of '\s+'.
+# Guarded by tests/test_hardening_r14.py::test_no_bare_re2_s_left_in_
+# oracle_sql; engine equality pinned on VT/NEL/NBSP-carrying input.
+
 # UTF-8 byte expansion of a codepoint list, arithmetically (RFC 3629):
 # 1 byte < 0x80, 2 bytes < 0x800, 3 bytes < 0x10000, else 4. Verified
 # byte-equal to Python str.encode("utf-8") in tests/test_hardening_r13.py.
@@ -4454,7 +4461,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SEQUENCE_PACKING = r"""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 c AS (SELECT doc_id, t, i FROM toks CROSS JOIN range(0, 4096) r(i)
       WHERE len(t) >= 1 AND i <= (len(t) - 1) // 24),
 ch AS (SELECT doc_id, i AS chunk_id,
@@ -4972,7 +4979,7 @@ WITH b AS (
   SELECT doc_id,
          (list_reduce(list_transform(string_split(lower(tok), ''), x -> ascii(x)::BIGINT),
                       (a, c) -> (a * 31 + c) % 2147483647) % 1024)::INT AS bucket
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
         FROM documents)
   WHERE tok <> ''),
 flag AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
@@ -5123,7 +5130,7 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BPE_PAIR_STATS = r"""
-WITH t AS (SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS tk
+WITH t AS (SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]') AS tk
            FROM documents),
 p AS (SELECT tk[i] || ' ' || tk[i+1] AS pair
       FROM t, unnest(generate_series(1, len(tk) - 1)) u(i)
@@ -5247,7 +5254,7 @@ WITH b AS (
   SELECT doc_id,
          (list_reduce(list_transform(string_split(lower(tok), ''), x -> ascii(x)::BIGINT),
                       (a, c) -> (a * 31 + c) % 2147483647) % 1024)::INT AS bucket
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok FROM documents)
   WHERE tok <> ''),
 flag AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
 raw AS (SELECT bucket, count(*) AS nq, sum(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS nt
@@ -5296,7 +5303,7 @@ WITH b AS (
   SELECT doc_id,
          (list_reduce(list_transform(string_split(lower(tok), ''), x -> ascii(x)::BIGINT),
                       (a, c) -> (a * 31 + c) % 2147483647) % 1024)::INT AS bucket
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok FROM documents)
   WHERE tok <> ''),
 flag AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
 raw AS (SELECT bucket, count(*) AS nq, sum(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS nt
@@ -5498,7 +5505,7 @@ def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_mlm_masking() -> str:
     th = format(int(round(0.15 * 16**8)), "08x")
     return rf"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS tk FROM documents),
 z AS (SELECT doc_id, i, tk[i] AS tok,
              substr(md5('mlm:' || doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8) < '{th}' AS m
       FROM t, unnest(generate_series(1, len(tk))) u(i))
@@ -5589,7 +5596,7 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CORPUS_DIVERSITY = r"""
-WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 uni AS (SELECT lang, u.tok AS g, 1 AS n FROM toks, unnest(t) u(tok)),
 bi AS (SELECT lang, t[i] || ' ' || t[i+1] AS g, 2 AS n
        FROM toks, unnest(generate_series(1, len(t) - 1)) u(i) WHERE len(t) >= 2),
@@ -5716,7 +5723,7 @@ def q_minhash_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MINHASH_DEDUP_AGAINST = r"""
-WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, source,
               unnest(list_transform(range(1, len(t) - 1),
                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -6075,7 +6082,7 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BLOCKLIST_FILTER = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents
 ),
 cnt AS (
   SELECT doc_id,
@@ -8124,7 +8131,7 @@ WITH planted AS (
 f AS (
   SELECT doc_id, lines,
          list_filter(lines,
-           l -> len(regexp_split_to_array(trim(l), '\s+')) >= 5
+           l -> len(regexp_split_to_array(trim(l), '[ \t\n\x0B\f\r]+')) >= 5
                 AND right(trim(l), 1) IN ('.', '!', '?', '"')) AS kept
   FROM planted
 )
@@ -8657,7 +8664,7 @@ def q_kmv_shingle_overlap(
 SQL_KMV_SHINGLE_OVERLAP = r"""
 WITH toks AS (
   SELECT doc_id % 2 AS half,
-         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+         regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 sh AS (
@@ -8732,7 +8739,7 @@ def q_cms_token_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CMS_TOKEN_HITTERS = r"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS tok
+  SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ),
 tf AS (SELECT tok FROM toks WHERE tok <> ''),
@@ -8830,7 +8837,7 @@ def _sql_textrank(iters: int, k: int) -> str:
     same integer damped update (85//100 with a 150000000 floor)."""
     head = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 pairs AS (
