@@ -144,6 +144,34 @@ def test_no_bare_re2_s_left_in_oracle_sql():
     assert offenders == []
 
 
+def test_temporal_oracle_parity_under_hostile_session_tz(spark):
+    """Session timezone is read at EXECUTION time: a driver running with a
+    non-UTC session tz would bucket date_trunc/date_format in local time
+    while the DuckDB oracles' naive timestamps are effectively UTC. The
+    registry dispatch pins UTC on every call, so parity must hold even
+    when the caller set a hostile tz just before invoking."""
+    import duckdb
+
+    from vettore_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = sorted(
+            tuple(r) for r in Q.queries()["events_hourly"](spark, sf_dir).collect()
+        )
+        # the dispatch must have re-pinned UTC before execution
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(Q.oracle_sql()["events_hourly"]).fetchall())
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # 2. rerank_with_model: ±inf ranks last (not just NaN)
 # ---------------------------------------------------------------------------

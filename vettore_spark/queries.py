@@ -62,6 +62,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
+    # Oracle parity must not depend on the ambient JVM timezone: every
+    # date_trunc/date_format in the registry buckets in SESSION-local
+    # time while the DuckDB oracles' naive timestamps are effectively
+    # UTC. Several temporal queries pinned this individually; pinning at
+    # the shared loader covers every consumer (r14 — the tz analog of
+    # the Java-vs-RE2 \s audit).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # parquet TIMESTAMP(NANOS): readable only as long nanos
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -9294,6 +9301,13 @@ _DF_CACHE_MAX = 4 * len(_REGISTRY)
 
 def _prepared(name: str, fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Session timezone is read at EXECUTION time, so the UTC pin
+        # must ride every dispatch, not just the first table load: a
+        # driver whose session tz is not UTC would otherwise bucket
+        # date_trunc/date_format in local time while the DuckDB oracles'
+        # naive timestamps are effectively UTC (r14 tz audit; parity
+        # pinned under a hostile tz in tests/test_hardening_r14.py).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         key = (spark.sparkContext.applicationId, sf_dir, name)
         df = _DF_CACHE.get(key)
         if df is None:
