@@ -376,6 +376,48 @@ def test_ivf_insert_failfasts_on_nonfinite_vector(spark, ivf_fixture):
         )
 
 
+@pytest.mark.parametrize("bad", [float("nan"), float("inf"), None])
+def test_mmr_malformed_candidate_never_selected(spark, bad):
+    """MMR rail: a candidate with a non-finite/NULL score (or a poisoned
+    vector) must be dropped, never selected — a NaN score at remaining[0]
+    previously WON slot 1 (`NaN > -inf` is False, best_idx never moved),
+    a NULL score crashed float(), and +inf held slot 1 unconditionally.
+    The malformed id sorts FIRST here ('_bad' < 'a') to hit the
+    index-0 path."""
+    from vettore_spark.operators.rerank import mmr_rerank
+
+    results = spark.createDataFrame(
+        [("_bad", bad), ("a", 1.0), ("b", 0.5)],
+        "id string, score double",
+    )
+    coll = spark.createDataFrame(
+        [
+            ("_bad", [1.0, 0.0]),
+            ("a", [1.0, 0.0]),
+            ("b", [0.0, 1.0]),
+        ],
+        "id string, vector array<double>",
+    )
+    got = [i for i, _ in mmr_rerank(results, coll, alpha=0.5, k=3)]
+    assert got == ["a", "b"]
+
+    # poisoned VECTOR with a clean score: also dropped (it would NaN
+    # max_sim for every later round)
+    coll2 = spark.createDataFrame(
+        [
+            ("_bad", [float("nan"), 0.0]),
+            ("a", [1.0, 0.0]),
+            ("b", [0.0, 1.0]),
+        ],
+        "id string, vector array<double>",
+    )
+    results2 = spark.createDataFrame(
+        [("_bad", 2.0), ("a", 1.0), ("b", 0.5)], "id string, score double"
+    )
+    got2 = [i for i, _ in mmr_rerank(results2, coll2, alpha=0.5, k=3)]
+    assert got2 == ["a", "b"]
+
+
 # ---------------------------------------------------------------------------
 # 5. BM25 degenerate corpus
 # ---------------------------------------------------------------------------

@@ -8,6 +8,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 
@@ -106,9 +108,26 @@ def mmr_rerank(
             "vectors collected to the driver); bound the candidate set "
             "first or raise max_rows explicitly"
         )
-    initial = [(r[id_col], float(r[score_col])) for r in hydrated]
+    # Non-finite rail (NANPOLICY.md): in the greedy loop a NaN score at
+    # index 0 WINS slot 1 (`NaN > -inf` is False, so best_idx never
+    # moves off 0), a NULL score crashes float(), +inf holds slot 1
+    # unconditionally, and a non-finite VECTOR poisons max_sim for every
+    # later round. Candidates with a non-finite score or vector are
+    # dropped here at the DataFrame boundary — same stance as the K13
+    # mappers and the IVF assignment rail.
+    def _clean(r) -> bool:
+        s = r[score_col]
+        if s is None or not math.isfinite(s):
+            return False
+        v = r[vector_col]
+        return v is not None and np.isfinite(
+            np.asarray(v, dtype=np.float64)
+        ).all()
+
+    kept = [r for r in hydrated if _clean(r)]
+    initial = [(r[id_col], float(r[score_col])) for r in kept]
     initial.sort(key=lambda t: -t[1])
-    id_vectors = {r[id_col]: list(r[vector_col]) for r in hydrated}
+    id_vectors = {r[id_col]: list(r[vector_col]) for r in kept}
     return mmr_rerank_rows(
         initial, id_vectors, metric=metric, alpha=alpha, k=k
     )
