@@ -221,20 +221,23 @@ def test_collection_pq_search_rejects_unsupported_metric(spark):
 
 
 def test_many_sequential_ingest_batches_stay_responsive(spark):
-    """20 sequential put_many batches: the union lineage is cut every few
-    batches (localCheckpoint), so late batches don't pay re-analysis over
-    a 20-deep union tree, and the rows all survive the cuts."""
+    """12 sequential put_many batches: the union lineage is cut every few
+    batches (localCheckpoint at depth 8), so late batches don't pay
+    re-analysis over a deep union tree, and the rows all survive the
+    cuts. (r14 suite-cost trim: 20 -> 12 batches — still past the cut
+    cadence, and 12 uncut batches would stack 11 unions, so the <10
+    bound still DISCRIMINATES a missing cut; was 38 s.)"""
     from vettore_spark import Collection
 
     c = Collection.create(spark, "lineage", 4, metric="cosine")
-    for b in range(20):
+    for b in range(12):
         c.put_many(
             [{"id": f"r{b}-{i}", "vector": [1.0, float(b), float(i), 0.5]}
              for i in range(5)]
         )
-    assert c.count() == 100
-    # the resulting plan must not be a 20-deep union chain
+    assert c.count() == 60
+    # the resulting plan must not be a 12-deep union chain
     plan = c.all()._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Union") < 10
-    got = c.get("r19-4")
+    got = c.get("r11-4")
     assert got is not None

@@ -103,17 +103,20 @@ def test_pagerank_multi_cut_matches_reference_and_releases(spark):
 
 
 def test_parquet_canonical_store_lifecycle(spark, tmp_path):
-    """attach_store: 50 put_many batches keep the plan a single parquet
+    """attach_store: 12 put_many batches keep the plan a single parquet
     scan (bounded size), deletes cannot be resurrected by a re-read,
     compact_store folds the overlay into storage, and a snapshot/load
-    round-trip preserves the rows."""
+    round-trip preserves the rows. (r14 suite-cost trim: 50 -> 12
+    batches — the plan-growth bound is measured batch 4 vs batch 12,
+    still an order of magnitude past any constant-overlay slack, and
+    every lifecycle assertion is unchanged; was 68 s.)"""
     c = Collection.create(spark, "stored", 8, metric="l2")
     c.attach_store(str(tmp_path / "canon"))
 
     def plan_len(cc):
         return len(cc._df._jdf.queryExecution().analyzed().toString())
 
-    for b in range(50):
+    for b in range(12):
         c.put_many(
             [
                 {"id": f"r{b:02d}_{i}", "vector": _vec(b * 10 + i)}
@@ -123,7 +126,7 @@ def test_parquet_canonical_store_lifecycle(spark, tmp_path):
         if b == 4:
             early = plan_len(c)
     late = plan_len(c)
-    assert c.count() == 200
+    assert c.count() == 48
     # one parquet scan regardless of batch count: the plan may carry the
     # (constant-size) overlay filter but must not grow with batches
     assert late <= early + 200, (early, late)
@@ -133,24 +136,24 @@ def test_parquet_canonical_store_lifecycle(spark, tmp_path):
     assert c.get("r00_0") is None
     c.put_many([{"id": "fresh", "vector": _vec(999)}])
     assert c.get("r00_0") is None, "delete resurrected by store re-read"
-    assert c.count() == 200  # 200 - 1 + 1
+    assert c.count() == 48  # 48 - 1 + 1
 
     c.compact_store()
     assert c._store_deleted == []
-    assert c.count() == 200
+    assert c.count() == 48
     assert c.get("r00_0") is None
 
     # snapshot / load round-trip unchanged
     snap = str(tmp_path / "snap")
     c.snapshot(snap)
     c2 = Collection.load_snapshot(spark, snap)
-    assert c2.count() == 200
+    assert c2.count() == 48
     assert c2.get("fresh") is not None
 
     # a second collection adopting the same store sees the same rows
     c3 = Collection.create(spark, "stored2", 8, metric="l2")
     c3.attach_store(str(tmp_path / "canon"))
-    assert c3.count() == 200
+    assert c3.count() == 48
 
 
 def test_table_profile_sketch_relative_error(spark):

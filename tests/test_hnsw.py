@@ -464,14 +464,19 @@ def test_insert_df_into_graph_shards_equals_rebuild_search(spark):
     assert [g[0] for g in got] == want_ids
 
 
-def test_put_many_large_batch_keeps_residency_via_df_path(spark):
-    """A batch past the 10k closure cap must keep the resident HNSW index
+def test_put_many_large_batch_keeps_residency_via_df_path(spark, monkeypatch):
+    """A batch past the closure cap must keep the resident HNSW index
     (patched through the cogroup path), not drop it for rebuild — and the
-    inserted ids must be searchable."""
+    inserted ids must be searchable. The cap is lowered via its module
+    constant so the DF path is exercised without paying a >10k-row
+    ingest (r14 suite-cost trim: was 54 s for the same pinned class;
+    the path SELECTION reads the same constant production does)."""
     import numpy as np
 
+    from vettore_spark import collection as coll_mod
     from vettore_spark.collection import Collection
 
+    monkeypatch.setattr(coll_mod, "_HNSW_CLOSURE_BATCH_CAP", 100)
     rng = np.random.default_rng(53)
     c = Collection.create(spark, "bigbatch", 6, metric="l2")
     c.put_many(
@@ -484,7 +489,7 @@ def test_put_many_large_batch_keeps_residency_via_df_path(spark):
     assert "_hnsw_shards" in c.__dict__
     big = [
         {"id": f"b{i:05d}", "vector": [float(x) for x in rng.normal(size=6)]}
-        for i in range(10_001)
+        for i in range(101)
     ]
     c.put_many(big)
     assert "_hnsw_shards" in c.__dict__, "residency dropped for a big batch"

@@ -172,7 +172,7 @@ def test_muvera_query_additivity_doc_mean(nv, reps, proj, seed):
 
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)  # several Spark jobs/example (r14 trim)
 @given(
     budget=st.integers(min_value=0, max_value=2000),
     n=st.integers(min_value=1, max_value=25),
@@ -239,7 +239,7 @@ def test_mixture_fractions_hit_shares(spark, n, seed, s0):
         assert abs(v - vals[0]) < 1e-6  # proportional to shares
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)  # several Spark jobs/example (r14 trim)
 @given(
     n=st.integers(min_value=1, max_value=12),
     window=st.integers(min_value=1, max_value=4),
@@ -321,7 +321,7 @@ def test_jl_projection_is_linear_and_deterministic(n, d_out, seed):
     assert np.allclose(lhs, rhs, atol=1e-9)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)  # several Spark jobs/example (r14 trim)
 @given(
     n=st.integers(min_value=2, max_value=25),
     n_bits=st.integers(min_value=1, max_value=4),

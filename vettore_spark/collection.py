@@ -50,6 +50,12 @@ EMBEDDING_SCHEMA = T.StructType(
 _OVERRIDABLE = {"name", "index", "index_options", "score"}
 _STRUCTURAL = {"dimensions", "metric", "normalize", "compressed"}
 
+# put_many batches up to this size patch the resident HNSW shards via a
+# broadcast task closure (one narrow map job); larger batches take the
+# cogroup DataFrame path. Module-level so tests can exercise the DF path
+# without materializing a >10k-row batch.
+_HNSW_CLOSURE_BATCH_CAP = 10_000
+
 
 @dataclass
 class CollectionConfig:
@@ -514,7 +520,7 @@ class Collection:
                 # empty batch: nothing to route, keep as-is
                 self.__dict__["_hnsw_shards"] = hnsw_resident
                 return self
-            if batch_rows is not None and len(batch_rows) <= 10_000:
+            if batch_rows is not None and len(batch_rows) <= _HNSW_CLOSURE_BATCH_CAP:
                 # driver-small list batch: route in the task closure (one
                 # narrow map job, no extra DataFrame plan)
                 ins = [
