@@ -215,8 +215,13 @@ def compact_bench_line(
             )
         ing = compact.get("ingest")
         if isinstance(ing, dict):
+            # verdict keys that actually exist in the ingest block (the
+            # old "rows_per_sec" key never did, so stage 5 silently
+            # emptied the whole block — r14)
             compact["ingest"] = {
-                k: ing[k] for k in ("rows_per_sec",) if k in ing
+                k: ing[k]
+                for k in ("put_many_rps", "lookup_rps")
+                if k in ing
             }
         b3 = compact.get("best_of_3")
         if isinstance(b3, dict):

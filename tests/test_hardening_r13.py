@@ -683,8 +683,12 @@ def test_bench_compact_line_preserves_pergate_replay_map():
         "overlap_at_10_vs_exact": dict(overlap),
         "mutual_pair_recall": {f"recall_tier_{i}": 0.95 for i in range(8)},
         "muvera": dict(muvera),
-        "ingest": {"rows_per_sec": 99000, "put_raw_ratio": 1.05,
-                   "spread_sec": 3.1, "detail": "x" * 200},
+        # REAL ingest-block keys (r14: the old fixture used a
+        # "rows_per_sec" key the bench never emits, which hid that
+        # stage 5 emptied the whole block)
+        "ingest": {"put_many_rps": 99000.0, "lookup_rps": 22000.0,
+                   "put_raw_ratio": 1.05, "put_many_spread": [1.0, 1.1, 1.2],
+                   "detail": "x" * 200},
         "host_load": {"start": [0.2, 0.3, 0.4], "end": [0.5, 0.6, 0.7],
                       "verdict": "solo", "stalled_samples": 0,
                       "n_samples": 590},
@@ -705,6 +709,10 @@ def test_bench_compact_line_preserves_pergate_replay_map():
     # and the headline value + host verdict survive too
     assert parsed["value"] == 55.5
     assert parsed["host_load"]["stalled_samples"] == 0
+    # the ingest verdict keys must survive the stage-5 reduction (r14:
+    # the old key filter matched nothing and emptied the block)
+    assert parsed["ingest"] == {"put_many_rps": 99000.0,
+                                "lookup_rps": 22000.0}
 
 
 def test_hashed_embedding_gate_parity_on_multibyte_corpus(spark, tmp_path):
