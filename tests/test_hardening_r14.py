@@ -543,3 +543,61 @@ def test_bench3_record_retains_min_runs_per_query_map(tmp_path, monkeypatch):
     assert rec["summary"]["min_ingest"] == {"put_many_rps": 50000.0}
     # the per-run array stays lean (no per-query maps per run)
     assert all("queries" not in r for r in rec["runs"])
+
+
+# ---------------------------------------------------------------------------
+# 7. streaming simhash: one scan, one fold, optional exactly-once emission
+# ---------------------------------------------------------------------------
+
+
+def test_simhash64_blocks_folds_appear_once_in_optimized_plan(spark):
+    """simhash64_blocks binds the signature word in the final aggregate's
+    finish lambda and derives the block slices there, so the optimized
+    plan carries exactly TWO folds (token votes + word OR-fold) no matter
+    how many slices come out. The pre-r14 streaming shape — a per-block
+    union of re-projections — printed the pair of folds once PER BLOCK
+    (8 copies at 16-bit slices) and re-scanned the source per branch;
+    HOFs get no codegen subexpression elimination, so every printed copy
+    runs."""
+    from vettore_spark.operators.dedup import simhash64_blocks, tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = df.select(
+        "doc_id", F.explode(simhash64_blocks(tokens("text"))).alias("b")
+    ).select("doc_id", "b._sig", "b._blk", "b._bval")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 2, plan
+
+
+def test_simhash64_blocks_matches_simhash64_and_slicing(spark):
+    """The fused signature+blocks expression is bit-for-bit the plain
+    simhash64 word plus its shifted 16-bit slices, for both hash_fns."""
+    from vettore_spark.operators import text as TX
+    from vettore_spark.operators.dedup import simhash64, simhash64_blocks, tokens
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} alpha beta gamma delta w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for hf in (None, TX.poly_hash62):
+        want = {
+            r.doc_id: r.sig
+            for r in df.select(
+                "doc_id", simhash64(tokens("text"), hash_fn=hf).alias("sig")
+            ).collect()
+        }
+        rows = df.select(
+            "doc_id",
+            F.explode(
+                simhash64_blocks(tokens("text"), hash_fn=hf)
+            ).alias("b"),
+        ).select("doc_id", "b._sig", "b._blk", "b._bval").collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.doc_id, []).append(r)
+        for did, rs in per.items():
+            assert len(rs) == 4
+            u = want[did] & 0xFFFFFFFFFFFFFFFF  # two's-complement view
+            for r in rs:
+                assert r._sig == want[did]
+                assert r._bval == (u >> (r._blk * 16)) & 0xFFFF

@@ -222,6 +222,57 @@ def test_streaming_simhash_candidates_across_batches(spark, tmp_path):
     assert hs[(1, 2)] <= 8
 
 
+def test_streaming_simhash_emit_once_matches_default_distinct(spark, tmp_path):
+    """emit_once=True emits each discovered pair exactly once — in its
+    minimal shared block — and the emitted set equals the default mode's
+    distinct pair set (below the cap every shared block's bucket holds
+    both members, so minimal-block suppression loses nothing). Identical
+    twins share ALL four blocks: default emits the pair 4x, emit_once
+    once with block = 0."""
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(w if i != 7 else "CHANGED" for i, w in enumerate(words))
+    schema = "doc_id long, text string"
+    src = tmp_path / "sh_once"
+    spark.createDataFrame([(1, base), (2, base)], schema).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(
+        [(3, near), (4, "entirely different other words about something else")],
+        schema,
+    ).write.parquet(str(src / "b2"))
+
+    from vettore_spark.streaming.stateful import streaming_simhash_candidates
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            streaming_simhash_candidates(stream, max_hamming=8, **kw)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name).collect()
+
+    dflt = run("shc_dflt_r14")
+    once = run("shc_once_r14", emit_once=True)
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in dflt}
+    got = [(r.doc_a, r.doc_b, r.hamming) for r in once]
+    assert set(got) == want
+    assert len(got) == len(set(got))  # exactly one emission per pair
+    assert (1, 2, 0) in want  # the identical twins
+    assert sum(1 for r in dflt if (r.doc_a, r.doc_b) == (1, 2)) == 4
+    one = [r for r in once if (r.doc_a, r.doc_b) == (1, 2)]
+    assert len(one) == 1 and one[0].block == 0
+
+
 def test_streaming_zscore_anomaly_matches_expanding_batch(spark, tmp_path):
     """Streamed Welford z-scores equal the batch expanding-window z-scores
     when micro-batches arrive time-ordered; the spike after enough history

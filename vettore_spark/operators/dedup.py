@@ -686,6 +686,62 @@ def simhash64(toks: Column, hash_fn=None) -> Column:
     )
 
 
+def simhash64_blocks(
+    toks: Column, *, block_bits: int = 16, hash_fn=None
+) -> Column:
+    """SimHash signature plus its LSH block keys as ONE expression:
+    ``array<struct<_blk int, _bval long, _sig long>>`` with
+    64 // block_bits elements, ready to ``explode`` into one blocking
+    row per slice.
+
+    The signature word is bound ONCE in the final aggregate's finish
+    lambda (the r13 cosine pattern: multi-use finish math lives in the
+    finish lambda, where the fold result is a lambda variable evaluated
+    a single time). A caller that projects the word and then derives
+    the slices in a later select re-inlines the whole vote fold per
+    reference under CollapseProject — the streaming path's previous
+    4-branch union paid exactly that, recomputing simhash64 4x and
+    re-scanning the source once per block (r14)."""
+    if block_bits < 1 or 64 % block_bits != 0:
+        raise ValueError(f"block_bits must divide 64, got {block_bits}")
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    hf = hash_fn if hash_fn is not None else F.xxhash64
+    th = F.transform(toks, lambda t: hf(t))
+    masks = _bit_masks()
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+        lambda w: F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("_blk"),
+                    F.shiftrightunsigned(w, b * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("_bval"),
+                    w.alias("_sig"),
+                )
+                for b in range(n_blocks)
+            ]
+        ),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     *,

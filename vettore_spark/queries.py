@@ -3943,6 +3943,11 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=8,
         max_bucket=4096,
         hash_fn=TX.poly_hash62,
+        # the cap does not bind at any tested sf (largest bucket 1,896
+        # vs 4096), so minimal-shared-block emission is exact: raw sink
+        # rows EQUAL the distinct pair set (443k at sf0.1, was 1.7M
+        # pre-distinct) and the projection's distinct is a no-op pass
+        emit_once=True,
     )
     got = _run_streaming_gate(out, "streaming_simhash_pairs_sink", "append")
     return (

@@ -342,6 +342,7 @@ def streaming_simhash_candidates(
     block_bits: int = 16,
     max_bucket: int = 64,
     hash_fn=None,
+    emit_once: bool = False,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate pairs across micro-batches: the
     streaming twin of dedup.simhash_pairs. Each document is posted to its
@@ -351,9 +352,19 @@ def streaming_simhash_candidates(
     caught even when its twin arrived in an EARLIER micro-batch.
 
     Emits (doc_a, doc_b, hamming, block) with doc_a < doc_b as pairs are
-    discovered. A pair sharing several blocks is emitted once per sharing
-    block (same as the batch op before its distinct) — aggregate
-    downstream (e.g. per-batch `dropDuplicates(["doc_a","doc_b"])`).
+    discovered. By default a pair sharing several blocks is emitted once
+    per sharing block (same as the batch op before its distinct) —
+    aggregate downstream (e.g. `dropDuplicates(["doc_a","doc_b"])`).
+    `emit_once=True` suppresses that duplication at the source: a pair is
+    emitted only in its MINIMAL shared block (computable from the two
+    signatures' xor — below the cap both members are resident in every
+    shared block's bucket, so exactly one emission survives and raw
+    output EQUALS the distinct pair set; the r14 sf0.1 corpus emits 1.7M
+    raw vs 443k distinct without it). With a binding `max_bucket` cap,
+    emit_once can DROP a pair whose minimal shared block froze one
+    member out of residency while a later shared block caught it — use
+    it only where caps are sized not to bind (its `block` column then
+    reports the minimal shared block, not every discovery).
 
     State per bucket is capped at `max_bucket` members (the batch op's
     hot-bucket guard): beyond it, new members are verified against the
@@ -378,28 +389,34 @@ def streaming_simhash_candidates(
     """
     from pyspark.sql import types as T
 
-    from vettore_spark.operators.dedup import simhash64, tokens
+    from vettore_spark.operators.dedup import simhash64_blocks, tokens
 
     id_type = docs.schema[id_col].dataType
     n_blocks = 64 // block_bits
-    mask = (1 << block_bits) - 1
+    slice_mask = (1 << block_bits) - 1
 
-    sig = simhash64(tokens(text_col), hash_fn=hash_fn)
-    parts = []
-    for b in range(n_blocks):
-        parts.append(
-            docs.select(
-                F.col(id_col),
-                sig.alias("_sig"),
-                F.lit(b).alias("_blk"),
-                F.shiftrightunsigned(sig, b * block_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("_bval"),
+    # One source scan, one SimHash fold per document: the signature AND
+    # its 64/block_bits slice keys come out of a single expression
+    # (simhash64_blocks binds the word in the fold's finish lambda), and
+    # explode posts each doc to its block buckets. The previous shape —
+    # a per-block union of re-projections — re-scanned the stream source
+    # and recomputed the full simhash64 fold once PER BLOCK (4x compute
+    # at the default 16-bit slices; r14 replay profile: this query was
+    # the streaming_replay_sec outlier with "real LSH compute" as the
+    # attributed cost).
+    keyed = docs.select(
+        F.col(id_col),
+        F.explode(
+            simhash64_blocks(
+                tokens(text_col), block_bits=block_bits, hash_fn=hash_fn
             )
-        )
-    keyed = parts[0]
-    for p in parts[1:]:
-        keyed = keyed.unionByName(p)
+        ).alias("_b"),
+    ).select(
+        F.col(id_col),
+        F.col("_b._sig").alias("_sig"),
+        F.col("_b._blk").alias("_blk"),
+        F.col("_b._bval").alias("_bval"),
+    )
 
     out_schema = T.StructType(
         [
@@ -427,87 +444,120 @@ def streaming_simhash_candidates(
             rows.extend(
                 sorted(zip(pdf[id_col].tolist(), pdf["_sig"].tolist()))
             )
-        out_a, out_b, out_h = [], [], []
+        a_ids = [r[0] for r in rows]
+        a_sig = np.array([r[1] for r in rows], dtype=np.int64).astype(
+            np.uint64
+        )
+        r_sig = np.array(sigs, dtype=np.int64).astype(np.uint64)
+        r_ids_arr = np.array(ids, dtype=object)
+        a_ids_arr = np.array(a_ids, dtype=object)
+        # Pair families collected as numpy columns (i-member, j-member,
+        # hamming, xor word). The corpus regime is pair-HEAVY — sf0.1's
+        # near-dup family verifies ~1.7M raw pairs per replay — so the
+        # per-pair Python append loop this replaces WAS the replay cost
+        # (r14 profile: 12 of 16 s addBatch), not the SimHash fold.
+        fam_i: list[np.ndarray] = []
+        fam_j: list[np.ndarray] = []
+        fam_h: list[np.ndarray] = []
+        fam_x: list[np.ndarray] = []
+
+        def _family(ids_i, sig_i, ids_j, sig_j, keep, hm):
+            i, j = np.nonzero(keep)
+            if not len(i):
+                return
+            fam_i.append(ids_i[i])
+            fam_j.append(ids_j[j])
+            fam_h.append(hm[i, j].astype(np.int64))
+            fam_x.append(sig_i[i] ^ sig_j[j])
+
         if len(ids) + len(rows) <= max_bucket:
             # Fast path: the bucket stays under its cap for the whole
             # batch, so every arrival both verifies AND joins the
             # residents — the emitted pair set is exactly (residents x
             # arrivals) + (arrival pairs), order-free. One XOR outer
             # product + table popcount instead of a Python double loop.
-            a_ids = [r[0] for r in rows]
-            a_sig = np.array([r[1] for r in rows], dtype=np.int64).astype(
-                np.uint64
-            )
-            r_sig = np.array(sigs, dtype=np.int64).astype(np.uint64)
-            pairs = []  # (id_i, id_j, hamming)
             if len(r_sig) and len(a_sig):
                 hm = _popcount64(r_sig[:, None] ^ a_sig[None, :])
-                for i, j in zip(*np.nonzero(hm <= max_hamming)):
-                    if ids[i] != a_ids[j]:
-                        pairs.append((ids[i], a_ids[j], int(hm[i, j])))
+                _family(
+                    r_ids_arr, r_sig, a_ids_arr, a_sig,
+                    hm <= max_hamming, hm,
+                )
             if len(a_sig) > 1:
                 hm = _popcount64(a_sig[:, None] ^ a_sig[None, :])
-                ii, jj = np.nonzero(np.triu(hm <= max_hamming, k=1))
-                for i, j in zip(ii, jj):
-                    if a_ids[i] != a_ids[j]:
-                        pairs.append((a_ids[i], a_ids[j], int(hm[i, j])))
-            for x, y, h in pairs:
-                a, bb = (x, y) if x < y else (y, x)
-                out_a.append(a)
-                out_b.append(bb)
-                out_h.append(h)
+                _family(
+                    a_ids_arr, a_sig, a_ids_arr, a_sig,
+                    np.triu(hm <= max_hamming, k=1), hm,
+                )
             ids.extend(a_ids)
             sigs.extend(int(s) for s in a_sig.astype(np.int64))
         else:
-            # At-cap path, vectorized with EXACTLY the sequential-scan
-            # semantics (r12: the Python double loop was O(rows x cap)
-            # interpreter work per hot bucket — the replay-scaling
-            # bottleneck at 16x corpus). In the sequential scan, arrival
-            # j is verified against (a) every ORIGINAL resident and (b)
-            # every EARLIER arrival that joined the residents — and only
-            # the first (max_bucket - len(ids)) arrivals join. Both pair
-            # families are closed-form: residents x all arrivals, plus
+            # At-cap path with EXACTLY the sequential-scan semantics
+            # (r12: the Python double loop was O(rows x cap) interpreter
+            # work per hot bucket — the replay-scaling bottleneck at 16x
+            # corpus). In the sequential scan, arrival j is verified
+            # against (a) every ORIGINAL resident and (b) every EARLIER
+            # arrival that joined the residents — and only the first
+            # (max_bucket - len(ids)) arrivals join. Both pair families
+            # are closed-form: residents x all arrivals, plus
             # added-prefix x strictly-later arrivals (upper triangle).
-            a_ids = [r[0] for r in rows]
-            a_sig = np.array([r[1] for r in rows], dtype=np.int64).astype(
-                np.uint64
-            )
-            r_sig = np.array(sigs, dtype=np.int64).astype(np.uint64)
-            pairs = []
             if len(r_sig) and len(a_sig):
                 hm = _popcount64(r_sig[:, None] ^ a_sig[None, :])
-                for i, j in zip(*np.nonzero(hm <= max_hamming)):
-                    if ids[i] != a_ids[j]:
-                        pairs.append((ids[i], a_ids[j], int(hm[i, j])))
+                _family(
+                    r_ids_arr, r_sig, a_ids_arr, a_sig,
+                    hm <= max_hamming, hm,
+                )
             add_n = max(0, max_bucket - len(ids))
             if add_n and len(a_sig) > 1:
                 p_sig = a_sig[:add_n]
+                p_ids = a_ids_arr[:add_n]
                 hm = _popcount64(p_sig[:, None] ^ a_sig[None, :])
                 keep = hm <= max_hamming
                 # prefix member i is resident only for arrivals j > i
                 keep &= np.arange(len(a_sig))[None, :] > np.arange(
                     len(p_sig)
                 )[:, None]
-                for i, j in zip(*np.nonzero(keep)):
-                    if a_ids[i] != a_ids[j]:
-                        pairs.append((a_ids[i], a_ids[j], int(hm[i, j])))
-            for x, y, h in pairs:
-                a, bb = (x, y) if x < y else (y, x)
-                out_a.append(a)
-                out_b.append(bb)
-                out_h.append(h)
+                _family(p_ids, p_sig, a_ids_arr, a_sig, keep, hm)
             ids.extend(a_ids[:add_n])
             sigs.extend(int(s) for s in a_sig[:add_n].astype(np.int64))
         state.update((ids, sigs))
-        if out_a:
-            yield pd.DataFrame(
-                {
-                    "doc_a": out_a,
-                    "doc_b": out_b,
-                    "hamming": out_h,
-                    "block": [blk] * len(out_a),
-                }
-            )
+        if fam_i:
+            pi = np.concatenate(fam_i)
+            pj = np.concatenate(fam_j)
+            ph = np.concatenate(fam_h)
+            px = np.concatenate(fam_x)
+            # duplicate-id re-arrival never self-pairs; object-dtype
+            # comparisons yield object arrays of Python bools, which
+            # numpy would treat as FANCY indices — cast to bool masks
+            keep = np.asarray(pi != pj, dtype=bool)
+            if emit_once:
+                # Emit a pair only in its MINIMAL shared block: below
+                # the cap both members sit in every bucket whose slice
+                # values agree (xor slice == 0), so the pair is
+                # discovered once per shared block and keeping only
+                # blk == min(shared) makes raw emission equal the
+                # distinct pair set — no 4x duplication for downstream
+                # distinct to grind through.
+                minblk = np.full(px.shape, n_blocks, dtype=np.int64)
+                for b in range(n_blocks - 1, -1, -1):
+                    zero = (
+                        (px >> np.uint64(b * block_bits))
+                        & np.uint64(slice_mask)
+                    ) == 0
+                    minblk = np.where(zero, b, minblk)
+                keep &= minblk == blk
+            if keep.any():
+                pi, pj, ph = pi[keep], pj[keep], ph[keep]
+                swap = np.asarray(pj < pi, dtype=bool)
+                lo = np.where(swap, pj, pi)
+                hi = np.where(swap, pi, pj)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": lo,
+                        "doc_b": hi,
+                        "hamming": ph,
+                        "block": np.full(len(ph), blk, dtype=np.int32),
+                    }
+                )
 
     return keyed.groupBy("_blk", "_bval").applyInPandasWithState(
         update,
