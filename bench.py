@@ -181,6 +181,18 @@ def compact_bench_line(
     (r12 verdict #3 — the r12 record lost it to the old last-resort
     collapse) and now survives EVERY stage, including the final one.
     bench_full.json always has the untrimmed record."""
+    b3 = compact.get("best_of_3")
+    if isinstance(b3, dict):
+        # the selected run's audit maps (per-query, per-gate replay,
+        # ingest) NEVER belong in the capped line — they are several KB
+        # by construction and live in bench_best_of_3.json; dropping
+        # them here (not just at the caller) keeps a future caller from
+        # re-bloating the line before the cascade even starts (r14)
+        compact["best_of_3"] = {
+            k: v
+            for k, v in b3.items()
+            if k not in ("min_queries", "min_streaming_replay_sec", "min_ingest")
+        }
     line = json.dumps(compact)
     if len(line) > line_max:  # stage 1: slowest-queries block 20 -> 10
         compact["queries"] = dict(list(slowest.items())[:10])
@@ -872,7 +884,12 @@ def main() -> None:
             {
                 k: v
                 for k, v in best_of_3.items()
-                if k not in ("min_queries", "min_streaming_replay_sec")
+                if k
+                not in (
+                    "min_queries",
+                    "min_streaming_replay_sec",
+                    "min_ingest",
+                )
             }
             if isinstance(best_of_3, dict)
             else best_of_3

@@ -694,7 +694,12 @@ def test_bench_compact_line_preserves_pergate_replay_map():
                       "n_samples": 590},
         "best_of_3": {"min_value": 51.074, "min_source": "run3",
                       "min_stalled_samples": 0, "min_host_verdict": "solo",
-                      "all_values": [51.0, 61.8, 90.3], "valid": True},
+                      "all_values": [51.0, 61.8, 90.3], "valid": True,
+                      # audit maps (r14): must never reach the line
+                      "min_queries": {f"q{i}": 1.0 for i in range(50)},
+                      "min_streaming_replay_sec": {"g": 9.0},
+                      "min_ingest": {"put_many_rps": 1.0,
+                                     "put_many_spread": [1, 2, 3]}},
         "sf": 0.1,
     }
     line = compact_bench_line(
@@ -713,6 +718,11 @@ def test_bench_compact_line_preserves_pergate_replay_map():
     # the old key filter matched nothing and emptied the block)
     assert parsed["ingest"] == {"put_many_rps": 99000.0,
                                 "lookup_rps": 22000.0}
+    # the best_of_3 audit maps are stripped before the cascade even
+    # starts — they can never crowd out driver-visible signal
+    assert not set(parsed.get("best_of_3", {})) & {
+        "min_queries", "min_streaming_replay_sec", "min_ingest"
+    }
 
 
 def test_hashed_embedding_gate_parity_on_multibyte_corpus(spark, tmp_path):

@@ -162,6 +162,17 @@ def test_temporal_oracle_parity_under_hostile_session_tz(spark):
         )
         # the dispatch must have re-pinned UTC before execution
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # the raw q_* path (no _prepared dispatch) with a WARM table
+        # cache must pin too: _t rides every call, not just cache
+        # misses (r14 review — the loader's "covers every consumer"
+        # claim was false for warm-cache direct callers)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        raw = sorted(
+            tuple(r)
+            for r in Q._REGISTRY["events_hourly"][0](spark, sf_dir).collect()
+        )
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert raw == got
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     con = duckdb.connect()

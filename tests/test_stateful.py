@@ -273,6 +273,37 @@ def test_streaming_simhash_emit_once_matches_default_distinct(spark, tmp_path):
     assert len(one) == 1 and one[0].block == 0
 
 
+def test_streaming_simhash_emit_once_failfasts_at_cap(spark, tmp_path):
+    """A binding max_bucket cap would make minimal-shared-block
+    suppression DROP pairs silently (the minimal block froze a member
+    out while a later block caught the pair), so emit_once refuses to
+    run past the cap instead of losing pairs."""
+    import pytest
+
+    base = " ".join(f"w{i}" for i in range(40))
+    schema = "doc_id long, text string"
+    src = tmp_path / "sh_cap"
+    spark.createDataFrame(
+        [(i, base) for i in range(1, 5)], schema
+    ).write.parquet(str(src / "b1"))
+
+    from vettore_spark.streaming.stateful import streaming_simhash_candidates
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = (
+        streaming_simhash_candidates(
+            stream, max_hamming=8, max_bucket=2, emit_once=True
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("shc_cap_r14")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="emit_once"):
+        q.awaitTermination()
+
+
 def test_streaming_zscore_anomaly_matches_expanding_batch(spark, tmp_path):
     """Streamed Welford z-scores equal the batch expanding-window z-scores
     when micro-batches arrive time-ordered; the spike after enough history

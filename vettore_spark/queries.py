@@ -58,17 +58,20 @@ _WIDE_TABLES = {"lineitem", "orders", "events", "documents"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None:
-        return hit
     # Oracle parity must not depend on the ambient JVM timezone: every
     # date_trunc/date_format in the registry buckets in SESSION-local
     # time while the DuckDB oracles' naive timestamps are effectively
     # UTC. Several temporal queries pinned this individually; pinning at
     # the shared loader covers every consumer (r14 — the tz analog of
-    # the Java-vs-RE2 \s audit).
+    # the Java-vs-RE2 \s audit). The pin rides every CALL, not just the
+    # cache-miss path: the tz is read at EXECUTION time, so a direct
+    # q_* caller (bypassing the _prepared dispatch pin) with a warm
+    # table cache must still get UTC buckets.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # parquet TIMESTAMP(NANOS): readable only as long nanos
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -3921,8 +3924,10 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     freeze at the cap), which is why the raw operator stays pytest-only;
     BELOW the cap the emitted pair set is order-free — every pair meets
     when its later member arrives and all earlier members are resident.
-    The gate runs with max_bucket=4096 (the largest sf0.1 bucket holds
-    1,896 members, sf0.01 186 — comfortably under), projects the
+    The gate runs with max_bucket=16384, sized above the hottest bucket
+    at every tested scale (sf0.01 186, sf0.1 1,896, the sf1.0 sweep
+    corpus 7,657 — replica slice-collisions stack bucket populations,
+    which silently cap-froze residents under the old 4096), projects the
     DISTINCT (doc_a, doc_b, hamming) set, and uses the SQL-reproducible
     poly_hash62 fingerprint so the oracle — the batch simhash_pairs SQL
     verbatim — recomputes the 64-bit SimHash, the 4x16-bit blocking, and
@@ -3941,12 +3946,16 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_simhash_candidates(
         stream,
         max_hamming=8,
-        max_bucket=4096,
+        max_bucket=16384,
         hash_fn=TX.poly_hash62,
-        # the cap does not bind at any tested sf (largest bucket 1,896
-        # vs 4096), so minimal-shared-block emission is exact: raw sink
-        # rows EQUAL the distinct pair set (443k at sf0.1, was 1.7M
-        # pre-distinct) and the projection's distinct is a no-op pass
+        # the cap does not bind at any tested scale (hottest bucket:
+        # 7,657 in the sf1.0 sweep corpus), so minimal-shared-block
+        # emission is exact: raw sink rows EQUAL the distinct pair set
+        # (1.4M at sf0.1, was 1.77M pre-distinct) and the projection's
+        # distinct is a no-op pass. If a larger corpus ever crossed the
+        # cap, the operator FAIL-FASTS rather than silently dropping
+        # pairs (stateful.py) — re-size the cap above the hottest
+        # bucket, as this gate's correctness contract requires anyway.
         emit_once=True,
     )
     got = _run_streaming_gate(out, "streaming_simhash_pairs_sink", "append")

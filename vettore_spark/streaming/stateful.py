@@ -359,12 +359,15 @@ def streaming_simhash_candidates(
     emitted only in its MINIMAL shared block (computable from the two
     signatures' xor — below the cap both members are resident in every
     shared block's bucket, so exactly one emission survives and raw
-    output EQUALS the distinct pair set; the r14 sf0.1 corpus emits 1.7M
-    raw vs 443k distinct without it). With a binding `max_bucket` cap,
-    emit_once can DROP a pair whose minimal shared block froze one
-    member out of residency while a later shared block caught it — use
-    it only where caps are sized not to bind (its `block` column then
-    reports the minimal shared block, not every discovery).
+    output EQUALS the distinct pair set; the r14 sf0.1 corpus emits
+    1.77M raw vs 1.41M distinct without it). A binding `max_bucket` cap would
+    make the suppression DROP a pair whose minimal shared block froze
+    one member out of residency while a later shared block caught it —
+    emit_once therefore FAIL-FASTS when any bucket would exceed its cap
+    (size the cap above the hottest bucket, or use the default
+    emission, which keeps the cap's verify-but-don't-add semantics).
+    Under emit_once the `block` column reports the minimal shared
+    block, not every discovery.
 
     State per bucket is capped at `max_bucket` members (the batch op's
     hot-bucket guard): beyond it, new members are verified against the
@@ -470,6 +473,20 @@ def streaming_simhash_candidates(
             fam_h.append(hm[i, j].astype(np.int64))
             fam_x.append(sig_i[i] ^ sig_j[j])
 
+        if emit_once and len(ids) + len(rows) > max_bucket:
+            # emit_once's exactly-once guarantee stands only while every
+            # shared block's bucket holds both pair members — a binding
+            # cap would make the suppression DROP pairs silently (the
+            # minimal shared block froze a member out of residency while
+            # a later block caught the pair). Fail loudly instead: size
+            # max_bucket above the hottest bucket, or run the default
+            # per-sharing-block emission which keeps cap semantics.
+            raise ValueError(
+                f"emit_once: bucket (block={blk}, key={key[1]}) would "
+                f"exceed max_bucket={max_bucket} "
+                f"({len(ids)} resident + {len(rows)} arriving); "
+                "exactly-once emission is only exact below the cap"
+            )
         if len(ids) + len(rows) <= max_bucket:
             # Fast path: the bucket stays under its cap for the whole
             # batch, so every arrival both verifies AND joins the
