@@ -3314,11 +3314,24 @@ STREAMING_REPLAY_SECONDS: dict[str, float] = {}
 STREAMING_REPLAY_PROGRESS: dict[str, list[dict]] = {}
 
 
-def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_streaming_gate(
+    out: DataFrame, name: str, mode: str, sink: str = "memory"
+) -> DataFrame:
     """Shared availableNow-replay harness for the streaming oracle gates:
     memory sink, bounded replay to completion, hard timeout (a hung source
     must FAIL the gate, never hand back a partial table), finished table
     returned as a plain DataFrame for the hash compare.
+
+    `sink="parquet"` (append-mode gates only — Spark's file sink supports
+    no other mode) replaces the memory sink with a per-app parquet scratch
+    sink and returns a READ of it. The memory sink materializes every
+    emitted row ON THE DRIVER, and the returned table is a
+    LocalTableScan: each downstream execution re-ships the whole result
+    from the driver single-threaded (guide §5 — the r14 profile measured
+    the simhash gate's 1.4M-pair LocalTableScan + distinct at ~10 s per
+    run, the largest headline row). The parquet sink keeps the replay
+    output distributed end to end — executors write, executors read —
+    and is also the production sink shape (memory is a test-only sink).
 
     The replay runs with a SMALL stateful-shuffle partition count
     (SPARK_GRAFT_GATE_PARTITIONS, default 8) instead of the session's
@@ -3337,16 +3350,36 @@ def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
     sess = out.sparkSession
     prev_parts = sess.conf.get("spark.sql.shuffle.partitions")
     gate_parts = os.environ.get("SPARK_GRAFT_GATE_PARTITIONS", "8")
+    data_dir = None
+    if sink == "parquet":
+        if mode != "append":
+            raise ValueError("parquet gate sink requires append mode")
+        import shutil
+        import tempfile
+
+        digest = hashlib.md5(
+            f"gatesink:{name}:{sess.sparkContext.applicationId}".encode()
+        ).hexdigest()[:12]
+        root = os.path.join(tempfile.gettempdir(), f"vettore_gatesink_{digest}")
+        _claim_scratch_dir(root)
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        data_dir = os.path.join(root, "data")
+        ck_dir = os.path.join(root, "ck")
     t0 = time.monotonic()
     sess.conf.set("spark.sql.shuffle.partitions", gate_parts)
     try:
-        q = (
-            out.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
+        w = out.writeStream.outputMode(mode).trigger(availableNow=True)
+        if sink == "parquet":
+            q = (
+                w.format("parquet")
+                .option("path", data_dir)
+                .option("checkpointLocation", ck_dir)
+                .queryName(name)
+                .start()
+            )
+        else:
+            q = w.format("memory").queryName(name).start()
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not q.awaitTermination(300):
@@ -3376,6 +3409,11 @@ def _run_streaming_gate(out: DataFrame, name: str, mode: str) -> DataFrame:
         )
     except Exception:  # noqa: BLE001 — diagnostics must never fail a gate
         pass
+    if sink == "parquet":
+        # schema from the streaming plan, not inference: an (impossible
+        # here, but structurally possible) zero-row replay leaves no data
+        # files to infer from, and explicit schemas are free
+        return sess.read.schema(out.schema).parquet(data_dir)
     return out.sparkSession.table(name)
 
 
@@ -3958,7 +3996,9 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bucket, as this gate's correctness contract requires anyway.
         emit_once=True,
     )
-    got = _run_streaming_gate(out, "streaming_simhash_pairs_sink", "append")
+    got = _run_streaming_gate(
+        out, "streaming_simhash_pairs_sink", "append", sink="parquet"
+    )
     return (
         got.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .distinct()
