@@ -141,47 +141,60 @@ def streaming_exact_dedup(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST document ever seen with
     each content digest, across all micro-batches (first-wins, matching the
     batch exact_dedup's keep-lowest semantics within a batch: intra-batch
     ties resolve to the lowest id).
 
-    State per digest is a single boolean + keeper id — bounded by the
-    number of DISTINCT documents, not the stream length. At 100 TB-scale
-    ingest the digest key-space shuffles uniformly (md5), so state spreads
-    evenly across executors; pair with an upstream time-window digest
-    filter (dropDuplicatesWithinWatermark) when the duplicate horizon is
-    known to bound state further.
-    """
+    State is keyed by the digest's `bucket_chars`-hex-char PREFIX and
+    holds the bucket's seen-digest list: the per-digest keying this
+    replaces paid one Python `update` call + one state round-trip per
+    DISTINCT DIGEST per batch — the r14 replay profile measured that
+    per-group overhead as ~the whole addBatch time (5,000 calls -> 1.8 s
+    at sf0.1). 16^bucket_chars buckets cap the per-batch call count while
+    every decision inside a bucket is one vectorized pandas pass; the
+    emitted rows are identical (first-ever bucket arrival emits the
+    batch's lowest id per digest). Total state volume is unchanged —
+    the same distinct digests, sharded coarser. Size `bucket_chars` so a
+    bucket's digest list stays cheap to re-serialize per touched batch:
+    ~distinct_digests / 16^chars entries x 32 bytes (2 -> 256 buckets;
+    a 100 TB ingest with ~1e11 distinct units wants 6-7 chars). The md5
+    prefix shuffles uniformly, so buckets cannot skew."""
     from pyspark.sql import types as T
 
     id_type = docs.schema[id_col].dataType
     out_schema = T.StructType(
         [T.StructField(id_col, id_type), T.StructField("digest", T.StringType())]
     )
-    state_schema = T.StructType([T.StructField("keeper", id_type)])
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.StringType()))]
+    )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
+        seen = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
             return
-        best = None
-        for pdf in pdfs:
-            ids = pdf[id_col]
-            if len(ids) == 0:
-                continue
-            m = ids.min()  # native dtype: works for integral and string ids
-            best = m if best is None else min(best, m)
-        if best is not None:
-            state.update((best,))
-            yield pd.DataFrame({id_col: [best], "digest": [key[0]]})
+        # intra-batch keep rule: lowest id per digest (stable sort, then
+        # first occurrence wins) — the batch exact_dedup tie rule
+        rows = rows.sort_values([id_col], kind="mergesort").drop_duplicates(
+            "digest", keep="first"
+        )
+        fresh = rows[~rows["digest"].isin(set(seen))]
+        if len(fresh) == 0:
+            return
+        seen.extend(fresh["digest"].tolist())
+        state.update((seen,))
+        yield fresh[[id_col, "digest"]]
 
     hashed = docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
-    )
-    return hashed.groupBy("digest").applyInPandasWithState(
+    ).withColumn("_bkt", F.substring("digest", 1, bucket_chars))
+    return hashed.groupBy("_bkt").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -242,6 +255,7 @@ def streaming_unit_dedup(
     text_col: str = "text",
     delimiter: str | None = None,
     window: int = 20,
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Streaming paragraph/unit-level dedup — the continuous analog of the
     batch `operators.dedup.paragraph_dedup` (Lee et al. 2021 unit dedup):
@@ -255,8 +269,9 @@ def streaming_unit_dedup(
     Emits surviving units as (id, unit_idx, unit); reassemble documents in
     the sink with a per-batch groupBy(id) ordered concat (a stream cannot
     re-group globally — a doc whose units were all seen before simply emits
-    nothing). State per distinct unit digest is one marker row, bounded by
-    distinct-unit count, not stream length; the md5 key-space shuffles
+    nothing). State is the seen-digest set, bounded by distinct-unit
+    count, not stream length, sharded over 16^bucket_chars digest-prefix
+    buckets (see the bucket comment below); the md5 key-space shuffles
     uniformly across executors."""
     from pyspark.sql import types as T
 
@@ -270,32 +285,28 @@ def streaming_unit_dedup(
             T.StructField("unit", T.StringType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.StringType()))]
+    )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
+        seen = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
             return
-        best = None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            cand = pdf.sort_values([id_col, "unit_idx"]).iloc[0]
-            if best is None or (cand[id_col], cand["unit_idx"]) < (
-                best[id_col],
-                best["unit_idx"],
-            ):
-                best = cand
-        if best is not None:
-            state.update((True,))
-            yield pd.DataFrame(
-                {
-                    id_col: [best[id_col]],
-                    "unit_idx": [int(best["unit_idx"])],
-                    "unit": [best["unit"]],
-                }
-            )
+        # intra-batch keep rule: lexicographically-lowest (id, unit_idx)
+        # per distinct unit digest — the batch paragraph_dedup rule
+        rows = rows.sort_values(
+            [id_col, "unit_idx"], kind="mergesort"
+        ).drop_duplicates("_digest", keep="first")
+        fresh = rows[~rows["_digest"].isin(set(seen))]
+        if len(fresh) == 0:
+            return
+        seen.extend(fresh["_digest"].tolist())
+        state.update((seen,))
+        yield fresh[[id_col, "unit_idx", "unit"]]
 
     units = docs.select(
         F.col(id_col),
@@ -303,7 +314,19 @@ def streaming_unit_dedup(
             unit_chunks(text_col, delimiter=delimiter, window=window)
         ).alias("unit_idx", "unit"),
     ).withColumn("_digest", F.md5("unit"))
-    return units.groupBy("_digest").applyInPandasWithState(
+    # Digest-PREFIX bucket state, not per-digest state: the r14 replay
+    # profile attributed this gate's cost to the applyInPandasWithState
+    # per-group overhead itself (~40k distinct digests per micro-batch ->
+    # ~40k Python update calls + state round-trips per batch, ~3 s of a
+    # 3.5 s addBatch). 16^bucket_chars buckets bound the call count;
+    # inside a bucket the first-ever-wins decision is one vectorized
+    # pandas pass over the bucket's rows against its seen-digest list,
+    # emitting IDENTICAL rows. State volume is the same set of digests,
+    # sharded coarser — size bucket_chars so per-bucket lists stay small
+    # (see streaming_exact_dedup; ~1e11 distinct units wants 6-7 chars).
+    return units.withColumn(
+        "_bkt", F.substring("_digest", 1, bucket_chars)
+    ).groupBy("_bkt").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -700,26 +723,49 @@ def streaming_funnel_stage(
     out_schema = f"{user_col} {user_t}, stage int"
     state_schema = "t1 long, t2 long, t3 long"
 
-    def _ts_long(v) -> int:
-        if hasattr(v, "value"):  # pandas Timestamp -> ns
-            return int(v.value)
-        return int(v)
-
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         t1, t2, t3 = state.get if state.exists else (None, None, None)
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(ts_col, kind="mergesort")
-        for _, r in rows.iterrows():
-            typ = r[type_col]
-            ts = _ts_long(r[ts_col])
-            if typ == stages[0]:
-                t1 = ts if t1 is None else min(t1, ts)
-            elif typ == stages[1] and t1 is not None and ts > t1:
-                t2 = ts if t2 is None else min(t2, ts)
-            elif typ == stages[2] and t2 is not None and ts > t2:
-                t3 = ts if t3 is None else min(t3, ts)
+        # Vectorized closed form of the ts-ascending sequential fold the
+        # previous implementation ran row-by-row (iterrows was the whole
+        # replay cost of this gate — guide §4.2). Equivalence: processing
+        # ts-ascending, a stage-N event at time t is accepted iff the
+        # stage-(N-1) time known AT THAT MOMENT is < t; that running
+        # minimum is min(carried state, earliest qualifying stage-(N-1)
+        # event), and events AFTER t (ts' >= t) can never push the
+        # minimum below t, so gating on the GLOBAL minimum accepts
+        # exactly the same rows — ts ties still resolve to 'skip' via
+        # the strict >. The final state is the plain min over carried
+        # state and every accepted event, which is order-free.
+        tsv = rows[ts_col].to_numpy()
+        if tsv.dtype.kind == "M":  # datetime64 -> ns longs
+            tsv = tsv.astype("datetime64[ns]").astype(np.int64)
+        else:
+            tsv = tsv.astype(np.int64)
+        typ = rows[type_col].to_numpy()
+
+        def _gate(prev: int | None, arr: "np.ndarray") -> int | None:
+            acc = arr if prev is None else arr[arr > prev]
+            return None if len(acc) == 0 else int(acc.min())
+
+        v_min = _gate(None, tsv[typ == stages[0]])
+        t1 = v_min if t1 is None else (t1 if v_min is None else min(t1, v_min))
+        if t1 is not None:
+            c_min = _gate(t1, tsv[typ == stages[1]])
+            t2 = (
+                c_min
+                if t2 is None
+                else (t2 if c_min is None else min(t2, c_min))
+            )
+        if t2 is not None:
+            p_min = _gate(t2, tsv[typ == stages[2]])
+            t3 = (
+                p_min
+                if t3 is None
+                else (t3 if p_min is None else min(t3, p_min))
+            )
         state.update((t1, t2, t3))
         stage = 3 if t3 is not None else 2 if t2 is not None else (
             1 if t1 is not None else 0
