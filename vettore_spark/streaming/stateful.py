@@ -46,7 +46,8 @@ def streaming_topk_per_key(
 
     Emits, per micro-batch and key, the current top-k (id, value) pairs in
     descending value order (ties by id ascending — the same deterministic
-    tie-break as the batch top-k operators). State: the top-k pairs only.
+    tie-break as the batch top-k operators). State: the top-k pairs only,
+    sharded over key-hash buckets (see the bucket comment below).
 
     NaN stance (NANPOLICY.md): non-finite values (NaN/±inf/NULL) are
     DROPPED on arrival, never stored — a NaN key in the Python sort is
@@ -61,36 +62,77 @@ def streaming_topk_per_key(
     out_schema = (
         f"{key_col} long, rank integer, {id_col} long, {value_col} double"
     )
-    state_schema = "ids array<long>, vals array<double>"
+    # Key-HASH-bucket state, not per-key state (the unit-dedup treatment,
+    # r14 replay profile): per-key grouping paid one Python update call +
+    # one state round-trip per touched KEY per batch (~1,500 at sf0.1 —
+    # ~2 s of each addBatch). A bucket holds its keys' leaderboards as
+    # parallel arrays; per batch, one vectorized pandas pass re-sorts the
+    # union and re-truncates per key, and each key TOUCHED by the batch
+    # re-emits its current top-k — emission rows identical to the
+    # per-key form (a touched key with no finite rows and no state still
+    # emits nothing). State per bucket is O(k x keys/bucket); size
+    # `n_buckets` so that stays small (deterministic xxhash64 spread —
+    # a hot KEY still only ever holds k entries).
+    state_schema = "keys array<long>, ids array<long>, vals array<double>"
+    n_buckets = 256
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            (ids, vals) = state.get
-            pairs = list(zip(ids, vals))
+            ks, ids, vals = state.get
+            frames = [
+                pd.DataFrame(
+                    {
+                        key_col: np.asarray(ks, dtype=np.int64),
+                        id_col: np.asarray(ids, dtype=np.int64),
+                        value_col: np.asarray(vals, dtype=np.float64),
+                    }
+                )
+            ]
         else:
-            pairs = []
+            frames = []
+        touched: set = set()
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # a key is "touched" (and re-emits) when the batch carries
+            # ANY of its rows — the per-key form invoked update on raw
+            # input, before the finiteness drop
+            touched.update(pdf[key_col].tolist())
             vv = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
             ok = np.isfinite(vv)
-            pairs.extend(
-                zip(pdf[id_col].to_numpy()[ok].tolist(), vv[ok].tolist())
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].to_numpy()[ok],
+                        id_col: pdf[id_col].to_numpy()[ok],
+                        value_col: vv[ok],
+                    }
+                )
             )
-        # descending value, ascending id, bounded to k
-        pairs.sort(key=lambda p: (-p[1], p[0]))
-        pairs = pairs[:k]
-        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
-        yield pd.DataFrame(
-            {
-                key_col: [key[0]] * len(pairs),
-                "rank": list(range(1, len(pairs) + 1)),
-                id_col: [p[0] for p in pairs],
-                value_col: [p[1] for p in pairs],
-            }
+        if not frames:
+            return
+        allp = pd.concat(frames, ignore_index=True)
+        # per key: descending value, ascending id, bounded to k
+        allp = allp.sort_values(
+            [key_col, value_col, id_col], ascending=[True, False, True]
         )
+        top = allp.groupby(key_col, sort=False).head(k)
+        state.update(
+            (
+                top[key_col].tolist(),
+                top[id_col].tolist(),
+                top[value_col].tolist(),
+            )
+        )
+        emit = top[top[key_col].isin(touched)].copy()
+        emit["rank"] = emit.groupby(key_col, sort=False).cumcount() + 1
+        yield emit[[key_col, "rank", id_col, value_col]]
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    return events.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    ).groupBy("_bkt").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
