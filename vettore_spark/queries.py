@@ -3282,7 +3282,12 @@ def q_streaming_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled uniformly by md5."""
     from vettore_spark.streaming.stateful import streaming_exact_dedup
 
-    path = _streaming_table_dir(spark, sf_dir, "documents")
+    # 8-file doc_id-range split, no trigger cap: still ONE micro-batch
+    # (the single-batch oracle contract), but 8 parallel scan tasks on
+    # the map side instead of one (see _events_stream)
+    path = _streaming_table_dir_multi(
+        spark, sf_dir, "documents", "doc_id", n_files=8
+    )
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     out = streaming_exact_dedup(stream, id_col="doc_id", text_col="text")
@@ -3585,10 +3590,23 @@ ORDER BY event_type
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table with the batch reader's exact ts
-    conventions (UTC pinned before the cast; nanos-long branch)."""
+    conventions (UTC pinned before the cast; nanos-long branch).
+
+    The source is the 8-way event_id-range split read WITHOUT a
+    maxFilesPerTrigger cap, so trigger(availableNow) still replays it as
+    ONE micro-batch (the single-batch gates' oracle contract) but the
+    map side — parquet decode, ts conversion, the pre-shuffle projection
+    — runs 8 scan tasks instead of one (guide §2.5 input-skew fix: the
+    single hardlinked file gave every single-batch gate a 1-task map
+    stage; the r14 replay profile measured zscore's addBatch at 2.9 s
+    with ~100k rows funneling through one core). All four consumers are
+    intra-batch order-free: two are aggregations, and the stateful two
+    sort inside their update functions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = _streaming_table_dir(spark, sf_dir, "events")
+    path = _streaming_table_dir_multi(
+        spark, sf_dir, "events", "event_id", n_files=8
+    )
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     if isinstance(schema["ts"].dataType, T.LongType):
@@ -3978,7 +3996,13 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     length."""
     from vettore_spark.streaming.stateful import streaming_simhash_candidates
 
-    path = _streaming_table_dir(spark, sf_dir, "documents")
+    # 8-file doc_id-range split, no trigger cap: ONE micro-batch as
+    # before, but the tokenize+SimHash fold — this gate's dominant map
+    # cost (r14 replay profile: 8.7 s addBatch with the fold on a
+    # single scan task) — now runs 8-way parallel (see _events_stream)
+    path = _streaming_table_dir_multi(
+        spark, sf_dir, "documents", "doc_id", n_files=8
+    )
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     out = streaming_simhash_candidates(
