@@ -775,58 +775,91 @@ def streaming_funnel_stage(
     # user keys (the Collection id convention) fail at the first micro-batch
     user_t = events.schema[user_col].dataType.simpleString()
     out_schema = f"{user_col} {user_t}, stage int"
-    state_schema = "t1 long, t2 long, t3 long"
+    # User-HASH-bucket state (the r14 per-group-overhead treatment, see
+    # streaming_topk_per_key): per-user grouping paid one Python update
+    # call + one state round-trip per touched user per batch. A bucket
+    # holds its users' (t1, t2, t3) triples as parallel arrays; missing
+    # times are encoded as the _SENT sentinel (a ts far above any ns
+    # epoch), which makes every min/strictly-after comparison work
+    # unchanged. Emission rows are identical to the per-user form.
+    state_schema = (
+        f"keys array<{user_t}>, t1 array<long>, t2 array<long>, "
+        "t3 array<long>"
+    )
+    n_buckets = 256
+    _SENT = 1 << 62
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        if state.exists:
+            ks, a1, a2, a3 = state.get
+            st = {
+                u: (x1, x2, x3)
+                for u, x1, x2, x3 in zip(ks, a1, a2, a3)
+            }
+        else:
+            st = {}
         rows = pd.concat(list(pdfs), ignore_index=True)
-        # Vectorized closed form of the ts-ascending sequential fold the
-        # previous implementation ran row-by-row (iterrows was the whole
-        # replay cost of this gate — guide §4.2). Equivalence: processing
-        # ts-ascending, a stage-N event at time t is accepted iff the
-        # stage-(N-1) time known AT THAT MOMENT is < t; that running
-        # minimum is min(carried state, earliest qualifying stage-(N-1)
-        # event), and events AFTER t (ts' >= t) can never push the
-        # minimum below t, so gating on the GLOBAL minimum accepts
-        # exactly the same rows — ts ties still resolve to 'skip' via
-        # the strict >. The final state is the plain min over carried
-        # state and every accepted event, which is order-free.
+        if len(rows) == 0:
+            return
+        # Vectorized closed form of the ts-ascending sequential fold (the
+        # r14 iterrows removal). Equivalence: processing ts-ascending, a
+        # stage-N event at time t is accepted iff the stage-(N-1) time
+        # known AT THAT MOMENT is < t; that running minimum is
+        # min(carried state, earliest qualifying stage-(N-1) event), and
+        # events AFTER t (ts' >= t) can never push the minimum below t,
+        # so gating on the GLOBAL minimum accepts exactly the same rows —
+        # ts ties still resolve to 'skip' via the strict >. The final
+        # state is the plain min over carried state and every accepted
+        # event, which is order-free.
         tsv = rows[ts_col].to_numpy()
         if tsv.dtype.kind == "M":  # datetime64 -> ns longs
             tsv = tsv.astype("datetime64[ns]").astype(np.int64)
         else:
             tsv = tsv.astype(np.int64)
+        usr = rows[user_col].to_numpy()
         typ = rows[type_col].to_numpy()
+        order = np.argsort(usr, kind="stable")
+        usr, tsv, typ = usr[order], tsv[order], typ[order]
+        bounds = np.flatnonzero(usr[1:] != usr[:-1]) + 1
+        out_users, out_stages = [], []
 
-        def _gate(prev: int | None, arr: "np.ndarray") -> int | None:
-            acc = arr if prev is None else arr[arr > prev]
-            return None if len(acc) == 0 else int(acc.min())
+        def _gate(prev: int, arr: "np.ndarray") -> int:
+            acc = arr[arr > prev]
+            return _SENT if len(acc) == 0 else int(acc.min())
 
-        v_min = _gate(None, tsv[typ == stages[0]])
-        t1 = v_min if t1 is None else (t1 if v_min is None else min(t1, v_min))
-        if t1 is not None:
-            c_min = _gate(t1, tsv[typ == stages[1]])
-            t2 = (
-                c_min
-                if t2 is None
-                else (t2 if c_min is None else min(t2, c_min))
+        for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(usr)]):
+            u = usr[s].item() if hasattr(usr[s], "item") else usr[s]
+            t1, t2, t3 = st.get(u, (_SENT, _SENT, _SENT))
+            tseg, yseg = tsv[s:e], typ[s:e]
+            vs = tseg[yseg == stages[0]]
+            if len(vs):
+                t1 = min(t1, int(vs.min()))
+            if t1 < _SENT:
+                t2 = min(t2, _gate(t1, tseg[yseg == stages[1]]))
+            if t2 < _SENT:
+                t3 = min(t3, _gate(t2, tseg[yseg == stages[2]]))
+            st[u] = (t1, t2, t3)
+            out_users.append(u)
+            out_stages.append(
+                3 if t3 < _SENT else 2 if t2 < _SENT else (
+                    1 if t1 < _SENT else 0
+                )
             )
-        if t2 is not None:
-            p_min = _gate(t2, tsv[typ == stages[2]])
-            t3 = (
-                p_min
-                if t3 is None
-                else (t3 if p_min is None else min(t3, p_min))
+        state.update(
+            (
+                list(st.keys()),
+                [v[0] for v in st.values()],
+                [v[1] for v in st.values()],
+                [v[2] for v in st.values()],
             )
-        state.update((t1, t2, t3))
-        stage = 3 if t3 is not None else 2 if t2 is not None else (
-            1 if t1 is not None else 0
         )
-        yield pd.DataFrame({user_col: [key[0]], "stage": [stage]})
+        yield pd.DataFrame({user_col: out_users, "stage": out_stages})
 
-    return events.groupBy(user_col).applyInPandasWithState(
+    return events.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col(user_col)), F.lit(n_buckets))
+    ).groupBy("_bkt").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
