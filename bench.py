@@ -280,9 +280,17 @@ def main() -> None:
         # sort passes. Size-guarded at any scale — Spark only builds the
         # hash map when the per-partition build side fits its threshold,
         # so this is not a local[32]-only setting. A/B at sf0.1 (r14,
-        # tools/confexp.py, two runs each): 16-query subset 10.09 s -> 9.20 s
-        # and 9.44 s -> 8.78 s, no per-query regression; biggest movers
-        # tpch_q21_waiting 1.26 -> 0.88, bm25_batch 0.95 -> 0.79.
+        # tools/confexp.py two runs each + an order-reversed re-check):
+        # 16-query subset 10.09 s -> 9.20 s and 9.44 s -> 8.78 s, and a
+        # 13-query set stays ~5-10% faster when the off-setting runs
+        # FIRST, so the win is not process-order noise. Honest plan
+        # attribution (final AQE plans captured under both settings):
+        # the strategy actually flips only where the build side exceeds
+        # broadcast size — tpch_q17_bloom / tpch_q17_smallqty (1 SMJ ->
+        # 1 SHJ each) and textrank_distributed's iteration joins (4 SMJ
+        # -> 4 SHJ); for the other subset queries the final join mix is
+        # byte-identical under both settings (AQE's broadcast conversion
+        # dominates) and their individual deltas are run noise.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
