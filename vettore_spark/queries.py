@@ -4215,12 +4215,23 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        # exact-DECIMAL money rail (order-free sum; see q_tpch_q1)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount"))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -4236,14 +4247,22 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact-DECIMAL money rail (see q_tpch_q1): both sums are order-free
+    # exact decimals; the ratio is one IEEE double division in both engines
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 5,
             ).alias("promo_revenue_pct")
         )
@@ -4251,8 +4270,8 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q14_PROMO = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 5) AS promo_revenue_pct
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 5) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
 """
@@ -4270,14 +4289,23 @@ def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # exact-DECIMAL money rail (order-free sum; see q_tpch_q1)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 SQL_SUPPLIER_NATION_REVENUE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -4321,7 +4349,14 @@ def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # exact-DECIMAL money rail (see q_tpch_q1): order-free sum,
+            # then one IEEE double division in both engines
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
@@ -4338,7 +4373,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
        count(*) AS n,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_extendedprice), 4) AS avg_price
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -4707,25 +4742,59 @@ FROM s GROUP BY 1, 2
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Money sums ride the exact-DECIMAL rail (the q5/q7/q9/q10 pattern):
+    # a double sum's value depends on partition/visit order, and at
+    # sf0.001 sum_charge for ('F','N') lands on a half-cent boundary, so
+    # round(sum(double), 2) flipped between engines. The 2-dp inputs make
+    # every product exact at <= 6 dp; casting the (identical-in-both-
+    # engines) f64 product to DECIMAL recovers that exact value, decimal
+    # sums are order-free, and both engines agree bit-for-bit. avg_price /
+    # avg_disc take the same railed sum divided by the group count as a
+    # plain IEEE double division. Oracle (SQL_TPCH_Q1) changed in lockstep.
     li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
                 ),
                 2,
-            ).alias("sum_charge"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 5).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 5).alias("avg_price"),
-            F.round(F.avg("l_discount"), 5).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / n,
+                5,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)"))
+                .cast("double")
+                / n,
+                5,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -4744,7 +4813,16 @@ def q_top_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # exact-DECIMAL money rail (order-free sum; see q_tpch_q1)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -4752,7 +4830,7 @@ def q_top_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOP_ORDERS_JOIN = """
 SELECT c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -4808,7 +4886,16 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # exact-DECIMAL money rail (order-free sum; see q_tpch_q1)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -4816,7 +4903,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -4830,12 +4917,12 @@ GROUP BY r_name, n_name
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 5) AS avg_qty,
-       round(avg(l_extendedprice), 5) AS avg_price,
-       round(avg(l_discount), 5) AS avg_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 5) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 5) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -6199,9 +6286,16 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
+            # exact-DECIMAL money rail (order-free sum; see q_tpch_q1)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -6218,7 +6312,7 @@ SQL_TPCH_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -6255,16 +6349,23 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
+    # exact-DECIMAL money rail (order-free sum; see q_tpch_q1)
     return j.filter(band).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
 
 SQL_TPCH_Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem, part
 WHERE l_partkey = p_partkey
@@ -7352,9 +7453,18 @@ def q_tpch_q6_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
+            # exact-DECIMAL money rail — must stay byte-identical to
+            # q_tpch_q6 (shared SQL_TPCH_Q6 oracle + the layout-proof
+            # equality assertion in tests/test_store_pruning.py)
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount"))
+                    .cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
