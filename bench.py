@@ -265,33 +265,19 @@ def main() -> None:
     except OSError:  # platform without getloadavg
         load_start = []
 
+    # engine-level SQL confs (SHJ preference, hugeMethodLimit) are owned
+    # by the LIBRARY (vettore_spark.session — measurements and scale
+    # justification documented there), so every session that runs the
+    # engine plans the same way; the bench only sets deployment-side
+    # values (master, memory, shuffle partitions).
+    from vettore_spark import with_engine_defaults
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        with_engine_defaults(SparkSession.builder.master(f"local[{cpus}]"))
         .appName("vettore-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
-        # methods over the JIT's 8000-bytecode limit never get compiled and
-        # run JVM-interpreted; falling back to Spark's interpreted expression
-        # path for those stages is strictly faster (big HOF expression trees)
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
-        # let the planner use shuffled-hash join where its size conditions
-        # hold instead of always sort-merge (guide §3.1/§9): SHJ skips both
-        # sort passes. Size-guarded at any scale — Spark only builds the
-        # hash map when the per-partition build side fits its threshold,
-        # so this is not a local[32]-only setting. A/B at sf0.1 (r14,
-        # tools/confexp.py two runs each + an order-reversed re-check):
-        # 16-query subset 10.09 s -> 9.20 s and 9.44 s -> 8.78 s, and a
-        # 13-query set stays ~5-10% faster when the off-setting runs
-        # FIRST, so the win is not process-order noise. Honest plan
-        # attribution (final AQE plans captured under both settings):
-        # the strategy actually flips only where the build side exceeds
-        # broadcast size — tpch_q17_bloom / tpch_q17_smallqty (1 SMJ ->
-        # 1 SHJ each) and textrank_distributed's iteration joins (4 SMJ
-        # -> 4 SHJ); for the other subset queries the final join mix is
-        # byte-identical under both settings (AQE's broadcast conversion
-        # dominates) and their individual deltas are run noise.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

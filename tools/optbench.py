@@ -80,14 +80,14 @@ def main() -> None:
     plan_dir = os.path.join(repo, "plans", "r14")
     os.makedirs(plan_dir, exist_ok=True)
 
+    from vettore_spark import with_engine_defaults
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        with_engine_defaults(SparkSession.builder.master(f"local[{cpus}]"))
         .appName("vettore-spark-optbench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

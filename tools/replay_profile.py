@@ -39,13 +39,14 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    from vettore_spark import with_engine_defaults
+
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        with_engine_defaults(SparkSession.builder.master(f"local[{cpus}]"))
         .appName("vettore-replay-profile")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -9,6 +9,13 @@ cannot reach.
 
 from vettore_spark.functions import kernels
 from vettore_spark.collection import Collection, CollectionConfig
+from vettore_spark.session import ENGINE_SESSION_DEFAULTS, with_engine_defaults
 
-__all__ = ["kernels", "Collection", "CollectionConfig"]
+__all__ = [
+    "kernels",
+    "Collection",
+    "CollectionConfig",
+    "ENGINE_SESSION_DEFAULTS",
+    "with_engine_defaults",
+]
 __version__ = "0.1.0"
