@@ -664,6 +664,12 @@ def test_bench_compact_line_preserves_pergate_replay_map():
     }
     slowest = {f"some_very_long_query_name_number_{i:03d}": 9.999 - i * 0.01
                for i in range(20)}
+    # the full timings map feeds the scaling-probe rows (r14 verdict #7:
+    # same query names must reach the line at every core count)
+    from bench import SCALING_PROBE
+
+    timings = dict(slowest)
+    timings.update({name: 1.234 for name in SCALING_PROBE})
     spread = {f"spread_query_name_number_{i:03d}": [0.5, 9.5]
               for i in range(12)}
     overlap = {f"overlap_tier_name_{i}": 0.9 for i in range(8)}
@@ -703,13 +709,18 @@ def test_bench_compact_line_preserves_pergate_replay_map():
         "sf": 0.1,
     }
     line = compact_bench_line(
-        compact, slowest=slowest, spread=spread, overlap=overlap,
-        muvera=muvera,
+        compact, slowest=slowest, timings=timings, spread=spread,
+        overlap=overlap, muvera=muvera,
     )
     assert len(line) <= 1800, len(line)
     parsed = json.loads(line)
     assert parsed["streaming_replay_sec"] == gates, (
         "per-gate replay map must survive the full trim cascade"
+    )
+    # every scaling-probe row survives the full cascade — the driver's
+    # low-core ratios are computed by intersecting query names across runs
+    assert all(parsed["queries"].get(n) == 1.234 for n in SCALING_PROBE), (
+        "scaling-probe rows must survive every trim stage"
     )
     # and the headline value + host verdict survive too
     assert parsed["value"] == 55.5
