@@ -77,7 +77,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_samples = int(os.environ.get("OPTBENCH_SAMPLES", "5"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(repo, "plans", "r14")
+    plan_dir = os.path.join(repo, "plans", os.environ.get("OPTBENCH_PLAN_DIR", "r15"))
     os.makedirs(plan_dir, exist_ok=True)
 
     from vettore_spark import with_engine_defaults

@@ -3996,12 +3996,16 @@ def q_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     length."""
     from vettore_spark.streaming.stateful import streaming_simhash_candidates
 
-    # 8-file doc_id-range split, no trigger cap: ONE micro-batch as
+    # 32-file doc_id-range split, no trigger cap: ONE micro-batch as
     # before, but the tokenize+SimHash fold — this gate's dominant map
-    # cost (r14 replay profile: 8.7 s addBatch with the fold on a
-    # single scan task) — now runs 8-way parallel (see _events_stream)
+    # cost (r14: 8.7 s addBatch with the fold on ONE scan task; r15
+    # decomposition: still 2-3 s of the post-rewrite addBatch on 8
+    # tasks) — now fills the session's cores. The split count only
+    # shapes scan parallelism of the single availableNow batch, never
+    # results (intra-batch order-free; the r12 multi-batch semantics
+    # stay pinned in tests with explicit file-per-trigger fixtures).
     path = _streaming_table_dir_multi(
-        spark, sf_dir, "documents", "doc_id", n_files=8
+        spark, sf_dir, "documents", "doc_id", n_files=32
     )
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)

@@ -377,27 +377,6 @@ def streaming_unit_dedup(
     )
 
 
-_POP16 = None
-
-
-def _popcount64(x: "np.ndarray") -> "np.ndarray":
-    """Vectorized 64-bit popcount for NumPy < 2.0 (no np.bitwise_count):
-    four gathers into a 65,536-entry 16-bit lookup table."""
-    global _POP16
-    if _POP16 is None:
-        _POP16 = np.array(
-            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
-        )
-    x = x.astype(np.uint64, copy=False)
-    m = np.uint64(0xFFFF)
-    return (
-        _POP16[(x & m).astype(np.int64)].astype(np.int64)
-        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
-        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
-        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
-    )
-
-
 def streaming_simhash_candidates(
     docs: DataFrame,
     *,
@@ -408,6 +387,7 @@ def streaming_simhash_candidates(
     max_bucket: int = 64,
     hash_fn=None,
     emit_once: bool = False,
+    state_groups: int = 256,
 ) -> DataFrame:
     """Streaming NEAR-dup candidate pairs across micro-batches: the
     streaming twin of dedup.simhash_pairs. Each document is posted to its
@@ -449,11 +429,36 @@ def streaming_simhash_candidates(
     text.poly_hash62 for the SQL-reproducible fingerprint a DuckDB oracle
     can recompute bit-for-bit — the driver-gate path).
 
-    Verification is NumPy-vectorized while the bucket is under its cap
-    (XOR outer product + table popcount — identical pair set to the
-    sequential scan because below the cap every arrival joins the
-    residents); the sequential order-dependent scan runs only for the
-    rare hot bucket at its cap, preserving the exact cap semantics.
+    Pair verification and emission run JVM-SIDE (r15): the Python state
+    function ships ONE compact row per (bucket, batch) — the resident
+    members before the batch, the sorted arrivals, and how many of them
+    joined (`add_n`) — and a codegen post-stage expands the two pair
+    families (residents x arrivals; added-prefix x strictly-LATER
+    arrivals, i.e. `i.pos < add_n and j.pos > i.pos`, which reduces to
+    the full upper triangle below the cap where add_n = len(arrivals)),
+    computes Hamming natively (`bit_count(sig_i ^ sig_j)`) and applies
+    the emit_once minimal-shared-block suppression as expressions over
+    the xor's block slices. The family decomposition is exactly the
+    r12-verified closed form of the sequential cap rule (pinned against
+    an independent sequential reference in tests/test_hardening_r12.py);
+    what moved in r15 is WHERE the grid is evaluated. The r14 replay
+    profile put this gate's floor at shipping ~1.4M verified pair rows
+    pandas->Arrow->JVM (guide §4: the Python boundary charges per row) —
+    the bucket rows are orders of magnitude fewer, and the quadratic
+    grid work now runs in whole-stage codegen inside the same narrow
+    stage that feeds the sink.
+
+    State is sharded into `state_groups` hash groups of BUCKETS (the
+    r14 unit_dedup pattern): per-(block, slice) GroupState paid one
+    state round-trip + Python call per bucket per batch — ~17k buckets
+    at sf0.1 made that fixed cost, not the grid, the replay floor
+    (measured: 16.3 s old / 11.9 s post-JVM-grid addBatch on the same
+    boot). Each group's state holds its buckets' flattened member
+    arrays tagged (blk, bval); the per-bucket residency/cap/sort rules
+    are applied inside the group exactly as before, so the emitted pair
+    multiset is unchanged (pinned by the sequential-reference test).
+    Size `state_groups` to state volume in deployments — groups are a
+    parallelism/fixed-cost knob, never a semantics knob.
     """
     from pyspark.sql import types as T
 
@@ -484,173 +489,192 @@ def streaming_simhash_candidates(
         F.col("_b._sig").alias("_sig"),
         F.col("_b._blk").alias("_blk"),
         F.col("_b._bval").alias("_bval"),
+        # bucket-group shard key: data-keyed (never executor-keyed), so
+        # results are partition- and core-count-invariant
+        F.pmod(
+            F.xxhash64(F.col("_b._blk"), F.col("_b._bval")),
+            F.lit(state_groups),
+        ).alias("_g"),
     )
 
-    out_schema = T.StructType(
+    # One compact row per (bucket, batch) crosses the Python boundary;
+    # the pair grid is expanded JVM-side below.
+    bucket_schema = T.StructType(
         [
-            T.StructField("doc_a", id_type),
-            T.StructField("doc_b", id_type),
-            T.StructField("hamming", T.LongType()),
-            T.StructField("block", T.IntegerType()),
+            T.StructField("_blk", T.IntegerType()),
+            T.StructField("res_ids", T.ArrayType(id_type)),
+            T.StructField("res_sigs", T.ArrayType(T.LongType())),
+            T.StructField("arr_ids", T.ArrayType(id_type)),
+            T.StructField("arr_sigs", T.ArrayType(T.LongType())),
+            T.StructField("add_n", T.IntegerType()),
         ]
     )
     state_schema = T.StructType(
         [
+            T.StructField("blks", T.ArrayType(T.IntegerType())),
+            T.StructField("bvals", T.ArrayType(T.LongType())),
             T.StructField("ids", T.ArrayType(id_type)),
             T.StructField("sigs", T.ArrayType(T.LongType())),
         ]
     )
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        blk = int(key[0])
-        ids, sigs = ([], []) if not state.exists else (
-            list(state.get[0]), list(state.get[1])
-        )
-        rows = []
-        for pdf in pdfs:
-            rows.extend(
-                sorted(zip(pdf[id_col].tolist(), pdf["_sig"].tolist()))
-            )
-        a_ids = [r[0] for r in rows]
-        a_sig = np.array([r[1] for r in rows], dtype=np.int64).astype(
-            np.uint64
-        )
-        r_sig = np.array(sigs, dtype=np.int64).astype(np.uint64)
-        # natural dtypes (int64 for integral ids), NOT object: object
-        # arrays de-vectorize every downstream mask/where/fancy-index
-        # and make the final pandas->Arrow emission of ~1.4M pair rows
-        # a per-element conversion (r14)
-        r_ids_arr = np.asarray(ids)
-        a_ids_arr = np.asarray(a_ids)
-        # Pair families collected as numpy columns (i-member, j-member,
-        # hamming, xor word). The corpus regime is pair-HEAVY — sf0.1's
-        # near-dup family verifies ~1.7M raw pairs per replay — so the
-        # per-pair Python append loop this replaces WAS the replay cost
-        # (r14 profile: 12 of 16 s addBatch), not the SimHash fold.
-        fam_i: list[np.ndarray] = []
-        fam_j: list[np.ndarray] = []
-        fam_h: list[np.ndarray] = []
-        fam_x: list[np.ndarray] = []
-
-        def _family(ids_i, sig_i, ids_j, sig_j, keep, hm):
-            i, j = np.nonzero(keep)
-            if not len(i):
-                return
-            fam_i.append(ids_i[i])
-            fam_j.append(ids_j[j])
-            fam_h.append(hm[i, j].astype(np.int64))
-            fam_x.append(sig_i[i] ^ sig_j[j])
-
-        if emit_once and len(ids) + len(rows) > max_bucket:
-            # emit_once's exactly-once guarantee stands only while every
-            # shared block's bucket holds both pair members — a binding
-            # cap would make the suppression DROP pairs silently (the
-            # minimal shared block froze a member out of residency while
-            # a later block caught the pair). Fail loudly instead: size
-            # max_bucket above the hottest bucket, or run the default
-            # per-sharing-block emission which keeps cap semantics.
-            raise ValueError(
-                f"emit_once: bucket (block={blk}, key={key[1]}) would "
-                f"exceed max_bucket={max_bucket} "
-                f"({len(ids)} resident + {len(rows)} arriving); "
-                "exactly-once emission is only exact below the cap"
-            )
-        if len(ids) + len(rows) <= max_bucket:
-            # Fast path: the bucket stays under its cap for the whole
-            # batch, so every arrival both verifies AND joins the
-            # residents — the emitted pair set is exactly (residents x
-            # arrivals) + (arrival pairs), order-free. One XOR outer
-            # product + table popcount instead of a Python double loop.
-            if len(r_sig) and len(a_sig):
-                hm = _popcount64(r_sig[:, None] ^ a_sig[None, :])
-                _family(
-                    r_ids_arr, r_sig, a_ids_arr, a_sig,
-                    hm <= max_hamming, hm,
-                )
-            if len(a_sig) > 1:
-                hm = _popcount64(a_sig[:, None] ^ a_sig[None, :])
-                _family(
-                    a_ids_arr, a_sig, a_ids_arr, a_sig,
-                    np.triu(hm <= max_hamming, k=1), hm,
-                )
-            ids.extend(a_ids)
-            sigs.extend(int(s) for s in a_sig.astype(np.int64))
+        if state.exists:
+            s_blk, s_bval, s_ids, s_sigs = (list(x) for x in state.get)
         else:
-            # At-cap path with EXACTLY the sequential-scan semantics
-            # (r12: the Python double loop was O(rows x cap) interpreter
-            # work per hot bucket — the replay-scaling bottleneck at 16x
-            # corpus). In the sequential scan, arrival j is verified
-            # against (a) every ORIGINAL resident and (b) every EARLIER
-            # arrival that joined the residents — and only the first
-            # (max_bucket - len(ids)) arrivals join. Both pair families
-            # are closed-form: residents x all arrivals, plus
-            # added-prefix x strictly-later arrivals (upper triangle).
-            if len(r_sig) and len(a_sig):
-                hm = _popcount64(r_sig[:, None] ^ a_sig[None, :])
-                _family(
-                    r_ids_arr, r_sig, a_ids_arr, a_sig,
-                    hm <= max_hamming, hm,
+            s_blk, s_bval, s_ids, s_sigs = [], [], [], []
+        # residents per bucket, in state (= join) order
+        res: dict = {}
+        for b, v, i, s in zip(s_blk, s_bval, s_ids, s_sigs):
+            bucket = res.setdefault((b, v), ([], []))
+            bucket[0].append(i)
+            bucket[1].append(s)
+        arr: dict = {}
+        for pdf in pdfs:
+            for b, v, i, s in zip(
+                pdf["_blk"].tolist(),
+                pdf["_bval"].tolist(),
+                pdf[id_col].tolist(),
+                pdf["_sig"].tolist(),
+            ):
+                arr.setdefault((int(b), int(v)), []).append((i, int(s)))
+        o_blk: list = []
+        o_res_ids: list = []
+        o_res_sigs: list = []
+        o_arr_ids: list = []
+        o_arr_sigs: list = []
+        o_addn: list = []
+        for (b, v), rows in arr.items():
+            rows.sort()
+            r_ids, r_sigs = res.get((b, v), ([], []))
+            if emit_once and len(r_ids) + len(rows) > max_bucket:
+                # emit_once's exactly-once guarantee stands only while
+                # every shared block's bucket holds both pair members — a
+                # binding cap would make the suppression DROP pairs
+                # silently (the minimal shared block froze a member out
+                # of residency while a later block caught the pair).
+                # Fail loudly instead: size max_bucket above the hottest
+                # bucket, or run the default per-sharing-block emission,
+                # which keeps cap semantics.
+                raise ValueError(
+                    f"emit_once: bucket (block={b}, key={v}) would "
+                    f"exceed max_bucket={max_bucket} "
+                    f"({len(r_ids)} resident + {len(rows)} arriving); "
+                    "exactly-once emission is only exact below the cap"
                 )
-            add_n = max(0, max_bucket - len(ids))
-            if add_n and len(a_sig) > 1:
-                p_sig = a_sig[:add_n]
-                p_ids = a_ids_arr[:add_n]
-                hm = _popcount64(p_sig[:, None] ^ a_sig[None, :])
-                keep = hm <= max_hamming
-                # prefix member i is resident only for arrivals j > i
-                keep &= np.arange(len(a_sig))[None, :] > np.arange(
-                    len(p_sig)
-                )[:, None]
-                _family(p_ids, p_sig, a_ids_arr, a_sig, keep, hm)
-            ids.extend(a_ids[:add_n])
-            sigs.extend(int(s) for s in a_sig[:add_n].astype(np.int64))
-        state.update((ids, sigs))
-        if fam_i:
-            pi = np.concatenate(fam_i)
-            pj = np.concatenate(fam_j)
-            ph = np.concatenate(fam_h)
-            px = np.concatenate(fam_x)
-            # duplicate-id re-arrival never self-pairs; object-dtype
-            # comparisons yield object arrays of Python bools, which
-            # numpy would treat as FANCY indices — cast to bool masks
-            keep = np.asarray(pi != pj, dtype=bool)
-            if emit_once:
-                # Emit a pair only in its MINIMAL shared block: below
-                # the cap both members sit in every bucket whose slice
-                # values agree (xor slice == 0), so the pair is
-                # discovered once per shared block and keeping only
-                # blk == min(shared) makes raw emission equal the
-                # distinct pair set — no 4x duplication for downstream
-                # distinct to grind through.
-                minblk = np.full(px.shape, n_blocks, dtype=np.int64)
-                for b in range(n_blocks - 1, -1, -1):
-                    zero = (
-                        (px >> np.uint64(b * block_bits))
-                        & np.uint64(slice_mask)
-                    ) == 0
-                    minblk = np.where(zero, b, minblk)
-                keep &= minblk == blk
-            if keep.any():
-                pi, pj, ph = pi[keep], pj[keep], ph[keep]
-                swap = np.asarray(pj < pi, dtype=bool)
-                lo = np.where(swap, pj, pi)
-                hi = np.where(swap, pi, pj)
-                yield pd.DataFrame(
-                    {
-                        "doc_a": lo,
-                        "doc_b": hi,
-                        "hamming": ph,
-                        "block": np.full(len(ph), blk, dtype=np.int32),
-                    }
-                )
+            a_ids = [r[0] for r in rows]
+            a_sigs = [r[1] for r in rows]
+            # the sequential cap rule in closed form (r12, pinned in
+            # tests/test_hardening_r12.py): only the first add_n sorted
+            # arrivals join the residents; every arrival still verifies
+            add_n = max(0, min(len(rows), max_bucket - len(r_ids)))
+            if (r_ids and a_ids) or len(a_ids) > 1:
+                o_blk.append(b)
+                o_res_ids.append(list(r_ids))
+                o_res_sigs.append(list(r_sigs))
+                o_arr_ids.append(a_ids)
+                o_arr_sigs.append(a_sigs)
+                o_addn.append(add_n)
+            s_blk.extend([b] * add_n)
+            s_bval.extend([v] * add_n)
+            s_ids.extend(a_ids[:add_n])
+            s_sigs.extend(a_sigs[:add_n])
+        state.update((s_blk, s_bval, s_ids, s_sigs))
+        if o_blk:
+            yield pd.DataFrame(
+                {
+                    "_blk": o_blk,
+                    "res_ids": o_res_ids,
+                    "res_sigs": o_res_sigs,
+                    "arr_ids": o_arr_ids,
+                    "arr_sigs": o_arr_sigs,
+                    "add_n": o_addn,
+                }
+            )
 
-    return keyed.groupBy("_blk", "_bval").applyInPandasWithState(
+    st = keyed.groupBy("_g").applyInPandasWithState(
         update,
-        outputStructType=out_schema,
+        outputStructType=bucket_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    # JVM pair expansion: members as (id, sig, pos) structs — residents
+    # at pos -1, arrivals at their sorted position — exploded i x j with
+    # the closed-form residency rule as a codegen predicate. Narrow from
+    # the state op to the sink: no shuffle, no Python.
+    def _members(ids_col: str, sigs_col: str, arrivals: bool):
+        z = F.arrays_zip(F.col(ids_col), F.col(sigs_col))
+        if arrivals:
+            return F.transform(
+                z,
+                lambda s, i: F.struct(
+                    s[ids_col].alias("id"),
+                    s[sigs_col].alias("sig"),
+                    i.cast("int").alias("pos"),
+                ),
+            )
+        return F.transform(
+            z,
+            lambda s: F.struct(
+                s[ids_col].alias("id"),
+                s[sigs_col].alias("sig"),
+                F.lit(-1).alias("pos"),
+            ),
+        )
+
+    i_side = F.concat(
+        _members("res_ids", "res_sigs", False),
+        # arrivals are pair-SOURCES only while they join (pos < add_n)
+        F.filter(
+            _members("arr_ids", "arr_sigs", True),
+            lambda s: s["pos"] < F.col("add_n"),
+        ),
+    )
+    # materialize the j-side member array ONCE per bucket row (higher-
+    # order functions are interpreted, not codegen'd: leaving the
+    # transform inside the second explode would re-build the whole
+    # struct array once per i-row — O(grid x members) interpreted work)
+    e = st.select(
+        F.col("_blk"),
+        _members("arr_ids", "arr_sigs", True).alias("_js"),
+        F.explode(i_side).alias("_i"),
+    ).select(
+        F.col("_blk"),
+        F.col("_i"),
+        F.explode(F.col("_js")).alias("_j"),
+    )
+    xor = F.col("_i.sig").bitwiseXOR(F.col("_j.sig"))
+    hm = F.bit_count(xor)
+    pairs = e.where(
+        # residents pair with every arrival; an added arrival only with
+        # strictly-later arrivals (the sequential-scan rule). A
+        # duplicate-id re-arrival never self-pairs.
+        ((F.col("_i.pos") == -1) | (F.col("_j.pos") > F.col("_i.pos")))
+        & (F.col("_i.id") != F.col("_j.id"))
+        & (hm <= F.lit(max_hamming))
+    )
+    if emit_once:
+        # Emit a pair only in its MINIMAL shared block: below the cap
+        # both members sit in every bucket whose slice values agree
+        # (xor slice == 0), so keeping only blk == min(shared) makes raw
+        # emission equal the distinct pair set. A discovered pair always
+        # has xor slice 0 at its own block, so minblk <= _blk.
+        minblk = F.lit(n_blocks)
+        for b in range(n_blocks - 1, -1, -1):
+            sl = F.shiftrightunsigned(xor, b * block_bits).bitwiseAND(
+                F.lit(slice_mask)
+            )
+            minblk = F.when(sl == F.lit(0), F.lit(b)).otherwise(minblk)
+        pairs = pairs.where(minblk == F.col("_blk"))
+    return pairs.select(
+        F.least(F.col("_i.id"), F.col("_j.id")).alias("doc_a"),
+        F.greatest(F.col("_i.id"), F.col("_j.id")).alias("doc_b"),
+        hm.cast("long").alias("hamming"),
+        F.col("_blk").cast("int").alias("block"),
     )
 
 
