@@ -9453,79 +9453,78 @@ _REGISTRY_RAW: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     ),
 }
 
-# Round-14 gate window (per the round-13 verdict, rotated at round START):
-# slots 1-3 are the r13-CHANGED queries whose driver gate predates the
-# change (r13 verdict #1's explicit adds): `hashed_embedding` (UTF-8
-# oracle rewrite, last gated r12 on the old oracle) and
-# `retrieval_eval` / `quality_score` (NaN/ANSI rails, last gated r12).
-# Slots 4-47 are ALL 44 queries whose latest driver green is r10 (the
-# oldest surviving greens — the protocol block, which already contains
-# the rest of the r13 cosine-path family: flat_topk_cosine,
-# prefix_topk, quantized_topk, funnel_topk, semdedup_prune,
-# similarity_score_mode, maxsim_label_topk, muvera_fde_retrieval, and
-# the NaN-railed rerank_model_topk / token_budget_select). Slots 48-50
-# are three targeted r11 greens: `range_search_cosine` (the remaining
-# un-re-gated cosine-kernel-path query), `ivf_health_report` (the r14
-# ivf_assign finiteness rail + the health report's quarantine-visible
-# left join, verdict #4a — the assignment/topk path is already covered
-# in-window by ivf_delete_search and ivf_filtered_topk), and
-# `streaming_simhash_pairs` (watch item #1 — the doubled headline row).
-# 3+44+3 fills 50 exactly; after this gate no query's latest green is
-# older than r11 and no r13/r14-changed query's gate trails its change.
+# Round-15 gate window (rotated per the round-14 verdict item #1, then
+# reconciled at round END so no r15-changed query's gate trails its
+# change). Slots 1-13 are the r15-CHANGED surfaces: the ten decimal-rail
+# money-sum queries (exact-DECIMAL order-free sums, query+oracle changed
+# in lockstep), the simhash gate (JVM-side pair expansion + bucketed
+# state), and the two textrank tiers (pagerank's size-tiered broadcast
+# of the contribution vector — keywords' driver tier shares the edge
+# derivation). Slots 14-25 are the 12 r14-changed surfaces whose r14
+# gate predated the change (r14 verdict #1's explicit list: the
+# bucketed-state streaming gates, the 8-file single-batch sources, the
+# profile-sketch rewrite, kmv_weekly_rollup, and the q17 SHJ flips).
+# Slots 26-50 are the 25 alphabetically-first of the 38 remaining
+# queries whose latest driver green is r11 — the oldest surviving
+# greens; the other 13 r11 greens (mean_vector_by_label ..
+# zorder_cluster_profile) are the round-16 rotation block. 13+12+25
+# fills 50 exactly; after this gate no changed query's latest green
+# trails its change and nothing is gated older than r11 except that
+# 13-query remainder.
 _GATE_WINDOW: list[str] = [
-    # --- slots 1-3: r13-changed, gate trailed the change (r13 verdict #1) ---
-    "hashed_embedding",
-    "retrieval_eval",
-    "quality_score",
-    # --- slots 4-47: every query whose latest green is r10 ---
-    "bloom_join_prune",
-    "bm25_batch",
-    "calibrated_quality",
-    "cms_token_hitters",
-    "curation_pipeline",
-    "dedup_report",
-    "domain_mixture",
-    "dsir_weights",
-    "embedding_neardup_blocked",
-    "events_time_rollup",
-    "filtered_quantized_topk",
-    "flat_topk_cosine",
-    "flat_topk_dot",
-    "funnel_topk",
-    "hard_negatives",
-    "hnsw_delete_search",
-    "hnsw_multi_topk",
-    "ivf_delete_search",
-    "ivf_filtered_topk",
-    "kmv_distinct_daily",
-    "kmv_shingle_overlap",
-    "maxsim_label_topk",
-    "media_audio_features",
-    "media_frame_sample",
-    "media_image_features",
-    "media_image_resize",
-    "multi_query_topk",
-    "muvera_fde_retrieval",
-    "packed_jaccard_topk",
-    "prefix_topk",
-    "quantized_topk",
-    "rerank_model_topk",
-    "retrieval_pipeline",
-    "semantic_dedup_pairs",
-    "semdedup_prune",
-    "similarity_score_mode",
-    "substring_dedup",
-    "table_profile",
-    "temperature_mixture",
+    # --- slots 1-13: r15-changed surfaces ---
+    "tpch_q1_pricing",
+    "tpch_q6_revenue",
+    "tpch_q6_zorder",
+    "tpch_q3_topk",
+    "tpch_q14_promo",
+    "tpch_q19_bands",
+    "top_orders_join",
+    "region_revenue",
+    "supplier_nation_revenue",
+    "lineitem_rollup",
+    "streaming_simhash_pairs",
     "textrank_distributed",
     "textrank_keywords",
-    "token_budget_select",
-    "train_shards",
-    "training_pipeline",
-    # --- slots 48-50: targeted r11 greens (cosine path / IVF rail / watch item) ---
-    "range_search_cosine",
-    "ivf_health_report",
-    "streaming_simhash_pairs",
+    # --- slots 14-25: r14-changed, gate trailed the change (r14 verdict #1) ---
+    "streaming_funnel_stage",
+    "streaming_topk_per_key",
+    "streaming_unit_dedup",
+    "streaming_dedup_keepers",
+    "streaming_zscore_flag_counts",
+    "streaming_events_hourly",
+    "streaming_session_counts",
+    "streaming_histogram_quantiles",
+    "table_profile_sketch",
+    "kmv_weekly_rollup",
+    "tpch_q17_smallqty",
+    "tpch_q17_bloom",
+    # --- slots 26-50: oldest surviving greens (r11), alphabetical ---
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "approx_event_rollup",
+    "bpe_pair_stats",
+    "charlm_quality",
+    "corpus_diversity",
+    "corpus_stats",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_covariance",
+    "embedding_drift_by_label",
+    "embedding_outliers",
+    "event_window_dedup",
+    "events_hourly",
+    "events_json_props",
+    "events_quantile_sketch",
+    "fuzzy_value_pairs",
+    "hnsw_batch_insert_search",
+    "hnsw_insert_search",
+    "ivf_insert_search",
+    "ivf_range_search",
+    "knn_graph",
+    "label_dispersion",
+    "lang_id",
+    "leakage_safe_split",
 ]
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
