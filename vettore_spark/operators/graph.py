@@ -53,6 +53,7 @@ def pagerank(
     iters: int = 10,
     cut_every: int = 6,
     driver_max_edges: int = 100_000,
+    broadcast_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank by fixed-point power iteration over an edge list.
 
@@ -84,7 +85,23 @@ def pagerank(
     distributed product (r * w) is LONG arithmetic — past the module
     weight bound (see SCALE above) ANSI mode raises ARITHMETIC_OVERFLOW
     loudly, while the driver tier's Python integers are unbounded; stay
-    inside the bound (or pre-divide weights) for tier-independent runs."""
+    inside the bound (or pre-divide weights) for tier-independent runs.
+
+    Broadcast sub-tier of the distributed loop (guide §3.1): the
+    contribution table carried between iterations has at most one row
+    per node — never more rows than the edge table (every node is a
+    source of >= 1 edge) — so when the persisted edge table holds at
+    most `broadcast_max_edges` rows, each iteration joins it against a
+    BROADCAST of the contribution vector instead of shuffling both
+    sides. That removes both join exchanges per iteration (the grouped
+    sum's exchange remains — the one fundamentally required shuffle),
+    and integer addition is order-free, so the emitted ranks are
+    bit-identical to the shuffled formulation. 2M rows of
+    (node, long) is tens of MB framed — far inside the 8 GB / 512M-row
+    broadcast cap; above the bound the loop falls back to the shuffled
+    join unchanged. Set broadcast_max_edges=0 to force the shuffle
+    formulation. The single bound-probe count is shared with the
+    driver-tier probe (one LIMIT-capped count per call, not two)."""
     if iters < 1:
         raise ValueError("pagerank needs iters >= 1")
     dn = int(round(damping * 100))
@@ -118,7 +135,12 @@ def pagerank(
         e, ("pagerank_edges", src, dst, weight_col), lambda d: d.join(ow, "_src")
     )
     base = (100 - dn) * (SCALE // 100)
-    if driver_max_edges and ej.limit(driver_max_edges + 1).count() <= driver_max_edges:
+    # one LIMIT-capped probe count decides BOTH tier splits: the cap is
+    # the larger of the two bounds, so n_probe is exact wherever either
+    # decision needs it and the probe short-circuits past the cap
+    probe_cap = max(driver_max_edges, broadcast_max_edges)
+    n_probe = ej.limit(probe_cap + 1).count() if probe_cap else None
+    if driver_max_edges and n_probe <= driver_max_edges:
         return _pagerank_driver(
             edges.sparkSession,
             ej.collect(),
@@ -127,6 +149,7 @@ def pagerank(
             base=base,
             iters=iters,
         )
+    bcast = bool(broadcast_max_edges) and n_probe <= broadcast_max_edges
     nodes = e.select(F.col("_src").alias("node")).distinct()
     # Only the CONTRIBUTION table (_n, _m — nodes with in-mass) carries
     # between iterations; a node's rank is always base + (dn*S) div 100
@@ -141,7 +164,9 @@ def pagerank(
             joined = ej.withColumn("r", F.lit(SCALE).cast("long"))
         else:
             joined = ej.join(
-                contrib, F.col("_src") == F.col("_n"), "left"
+                F.broadcast(contrib) if bcast else contrib,
+                F.col("_src") == F.col("_n"),
+                "left",
             ).withColumn("r", F.expr(r_expr))
         contrib = joined.groupBy(F.col("_dst").alias("_n")).agg(
             # _ow = 0 (a source whose weights sum to zero) must contribute
@@ -172,7 +197,9 @@ def pagerank(
             release_cut(prev_cut)
             prev_cut = contrib
     rank = nodes.join(
-        contrib, F.col("node") == F.col("_n"), "left"
+        F.broadcast(contrib) if bcast else contrib,
+        F.col("node") == F.col("_n"),
+        "left",
     ).select("node", F.expr(r_expr).alias("r"))
     return rank.select(
         "node",
