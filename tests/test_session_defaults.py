@@ -13,6 +13,7 @@ def test_declared_defaults_are_the_measured_set():
     assert ENGINE_SESSION_DEFAULTS == {
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.codegen.hugeMethodLimit": "8000",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     }
 
 

@@ -57,17 +57,30 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     },
+    # r15: let AQE re-optimize the output partitioning of CACHED plans —
+    # persisted derived tables built from 32-partition shuffles would
+    # coalesce to size-appropriate partition counts, cutting task launches
+    # in every downstream stage that scans them (guide §2.2 applied to
+    # InMemoryRelation). Off by default in Spark because consumers that
+    # relied on the cached partitioning may see added exchanges.
+    "F_cachedpart": {
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    },
 }
 
 
 def run_variant(name: str, conf: dict[str, str], sf_dir: str, cpus: str) -> dict:
+    # baseline = the LIBRARY's current session defaults (r15: SHJ
+    # preference + hugeMethodLimit live in vettore_spark.session), so every
+    # variant measures its delta against what the engine actually ships
+    from vettore_spark import with_engine_defaults
+
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        with_engine_defaults(SparkSession.builder.master(f"local[{cpus}]"))
         .appName(f"confexp-{name}")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in conf.items():

@@ -80,8 +80,17 @@ def main() -> int:
     # for that whole class. `SELFCHECK_PARTITIONS=128 python
     # tools/selfcheck.py` must be as green as the default run.
     parts = os.environ.get("SELFCHECK_PARTITIONS", "8")
+    # SELFCHECK_ENGINE_DEFAULTS=1: apply the library's session confs
+    # (vettore_spark.session) so the oracle gate ALSO covers the planner
+    # path every engine session actually runs. The default stays the
+    # conf-less driver-replica session — both paths must be green.
+    builder = SparkSession.builder
+    if os.environ.get("SELFCHECK_ENGINE_DEFAULTS"):
+        from vettore_spark import with_engine_defaults
+
+        builder = with_engine_defaults(builder)
     spark = (
-        SparkSession.builder.master("local[8]")
+        builder.master("local[8]")
         .appName("selfcheck")
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.default.parallelism", parts)

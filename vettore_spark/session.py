@@ -20,9 +20,29 @@ optimization).
   falling back to Spark's interpreted expression path for those stages is
   strictly faster for the engine's big HOF expression trees (r9
   measurement, SCALE.md).
+- ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true`` —
+  let AQE re-optimize the output partitioning of CACHED plans (guide
+  §2.2 applied to InMemoryRelation). The engine's resident derived
+  tables (plans/cache.py::cached_persist — shingle postings, signatures,
+  IVF assignments, survivor sets) are built from shuffles sized by
+  ``spark.sql.shuffle.partitions``; with the flag off, a tiny derived
+  table stays frozen at that partition count and every downstream stage
+  that scans it launches that many tasks forever. With it on, AQE
+  coalesces the cached plan's final shuffle by SIZE, so partition count
+  tracks bytes, not the session's core count — small tables scan in few
+  tasks locally, big tables keep full parallelism on a cluster. Spark
+  ships it off only because consumers that relied on the frozen cached
+  partitioning may see an added exchange — a cost AQE itself weighs at
+  runtime. Measured (r15, tools/confexp.py, fresh session per variant,
+  A/B with an order-reversed re-check): 16-query subset 19.14 s ->
+  14.17 s and (order reversed) 16.83 s -> 14.50 s at sf0.1; largest
+  stable per-query wins dsir_weights 0.95 -> 0.30, minhash_lsh_pairs
+  0.99 -> 0.35, curation_pipeline 0.98 -> 0.39, kmv_distinct_daily
+  0.96 -> 0.84; no stable regression (full oracle gate green under the
+  conf — SELFCHECK_ENGINE_DEFAULTS=1).
 
-Production value: same — both confs are size-/bytecode-guarded, not tuned
-to a core count or scale factor. Deployment-side session settings
+Production value: same — all three confs are size-/bytecode-guarded, not
+tuned to a core count or scale factor. Deployment-side session settings
 (master, memory, shuffle partitions) stay with the deployment.
 """
 
@@ -33,6 +53,7 @@ from pyspark.sql import SparkSession
 ENGINE_SESSION_DEFAULTS: dict[str, str] = {
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.codegen.hugeMethodLimit": "8000",
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
