@@ -66,6 +66,10 @@ VARIANTS: dict[str, dict[str, str]] = {
     "F_cachedpart": {
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     },
+    # inverse probe once F became the library default: measure WITHOUT it
+    "G_nocachedpart": {
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "false",
+    },
 }
 
 
@@ -118,6 +122,10 @@ def run_variant(name: str, conf: dict[str, str], sf_dir: str, cpus: str) -> dict
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # CONFEXP_QUERIES=a,b,c overrides the default subset (targeted A/Bs)
+    override = os.environ.get("CONFEXP_QUERIES")
+    if override:
+        QUERIES[:] = [q.strip() for q in override.split(",") if q.strip()]
     picks = sys.argv[1:] or list(VARIANTS)
     if len(picks) > 1:
         # one variant per PROCESS: module-level persist registries would
