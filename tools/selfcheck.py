@@ -181,7 +181,12 @@ def main() -> int:
                 f"always equals the live registry. Run: sf dir `{sf_dir}`,\n"
                 f"{len(qs)} registered queries, {len(oracles)} with SQL oracles\n"
                 "(row count + sorted columns + order-insensitive value hash vs\n"
-                "each query's DuckDB oracle).\n\n```\n"
+                "each query's DuckDB oracle).\n\n"
+                "The per-line wall-time strings are INCIDENTAL (whatever the\n"
+                "shared host was doing during the run) and are NOT comparable\n"
+                "across regenerations — use the bench protocol records for\n"
+                "timing claims; this file's signal is the PASS/FAIL column\n"
+                "and the total (r14 ADVICE item).\n\n```\n"
                 + "\n".join(lines)
                 + f"\n\n{summary}\n```\n"
             )
